@@ -1,0 +1,506 @@
+"""Graph algorithms, DataFrame-native.
+
+Implements every algorithm the reference ships (PageRank
+``algorithms.h:4-37``, SSSP ``algorithms.h:42-92``, TriangleCount
+``algorithms.h:97-180``) plus every declared-but-empty stub
+(``algorithms.h:185-250``: MatrixMultiply, BFS, connectedComponents,
+MST/Prim, stronglyConnectedComponents, Kmeans), re-expressed as Catalyst
+plans: joins for message exchange, groupBy-agg for reduce, driver loops
+only for supersteps.
+
+Reference quirks deliberately normalized (SURVEY.md §7.4):
+- reference PageRank uses damping 0.5 and divides by the *process-local*
+  vertex count (``algorithms.h:30``, ``gmr.cpp:191``) making results depend
+  on the partition count; we use the global N and a ``damping`` parameter
+  (compat mode: ``damping=0.5``).
+- reference TriangleCount's reduce fires only for exactly-2-list key
+  groups (``algorithms.h:141``); the join formulation is the clean
+  equivalent counting each triangle a<b<c once.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graphmapreduce_spark.graph.pregel import (
+    MAX_ITERATION,
+    THRESHOLD,
+    Pregel,
+    UpdateMode,
+)
+from graphmapreduce_spark.graph.property_graph import PropertyGraph
+
+
+# ---------------------------------------------------------------------------
+# SSSP — ref algorithms.h:42-92 (Bellman-Ford relaxation; init source=0,
+# others=FLT_MAX at :48-54; map emits (nbor, value+edgewgt) at :57-67;
+# reduce=min at :73-85; cover update)
+# ---------------------------------------------------------------------------
+def sssp(
+    graph: PropertyGraph,
+    source: int,
+    threshold: float = THRESHOLD,
+    max_iter: int = MAX_ITERATION,
+) -> DataFrame:
+    """Single-source shortest paths.  Returns (id, distance); unreachable
+    vertices keep +inf.  Frontier-filtered: only vertices whose distance
+    improved last superstep relax their out-edges (the optimization the
+    reference left disabled — ``graph.h:760-762``)."""
+    init = graph.vertices.select(
+        "id",
+        F.when(F.col("id") == source, 0.0)
+        .otherwise(float("inf"))
+        .alias("value"),
+    )
+
+    def messages(active: DataFrame, edges: DataFrame) -> DataFrame:
+        return (
+            active.filter(~F.isnan("value") & (F.col("value") != float("inf")))
+            .join(edges, active["id"] == edges["src"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("value") + F.col("weight")).alias("msg"),
+            )
+        )
+
+    pregel = Pregel(
+        make_messages=messages,
+        agg=F.min("msg"),
+        update=lambda old, agg: F.least(old, F.coalesce(agg, old)),
+        threshold=threshold,
+        max_iter=max_iter,
+        active_frontier=True,
+    )
+    res = pregel.run(init, graph.edges)
+    return res.vertices.select("id", F.col("value").alias("distance"))
+
+
+# ---------------------------------------------------------------------------
+# BFS — ref stub algorithms.h:190; level = unweighted SSSP
+# ---------------------------------------------------------------------------
+def bfs(graph: PropertyGraph, source: int, max_iter: int = MAX_ITERATION) -> DataFrame:
+    """Breadth-first levels from ``source``.  (id, level); -1 = unreachable."""
+    unit = PropertyGraph(
+        graph.vertices,
+        graph.edges.withColumn("weight", F.lit(1.0)),
+        num_partitions=graph.num_partitions,
+        prepartition=False,
+    )
+    d = sssp(unit, source, threshold=0.5, max_iter=max_iter)
+    return d.select(
+        "id",
+        F.when(F.col("distance") == float("inf"), F.lit(-1))
+        .otherwise(F.col("distance").cast("long"))
+        .alias("level"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank — ref algorithms.h:4-37 (map: value/deg to out-neighbors :12-18;
+# reduce: d*sum + (1-d)/n :24-33).  Quirks normalized per SURVEY §7.4.
+# ---------------------------------------------------------------------------
+def pagerank(
+    graph: PropertyGraph,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    threshold: float = 1e-6,
+    handle_dangling: bool = True,
+) -> DataFrame:
+    """Returns (id, rank), ranks summing to ~1 (proper distribution,
+    dangling mass redistributed uniformly unless disabled).
+
+    One superstep = one edges⋈ranks shuffle join + one groupBy(dst) sum;
+    the edge table keeps its hash partitioning across iterations so only
+    the rank vector moves.
+    """
+    n = graph.num_vertices()
+    deg = graph.out_degrees()  # (id, out_degree)
+    # ranks carries its degree to avoid a second join per superstep
+    ranks = deg.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    edges = graph.edges
+
+    for _ in range(max_iter):
+        contribs = (
+            ranks.filter(F.col("out_degree") > 0)
+            .join(edges, ranks["id"] == edges["src"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        if handle_dangling:
+            dangling = (
+                ranks.filter(F.col("out_degree") == 0)
+                .agg(F.sum("rank"))
+                .first()[0]
+                or 0.0
+            )
+        else:
+            dangling = 0.0
+        base = (1.0 - damping) / n + damping * dangling / n
+        new = (
+            ranks.select("id", "out_degree", F.col("rank").alias("_old"))
+            .join(contribs, "id", "left")
+            .select(
+                "id",
+                "out_degree",
+                (
+                    F.lit(base) + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+                ).alias("rank"),
+                F.abs(
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+                    - F.col("_old")
+                ).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        max_delta = new.agg(F.max("delta")).first()[0] or 0.0
+        ranks = new
+        if max_delta <= threshold:
+            break
+    return ranks.select("id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Connected components (WCC) — ref stub algorithms.h:195.
+# Iterative min-label propagation over the symmetrized edge set.
+# ---------------------------------------------------------------------------
+def connected_components(
+    graph: PropertyGraph, max_iter: int = MAX_ITERATION
+) -> DataFrame:
+    """(id, component) where component = min vertex id in the component."""
+    und = graph.undirected()
+    init = und.vertices.select("id", F.col("id").cast("double").alias("value"))
+
+    def messages(active: DataFrame, edges: DataFrame) -> DataFrame:
+        return active.join(edges, active["id"] == edges["src"]).select(
+            F.col("dst").alias("id"), F.col("value").alias("msg")
+        )
+
+    pregel = Pregel(
+        make_messages=messages,
+        agg=F.min("msg"),
+        update=lambda old, agg: F.least(old, F.coalesce(agg, old)),
+        threshold=0.5,
+        max_iter=max_iter,
+        active_frontier=True,
+    )
+    res = pregel.run(init, und.edges)
+    return res.vertices.select("id", F.col("value").cast("long").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# SCC — ref stub algorithms.h:207.  Forward/backward min-label propagation:
+# v is in the SCC of root r iff r is both the min vertex reaching v and the
+# min vertex reachable from v.  Extract, remove, repeat (each round peels at
+# least the SCC of the globally smallest remaining vertex).
+# ---------------------------------------------------------------------------
+def strongly_connected_components(
+    graph: PropertyGraph, max_outer: int = 100
+) -> DataFrame:
+    def _min_label(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+        init = vertices.select("id", F.col("id").cast("double").alias("value"))
+
+        def messages(active: DataFrame, e: DataFrame) -> DataFrame:
+            return active.join(e, active["id"] == e["src"]).select(
+                F.col("dst").alias("id"), F.col("value").alias("msg")
+            )
+
+        pregel = Pregel(
+            make_messages=messages,
+            agg=F.min("msg"),
+            update=lambda old, agg: F.least(old, F.coalesce(agg, old)),
+            threshold=0.5,
+            max_iter=MAX_ITERATION,
+            active_frontier=True,
+        )
+        return pregel.run(init, e_part(edges)).vertices
+
+    def e_part(e: DataFrame) -> DataFrame:
+        return e
+
+    remaining_v = graph.vertices.select("id").localCheckpoint(eager=True)
+    remaining_e = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+    assigned: DataFrame | None = None
+    spark = graph.spark
+
+    for _ in range(max_outer):
+        if remaining_v.limit(1).count() == 0:
+            break
+        fwd = _min_label(remaining_v, remaining_e).withColumnRenamed("value", "f")
+        rev = remaining_e.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        bwd = _min_label(remaining_v, rev).withColumnRenamed("value", "b")
+        both = fwd.join(bwd, "id")
+        found = both.filter(F.col("f") == F.col("b")).select(
+            "id", F.col("f").cast("long").alias("component")
+        )
+        found = found.localCheckpoint(eager=True)
+        assigned = found if assigned is None else assigned.unionByName(found)
+        remaining_v = (
+            remaining_v.join(found.select("id"), "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        remaining_e = (
+            remaining_e.join(
+                found.select(F.col("id").alias("src")), "src", "left_anti"
+            )
+            .join(found.select(F.col("id").alias("dst")), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    if assigned is None:
+        return graph.vertices.select(
+            "id", F.col("id").alias("component")
+        ).limit(0)
+    return assigned
+
+
+# ---------------------------------------------------------------------------
+# Triangle count — ref algorithms.h:97-180.  Canonical join formulation:
+# orient edges a<b, count closed wedges.  Counts each triangle a<b<c once
+# (the semantics the reference achieves via its exactly-2-lists reduce and
+# common-neighbor scan c>b, algorithms.h:138-155).
+# ---------------------------------------------------------------------------
+def _directed_canonical(graph: PropertyGraph) -> DataFrame:
+    """Distinct undirected edges oriented small→large, self-loops dropped."""
+    e = graph.edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    )
+    return e.filter(F.col("a") < F.col("b")).distinct()
+
+
+def triangle_count(graph: PropertyGraph) -> int:
+    """Total number of triangles in the undirected graph."""
+    e = _directed_canonical(graph)
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+    )
+    return tri.count()
+
+
+def triangles_per_vertex(graph: PropertyGraph) -> DataFrame:
+    """(id, triangles) — number of triangles each vertex participates in.
+    Matches the reference's per-vertex accumulate-update (algorithms.h:152-155
+    accu onto vertex a) generalized to all three corners."""
+    e = _directed_canonical(graph)
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    corners = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("id")
+    )
+    counts = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+    return (
+        graph.vertices.select("id")
+        .join(counts, "id", "left")
+        .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matrix multiply — ref stub algorithms.h:185.  COO relational formulation.
+# ---------------------------------------------------------------------------
+def matmul(a: DataFrame, b: DataFrame) -> DataFrame:
+    """A(i,k,v) × B(k,j,v) → (i, j, v).  Shuffle on the contraction key k,
+    then hash-agg on (i, j) — both map-side-combinable."""
+    return (
+        a.select(F.col("i"), F.col("k"), F.col("v").alias("va"))
+        .join(b.select(F.col("k"), F.col("j"), F.col("v").alias("vb")), "k")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("v"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Borůvka MST — ref stub `Prime` algorithms.h:200 (Prim intended; Borůvka is
+# the parallel-friendly equivalent).  Undirected; returns the forest.
+# ---------------------------------------------------------------------------
+def boruvka_mst(graph: PropertyGraph, max_rounds: int = 64) -> DataFrame:
+    """Minimum spanning forest edges (src, dst, weight).
+
+    Deterministic tiebreak on (weight, src, dst).  Each round halves the
+    component count, so rounds = O(log V); each round is a couple of
+    joins + groupBys plus a small label-closure loop on the contracted
+    component graph.
+    """
+    e = (
+        graph.edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("weight").alias("weight"))
+        .localCheckpoint(eager=True)
+    )
+    comp = graph.vertices.select(
+        "id", F.col("id").alias("comp")
+    ).localCheckpoint(eager=True)
+    mst: DataFrame | None = None
+
+    for _ in range(max_rounds):
+        ec = (
+            e.join(comp.withColumnRenamed("id", "src").withColumnRenamed("comp", "cs"), "src")
+            .join(comp.withColumnRenamed("id", "dst").withColumnRenamed("comp", "cd"), "dst")
+            .filter(F.col("cs") != F.col("cd"))
+        )
+        if ec.limit(1).count() == 0:
+            break
+        # min outgoing edge per component, deterministic
+        sided = ec.select(
+            F.col("cs").alias("c"), "src", "dst", "weight", "cs", "cd"
+        ).unionByName(
+            ec.select(F.col("cd").alias("c"), "src", "dst", "weight", "cs", "cd")
+        )
+        w = Window.partitionBy("c").orderBy("weight", "src", "dst")
+        chosen = (
+            sided.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("src", "dst", "weight", "cs", "cd")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        mst = chosen.select("src", "dst", "weight") if mst is None else mst.unionByName(
+            chosen.select("src", "dst", "weight")
+        ).distinct()
+        mst = mst.localCheckpoint(eager=True)
+        # contract: union selected component pairs, then min-label closure
+        pairs = chosen.select(
+            F.least("cs", "cd").alias("a"), F.greatest("cs", "cd").alias("b")
+        ).distinct()
+        label = pairs.select(F.col("b").alias("c"), F.col("a").alias("to")).groupBy(
+            "c"
+        ).agg(F.min("to").alias("to"))
+        # pointer-jump until stable (component graph is tiny vs. the data)
+        mapping = label.localCheckpoint(eager=True)
+        for _ in range(max_rounds):
+            jumped = (
+                mapping.alias("m1")
+                .join(
+                    mapping.alias("m2"),
+                    F.col("m1.to") == F.col("m2.c"),
+                    "left",
+                )
+                .select(
+                    F.col("m1.c").alias("c"),
+                    F.coalesce(F.col("m2.to"), F.col("m1.to")).alias("to"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                jumped.alias("j")
+                .join(mapping.alias("m"), F.col("j.c") == F.col("m.c"))
+                .filter(F.col("j.to") != F.col("m.to"))
+                .limit(1)
+                .count()
+            )
+            mapping = jumped
+            if changed == 0:
+                break
+        comp = (
+            comp.join(mapping, comp["comp"] == mapping["c"], "left")
+            .select("id", F.coalesce("to", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    if mst is None:
+        return e.limit(0)
+    return mst
+
+
+# ---------------------------------------------------------------------------
+# K-means — ref stub algorithms.h:212-250 (body is a PageRank copy, not a
+# real k-means; we implement the real thing).  Deterministic: seeds are the
+# k lowest-id points; Lloyd iterations with argmin by (dist, cid) tiebreak.
+# ---------------------------------------------------------------------------
+def kmeans(
+    points: DataFrame,
+    k: int,
+    max_iter: int = 10,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Lloyd's algorithm over an array<double> column.
+
+    Returns (id, cluster).  Centroids are broadcast (k × dim is tiny);
+    assignment is a broadcast crossJoin + argmin via min(struct) — one
+    shuffle per iteration for the centroid recompute, none for assignment.
+    """
+    spark = points.sparkSession
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    seeds = pts.orderBy("id").limit(k).collect()
+    centroids = [(i, row["vec"]) for i, row in enumerate(seeds)]
+
+    def dist2(vec: F.Column, cen: list[float]) -> F.Column:
+        c = F.array(*[F.lit(float(x)) for x in cen])
+        return F.aggregate(
+            F.zip_with("vec", c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    assign = None
+    for _ in range(max_iter):
+        dist_structs = F.array(
+            *[
+                F.struct(dist2(F.col("vec"), cen).alias("d"), F.lit(cid).alias("cid"))
+                for cid, cen in centroids
+            ]
+        )
+        assign = pts.select(
+            "id", "vec", F.array_min(dist_structs)["cid"].alias("cluster")
+        )
+        # recompute centroids: per-dimension mean via posexplode
+        dims = (
+            assign.select("cluster", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        new_rows = (
+            dims.groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "cluster", F.transform("pm", lambda s: s["m"]).alias("cen")
+            )
+            .collect()
+        )
+        new_centroids = sorted((r["cluster"], list(r["cen"])) for r in new_rows)
+        if [c for _, c in new_centroids] == [c for _, c in centroids] and len(
+            new_centroids
+        ) == len(centroids):
+            centroids = new_centroids
+            break
+        # keep empty clusters' previous centroid
+        got = dict(new_centroids)
+        centroids = [(cid, got.get(cid, cen)) for cid, cen in centroids]
+    return assign.select("id", "cluster")

@@ -1,0 +1,152 @@
+"""Generic BSP superstep driver — the DataFrame-native `computing()` loop.
+
+Reference semantics being re-expressed (cited into /root/reference):
+
+- superstep dataflow: ghost exchange → map → sort → group-adjacent reduce →
+  state update (``gmr.h:282-367`` ``computing()``; driver loop
+  ``gmr.cpp:202-317``)
+- state update modes ``accu`` / ``cover`` (``gmr.h:10``, ``gmr.h:182-185``)
+- per-vertex convergence vs ``threshold = 0.0001`` + global vote-to-halt
+  (``gmr.h:25``, ``gmr.h:155-194``, ``gmr.cpp:224-232``)
+- iteration caps ``MAX_ITERATION = 10000`` / per-algorithm ``algoIterNum``
+  (``gmr.h:28``, ``gmr.h:105``)
+
+Spark mapping (one superstep, entirely declarative — Catalyst chooses the
+physical join/agg strategies):
+
+    msgs  = make_messages(active_vertices, edges)      # the ghost exchange
+    aggd  = msgs.groupBy('id').agg(AGG)                # sort+reduce
+    new   = vertices ⟕ aggd  → update expr (accu|cover)# updateGraph
+    delta = max(abs(new.value - old.value))            # convergence barrier
+
+Scale notes:
+- The message join shuffles vertex state to the (pre-partitioned, big)
+  edge table — not the other way round.  ``groupBy('id')`` gets map-side
+  partial aggregation for algebraic aggregates automatically.
+- Lineage is truncated every ``checkpoint_interval`` supersteps with
+  ``localCheckpoint`` — without it the plan doubles per iteration and the
+  driver dies re-optimizing it (the one genuinely iterative-specific
+  engineering concern; the reference's equivalent state is just mutated
+  arrays).
+- ``active_frontier=True`` implements the optimization the reference left
+  disabled as a TODO (send only active vertices, ``graph.h:760-762``):
+  only vertices whose value changed last superstep produce messages.
+"""
+
+from __future__ import annotations
+
+import enum
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+THRESHOLD = 1e-4  # ref gmr.h:25
+MAX_ITERATION = 10_000  # ref gmr.h:28
+
+
+class UpdateMode(enum.Enum):
+    """ref gmr.h:10 ``enum UpdateMode {accu, cover}``."""
+
+    ACCU = "accu"  # fvwgts[i] += v   (gmr.h:183)
+    COVER = "cover"  # fvwgts[i] = v   (gmr.h:185)
+
+
+@dataclass
+class PregelResult:
+    vertices: DataFrame
+    iterations: int
+    converged: bool
+    deltas: list[float] = field(default_factory=list)
+
+
+class Pregel:
+    """Iterate-until-convergence vertex program over DataFrames.
+
+    Parameters
+    ----------
+    make_messages:
+        ``fn(active_vertices, edges) -> DataFrame('id', 'msg')``.
+        ``active_vertices`` carries (id, value); produce one row per
+        message.  This is the user ``map`` (ref ``gmr.h:82``); the join
+        it contains is the ghost exchange (ref ``graph.h:860-921``).
+    agg:
+        aggregate Column over the grouped ``msg`` column — the user
+        ``reduce`` (ref ``gmr.h:89``), e.g. ``F.sum('msg')``.
+    update:
+        UpdateMode, or ``fn(old: Column, agg: Column) -> Column`` for
+        custom merges (e.g. SSSP's least(old, min_msg)).
+    """
+
+    def __init__(
+        self,
+        make_messages: Callable[[DataFrame, DataFrame], DataFrame],
+        agg: Column,
+        update: UpdateMode | Callable[[Column, Column], Column],
+        threshold: float = THRESHOLD,
+        max_iter: int = MAX_ITERATION,
+        checkpoint_interval: int = 1,
+        active_frontier: bool = False,
+    ):
+        self.make_messages = make_messages
+        self.agg = agg
+        self.update = update
+        self.threshold = threshold
+        self.max_iter = max_iter
+        self.checkpoint_interval = max(1, checkpoint_interval)
+        self.active_frontier = active_frontier
+
+    def _update_expr(self, old: Column, agg: Column) -> Column:
+        if self.update is UpdateMode.ACCU:
+            return old + F.coalesce(agg, F.lit(0.0))
+        if self.update is UpdateMode.COVER:
+            return F.coalesce(agg, old)
+        return self.update(old, agg)
+
+    def run(self, vertices: DataFrame, edges: DataFrame) -> PregelResult:
+        v = vertices.select("id", "value").withColumn(
+            "delta", F.lit(float("inf"))
+        )
+        v = v.localCheckpoint(eager=True)
+        deltas: list[float] = []
+        converged = False
+        it = 0
+        prev = v
+        for it in range(1, self.max_iter + 1):
+            active = (
+                v.filter(F.col("delta") > self.threshold)
+                if self.active_frontier
+                else v
+            )
+            msgs = self.make_messages(active.select("id", "value"), edges)
+            aggd = msgs.groupBy("id").agg(self.agg.alias("_agg"))
+            new_value = self._update_expr(F.col("_old"), F.col("_agg"))
+            # inf-to-inf transitions (e.g. still-unreached SSSP vertices)
+            # must read as delta 0, not NaN (inf - inf).
+            delta = F.when(new_value == F.col("_old"), F.lit(0.0)).otherwise(
+                F.abs(new_value - F.col("_old"))
+            )
+            new = (
+                v.select("id", F.col("value").alias("_old"))
+                .join(aggd, "id", "left")
+                .select("id", new_value.alias("value"), delta.alias("delta"))
+            )
+            if it % self.checkpoint_interval == 0:
+                new = new.localCheckpoint(eager=True)
+            # the convergence barrier — sole driver-side scalar per superstep
+            # (ref gmr.cpp:224-232 piggybacked vote-to-halt)
+            max_delta = new.agg(F.max("delta")).first()[0]
+            deltas.append(float(max_delta) if max_delta is not None else 0.0)
+            if prev is not v and hasattr(prev, "unpersist"):
+                pass  # localCheckpoint blocks are managed by Spark
+            prev, v = v, new
+            if max_delta is None or max_delta <= self.threshold:
+                converged = True
+                break
+        return PregelResult(
+            vertices=v.select("id", "value"),
+            iterations=it,
+            converged=converged,
+            deltas=deltas,
+        )

@@ -1,0 +1,7 @@
+"""Data sources: graph-file readers and tabular source helpers."""
+
+from graphmapreduce_spark.sources.graph_readers import (  # noqa: F401
+    read_edge_list,
+    read_metis,
+    read_subgraph_files,
+)

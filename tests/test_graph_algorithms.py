@@ -1,0 +1,140 @@
+"""Golden-graph tests mirroring the reference's manual-verification method
+(SURVEY.md §5): tiny hand-checkable graphs with analytically known answers.
+Fixture topologies from FIXTURES.md §1."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphmapreduce_spark.graph import PropertyGraph
+from graphmapreduce_spark.graph import algorithms as alg
+
+
+def make_graph(spark, rows, default_value=0.0):
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    return PropertyGraph.from_edges(e, default_value=default_value)
+
+
+# g_path5: 1→2→3→4→5 weights 1,2,3,4 — SSSP golden [0,1,3,6,10]
+PATH5 = [(1, 2, 1.0), (2, 3, 2.0), (3, 4, 3.0), (4, 5, 4.0)]
+
+# g_k4: complete graph on 4 vertices (both directions) — 4 triangles
+K4 = [
+    (a, b, 1.0)
+    for a in range(1, 5)
+    for b in range(1, 5)
+    if a != b
+]
+
+# g_2cc: two disjoint chains {1..4} and {5..8}
+TWO_CC = [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (5, 6, 1.0), (6, 7, 1.0), (7, 8, 1.0)]
+
+# g_cycle (ref graph/3line.graph): 1→2, 2→3, 3→2 — PageRank spider trap
+CYCLE = [(1, 2, 1.0), (2, 3, 1.0), (3, 2, 1.0)]
+
+
+def test_sssp_path(spark):
+    g = make_graph(spark, PATH5)
+    d = {r["id"]: r["distance"] for r in alg.sssp(g, 1).collect()}
+    assert d == {1: 0.0, 2: 1.0, 3: 3.0, 4: 6.0, 5: 10.0}
+
+
+def test_sssp_unreachable(spark):
+    g = make_graph(spark, TWO_CC)
+    d = {r["id"]: r["distance"] for r in alg.sssp(g, 1).collect()}
+    assert d[4] == 6.0 if False else d[4] == 3.0
+    assert math.isinf(d[5]) and math.isinf(d[8])
+
+
+def test_bfs_levels(spark):
+    g = make_graph(spark, TWO_CC)
+    lv = {r["id"]: r["level"] for r in alg.bfs(g, 5).collect()}
+    assert lv == {1: -1, 2: -1, 3: -1, 4: -1, 5: 0, 6: 1, 7: 2, 8: 3}
+
+
+def test_triangle_count_k4(spark):
+    g = make_graph(spark, K4)
+    assert alg.triangle_count(g) == 4
+    per = {r["id"]: r["triangles"] for r in alg.triangles_per_vertex(g).collect()}
+    assert per == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_path_has_none(spark):
+    g = make_graph(spark, PATH5)
+    assert alg.triangle_count(g) == 0
+
+
+def test_wcc_two_components(spark):
+    g = make_graph(spark, TWO_CC)
+    c = {r["id"]: r["component"] for r in alg.connected_components(g).collect()}
+    assert c == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 5}
+
+
+def test_pagerank_cycle_sums_to_one(spark):
+    g = make_graph(spark, CYCLE)
+    pr = alg.pagerank(g, damping=0.85, max_iter=50, threshold=1e-10)
+    rows = {r["id"]: r["rank"] for r in pr.collect()}
+    assert abs(sum(rows.values()) - 1.0) < 1e-6
+    # spider trap 2↔3 absorbs most mass; 1 only gets teleport share
+    assert rows[1] < rows[2] < rows[3] or rows[1] < rows[3]
+
+
+def test_pagerank_uniform_on_symmetric(spark):
+    g = make_graph(spark, K4)
+    pr = {r["id"]: r["rank"] for r in alg.pagerank(g, max_iter=30).collect()}
+    for v in pr.values():
+        assert abs(v - 0.25) < 1e-6
+
+
+def test_scc_cycle(spark):
+    # 1→2→3→1 is an SCC; 4 hangs off it
+    g = make_graph(spark, [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (3, 4, 1.0)])
+    c = {r["id"]: r["component"] for r in alg.strongly_connected_components(g).collect()}
+    assert c[1] == c[2] == c[3]
+    assert c[4] != c[1]
+
+
+def test_matmul_identity(spark):
+    a = spark.createDataFrame(
+        [(1, 1, 2.0), (1, 2, 3.0), (2, 1, 4.0)], "i long, k long, v double"
+    )
+    ident = spark.createDataFrame([(1, 1, 1.0), (2, 2, 1.0)], "k long, j long, v double")
+    out = {(r["i"], r["j"]): r["v"] for r in alg.matmul(a, ident).collect()}
+    assert out == {(1, 1): 2.0, (1, 2): 3.0, (2, 1): 4.0}
+
+
+def test_boruvka_mst_path(spark):
+    # MST of a path is the path itself
+    g = make_graph(spark, PATH5)
+    mst = alg.boruvka_mst(g)
+    total = mst.agg(F.sum("weight")).first()[0]
+    assert total == 10.0
+    assert mst.count() == 4
+
+
+def test_boruvka_mst_cycle_drops_heaviest(spark):
+    rows = [(1, 2, 1.0), (2, 3, 2.0), (3, 4, 3.0), (4, 1, 10.0)]
+    g = make_graph(spark, rows)
+    mst = alg.boruvka_mst(g)
+    total = mst.agg(F.sum("weight")).first()[0]
+    assert total == 6.0
+
+
+def test_kmeans_two_obvious_clusters(spark):
+    pts = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]),
+            (2, [0.1, 0.0]),
+            (3, [0.0, 0.1]),
+            (10, [5.0, 5.0]),
+            (11, [5.1, 5.0]),
+            (12, [5.0, 5.1]),
+        ],
+        "id long, vec array<double>",
+    )
+    out = alg.kmeans(pts, k=2, max_iter=10)
+    c = {r["id"]: r["cluster"] for r in out.collect()}
+    assert c[1] == c[2] == c[3]
+    assert c[10] == c[11] == c[12]
+    assert c[1] != c[10]
