@@ -1,0 +1,266 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each scale-designed (north-star [EXT] mandate,
+SURVEY.md §2.2 last row):
+
+- exact: hash-groupBy on content (or md5 fingerprint) — one shuffle.
+- MinHash + LSH: shingle → minhash signature → band buckets → candidate
+  pairs only within buckets (never the quadratic all-pairs) → exact
+  Jaccard verify on candidates.
+- SimHash: 64-bit sign-sum fingerprint; near-dups = identical fingerprint
+  (or identical band for hamming tolerance).
+- n-gram Jaccard: exact similarity join via shingle inverted index
+  (explode + self-join on shingle + count agg).
+- embedding cosine: near-dups above a cosine threshold, bucketed by
+  random-hyperplane LSH to avoid the cross join.
+
+All of it is joins/groupBys over built-in expressions; the only
+quadratic step is within-bucket pair generation, bounded by bucket size.
+Keep-policy is deterministic everywhere: the smallest id survives.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphmapreduce_spark.functions import text as T
+from graphmapreduce_spark.functions import vectors as V
+
+# 31-bit Mersenne prime — modular universal hashing for MinHash.
+# Coefficients and shingle ids both stay < 2^31, so a*x + b < 2^62 never
+# overflows a long (Spark runs ANSI arithmetic by default).
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, content_cols: Sequence[str], id_col: str) -> DataFrame:
+    """Keep exactly one row (smallest id) per distinct content tuple."""
+    w_cols = [F.col(c) for c in content_cols]
+    keep = df.groupBy(*w_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=[*content_cols, id_col], how="left_semi")
+
+
+def minhash_signature(
+    col: Column | str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> Column:
+    """MinHash signature as array<long> over character shingles.
+
+    Universal hashing h_i(x) = (a_i * x + b_i) mod p over xxhash64
+    shingle ids (p = 2^61 - 1).  Coefficients come from a fixed-seed RNG
+    so signatures are reproducible across runs/sessions.
+    """
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    shingles = T.char_shingles(col, n=shingle_n, distinct=True)
+    ids = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    ids,
+                    lambda x: F.pmod(
+                        F.lit(int(a[i])) * x + F.lit(int(b[i])), F.lit(_MERSENNE)
+                    ),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return sig
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Banding: split the signature into ``bands`` rows, bucket by
+    (band index, band content); docs sharing any bucket become a
+    candidate pair (id_a < id_b, distinct)."""
+    rows_per_band = num_hashes // bands
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
+            )
+        ).alias("band", "band_sig"),
+    ).select(
+        "_id", "band", F.xxhash64(F.col("band_sig").cast("string"), F.col("band")).alias("bucket")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.band") == F.col("r.band"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs with exact-Jaccard verification of LSH
+    candidates.  Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    with_sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        minhash_signature(text_col, num_hashes, shingle_n, seed).alias("_sig"),
+        T.char_shingles(text_col, n=shingle_n, distinct=True).alias("_sh"),
+    ).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(with_sig, "_id", "_sig", num_hashes, bands)
+    a = with_sig.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = with_sig.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def dedup_by_pairs(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """Greedy keep-smallest-id dedup: drop any row whose id appears as the
+    larger side of a near-dup pair.  (Deterministic, single anti-join; the
+    transitive-closure variant is `connected_components` on the pair graph
+    for cluster-level dedup.)"""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash(col: Column | str, num_bits: int = 64) -> Column:
+    """SimHash fingerprint: for each bit, sum +1/-1 over word hashes;
+    bit set iff the sum is positive.  Word-level, xxhash64-based."""
+    ws = T.words(col)
+    hs = F.transform(ws, lambda w: F.xxhash64(w))
+    fp = F.lit(0).cast("long")
+    for bit in range(num_bits):
+        contrib = F.aggregate(
+            hs,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << bit if bit < 63 else -(1 << 63))) != 0, 1).otherwise(-1),
+        )
+        fp = fp + F.when(contrib > 0, F.lit(1 << bit if bit < 63 else -(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return fp
+
+
+def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str, num_bits: int = 64) -> DataFrame:
+    """Groups of documents sharing an identical SimHash fingerprint.
+    Returns (simhash, ids sorted, group_size >= 2)."""
+    fp = df.select(F.col(id_col).alias("id"), simhash(text_col, num_bits).alias("simhash"))
+    return (
+        fp.groupBy("simhash")
+        .agg(
+            F.array_sort(F.collect_list("id")).alias("ids"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .filter(F.col("group_size") >= 2)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via inverted shingle index: explode
+    distinct shingles, self-join on shingle, count shared shingles, then
+    |A∩B| / (|A|+|B|-|A∩B|).  The shingle join prunes pairs with zero
+    overlap — far from all-pairs on real corpora; pair counts are bounded
+    by shingle document frequency (cap hot shingles upstream if needed).
+
+    Returns (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        T.char_shingles(text_col, n=n, distinct=True).alias("sh"),
+    )
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("sh").alias("g"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicates: candidate pairs share a random-hyperplane
+    LSH bucket, verified by exact cosine.  Returns (id_a, id_b, cosine)."""
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"])
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((num_planes, dim)).tolist()
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        V.hyperplane_signature(vec_col, planes).alias("bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(V.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

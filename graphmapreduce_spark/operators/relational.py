@@ -1,0 +1,136 @@
+"""Relational operators beyond plain `df.join`/`groupBy` — the [EXT]
+inventory of SURVEY.md §2.2 that needs actual composition.
+
+The reference engine has no relational surface at all (its closest analog
+is the sorted-merge state update, ``gmr.h:160-189``, which is literally a
+sort-merge left join on ``key == vertexGID``).  Everything here is
+expressed so Catalyst keeps the plan declarative: no Python UDFs, no
+collects; as-of joins use window functions over a union rather than a
+per-key merge loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def top_k(df: DataFrame, order_cols: Sequence[Column | str], k: int) -> DataFrame:
+    """Global top-k.  `orderBy + limit` — Spark plans this as a
+    TakeOrderedAndProject (per-partition heap + driver merge), the same
+    splitter-free replacement for the reference's distributed sample sort
+    (``samplesort.cpp:21-191``) when k is small."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[Column | str],
+    k: int,
+    rank_col: str = "rn",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Top-k rows per group via row_number window.  Order columns must be
+    a deterministic total order (add a key tiebreak) or results are
+    nondeterministic under retries."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+    return out if keep_rank else out.drop(rank_col)
+
+
+def theta_join(
+    left: DataFrame, right: DataFrame, condition: Column, how: str = "inner"
+) -> DataFrame:
+    """Arbitrary-predicate (non-equi) join.  Catalyst picks BNLJ/cartesian;
+    at scale, pre-filter and/or bucket the inputs first — a pure theta join
+    is inherently quadratic."""
+    return left.join(right, condition, how)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi_keys: Sequence[str],
+    lower: Column,
+    upper: Column,
+) -> DataFrame:
+    """Equi-keys + band predicate.  The equi keys make this a hash join
+    with a residual range filter — the scalable form of interval joins
+    (without equi keys Spark would fall back to a nested-loop join)."""
+    cond = None
+    for kcol in equi_keys:
+        c = left[kcol] == right[kcol]
+        cond = c if cond is None else cond & c
+    return left.join(right, cond & lower & upper)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right_ts <= left_ts`` (direction='backward'; 'forward' = earliest
+    ``>=``), matching on the equi key ``on``.
+
+    Implementation: union both sides tagged, sort within each key by
+    timestamp, and carry the last seen right value forward with
+    ``last(..., ignorenulls=True)`` over a running window — one shuffle on
+    the key, no per-key Python merge (scales to arbitrarily many rows per
+    key; skew on the key column is the thing to watch).
+    """
+    lcols = [c for c in left.columns]
+    tag_l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    tag_r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(tag_l.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    if direction == "backward":
+        # right rows sort before left rows at equal ts → a right row at
+        # exactly left_ts matches
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        unioned = tag_l.unionByName(tag_r)
+    elif direction == "forward":
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts").desc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        unioned = tag_l.unionByName(tag_r)
+    else:
+        raise ValueError(f"unknown direction {direction!r}")
+    filled = unioned.select(
+        "_side",
+        "_lrow",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
+            for c in value_cols
+        ],
+    ).filter(F.col("_side") == 1)
+    return filled.select(
+        *[F.col("_lrow")[c].alias(c) for c in lcols],
+        *[F.col(f"_r_{c}").alias(c) for c in value_cols],
+    )

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (north-star [EXT]).
+
+Two paths:
+
+- ``cosine_topk``: exact brute force — broadcast the (small) query set
+  against the full corpus, score with codegen'd `zip_with`/`aggregate`
+  expressions, keep top-k per query with a window.  At 100 TB the corpus
+  side stays partition-parallel; the only shuffle is the final per-query
+  top-k (tiny: k rows per partition per query after partial filtering).
+
+- ``ivf_topk``: IVF-style approximate search — k-means coarse centroids
+  partition the corpus into cells (the "inverted file"); a query probes
+  only its ``nprobe`` nearest cells.  Scale path: the corpus is scored
+  only where cell ids match, i.e. a hash join on cell id instead of a
+  cross join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graphmapreduce_spark.functions import vectors as V
+from graphmapreduce_spark.graph.algorithms import kmeans
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank), rank 1..k,
+    deterministic tiebreak on neighbor id.
+    """
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).cast("array<double>").alias("cv"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).cast("array<double>").alias("qv"),
+    )
+    scored = c.join(F.broadcast(q), F.lit(True)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    if not include_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    kmeans_iters: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF approximate top-k: corpus assigned to its nearest of ``n_cells``
+    k-means centroids; each query scores only vectors in its ``nprobe``
+    nearest cells.  Same output shape as ``cosine_topk`` (approximate)."""
+    c = corpus.select(
+        F.col(corpus_id).alias("id"),
+        F.col(corpus_vec).cast("array<double>").alias("vec"),
+    )
+    assign = kmeans(c, k=n_cells, max_iter=kmeans_iters)  # (id, cluster)
+    cellized = c.join(assign, "id").select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("cv"), F.col("cluster").alias("cell")
+    )
+    # centroids as literal rows for query-side probing
+    cent = (
+        cellized.groupBy("cell")
+        .agg(F.collect_list("cv").alias("vs"))
+        .select(
+            "cell",
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.element_at("vs", 1)) - 1),
+                lambda d: F.aggregate(
+                    F.transform("vs", lambda v: v[d]), F.lit(0.0), lambda a, x: a + x
+                )
+                / F.size("vs"),
+            ).alias("centroid"),
+        )
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).cast("array<double>").alias("qv"),
+    )
+    probed = (
+        q.join(F.broadcast(cent), F.lit(True))
+        .select(
+            "query_id",
+            "qv",
+            "cell",
+            V.l2_distance(F.col("qv"), F.col("centroid")).alias("cd"),
+        )
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("cd").asc(), F.col("cell").asc())
+            ),
+        )
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = probed.join(cellized, "cell").select(
+        "query_id",
+        "neighbor_id",
+        F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    if not include_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,1109 @@
+"""The registered workload: every operator of SURVEY.md §2 as a
+(spark_fn, oracle_sql) pair.
+
+- ``spark_fn(spark, sf_dir) -> DataFrame`` — the idiomatic DataFrame plan.
+- ``oracle_sql`` — ANSI SQL for DuckDB over the same parquet tables
+  (views pre-registered), or ``None`` for genuinely non-SQL-expressible
+  operators (iterative graph algorithms, LSH with engine-native hashes)
+  which get a rows-only check and are instead covered by golden-graph
+  pytest fixtures.
+
+Float discipline (hash-compare safety): every aggregated float column is
+ROUNDed identically on both sides; money to 2 decimals, ratios/statistics
+to 6, cosine to 4 (then ranking happens on the rounded value with an id
+tiebreak so top-k membership is deterministic on both engines).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graphmapreduce_spark.functions import text as T
+from graphmapreduce_spark.functions import vectors as V
+from graphmapreduce_spark.graph import PropertyGraph
+from graphmapreduce_spark.graph import algorithms as alg
+from graphmapreduce_spark.operators import dedup as D
+from graphmapreduce_spark.operators import multimodal as M
+from graphmapreduce_spark.operators import similarity as S
+from graphmapreduce_spark.operators.relational import asof_join, top_k_per_group
+from graphmapreduce_spark.streaming import session_agg, sliding_agg, tumbling_agg
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read nanos as long and convert (values are
+        # µs-aligned, so the ns→µs division is lossless and matches
+        # DuckDB's TIMESTAMP_NS→TIMESTAMP cast).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer div, not /1000.0: ns epochs exceed double mantissa
+            # precision, and DuckDB's ns→µs cast truncates
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: v[0] for k, v in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in QUERIES.items() if v[1] is not None}
+
+
+# =====================================================================
+# Relational core
+# =====================================================================
+
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                                    AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                               AS avg_price,
+           ROUND(AVG(l_discount), 6)                                    AS avg_disc,
+           COUNT(*)                                                     AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: full-scan groupBy-agg with arithmetic — partial
+    (map-side) aggregation + whole-stage codegen carry it at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q02_top_customers",
+    """
+    SELECT o.o_custkey AS c_custkey, ANY_VALUE(c.c_name) AS c_name,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_custkey
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 10
+    """,
+)
+def q02_top_customers(spark, sf_dir):
+    """Fact⋈dim join + agg + deterministic top-k (TakeOrderedAndProject)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.any_value("c_name").alias("c_name"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q03_snowflake_agg",
+    """
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(c.c_acctbal), 6) AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q03_snowflake_agg(spark, sf_dir):
+    """Snowflake join through two broadcast dims — no shuffle on the fact
+    side until the final agg."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "q04_semi_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 1000)
+    """,
+)
+def q04_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 1000)
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q05_anti_join",
+    """
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q05_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@register(
+    "q06_outer_join_counts",
+    """
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q06_outer_join_counts(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@register(
+    "q07_window_topk_per_group",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+      FROM part) t
+    WHERE rn <= 3
+    """,
+)
+def q07_window_topk_per_group(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return top_k_per_group(
+        p.select("p_brand", "p_partkey", "p_retailprice"),
+        ["p_brand"],
+        [F.col("p_retailprice").desc(), F.col("p_partkey").asc()],
+        k=3,
+        keep_rank=True,
+    )
+
+
+@register(
+    "q08_window_lag",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROUND(o_totalprice - LAG(o_totalprice) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2)
+             AS delta_prev
+    FROM orders
+    """,
+)
+def q08_window_lag(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias(
+            "delta_prev"
+        ),
+    )
+
+
+@register(
+    "q09_window_running_sum",
+    """
+    SELECT o_orderkey,
+           ROUND(SUM(o_totalprice) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total
+    FROM orders
+    """,
+)
+def q09_window_running_sum(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "q10_rollup",
+    """
+    SELECT r.r_name, n.n_name, COUNT(*) AS n, ROUND(SUM(c.c_acctbal), 2) AS bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q10_rollup(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal"),
+        )
+    )
+
+
+@register(
+    "q11_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q11_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q12_distinct_agg",
+    """
+    SELECT l_suppkey,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def q12_distinct_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q13_set_ops",
+    """
+    SELECT 'only_rich' AS side, c_custkey FROM
+      (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+       EXCEPT
+       SELECT DISTINCT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'only_buyers' AS side, c_custkey FROM
+      (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+       EXCEPT
+       SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    """,
+)
+def q13_set_ops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    buyers = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    only_rich = rich.exceptAll(rich.intersect(buyers)).select(
+        F.lit("only_rich").alias("side"), "c_custkey"
+    )
+    only_buyers = buyers.exceptAll(buyers.intersect(rich)).select(
+        F.lit("only_buyers").alias("side"), "c_custkey"
+    )
+    return only_rich.unionByName(only_buyers)
+
+
+@register(
+    "q14_sort_limit",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 100
+    """,
+)
+def q14_sort_limit(spark, sf_dir):
+    """Global ordered top-k — Spark's TakeOrderedAndProject replaces the
+    reference's distributed sample sort (samplesort.cpp:21-191)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q15_string_funcs",
+    """
+    SELECT p_partkey,
+           LOWER(p_name)                         AS name_lower,
+           SUBSTRING(p_name, 1, 5)               AS name_prefix,
+           SPLIT_PART(p_name, ' ', 1)            AS first_word,
+           CONCAT(p_brand, '#', p_type)          AS brand_type,
+           LENGTH(p_name)                        AS name_len,
+           LEVENSHTEIN(p_brand, p_type)          AS brand_type_dist,
+           REGEXP_EXTRACT(p_name, '([a-z]+)$', 1) AS last_word
+    FROM part
+    """,
+)
+def q15_string_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+        F.regexp_extract(F.col("p_name"), "([a-z]+)$", 1).alias("last_word"),
+    )
+
+
+@register(
+    "q16_date_funcs",
+    """
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           MIN(EPOCH(o_orderdate))::BIGINT AS first_epoch,
+           MAX(YEAR(o_orderdate)) AS max_year,
+           MAX(MONTH(o_orderdate)) AS max_month
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q16_date_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.min(F.unix_timestamp("o_orderdate")).alias("first_epoch"),
+        F.max(F.year("o_orderdate")).alias("max_year"),
+        F.max(F.month("o_orderdate")).alias("max_month"),
+    )
+
+
+@register(
+    "q17_conditional",
+    """
+    SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 1000 THEN 'low'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def q17_conditional(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    seg = F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER"))
+    return c.groupBy(bucket.alias("bucket"), seg.alias("seg")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "q18_json",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q18_json(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "q19_array_agg",
+    """
+    SELECT l_orderkey,
+           ARRAY_TO_STRING(LIST_SORT(LIST(l_linenumber)), ',') AS lines_str,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def q19_array_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("l_linenumber"))).alias(
+            "lines_str"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q20_theta_join",
+    """
+    SELECT n1.n_name AS name_a, n2.n_name AS name_b
+    FROM nation n1 JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+    """,
+)
+def q20_theta_join(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    n1, n2 = n.alias("n1"), n.alias("n2")
+    return n1.join(
+        n2,
+        (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+        & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")),
+    ).select(F.col("n1.n_name").alias("name_a"), F.col("n2.n_name").alias("name_b"))
+
+
+@register(
+    "q21_range_join",
+    """
+    SELECT e1.user_id, COUNT(*) AS n_pairs
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e1.event_type = 'click' AND e2.event_type = 'purchase'
+     AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+    GROUP BY e1.user_id
+    """,
+)
+def q21_range_join(spark, sf_dir):
+    """Interval join: equi key (user) + band predicate on time — the
+    equi key keeps it a hash join with a residual filter."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").alias("e1")
+    buys = e.filter(F.col("event_type") == "purchase").alias("e2")
+    return (
+        clicks.join(
+            buys,
+            (F.col("e1.user_id") == F.col("e2.user_id"))
+            & (F.col("e2.ts") > F.col("e1.ts"))
+            & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .groupBy(F.col("e1.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "q22_asof_join",
+    """
+    SELECT p.event_id, p.user_id,
+           c.value AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def q22_asof_join(spark, sf_dir):
+    """As-of join via union + running last() window — no per-key merge
+    loop, one shuffle on the key."""
+    e = _t(spark, sf_dir, "events")
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(
+        buys,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+        direction="backward",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("value").alias("last_click_value")
+    )
+
+
+# =====================================================================
+# Graph algorithms on derived edge tables
+# =====================================================================
+
+
+def _ps_graph(spark, sf_dir) -> PropertyGraph:
+    """Bipartite part–supplier graph from lineitem (parts negated to keep
+    id spaces disjoint), weight = min quantity seen."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.groupBy(
+        F.col("l_suppkey").alias("src"), (-F.col("l_partkey")).alias("dst")
+    ).agg(F.min("l_quantity").alias("weight"))
+    return PropertyGraph.from_edges(e)
+
+
+def _mod_graph(spark, sf_dir, k: int = 500) -> PropertyGraph:
+    """Directed graph on Z_k derived from lineitem (orderkey→partkey)."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_orderkey") % k).alias("src"),
+            (F.col("l_partkey") % k).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return PropertyGraph.from_edges(e)
+
+
+@register(
+    "q30_degrees",
+    """
+    SELECT src AS id, COUNT(*) AS out_degree FROM
+      (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem)
+    GROUP BY src
+    """,
+)
+def q30_degrees(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).distinct()
+    return e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+
+
+@register(
+    "q31_triangle_count",
+    """
+    WITH und AS (
+      SELECT DISTINCT LEAST(l_orderkey % 500, l_partkey % 500) AS a,
+                      GREATEST(l_orderkey % 500, l_partkey % 500) AS b
+      FROM lineitem
+      WHERE l_orderkey % 500 <> l_partkey % 500
+    )
+    SELECT COUNT(*)::BIGINT AS n_triangles
+    FROM und e1 JOIN und e2 ON e1.b = e2.a
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q31_triangle_count(spark, sf_dir):
+    """TriangleCount (ref algorithms.h:97-180) as the canonical 3-way
+    self-join on canonically oriented edges."""
+    g = _mod_graph(spark, sf_dir, 500)
+    e = (
+        g.edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = e1.join(e2, F.col("e1.b") == F.col("e2.a")).join(
+        e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b"))
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@register("q32_pagerank", None)  # iterative — golden-graph pytest coverage
+def q32_pagerank(spark, sf_dir):
+    g = _mod_graph(spark, sf_dir, 500)
+    pr = alg.pagerank(g, damping=0.85, max_iter=15, threshold=1e-8)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+@register("q33_sssp", None)  # iterative — golden-graph pytest coverage
+def q33_sssp(spark, sf_dir):
+    g = _ps_graph(spark, sf_dir)
+    d = alg.sssp(g, source=1)
+    return d.filter(F.col("distance") != float("inf")).select(
+        "id", F.round("distance", 6).alias("distance")
+    )
+
+
+@register("q34_wcc", None)  # iterative — golden-graph pytest coverage
+def q34_wcc(spark, sf_dir):
+    g = _ps_graph(spark, sf_dir)
+    cc = alg.connected_components(g)
+    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+@register("q35_bfs", None)  # iterative — golden-graph pytest coverage
+def q35_bfs(spark, sf_dir):
+    g = _ps_graph(spark, sf_dir)
+    lv = alg.bfs(g, source=1)
+    return lv.groupBy("level").agg(F.count(F.lit(1)).alias("n_at_level"))
+
+
+@register("q36_scc", None)  # iterative — golden-graph pytest coverage
+def q36_scc(spark, sf_dir):
+    g = _mod_graph(spark, sf_dir, 100)
+    scc = alg.strongly_connected_components(g, max_outer=20)
+    return scc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+@register("q37_mst", None)  # iterative — golden-graph pytest coverage
+def q37_mst(spark, sf_dir):
+    g = _ps_graph(spark, sf_dir)
+    mst = alg.boruvka_mst(g)
+    return mst.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.round(F.sum("weight"), 4).alias("total_weight"),
+    )
+
+
+@register(
+    "q38_matmul",
+    """
+    WITH a AS (SELECT l_suppkey AS i, l_partkey % 20 AS k,
+                      SUM(l_quantity) AS v
+               FROM lineitem GROUP BY 1, 2),
+         b AS (SELECT p_partkey % 20 AS k, p_size % 10 AS j,
+                      SUM(p_retailprice) AS v
+               FROM part GROUP BY 1, 2)
+    SELECT a.i, b.j, ROUND(SUM(a.v * b.v), 2) AS v
+    FROM a JOIN b ON a.k = b.k
+    GROUP BY a.i, b.j
+    """,
+)
+def q38_matmul(spark, sf_dir):
+    """MatrixMultiply (ref stub algorithms.h:185) as COO join-agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    a = li.groupBy(
+        F.col("l_suppkey").alias("i"), (F.col("l_partkey") % 20).alias("k")
+    ).agg(F.sum("l_quantity").alias("v"))
+    b = p.groupBy(
+        (F.col("p_partkey") % 20).alias("k"), (F.col("p_size") % 10).alias("j")
+    ).agg(F.sum("p_retailprice").alias("v"))
+    out = alg.matmul(a, b)
+    return out.select("i", "j", F.round("v", 2).alias("v"))
+
+
+@register("q39_kmeans", None)  # iterative — pytest-covered; deterministic seeds
+def q39_kmeans(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = alg.kmeans(
+        emb, k=4, max_iter=5, id_col="vec_id", vec_col="embedding"
+    )
+    return assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+# =====================================================================
+# Dedup / text analysis / similarity (north-star [EXT])
+# =====================================================================
+
+
+@register(
+    "q40_dedup_exact",
+    """
+    WITH keep AS (SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text)
+    SELECT d.source, COUNT(*) AS n_kept
+    FROM documents d JOIN keep k ON d.text = k.text AND d.doc_id = k.doc_id
+    GROUP BY d.source
+    """,
+)
+def q40_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    kept = D.exact_dedup(d, ["text"], "doc_id")
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
+    "q41_fingerprint",
+    """
+    SELECT md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> ''))), ' ')) AS fingerprint,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q41_fingerprint(spark, sf_dir):
+    """Normalized (OpenRefine-style) document fingerprint groups."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(
+        T.normalized_fingerprint("text").alias("fingerprint")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+@register(
+    "q42_text_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x <> ''))), 6) AS avg_words,
+           ROUND(AVG(CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) > 0
+                  THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                       / length(regexp_replace(text, '\\s', '', 'g'))
+                  ELSE 0 END), 6) AS avg_punct_ratio,
+           ROUND(AVG(length(text)), 6) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q42_text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(T.n_words("text")), 6).alias("avg_words"),
+        F.round(F.avg(T.punct_ratio("text")), 6).alias("avg_punct_ratio"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+    )
+
+
+@register(
+    "q43_token_count",
+    """
+    SELECT source,
+           SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')))::BIGINT
+             AS total_tokens,
+           ROUND(AVG(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))), 6)
+             AS avg_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q43_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(T.token_count("text")).cast("long").alias("total_tokens"),
+        F.round(F.avg(T.token_count("text")), 6).alias("avg_tokens"),
+    )
+
+
+@register(
+    "q44_lang_id",
+    None,  # same deterministic heuristic is pytest-verified; SQL form is
+    # expressible but brittle across dialects — rows-only here
+)
+def q44_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(T.language_id("text").alias("predicted_lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "q45_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, GREATEST(length(text) - 2, 0) + 1),
+               i -> substr(text, i, 3))) AS grams
+      FROM documents WHERE doc_id < 100
+    ),
+    inv AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) /
+                 (len(sa.grams) + len(sb.grams) - i), 6) AS jaccard
+    FROM inter
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (len(sa.grams) + len(sb.grams) - i) >= 0.2
+    """,
+)
+def q45_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard similarity join via shingle inverted index."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+
+
+@register("q46_minhash_lsh", None)  # engine-native xxhash64 — pytest-verified
+def q46_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_near_dup_pairs(
+        d, "doc_id", "text", threshold=0.5, num_hashes=32, bands=16, shingle_n=5
+    )
+    return pairs
+
+
+@register("q47_simhash", None)  # engine-native xxhash64 — pytest-verified
+def q47_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id", D.simhash("text", num_bits=32).alias("simhash"))
+
+
+@register(
+    "q48_embedding_topk",
+    """
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(range(1, len(q.v) + 1),
+                              i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 4)
+               AS cosine
+      FROM c CROSS JOIN q
+      WHERE q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored) t
+    WHERE rank <= 10
+    """,
+)
+def q48_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the ANN baseline).  Ranking happens on
+    the ROUNDed cosine with an id tiebreak so both engines agree."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    q = qs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10
+    )
+
+
+@register("q49_ivf_ann", None)  # approximate by design — recall pytest-verified
+def q49_ivf_ann(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, qs, k=10, n_cells=8, nprobe=3).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+@register(
+    "q50_multimodal_meta",
+    """
+    SELECT doc_id,
+           OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+           MD5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def q50_multimodal_meta(spark, sf_dir):
+    """Binary-column metadata path: payload stays opaque; only built-in
+    byte-level functions touch it (the binary never enters Python)."""
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    out = M.media_metadata(media)
+    return out.select("doc_id", "n_bytes", "payload_md5")
+
+
+# =====================================================================
+# Streaming (batch-verifiable event-time windows)
+# =====================================================================
+
+
+@register(
+    "q60_tumbling_window",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q60_tumbling_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    out = tumbling_agg(
+        e,
+        "ts",
+        "1 hour",
+        group_cols=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        ],
+    )
+    return out.drop("window_end")
+
+
+@register(
+    "q61_sliding_window",
+    """
+    WITH buckets AS (
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)
+                            * 1000000) AS w0, * FROM events
+    ),
+    expanded AS (
+      SELECT w0 AS window_start, user_id, value FROM buckets
+      UNION ALL
+      SELECT w0 - INTERVAL 5 MINUTE AS window_start, user_id, value FROM buckets
+    )
+    SELECT window_start, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    FROM expanded
+    GROUP BY 1
+    """,
+)
+def q61_sliding_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    out = sliding_agg(
+        e,
+        "ts",
+        "10 minutes",
+        "5 minutes",
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        ],
+    )
+    return out.drop("window_end")
+
+
+@register(
+    "q62_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 5 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+           user_id,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def q62_session_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return session_agg(
+        e,
+        "ts",
+        "5 minutes",
+        group_cols=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        ],
+    )

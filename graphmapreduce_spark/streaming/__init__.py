@@ -1,0 +1,7 @@
+"""Structured Streaming operators (and their batch-verifiable twins)."""
+
+from graphmapreduce_spark.streaming.windows import (  # noqa: F401
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)

@@ -1,0 +1,122 @@
+"""Event-time window aggregations.
+
+The reference has no streaming surface (SURVEY.md §0.1); these are the
+[EXT] Structured Streaming operators.  Each aggregation is written
+against a plain DataFrame so the *same function* runs in two modes:
+
+- batch: over the parquet `events` table — DuckDB-oracle verifiable;
+- streaming: over `readStream` input — identical code path, plus
+  watermarks (`with_watermark`) for state cleanup / late-data policy.
+
+That one-definition-two-modes property is exactly Structured Streaming's
+design (incrementalized batch plans), so "verified in batch" carries to
+the stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _windowed(
+    df: DataFrame,
+    window_col: Column,
+    group_cols: list[str] | None,
+    aggs: list[Column] | None,
+    start_name: str,
+    end_name: str,
+) -> DataFrame:
+    aggs = aggs or [F.count(F.lit(1)).alias("n")]
+    group_cols = group_cols or []
+    out = df.groupBy(window_col.alias("w"), *[F.col(c) for c in group_cols]).agg(*aggs)
+    rest = [c for c in out.columns if c != "w"]
+    return out.select(
+        F.col("w.start").alias(start_name),
+        F.col("w.end").alias(end_name),
+        *rest,
+    )
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_cols: list[str] | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Tumbling window aggregation; emits window_start/window_end."""
+    return _windowed(
+        df, F.window(ts_col, duration), group_cols, aggs, "window_start", "window_end"
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    group_cols: list[str] | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Sliding (hopping) window aggregation — each event lands in
+    duration/slide overlapping windows."""
+    return _windowed(
+        df,
+        F.window(ts_col, duration, slide),
+        group_cols,
+        aggs,
+        "window_start",
+        "window_end",
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    group_cols: list[str],
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge into one
+    session; session end = last event + gap (Spark `session_window`
+    semantics, reproducible in SQL as a gaps-and-islands query)."""
+    return _windowed(
+        df,
+        F.session_window(ts_col, gap),
+        group_cols,
+        aggs,
+        "session_start",
+        "session_end",
+    )
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Watermark wrapper (streaming mode): bounds state for windowed aggs
+    and defines the late-data drop policy.  No-op semantics in batch."""
+    return df.withWatermark(ts_col, delay)
+
+
+def stream_events_from_parquet(
+    spark, path: str, schema=None, max_files_per_trigger: int = 1
+):
+    """File-source stream over a parquet directory — the replayable
+    fixture stream used in tests (each micro-batch = one file)."""
+    reader = spark.readStream.format("parquet").option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        static = spark.read.parquet(path)
+        reader = reader.schema(static.schema)
+    return reader.load(path)
+
+
+def dedup_within_watermark(
+    df: DataFrame, key_cols: list[str], ts_col: str, delay: str
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    `dropDuplicatesWithinWatermark` on the key columns."""
+    wm = df.withWatermark(ts_col, delay)
+    return wm.dropDuplicatesWithinWatermark(key_cols)

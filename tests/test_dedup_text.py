@@ -1,0 +1,141 @@
+"""Dedup + text-analysis operator tests with by-construction golden
+answers (FIXTURES.md §3: exact dups, near-dups ≥0.8 Jaccard, uniques)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphmapreduce_spark.functions import text as T
+from graphmapreduce_spark.operators import dedup as D
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+    (4, "completely different text about spark engines"),
+    (5, "the lazy dog jumps over the quick brown fox"),  # same words, reordered
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = D.exact_dedup(docs, ["text"], "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3, 4, 5]
+
+
+def test_normalized_fingerprint_collapses_reorder(docs):
+    fp = docs.select("doc_id", T.normalized_fingerprint("text").alias("fp"))
+    vals = {r["doc_id"]: r["fp"] for r in fp.collect()}
+    assert vals[1] == vals[2] == vals[5]  # same token multiset
+    assert vals[1] != vals[4]
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup → jaccard 1.0
+    assert (1, 3) in got  # near dup
+    assert not any(4 in p for p in got)
+
+
+def test_minhash_lsh_finds_exact_and_near(docs):
+    pairs = D.minhash_lsh_near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=32, bands=16
+    )
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert rows[(1, 2)] == 1.0
+    assert (1, 3) in rows
+    assert not any(4 in p for p in rows)
+
+
+def test_dedup_by_pairs(docs):
+    pairs = D.minhash_lsh_near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.95, num_hashes=32, bands=16
+    )
+    kept = D.dedup_by_pairs(docs, "doc_id", pairs)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert 1 in ids and 2 not in ids  # exact dup dropped, smaller id kept
+
+
+def test_simhash_identical_for_exact_dups(docs):
+    fp = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", D.simhash("text", num_bits=32).alias("sh")
+    ).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] == fp[5]  # word-multiset based
+    assert fp[1] != fp[4]
+
+
+def test_simhash_dup_groups(docs):
+    groups = D.simhash_dup_groups(docs, "doc_id", "text", num_bits=32).collect()
+    grouped_ids = {tuple(g["ids"]) for g in groups}
+    assert any({1, 2} <= set(g) for g in grouped_ids)
+
+
+def test_embedding_near_dup(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.001, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "id long, vec array<double>",
+    )
+    pairs = D.embedding_near_dup_pairs(
+        emb, "id", "vec", threshold=0.99, num_planes=4, seed=7
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is happy"),
+            (2, "le chat est dans la maison et il est content"),
+            (3, "el gato es feliz y la casa es grande"),
+            (4, "der Hund ist nicht in der Schule und das ist gut"),
+            (5, "xyzzy plugh qwerty"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["lang"] for r in df.select(
+        "id", T.language_id("text").alias("lang")
+    ).collect()}
+    assert out == {1: "en", 2: "fr", 3: "es", 4: "de", 5: "und"}
+
+
+def test_text_stats_exprs(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 123")], "id long, text string")
+    row = df.select(
+        T.n_words("text").alias("w"),
+        T.token_count("text").alias("t"),
+        F.round(T.punct_ratio("text"), 4).alias("p"),
+        F.round(T.avg_word_len("text"), 4).alias("awl"),
+    ).collect()[0]
+    assert row["w"] == 3
+    # tokens: Hello , world ! 1 2 3 → 7
+    assert row["t"] == 7
+    # non-space chars: 15, punct: , ! → 2/15
+    assert row["p"] == round(2 / 15, 4)
+
+
+def test_winnowing_fingerprint_overlap(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "abcdefghijklmnopqrstuvwxyz0123456789"),
+            (2, "abcdefghijklmnopqrstuvwxyz0123456789"),
+            (3, "zyxwvutsrqponmlkjihgfedcba9876543210"),
+        ],
+        "id long, text string",
+    )
+    fps = {r["id"]: r["fp"] for r in df.select(
+        "id", T.winnowing_fingerprint("text", n=8, w=4).alias("fp")
+    ).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]

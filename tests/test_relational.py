@@ -1,0 +1,102 @@
+"""Unit tests for the relational operator wrappers on tiny hand-checked
+inputs (duckdb-oracle coverage at sf0.01 lives in tools/check_oracle.py
+and the driver's CORRECTNESS gate)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from graphmapreduce_spark.operators import asof_join, range_join, top_k, top_k_per_group
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_top_k(spark):
+    df = spark.createDataFrame([(i, i % 3) for i in range(10)], "id long, g long")
+    out = top_k(df, [F.col("id").desc()], 3).collect()
+    assert [r["id"] for r in out] == [9, 8, 7]
+
+
+def test_top_k_per_group_ties_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 5.0), (3, "a", 4.0), (4, "b", 1.0)],
+        "id long, g string, v double",
+    )
+    out = top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("id").asc()], k=2)
+    got = {(r["g"], r["id"]) for r in out.collect()}
+    assert got == {("a", 1), ("a", 2), ("b", 4)}
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01T10:00:00")), (2, 1, ts("2024-01-01T11:00:00"))],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T09:30:00"), 10.0),
+            (1, ts("2024-01-01T10:30:00"), 20.0),
+            (2, ts("2024-01-01T00:00:00"), 99.0),
+        ],
+        "k long, ts timestamp, v double",
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", value_cols=["v"])
+    got = {r["event_id"]: r["v"] for r in out.collect()}
+    assert got == {1: 10.0, 2: 20.0}
+
+
+def test_asof_no_match_is_null(spark):
+    left = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01T08:00:00"))], "event_id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T09:00:00"), 1.0)], "k long, ts timestamp, v double"
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", value_cols=["v"])
+    assert out.collect()[0]["v"] is None
+
+
+def test_asof_equal_ts_matches(spark):
+    left = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01T09:00:00"))], "event_id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T09:00:00"), 7.0)], "k long, ts timestamp, v double"
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", value_cols=["v"])
+    assert out.collect()[0]["v"] == 7.0
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01T08:00:00"))], "event_id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T09:00:00"), 1.0),
+            (1, ts("2024-01-01T10:00:00"), 2.0),
+        ],
+        "k long, ts timestamp, v double",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", value_cols=["v"],
+        direction="forward",
+    )
+    assert out.collect()[0]["v"] == 1.0
+
+
+def test_range_join(spark):
+    left = spark.createDataFrame([(1, 1, 10.0)], "id long, k long, lo double")
+    right = spark.createDataFrame(
+        [(1, 9.0), (1, 11.0), (1, 25.0)], "k long, x double"
+    )
+    out = range_join(
+        left,
+        right,
+        ["k"],
+        right["x"] > left["lo"],
+        right["x"] <= left["lo"] + 5,
+    )
+    assert [r["x"] for r in out.collect()] == [11.0]

@@ -1,0 +1,168 @@
+"""Streaming tests: batch/stream parity of the window operators, real
+readStream micro-batch execution against a parquet fixture stream."""
+
+import datetime as dt
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphmapreduce_spark.streaming import session_agg, sliding_agg, tumbling_agg
+from graphmapreduce_spark.streaming.windows import (
+    dedup_within_watermark,
+    stream_events_from_parquet,
+    with_watermark,
+)
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+EVENTS = [
+    (1, 1, ts("2024-01-01T00:01:00"), 1.0),
+    (2, 1, ts("2024-01-01T00:04:00"), 2.0),
+    (3, 1, ts("2024-01-01T00:20:00"), 3.0),  # new session (>5 min gap)
+    (4, 2, ts("2024-01-01T00:59:00"), 4.0),
+    (5, 2, ts("2024-01-01T01:01:00"), 5.0),
+]
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.createDataFrame(
+        EVENTS, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+
+def test_tumbling(events):
+    out = tumbling_agg(events, "ts", "1 hour", aggs=[F.count(F.lit(1)).alias("n")])
+    got = {r["window_start"]: r["n"] for r in out.collect()}
+    assert got == {ts("2024-01-01T00:00:00"): 4, ts("2024-01-01T01:00:00"): 1}
+
+
+def test_sliding_counts(events):
+    out = sliding_agg(
+        events, "ts", "10 minutes", "5 minutes", aggs=[F.count(F.lit(1)).alias("n")]
+    )
+    got = {r["window_start"]: r["n"] for r in out.collect()}
+    # events at 00:01 and 00:04 both fall in windows [23:55,00:05) and [00:00,00:10)
+    assert got[ts("2023-12-31T23:55:00")] == 2
+    assert got[ts("2024-01-01T00:00:00")] == 2
+    assert got[ts("2024-01-01T00:15:00")] == 1
+    assert got[ts("2024-01-01T00:20:00")] == 1
+
+
+def test_session_windows(events):
+    out = session_agg(
+        events, "ts", "5 minutes", ["user_id"], aggs=[F.count(F.lit(1)).alias("n")]
+    )
+    rows = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, ts("2024-01-01T00:01:00"), ts("2024-01-01T00:09:00"), 2),
+        (1, ts("2024-01-01T00:20:00"), ts("2024-01-01T00:25:00"), 1),
+        # 00:59 and 01:01 are 2 min apart -> one merged session
+        (2, ts("2024-01-01T00:59:00"), ts("2024-01-01T01:06:00"), 2),
+    ]
+
+
+def test_readstream_tumbling_with_watermark(spark, events):
+    """Real micro-batch streaming: write the fixture as multiple parquet
+    files, readStream them, run the SAME tumbling_agg code path with a
+    watermark, collect via memory sink."""
+    d = tempfile.mkdtemp(prefix="gmr_stream_")
+    try:
+        events.repartition(3).write.mode("overwrite").parquet(d)
+        src = stream_events_from_parquet(spark, d, max_files_per_trigger=1)
+        agg = tumbling_agg(
+            with_watermark(src, "ts", "10 minutes"),
+            "ts",
+            "1 hour",
+            aggs=[F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")],
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("t_tumbling")
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        got = {
+            r["window_start"]: (r["n"], r["sv"])
+            for r in spark.sql("SELECT * FROM t_tumbling").collect()
+        }
+        q.stop()
+        assert got == {
+            ts("2024-01-01T00:00:00"): (4, 10.0),
+            ts("2024-01-01T01:00:00"): (1, 5.0),
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_readstream_dedup_within_watermark(spark):
+    d = tempfile.mkdtemp(prefix="gmr_dedup_")
+    try:
+        dup_events = spark.createDataFrame(
+            [
+                (1, ts("2024-01-01T00:00:00")),
+                (1, ts("2024-01-01T00:00:30")),  # duplicate key within watermark
+                (2, ts("2024-01-01T00:01:00")),
+            ],
+            "k long, ts timestamp",
+        )
+        dup_events.coalesce(1).write.mode("overwrite").parquet(d)
+        src = stream_events_from_parquet(spark, d)
+        q = (
+            dedup_within_watermark(src, ["k"], "ts", "10 minutes")
+            .writeStream.format("memory")
+            .queryName("t_dedup")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        ks = sorted(
+            r["k"] for r in spark.sql("SELECT k FROM t_dedup").collect()
+        )
+        q.stop()
+        assert ks == [1, 2]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_multimodal_fake_pipeline(spark):
+    """Multimodal plumbing: binary payload column → metadata (no Python)
+    → Arrow-batched fake decode → features; stub raises without fake."""
+    from graphmapreduce_spark.operators import multimodal as M
+
+    media = spark.createDataFrame(
+        [(1, "image", "image/fake", bytearray(b"pix1"), 4, 4, None),
+         (2, "image", "image/fake", bytearray(b"pix2"), 4, 4, None)],
+        M.MEDIA_SCHEMA,
+    )
+    meta = M.media_metadata(media)
+    rows = {r["media_id"]: r["n_bytes"] for r in meta.collect()}
+    assert rows == {1: 4, 2: 4}
+
+    feats = M.extract_image_features(media, fake=True)
+    got = {r["media_id"]: r["features"] for r in feats.collect()}
+    assert len(got[1]) == 8 and len(got[2]) == 8
+    assert got[1] != got[2]  # payload-seeded → different pseudo-pixels
+
+    with pytest.raises(Exception, match="NotImplementedError|real image"):
+        M.extract_image_features(media, fake=False).collect()
+
+    frames = M.sample_video_frames(
+        spark.createDataFrame(
+            [(3, "video", "video/fake", bytearray(b"vid"), None, None, 2500)],
+            M.MEDIA_SCHEMA,
+        ),
+        fake=True,
+    )
+    fr = frames.collect()
+    assert [r["frame_idx"] for r in sorted(fr, key=lambda r: r["frame_idx"])] == [0, 1]
