@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is materialized with the noop sink (full execution, no driver
+collect cost) — the number is end-to-end plan execution wall time.
+Mirrors the reference's instrumentation intent (per-phase wall times,
+``gmr.h:369-380``; total time ``gmr.cpp:318-319``) at query granularity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from graphmapreduce_spark.session import get_spark  # noqa: E402
+from graphmapreduce_spark.plans import workload  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_customers",
+    "q03_snowflake_agg",
+    "q07_window_topk_per_group",
+    "q10_rollup",
+    "q12_distinct_agg",
+    "q14_sort_limit",
+    "q21_range_join",
+    "q22_asof_join",
+    "q31_triangle_count",
+    "q32_pagerank",
+    "q34_wcc",
+    "q40_dedup_exact",
+    "q45_ngram_jaccard",
+    "q46_minhash_lsh",
+    "q48_embedding_topk",
+    "q60_tumbling_window",
+    "q62_session_window",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(
+        app_name="gmr-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    qs = workload.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.2f}s", file=sys.stderr)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

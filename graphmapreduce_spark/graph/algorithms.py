@@ -117,11 +117,18 @@ def pagerank(
     the edge table keeps its hash partitioning across iterations so only
     the rank vector moves.
     """
+    from pyspark.storagelevel import StorageLevel
+
     n = graph.num_vertices()
     deg = graph.out_degrees()  # (id, out_degree)
     # ranks carries its degree to avoid a second join per superstep
     ranks = deg.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    # materialize edges once — every superstep joins against them
+    we_cached = graph.edges.storageLevel == StorageLevel.NONE
     edges = graph.edges
+    if we_cached:
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        edges.count()
 
     for _ in range(max_iter):
         contribs = (
@@ -165,6 +172,8 @@ def pagerank(
         ranks = new
         if max_delta <= threshold:
             break
+    if we_cached:
+        edges.unpersist()
     return ranks.select("id", "rank")
 
 
@@ -175,8 +184,20 @@ def pagerank(
 def connected_components(
     graph: PropertyGraph, max_iter: int = MAX_ITERATION
 ) -> DataFrame:
-    """(id, component) where component = min vertex id in the component."""
-    und = graph.undirected()
+    """(id, component) where component = min vertex id in the component.
+
+    Symmetrizes WITHOUT deduplication: the min-message aggregation is
+    idempotent under duplicate edges and map-side combine absorbs them,
+    so the distinct-edges shuffle of ``undirected()`` would be pure
+    overhead here."""
+    sym = graph.edges.select("src", "dst").unionByName(
+        graph.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    und = PropertyGraph(
+        graph.vertices, sym, num_partitions=graph.num_partitions
+    )
     init = und.vertices.select("id", F.col("id").cast("double").alias("value"))
 
     def messages(active: DataFrame, edges: DataFrame) -> DataFrame:

@@ -105,6 +105,16 @@ class Pregel:
         return self.update(old, agg)
 
     def run(self, vertices: DataFrame, edges: DataFrame) -> PregelResult:
+        from pyspark.storagelevel import StorageLevel
+
+        # Materialize the edge table once: every superstep's message join
+        # and every convergence action would otherwise re-execute the
+        # whole edge-derivation pipeline (scan + shuffles) from scratch.
+        # MEMORY_AND_DISK so big graphs spill instead of recomputing.
+        we_cached = edges.storageLevel == StorageLevel.NONE
+        if we_cached:
+            edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+            edges.count()
         v = vertices.select("id", "value").withColumn(
             "delta", F.lit(float("inf"))
         )
@@ -144,6 +154,8 @@ class Pregel:
             if max_delta is None or max_delta <= self.threshold:
                 converged = True
                 break
+        if we_cached:
+            edges.unpersist()
         return PregelResult(
             vertices=v.select("id", "value"),
             iterations=it,

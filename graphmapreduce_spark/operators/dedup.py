@@ -44,37 +44,96 @@ def exact_dedup(df: DataFrame, content_cols: Sequence[str], id_col: str) -> Data
     return df.join(keep, on=[*content_cols, id_col], how="left_semi")
 
 
+def _hash_coeffs(num_hashes: int, seed: int):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
 def minhash_signature(
     col: Column | str,
     num_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
 ) -> Column:
-    """MinHash signature as array<long> over character shingles.
+    """MinHash signature as array<long> over character shingles
+    (expression form — one row in, one array out).
 
     Universal hashing h_i(x) = (a_i * x + b_i) mod p over xxhash64
-    shingle ids (p = 2^61 - 1).  Coefficients come from a fixed-seed RNG
-    so signatures are reproducible across runs/sessions.
+    shingle ids.  Coefficients come from a fixed-seed RNG so signatures
+    are reproducible across runs/sessions.
+
+    Note: shingle ids are computed once and the per-function min folds
+    run over that array.  For corpus-scale signing prefer
+    ``minhash_signatures`` (explode + map-side-combined min aggregates).
     """
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    a, b = _hash_coeffs(num_hashes, seed)
     shingles = T.char_shingles(col, n=shingle_n, distinct=True)
     ids = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    ids,
-                    lambda x: F.pmod(
-                        F.lit(int(a[i])) * x + F.lit(int(b[i])), F.lit(_MERSENNE)
-                    ),
+
+    def mins(id_arr: Column) -> Column:
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        id_arr,
+                        lambda x: F.pmod(
+                            F.lit(int(a[i])) * x + F.lit(int(b[i])),
+                            F.lit(_MERSENNE),
+                        ),
+                    )
                 )
-            )
+                for i in range(num_hashes)
+            ]
+        )
+
+    # materialize the id array once per row via a lambda binding
+    return F.transform(F.array(ids), mins)[0]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus-scale MinHash signing: explode distinct shingles to
+    (id, shingle_hash) rows, then one groupBy(id) with ``num_hashes``
+    min() aggregates — each shingle is hashed exactly once, the mins
+    partial-combine map-side, and parallelism follows the corpus
+    partitioning instead of per-row expression width.
+
+    Returns (id_col, sig array<long>).
+    """
+    a, b = _hash_coeffs(num_hashes, seed)
+    # spread rows across cores BEFORE the ~|text| fan-out of the explode:
+    # a corpus read from few files would otherwise shingle serially
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    exploded = (
+        df.select(id_col, text_col)
+        .repartition(n_part, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.explode(
+                T.char_shingles(text_col, n=shingle_n, distinct=True)
+            ).alias("_s"),
+        )
+        .withColumn("_h", F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE)))
+    )
+    aggd = exploded.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.pmod(F.lit(int(a[i])) * F.col("_h") + F.lit(int(b[i])), F.lit(_MERSENNE))
+            ).alias(f"_m{i}")
             for i in range(num_hashes)
         ]
     )
-    return sig
+    return aggd.select(
+        id_col, F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def lsh_candidate_pairs(
@@ -118,21 +177,38 @@ def minhash_lsh_near_dup_pairs(
     text_col: str,
     threshold: float = 0.8,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs with exact-Jaccard verification of LSH
-    candidates.  Returns (id_a, id_b, jaccard) with id_a < id_b."""
-    with_sig = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_text"),
-        minhash_signature(text_col, num_hashes, shingle_n, seed).alias("_sig"),
+    candidates.  Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``bands`` defaults to the largest b with (1/b)^(b/num_hashes) ≥
+    threshold — i.e. the banding whose S-curve knee sits at the requested
+    threshold, which keeps false-positive candidates (and therefore the
+    within-bucket pair blowup) bounded.  Shingle sets are only
+    materialized for candidate ids, never for the whole corpus.
+    """
+    if bands is None:
+        bands = 1
+        for b in range(1, num_hashes + 1):
+            if num_hashes % b:
+                continue
+            r = num_hashes // b
+            if (1.0 / b) ** (1.0 / r) >= threshold:
+                bands = b
+        bands = max(bands, 1)
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, seed
+    ).withColumnRenamed(id_col, "_id")
+    cands = lsh_candidate_pairs(sigs, "_id", "sig", num_hashes, bands)
+    sh = df.select(
+        F.col(id_col).alias("_sid"),
         T.char_shingles(text_col, n=shingle_n, distinct=True).alias("_sh"),
-    ).localCheckpoint(eager=True)
-    cands = lsh_candidate_pairs(with_sig, "_id", "_sig", num_hashes, bands)
-    a = with_sig.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    b = with_sig.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    )
+    a = sh.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("sh_b"))
     verified = (
         cands.join(a, "id_a")
         .join(b, "id_b")

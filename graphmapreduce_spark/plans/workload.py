@@ -613,6 +613,194 @@ def q22_asof_join(spark, sf_dir):
     )
 
 
+@register(
+    "q23_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q23_grouping_sets(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register("q24_approx_distinct", None)  # HLL sketches differ per engine
+def q24_approx_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "q25_pandas_udaf_median",
+    """
+    SELECT o_custkey,
+           ROUND(MEDIAN(o_totalprice), 3) AS median_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q25_pandas_udaf_median(spark, sf_dir):
+    """Custom UDAF surface (ref GMR::reduce, gmr.h:89): grouped-map
+    applyInPandas computing an exact per-group median — Arrow-batched,
+    one shuffle on the group key."""
+    import pandas as pd
+
+    o = _t(spark, sf_dir, "orders")
+
+    def median(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # no Python round() here: banker's rounding differs from SQL
+        # HALF_UP — rounding happens in the engine on both sides
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "median_price": [float(pdf["o_totalprice"].median())],
+                "n": [len(pdf)],
+            }
+        )
+
+    out = o.groupBy("o_custkey").applyInPandas(
+        median, schema="o_custkey long, median_price double, n long"
+    )
+    # medians of 2-decimal prices are exact at 3 decimals → boundary-safe
+    return out.select(
+        "o_custkey", F.round("median_price", 3).alias("median_price"), "n"
+    )
+
+
+@register(
+    "q26_higher_order_array",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(CASE WHEN l_extendedprice > 1000
+                          THEN l_extendedprice * (1 - l_discount) END), 4)
+             AS big_net,
+           COUNT(*) FILTER (l_extendedprice > 1000) AS n_big
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def q26_higher_order_array(spark, sf_dir):
+    """Array higher-order functions (filter→transform→aggregate fold) over
+    per-order collected line arrays — the declarative form of the
+    reference's list-payload reduces (KV.svalue, gmr.h:36)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rows = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_extendedprice", "l_discount")).alias("lines")
+    )
+    big = F.filter("lines", lambda s: s["l_extendedprice"] > 1000)
+    net = F.aggregate(
+        F.transform(big, lambda s: s["l_extendedprice"] * (1 - s["l_discount"])),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.coalesce(acc + x, x),
+    )
+    # products of 2-decimal prices × 2-decimal discounts are exact at 4
+    # decimals → rounding there never sits on a boundary
+    return rows.select(
+        "l_orderkey",
+        F.round(net, 4).alias("big_net"),
+        F.size(big).cast("long").alias("n_big"),
+    )
+
+
+@register(
+    "q27_map_funcs",
+    """
+    SELECT user_id,
+           COUNT(DISTINCT event_type) AS n_types,
+           MAX(event_type = 'click')::BOOLEAN AS has_click,
+           MAX(CASE WHEN event_type = 'purchase' THEN cnt ELSE 0 END)
+             AS n_purchases
+    FROM (SELECT user_id, event_type, COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2)
+    GROUP BY user_id
+    """,
+)
+def q27_map_funcs(spark, sf_dir):
+    """Map-typed columns: per-user event_type→count map built with
+    map_from_entries, queried with map_keys/map_contains_key/element_at."""
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    maps = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("m")
+    )
+    return maps.select(
+        "user_id",
+        F.size(F.map_keys("m")).cast("long").alias("n_types"),
+        F.map_contains_key("m", "click").alias("has_click"),
+        F.coalesce(F.element_at("m", "purchase"), F.lit(0)).alias("n_purchases"),
+    )
+
+
+@register(
+    "q28_udtf_tokenize",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+             AS n_tokens
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q28_udtf_tokenize(spark, sf_dir):
+    """UDTF-style mapInPandas: Python tokenizer over Arrow batches,
+    exploding then re-aggregating — result matches the pure-SQL oracle."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def tokenize(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": [
+                        len([w for w in str(s).split() if w]) for s in pdf["text"]
+                    ],
+                }
+            )
+
+    return d.mapInPandas(tokenize, schema="doc_id long, n_tokens long")
+
+
+@register(
+    "q29_json_construct",
+    """
+    SELECT event_id,
+           '{"k2":' || (2 * CAST(json_extract_string(props, '$.k') AS BIGINT))
+             || '}' AS doubled_json
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def q29_json_construct(spark, sf_dir):
+    """JSON parse → transform → re-serialize (from_json/to_json)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    parsed = e.select(
+        "event_id", F.from_json("props", "k BIGINT").alias("j")
+    )
+    return parsed.select(
+        "event_id",
+        F.to_json(F.struct((F.col("j.k") * 2).alias("k2"))).alias("doubled_json"),
+    )
+
+
 # =====================================================================
 # Graph algorithms on derived edge tables
 # =====================================================================
@@ -678,13 +866,17 @@ def q30_degrees(spark, sf_dir):
 def q31_triangle_count(spark, sf_dir):
     """TriangleCount (ref algorithms.h:97-180) as the canonical 3-way
     self-join on canonically oriented edges."""
-    g = _mod_graph(spark, sf_dir, 500)
+    li = _t(spark, sf_dir, "lineitem")
     e = (
-        g.edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        li.select(
+            (F.col("l_orderkey") % 500).alias("s"), (F.col("l_partkey") % 500).alias("t")
         )
+        .select(F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b"))
         .filter(F.col("a") < F.col("b"))
         .distinct()
+        # materialize once: the 3-way self-join must not re-derive the
+        # (scan + distinct shuffle) edge set three times
+        .localCheckpoint(eager=True)
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = e1.join(e2, F.col("e1.b") == F.col("e2.a")).join(
@@ -912,7 +1104,7 @@ def q45_ngram_jaccard(spark, sf_dir):
 def q46_minhash_lsh(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_near_dup_pairs(
-        d, "doc_id", "text", threshold=0.5, num_hashes=32, bands=16, shingle_n=5
+        d, "doc_id", "text", threshold=0.5, num_hashes=32, shingle_n=5
     )
     return pairs
 

@@ -1,0 +1,42 @@
+"""Sinks.  The reference can only print to stdout (``printResult``,
+``gmr.h:102``; ``displayGraph`` ``graph.h:121-155``) — no file writer
+exists.  Here: parquet/csv/json writers with partitioning control, plus
+a stdout `show` passthrough for parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Parquet sink — the native at-scale format.  ``partition_by`` gives
+    directory-partitioned layout (partition pruning on read);
+    ``max_records_per_file`` bounds file sizes for downstream splits."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
+) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def show(df: DataFrame, n: int = 20, truncate: bool = True) -> None:
+    """stdout sink (ref printResult parity)."""
+    df.show(n=n, truncate=truncate)

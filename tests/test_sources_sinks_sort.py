@@ -1,0 +1,80 @@
+"""Readers round-trip, sinks round-trip, global sample-sort equivalence."""
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from graphmapreduce_spark.operators.sort import global_sort, is_globally_sorted
+from graphmapreduce_spark.sources import read_edge_list, read_metis, read_subgraph_files
+from graphmapreduce_spark.sources.sinks import write_csv, write_json, write_parquet
+
+
+def test_edge_list_reader(spark, tmp_path):
+    p = tmp_path / "g.txt"
+    p.write_text("# comment\n5\n5\n1 2\n2 3 2.5\n\n3 1\n")
+    g = read_edge_list(spark, str(p))
+    edges = sorted((r.src, r.dst, r.weight) for r in g.edges.collect())
+    # header lines '5' dropped (single token), comment/blank skipped
+    assert edges == [(1, 2, 1.0), (2, 3, 2.5), (3, 1, 1.0)]
+
+
+def test_edge_list_zero_based_shift(spark, tmp_path):
+    p = tmp_path / "g0.txt"
+    p.write_text("0 1\n1 2\n")
+    g = read_edge_list(spark, str(p))
+    edges = sorted((r.src, r.dst) for r in g.edges.collect())
+    assert edges == [(1, 2), (2, 3)]  # shifted to 1-based like the reference
+
+
+def test_metis_reader_weighted(spark, tmp_path):
+    # 3 vertices, 2 undirected edges, fmt 001 = edge weights present
+    p = tmp_path / "m.graph"
+    p.write_text("3 2 001\n2 7 3 1\n1 7\n1 1\n")
+    g = read_metis(spark, str(p))
+    edges = sorted((r.src, r.dst, r.weight) for r in g.edges.collect())
+    assert edges == [(1, 2, 7.0), (1, 3, 1.0), (2, 1, 7.0), (3, 1, 1.0)]
+    assert g.num_vertices() == 3
+
+
+def test_subgraph_reader(spark, tmp_path):
+    # fmt-1111 lines: vid vwgt (nbor part ewgt)*
+    p = tmp_path / "s.0"
+    p.write_text("1 1.0 2 0 5.0 3 1 2.0\n2 1.0 1 0 5.0\n")
+    g = read_subgraph_files(spark, [str(p)])
+    edges = sorted((r.src, r.dst, r.weight) for r in g.edges.collect())
+    assert edges == [(1, 2, 5.0), (1, 3, 2.0), (2, 1, 5.0)]
+
+
+def test_sinks_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double"
+    )
+    pq = str(tmp_path / "pq")
+    write_parquet(df, pq, partition_by=["s"])
+    back = spark.read.parquet(pq)
+    assert sorted((r.id, r.s, r.v) for r in back.collect()) == [
+        (1, "a", 1.5),
+        (2, "b", 2.5),
+    ]
+    # partitioned layout → directory per key (partition pruning on read)
+    assert any(d.startswith("s=") for d in os.listdir(pq))
+
+    cs = str(tmp_path / "cs")
+    write_csv(df, cs)
+    assert spark.read.option("header", "true").csv(cs).count() == 2
+
+    js = str(tmp_path / "js")
+    write_json(df, js)
+    assert spark.read.json(js).count() == 2
+
+
+def test_global_sample_sort(spark):
+    df = spark.createDataFrame(
+        [((i * 2654435761) % 1000,) for i in range(5000)], "n long"
+    ).repartition(8)
+    out = global_sort(df, ["n"], num_partitions=4)
+    assert is_globally_sorted(out, "n")
+    vals = [r["n"] for r in out.collect()]
+    assert vals == sorted(vals)
