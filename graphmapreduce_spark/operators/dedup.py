@@ -223,6 +223,42 @@ def minhash_lsh_near_dup_pairs(
     return verified
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03) as rows
+    (id, fp): min rolling-hash in each window of ``w`` consecutive
+    character n-grams, deduplicated.
+
+    Shuffle-based formulation — posexplode the rolling hashes, then a
+    bounded-frame window min — rather than the nested array-expression
+    form (``functions.text.winnowing_fingerprint``): per-row expression
+    depth stays constant, work distributes with the corpus partitioning,
+    and skewed long documents parallelize across their hash positions.
+    """
+    from pyspark.sql.window import Window
+
+    hs = df.select(
+        F.col(id_col),
+        F.posexplode(T.rolling_hashes(text_col, n)).alias("pos", "h"),
+    )
+    frame = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    )
+    whole = Window.partitionBy(id_col)
+    return (
+        hs.withColumn("_sz", F.count(F.lit(1)).over(whole))
+        .withColumn("_wmin", F.min("h").over(frame))
+        .filter(F.col("pos") <= F.greatest(F.col("_sz") - w, F.lit(0)))
+        .select(F.col(id_col), F.col("_wmin").alias("fp"))
+        .distinct()
+    )
+
+
 def dedup_by_pairs(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """Greedy keep-smallest-id dedup: drop any row whose id appears as the
     larger side of a near-dup pair.  (Deterministic, single anti-join; the

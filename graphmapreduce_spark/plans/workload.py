@@ -885,15 +885,67 @@ def q31_triangle_count(spark, sf_dir):
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
-@register("q32_pagerank", None)  # iterative — golden-graph pytest coverage
+def _pagerank_oracle_sql(n_iter: int = 15, d: float = 0.85, k: int = 500) -> str:
+    """Unrolled power iteration in portable SQL (MATERIALIZED CTEs so the
+    oracle engine scans lineitem once, not once per iteration)."""
+    pre = f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey % {k} AS src, l_partkey % {k} AS dst
+      FROM lineitem WHERE l_orderkey % {k} <> l_partkey % {k}
+    ),
+    v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+    deg AS MATERIALIZED (
+      SELECT src AS id, COUNT(*)::DOUBLE AS d FROM e GROUP BY src),
+    nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM v),
+    r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM v)
+    """
+    its = []
+    for i in range(1, n_iter + 1):
+        p = f"r{i - 1}"
+        its.append(f"""
+    r{i} AS MATERIALIZED (
+      SELECT v.id,
+             (1-{d})/(SELECT n FROM nn)
+             + {d} * (SELECT COALESCE(SUM(r.rank),0) FROM {p} r
+                      LEFT JOIN deg dg ON dg.id = r.id WHERE dg.id IS NULL)
+                   / (SELECT n FROM nn)
+             + {d} * COALESCE(s.in_sum, 0) AS rank
+      FROM v
+      LEFT JOIN (SELECT e.dst AS id, SUM(r.rank / dg.d) AS in_sum
+                 FROM e JOIN {p} r ON r.id = e.src
+                        JOIN deg dg ON dg.id = e.src
+                 GROUP BY e.dst) s ON s.id = v.id
+    )""")
+        pre_sep = ","
+    return (
+        pre + pre_sep + ",".join(its)
+        + f"\n    SELECT id, ROUND(rank, 6) AS rank FROM r{n_iter}"
+    )
+
+
+@register("q32_pagerank", _pagerank_oracle_sql())
 def q32_pagerank(spark, sf_dir):
+    """PageRank (ref algorithms.h:4-37, quirks normalized per SURVEY §7.4).
+    Oracle: the same 15 power iterations unrolled as SQL CTEs."""
     g = _mod_graph(spark, sf_dir, 500)
     pr = alg.pagerank(g, damping=0.85, max_iter=15, threshold=1e-8)
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
-@register("q33_sssp", None)  # iterative — golden-graph pytest coverage
+@register(
+    "q33_sssp",
+    """
+    WITH w AS (SELECT -l_partkey AS id, MIN(l_quantity)::DOUBLE AS distance
+               FROM lineitem WHERE l_suppkey = 1 GROUP BY 1)
+    SELECT id, ROUND(distance, 6) AS distance FROM w
+    UNION ALL SELECT 1 AS id, 0.0 AS distance
+    """,
+)
 def q33_sssp(spark, sf_dir):
+    """SSSP (ref algorithms.h:42-92).  On the bipartite supplier→part
+    graph every shortest path is one hop, so the converged Bellman-Ford
+    fixpoint has a closed-form oracle; multi-hop convergence is covered
+    by the golden-graph pytest suite."""
     g = _ps_graph(spark, sf_dir)
     d = alg.sssp(g, source=1)
     return d.filter(F.col("distance") != float("inf")).select(
@@ -901,15 +953,62 @@ def q33_sssp(spark, sf_dir):
     )
 
 
-@register("q34_wcc", None)  # iterative — golden-graph pytest coverage
+def _wcc_oracle_sql(n_iter: int = 14) -> str:
+    """Min-label propagation unrolled to the fixpoint (graph diameter at
+    sf0.01 is well under n_iter; extra iterations are no-ops)."""
+    pre = """
+    WITH de AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS src, -l_partkey AS dst FROM lineitem
+    ),
+    e AS MATERIALIZED (SELECT src, dst FROM de UNION SELECT dst, src FROM de),
+    v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+    c0 AS MATERIALIZED (SELECT id, id AS lbl FROM v)
+    """
+    its = []
+    for i in range(1, n_iter + 1):
+        p = f"c{i - 1}"
+        its.append(f"""
+    c{i} AS MATERIALIZED (
+      SELECT v.id, LEAST(p.lbl, COALESCE(m.mn, p.lbl)) AS lbl
+      FROM v JOIN {p} p ON p.id = v.id
+      LEFT JOIN (SELECT e.dst AS id, MIN(p2.lbl) AS mn
+                 FROM e JOIN {p} p2 ON p2.id = e.src GROUP BY e.dst) m
+             ON m.id = v.id
+    )""")
+    return (
+        pre + "," + ",".join(its)
+        + f"\n    SELECT lbl AS component, COUNT(*) AS n_members"
+        + f" FROM c{n_iter} GROUP BY lbl"
+    )
+
+
+@register("q34_wcc", _wcc_oracle_sql())
 def q34_wcc(spark, sf_dir):
+    """Connected components (ref stub algorithms.h:195).  Oracle: the
+    same min-label propagation unrolled as SQL CTEs past the diameter."""
     g = _ps_graph(spark, sf_dir)
     cc = alg.connected_components(g)
     return cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
 
 
-@register("q35_bfs", None)  # iterative — golden-graph pytest coverage
+@register(
+    "q35_bfs",
+    """
+    WITH de AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS src, -l_partkey AS dst FROM lineitem),
+    v AS MATERIALIZED (SELECT src AS id FROM de UNION SELECT dst AS id FROM de),
+    l1 AS (SELECT DISTINCT dst AS id FROM de WHERE src = 1)
+    SELECT level, COUNT(*) AS n_at_level FROM (
+      SELECT v.id, CASE WHEN v.id = 1 THEN 0
+                        WHEN l1.id IS NOT NULL THEN 1
+                        ELSE -1 END AS level
+      FROM v LEFT JOIN l1 ON l1.id = v.id) t
+    GROUP BY level
+    """,
+)
 def q35_bfs(spark, sf_dir):
+    """BFS levels (ref stub algorithms.h:190); -1 = unreachable.  The
+    bipartite graph has exact levels {0, 1, -1} from a supplier source."""
     g = _ps_graph(spark, sf_dir)
     lv = alg.bfs(g, source=1)
     return lv.groupBy("level").agg(F.count(F.lit(1)).alias("n_at_level"))
@@ -1058,11 +1157,39 @@ def q43_token_count(spark, sf_dir):
     )
 
 
-@register(
-    "q44_lang_id",
-    None,  # same deterministic heuristic is pytest-verified; SQL form is
-    # expressible but brittle across dialects — rows-only here
-)
+def _lang_id_oracle_sql() -> str:
+    """Replicates functions.text.language_id: per-language stopword hits,
+    argmax with alphabetical tie-break, 'und' when no hits."""
+    hit_exprs = []
+    for lang, stops in sorted(T.STOPWORDS.items()):
+        lst = ", ".join(f"'{w}'" for w in stops)
+        hit_exprs.append(
+            f"len(list_filter(ws, x -> list_contains([{lst}], lower(x))))"
+            f" AS h_{lang}"
+        )
+    hits = ",\n             ".join(hit_exprs)
+    return f"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    scored AS (
+      SELECT {hits}
+      FROM toks
+    )
+    SELECT CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                WHEN h_es >= h_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY 1
+    """
+
+
+@register("q44_lang_id", _lang_id_oracle_sql())
 def q44_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.groupBy(T.language_id("text").alias("predicted_lang")).agg(
@@ -1196,6 +1323,162 @@ def q50_multimodal_meta(spark, sf_dir):
     return out.select("doc_id", "n_bytes", "payload_md5")
 
 
+def _embedding_near_dup_oracle_sql(
+    num_planes: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    threshold: float = 0.3,
+    id_cap: int = 300,
+) -> str:
+    """Replicates embedding_near_dup_pairs exactly: the seeded hyperplanes
+    are embedded as SQL literals, so bucket assignment AND cosine verify
+    both run in the oracle engine."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((num_planes, dim))
+    bits = " + ".join(
+        "(CASE WHEN list_sum(list_transform(range(1, {d} + 1),"
+        " i -> v[i] * ([{plane}])[i])) >= 0 THEN {w} ELSE 0 END)".format(
+            d=dim,
+            plane=", ".join(repr(float(x)) for x in p),
+            w=1 << b,
+        )
+        for b, p in enumerate(planes)
+    )
+    return f"""
+    WITH sig AS MATERIALIZED (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+             {bits} AS bucket
+      FROM embeddings WHERE vec_id < {id_cap}
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(list_sum(list_transform(range(1, {dim} + 1),
+                            i -> a.v[i] * b.v[i]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cosine
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.id < b.id
+    WHERE list_sum(list_transform(range(1, {dim} + 1), i -> a.v[i] * b.v[i]))
+          / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+           * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= {threshold}
+    """
+
+
+@register("q51_embedding_near_dup", _embedding_near_dup_oracle_sql())
+def q51_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH
+    candidates verified by exact cosine.  The oracle embeds the same
+    seeded hyperplanes as SQL literals — bucketing and verification are
+    both value-checked."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return D.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, num_planes=4, dim=64
+    )
+
+
+@register("q52_simhash_groups", None)  # engine-native xxhash64
+def q52_simhash_groups(spark, sf_dir):
+    """SimHash duplicate groups (identical 64-bit fingerprint)."""
+    d = _t(spark, sf_dir, "documents")
+    out = D.simhash_dup_groups(d, "doc_id", "text", num_bits=64)
+    return out.select(
+        "simhash", F.concat_ws(",", "ids").alias("ids_str"), "group_size"
+    )
+
+
+@register(
+    "q53_quality_score",
+    """
+    WITH feats AS (
+      SELECT doc_id,
+             LEAST(length(text) / 200.0, 1.0) AS len_score,
+             CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) > 0
+                  THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                       / length(regexp_replace(text, '\\s', '', 'g'))
+                  ELSE 0 END AS punct,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND((len_score
+                  + GREATEST(0.0, 1.0 - punct * 4.0)
+                  + LEAST(CASE WHEN len(ws) > 0
+                          THEN len(list_filter(ws, x -> list_contains(
+                                 ['the','and','is','of','to','a','in','that','it','for'],
+                                 lower(x)))) * 5.0 / len(ws)
+                          ELSE 0 END, 1.0)) / 3.0, 6) AS quality
+    FROM feats
+    """,
+)
+def q53_quality_score(spark, sf_dir):
+    """Pretraining-corpus quality heuristic (length / punctuation /
+    stopword tests) as a pure Column expression."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+@register("q54_winnowing", None)  # engine-native xxhash64
+def q54_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03): shared
+    fingerprint count per candidate pair over a small doc slice."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    fp = D.winnowing_fingerprints(d, "doc_id", "text", n=8, w=4).localCheckpoint(
+        eager=True
+    )  # fingerprint once, not once per join side
+    # cap fingerprint document frequency: boilerplate n-grams shared by
+    # most docs produce O(df^2) pairs and zero dedup signal
+    hot = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 20)
+        .select("fp")
+    )
+    fp = fp.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 5)
+    )
+
+
+@register("q55_image_features", None)  # deterministic fake decoder
+def q55_image_features(spark, sf_dir):
+    """Multimodal decode plumbing: binary payload → mapInPandas feature
+    extraction (deterministic stub decoder; schema/batching real)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(8).alias("width"),
+        F.lit(8).alias("height"),
+    )
+    feats = M.extract_image_features(media, fake=True, n_features=4)
+    return feats.select(
+        "media_id",
+        F.round(F.col("features")[0], 6).alias("f_mean"),
+        F.round(F.col("features")[1], 6).alias("f_std"),
+    )
+
+
+@register("q56_video_frames", None)  # deterministic fake decoder
+def q56_video_frames(spark, sf_dir):
+    """Frame-sampling UDTF shape: one row per sampled frame."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        (F.col("doc_id") % 5 * 1000 + 1000).cast("long").alias("duration_ms"),
+    )
+    frames = M.sample_video_frames(media, every_ms=1000, fake=True)
+    return frames.select("media_id", "frame_idx", "ts_ms", "frame_md5")
+
+
 # =====================================================================
 # Streaming (batch-verifiable event-time windows)
 # =====================================================================
@@ -1298,4 +1581,108 @@ def q62_session_window(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 4).alias("total_value"),
         ],
+    )
+
+
+def _stream_events(spark, sf_dir):
+    """readStream over the events parquet fixture (ns timestamps read as
+    long and converted, mirroring ``_t``)."""
+    import os as _os
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(path)
+    # the file stream source requires a directory: point it at sf_dir
+    # with a glob selecting only the events file
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
+
+
+def _run_stream_to_table(spark, stream_df, name: str):
+    """Execute a streaming query to completion (availableNow) into an
+    in-memory sink and return the materialized table."""
+    import tempfile
+    import uuid
+
+    qname = f"{name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"gmr_ckpt_{name}_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+@register(
+    "q63_streaming_tumbling",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q63_streaming_tumbling(spark, sf_dir):
+    """True Structured Streaming execution (readStream → watermark →
+    tumbling window → memory sink, availableNow) — the fixture is one
+    file = one micro-batch, so no rows are late and the result equals
+    the batch oracle."""
+    stream = _stream_events(spark, sf_dir)
+    windowed = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return _run_stream_to_table(spark, windowed, "tumbling")
+
+
+@register(
+    "q64_stateful_running_totals",
+    """
+    SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q64_stateful_running_totals(spark, sf_dir):
+    """Arbitrary stateful streaming (applyInPandasWithState running
+    count/sum per user).  Update mode emits one row per key per
+    micro-batch; the final row per key (max n) is the converged total,
+    equal to the batch aggregate."""
+    from graphmapreduce_spark.streaming import stateful as ST
+
+    stream = _stream_events(spark, sf_dir)
+    running = ST.running_totals(stream, key_col="user_id", value_col="value")
+    out = _run_stream_to_table(spark, running, "running")
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n", F.round("total", 4).alias("total"))
     )

@@ -139,3 +139,29 @@ def test_winnowing_fingerprint_overlap(spark):
     ).collect()}
     assert fps[1] == fps[2]
     assert fps[1] != fps[3]
+
+
+def test_winnowing_fingerprints_rows_match_expression_form(spark):
+    """The shuffle-based operator and the array-expression form must
+    produce the identical fingerprint set per document."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "ab"),  # shorter than the n-gram width
+        ],
+        "id long, text string",
+    )
+    from graphmapreduce_spark.operators import dedup as D
+
+    rows = D.winnowing_fingerprints(df, "id", "text", n=8, w=4).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["id"], set()).add(r["fp"])
+    expr = {
+        r["id"]: set(r["fp"])
+        for r in df.select(
+            "id", T.winnowing_fingerprint("text", n=8, w=4).alias("fp")
+        ).collect()
+    }
+    assert got == {k: v for k, v in expr.items() if v}
