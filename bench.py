@@ -52,6 +52,12 @@ def main() -> int:
         shuffle_partitions=int(cpus),
     )
     qs = workload.queries()
+    # session warmup: JVM JIT, codegen, parquet footer cache — so query
+    # times measure plan execution, not first-run compilation
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    workload.q01_pricing_summary(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

@@ -143,7 +143,10 @@ class Pregel:
                 .select("id", new_value.alias("value"), delta.alias("delta"))
             )
             if it % self.checkpoint_interval == 0:
-                new = new.localCheckpoint(eager=True)
+                # lazy checkpoint: the convergence action below both
+                # computes max(delta) AND materializes the checkpoint —
+                # one Spark job per superstep instead of two
+                new = new.localCheckpoint(eager=False)
             # the convergence barrier — sole driver-side scalar per superstep
             # (ref gmr.cpp:224-232 piggybacked vote-to-halt)
             max_delta = new.agg(F.max("delta")).first()[0]

@@ -37,18 +37,27 @@ def main():
         ]
     for name in names:
         df = qs[name](spark, sf_dir)
-        buf = io.StringIO()
-        with redirect_stdout(buf):
+        # execute THIS DataFrame's plan first (a write would execute a
+        # separate plan instance): AQE only annotates codegen stages /
+        # coalesced shuffle reads in the final post-execution plan
+        df.collect()
+        fmt_buf, simple_buf = io.StringIO(), io.StringIO()
+        with redirect_stdout(fmt_buf):
             df.explain("formatted")
-        plan = buf.getvalue()
+        with redirect_stdout(simple_buf):
+            df.explain()  # simple mode carries the "*(N)" codegen marks
+        plan = simple_buf.getvalue()
         n_exchanges = len(re.findall(r"\bExchange\b", plan))
-        n_bcast = len(re.findall(r"BroadcastHashJoin|BroadcastExchange", plan))
-        n_codegen = len(re.findall(r"WholeStageCodegen", plan))
+        n_bcast = len(re.findall(r"BroadcastHashJoin", plan))
+        n_codegen = len(set(re.findall(r"\*\((\d+)\)", plan)))
+        n_coalesced = len(re.findall(r"AQEShuffleRead coalesced", plan))
+        plan = plan + fmt_buf.getvalue()  # formatted part feeds scan info
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
         print(f"\n==== {name} ====")
         print(
-            f"exchanges={n_exchanges} broadcast={n_bcast} codegen_spans={n_codegen}"
+            f"exchanges={n_exchanges} broadcast={n_bcast}"
+            f" codegen_spans={n_codegen} aqe_coalesced={n_coalesced}"
         )
         for i, (p, s) in enumerate(zip(pushed, schemas)):
             print(f"scan[{i}]: pushed=[{p[:90]}] read={s[:110]}")
