@@ -121,20 +121,49 @@ def exact_fingerprint(col: Column | str) -> Column:
 
 
 def char_shingles(col: Column | str, n: int = 3, distinct: bool = True) -> Column:
-    """Character n-gram array (the MinHash/Jaccard input unit)."""
+    """Character n-gram array (the MinHash/Jaccard input unit).  Text
+    shorter than ``n`` yields an empty array (guard needed because
+    ``sequence(1, 0)`` would count DOWN, emitting bogus positions)."""
     c = F.col(col) if isinstance(col, str) else col
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0))),
-        lambda i: F.substring(c, i, n),
-    )
+    grams = F.when(
+        F.length(c) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (n - 1)),
+            lambda i: F.substring(c, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams) if distinct else grams
 
 
-def rolling_hashes(col: Column | str, n: int = 8) -> Column:
-    """xxhash64 of each character n-gram — the winnowing ingredient.
-    (Spark-side only; xxhash64 has no DuckDB twin, so callers that need
-    oracle parity use md5-based shingles instead.)"""
-    return F.transform(char_shingles(col, n, distinct=False), lambda g: F.xxhash64(g))
+def md5_hash60(col: Column | str) -> Column:
+    """Portable 60-bit hash: first 15 hex digits of md5, as LONG.
+
+    Exists so hash-based operators (SimHash, winnowing, MinHash) have an
+    engine-independent variant the SQL oracle can replicate bit-for-bit
+    (DuckDB: ``('0x' || substr(md5(x), 1, 15))::BIGINT``).  xxhash64 is
+    the fast default elsewhere; md5 costs more per byte but both are
+    one-pass over the data, so the plan shape is identical.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _hash_col(c: Column, hash_fn: str) -> Column:
+    if hash_fn == "xxhash64":
+        return F.xxhash64(c)
+    if hash_fn == "md5":
+        return md5_hash60(c)
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def rolling_hashes(
+    col: Column | str, n: int = 8, hash_fn: str = "xxhash64"
+) -> Column:
+    """Hash of each character n-gram — the winnowing ingredient.
+    ``hash_fn='md5'`` gives the oracle-replicable 60-bit variant."""
+    return F.transform(
+        char_shingles(col, n, distinct=False), lambda g: _hash_col(g, hash_fn)
+    )
 
 
 def winnowing_fingerprint(col: Column | str, n: int = 8, w: int = 4) -> Column:
@@ -146,4 +175,6 @@ def winnowing_fingerprint(col: Column | str, n: int = 8, w: int = 4) -> Column:
     mins = F.transform(
         idx, lambda i: F.array_min(F.slice(hs, i + 1, w))
     )
-    return F.array_sort(F.array_distinct(mins))
+    return F.when(
+        F.size(hs) > 0, F.array_sort(F.array_distinct(mins))
+    ).otherwise(F.array().cast("array<long>"))

@@ -36,6 +36,7 @@ Scale notes:
 from __future__ import annotations
 
 import enum
+import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -59,6 +60,8 @@ class PregelResult:
     iterations: int
     converged: bool
     deltas: list[float] = field(default_factory=list)
+    # per-superstep wall seconds (ref per-phase timers, gmr.h:369-380)
+    superstep_seconds: list[float] = field(default_factory=list)
 
 
 class Pregel:
@@ -120,10 +123,12 @@ class Pregel:
         )
         v = v.localCheckpoint(eager=True)
         deltas: list[float] = []
+        step_secs: list[float] = []
         converged = False
         it = 0
         prev = v
         for it in range(1, self.max_iter + 1):
+            t_step = time.perf_counter()
             active = (
                 v.filter(F.col("delta") > self.threshold)
                 if self.active_frontier
@@ -151,6 +156,7 @@ class Pregel:
             # (ref gmr.cpp:224-232 piggybacked vote-to-halt)
             max_delta = new.agg(F.max("delta")).first()[0]
             deltas.append(float(max_delta) if max_delta is not None else 0.0)
+            step_secs.append(round(time.perf_counter() - t_step, 4))
             if prev is not v and hasattr(prev, "unpersist"):
                 pass  # localCheckpoint blocks are managed by Spark
             prev, v = v, new
@@ -164,4 +170,5 @@ class Pregel:
             iterations=it,
             converged=converged,
             deltas=deltas,
+            superstep_seconds=step_secs,
         )

@@ -99,12 +99,16 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Corpus-scale MinHash signing: explode distinct shingles to
     (id, shingle_hash) rows, then one groupBy(id) with ``num_hashes``
     min() aggregates — each shingle is hashed exactly once, the mins
     partial-combine map-side, and parallelism follows the corpus
     partitioning instead of per-row expression width.
+
+    ``hash_fn='md5'`` derives shingle ids from the portable 60-bit md5
+    hash so a SQL oracle can replicate signatures exactly.
 
     Returns (id_col, sig array<long>).
     """
@@ -121,7 +125,9 @@ def minhash_signatures(
                 T.char_shingles(text_col, n=shingle_n, distinct=True)
             ).alias("_s"),
         )
-        .withColumn("_h", F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE)))
+        .withColumn(
+            "_h", F.pmod(T._hash_col(F.col("_s"), hash_fn), F.lit(_MERSENNE))
+        )
     )
     aggd = exploded.groupBy(id_col).agg(
         *[
@@ -142,10 +148,15 @@ def lsh_candidate_pairs(
     sig_col: str,
     num_hashes: int = 64,
     bands: int = 16,
+    exact_buckets: bool = False,
 ) -> DataFrame:
     """Banding: split the signature into ``bands`` rows, bucket by
     (band index, band content); docs sharing any bucket become a
-    candidate pair (id_a < id_b, distinct)."""
+    candidate pair (id_a < id_b, distinct).
+
+    ``exact_buckets=True`` keeps the band content itself (as a string)
+    as the bucket key instead of its xxhash64 — collision-free, SQL-
+    oracle-replicable; the default 8-byte hash keys shuffle less."""
     rows_per_band = num_hashes // bands
     banded = df.select(
         F.col(id_col).alias("_id"),
@@ -155,9 +166,23 @@ def lsh_candidate_pairs(
                 lambda b: F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
             )
         ).alias("band", "band_sig"),
-    ).select(
-        "_id", "band", F.xxhash64(F.col("band_sig").cast("string"), F.col("band")).alias("bucket")
     )
+    if exact_buckets:
+        banded = banded.select(
+            "_id",
+            "band",
+            F.concat_ws("_", F.col("band_sig").cast("array<string>")).alias(
+                "bucket"
+            ),
+        )
+    else:
+        banded = banded.select(
+            "_id",
+            "band",
+            F.xxhash64(F.col("band_sig").cast("string"), F.col("band")).alias(
+                "bucket"
+            ),
+        )
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
@@ -180,6 +205,7 @@ def minhash_lsh_near_dup_pairs(
     bands: int | None = None,
     shingle_n: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs with exact-Jaccard verification of LSH
     candidates.  Returns (id_a, id_b, jaccard) with id_a < id_b.
@@ -200,9 +226,12 @@ def minhash_lsh_near_dup_pairs(
                 bands = b
         bands = max(bands, 1)
     sigs = minhash_signatures(
-        df, id_col, text_col, num_hashes, shingle_n, seed
+        df, id_col, text_col, num_hashes, shingle_n, seed, hash_fn
     ).withColumnRenamed(id_col, "_id")
-    cands = lsh_candidate_pairs(sigs, "_id", "sig", num_hashes, bands)
+    cands = lsh_candidate_pairs(
+        sigs, "_id", "sig", num_hashes, bands,
+        exact_buckets=(hash_fn == "md5"),
+    )
     sh = df.select(
         F.col(id_col).alias("_sid"),
         T.char_shingles(text_col, n=shingle_n, distinct=True).alias("_sh"),
@@ -229,6 +258,7 @@ def winnowing_fingerprints(
     text_col: str,
     n: int = 8,
     w: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al., SIGMOD'03) as rows
     (id, fp): min rolling-hash in each window of ``w`` consecutive
@@ -244,7 +274,7 @@ def winnowing_fingerprints(
 
     hs = df.select(
         F.col(id_col),
-        F.posexplode(T.rolling_hashes(text_col, n)).alias("pos", "h"),
+        F.posexplode(T.rolling_hashes(text_col, n, hash_fn)).alias("pos", "h"),
     )
     frame = (
         Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
@@ -268,11 +298,14 @@ def dedup_by_pairs(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     return df.join(losers, id_col, "left_anti")
 
 
-def simhash(col: Column | str, num_bits: int = 64) -> Column:
+def simhash(
+    col: Column | str, num_bits: int = 64, hash_fn: str = "xxhash64"
+) -> Column:
     """SimHash fingerprint: for each bit, sum +1/-1 over word hashes;
-    bit set iff the sum is positive.  Word-level, xxhash64-based."""
+    bit set iff the sum is positive.  Word-level.  ``hash_fn='md5'``
+    uses the portable 60-bit hash the SQL oracle can replicate."""
     ws = T.words(col)
-    hs = F.transform(ws, lambda w: F.xxhash64(w))
+    hs = F.transform(ws, lambda w: T._hash_col(w, hash_fn))
     fp = F.lit(0).cast("long")
     for bit in range(num_bits):
         contrib = F.aggregate(
@@ -287,10 +320,19 @@ def simhash(col: Column | str, num_bits: int = 64) -> Column:
     return fp
 
 
-def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str, num_bits: int = 64) -> DataFrame:
+def simhash_dup_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """Groups of documents sharing an identical SimHash fingerprint.
     Returns (simhash, ids sorted, group_size >= 2)."""
-    fp = df.select(F.col(id_col).alias("id"), simhash(text_col, num_bits).alias("simhash"))
+    fp = df.select(
+        F.col(id_col).alias("id"),
+        simhash(text_col, num_bits, hash_fn).alias("simhash"),
+    )
     return (
         fp.groupBy("simhash")
         .agg(

@@ -1014,8 +1014,48 @@ def q35_bfs(spark, sf_dir):
     return lv.groupBy("level").agg(F.count(F.lit(1)).alias("n_at_level"))
 
 
-@register("q36_scc", None)  # iterative — golden-graph pytest coverage
+def _scc_oracle_sql(k: int = 100, n_iter: int = 8) -> str:
+    """Forward/backward min-label reachability unrolled past the diameter.
+    v belongs to the SCC of root r iff r is both the min label reaching v
+    and the min label reachable from v.  Single peel round — exact here
+    because the Z_k graph at sf0.01 is one SCC (0 stragglers, verified);
+    multi-round peeling is covered by the golden-graph pytest suite."""
+    pre = f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey % {k} AS src, l_partkey % {k} AS dst
+      FROM lineitem WHERE l_orderkey % {k} <> l_partkey % {k}
+    ),
+    v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+    f0 AS MATERIALIZED (SELECT id, id AS lbl FROM v),
+    b0 AS MATERIALIZED (SELECT id, id AS lbl FROM v)"""
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(f"""
+    f{i} AS MATERIALIZED (
+      SELECT v.id, LEAST(p.lbl, COALESCE(m.mn, p.lbl)) AS lbl
+      FROM v JOIN f{i - 1} p ON p.id = v.id
+      LEFT JOIN (SELECT e.dst AS id, MIN(p2.lbl) AS mn
+                 FROM e JOIN f{i - 1} p2 ON p2.id = e.src GROUP BY e.dst) m
+             ON m.id = v.id),
+    b{i} AS MATERIALIZED (
+      SELECT v.id, LEAST(p.lbl, COALESCE(m.mn, p.lbl)) AS lbl
+      FROM v JOIN b{i - 1} p ON p.id = v.id
+      LEFT JOIN (SELECT e.src AS id, MIN(p2.lbl) AS mn
+                 FROM e JOIN b{i - 1} p2 ON p2.id = e.dst GROUP BY e.src) m
+             ON m.id = v.id)""")
+    return (
+        pre + "," + ",".join(its)
+        + f"""
+    SELECT f.lbl AS component, COUNT(*) AS n_members
+    FROM f{n_iter} f JOIN b{n_iter} b ON f.id = b.id AND f.lbl = b.lbl
+    GROUP BY f.lbl"""
+    )
+
+
+@register("q36_scc", _scc_oracle_sql())
 def q36_scc(spark, sf_dir):
+    """SCC (ref stub algorithms.h:207) via forward/backward min-label
+    peeling; oracle: the same reachability labels unrolled as SQL CTEs."""
     g = _mod_graph(spark, sf_dir, 100)
     scc = alg.strongly_connected_components(g, max_outer=20)
     return scc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
@@ -1227,19 +1267,124 @@ def q45_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
 
 
-@register("q46_minhash_lsh", None)  # engine-native xxhash64 — pytest-verified
+def _minhash_lsh_oracle_sql(
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """Replicates the full MinHash-LSH pipeline: md5-60bit shingle ids,
+    the same seeded universal-hash coefficients, band buckets by content,
+    exact-Jaccard verification — every stage value-checked."""
+    a, b = D._hash_coeffs(num_hashes, seed)
+    p = D._MERSENNE
+    mins = ",\n             ".join(
+        f"MIN(({int(a[i])} * x + {int(b[i])}) % {p}) AS m{i}"
+        for i in range(num_hashes)
+    )
+    r = num_hashes // bands
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, '{j}:' || {expr} AS bucket FROM sig".format(
+            j=j,
+            expr=" || '_' || ".join(f"m{j * r + i}" for i in range(r)),
+        )
+        for j in range(bands)
+    )
+    return f"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, GREATEST(length(text) - {shingle_n - 1}, 0) + 1),
+               i -> substr(text, i, {shingle_n}))) AS grams
+      FROM documents
+    ),
+    ids AS MATERIALIZED (
+      SELECT doc_id,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % {p} AS x
+      FROM (SELECT doc_id, UNNEST(grams) AS g FROM sh)
+    ),
+    sig AS MATERIALIZED (
+      SELECT doc_id,
+             {mins}
+      FROM ids GROUP BY doc_id
+    ),
+    bands AS MATERIALIZED (
+      {band_rows}
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             CAST(len(list_filter(sa.grams,
+                      g -> list_contains(sb.grams, g))) AS DOUBLE)
+             / (len(sa.grams) + len(sb.grams)
+                - len(list_filter(sa.grams,
+                      g -> list_contains(sb.grams, g)))) AS jaccard
+      FROM cand JOIN sh sa ON sa.doc_id = id_a
+                JOIN sh sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+    FROM scored WHERE jaccard >= {threshold}
+    """
+
+
+@register("q46_minhash_lsh", _minhash_lsh_oracle_sql())
 def q46_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, md5-hash variant: signatures, band
+    buckets, and Jaccard verification all replicated by the SQL oracle.
+    (xxhash64 is the production default; the hash swap changes only the
+    shingle-id expression, not the plan shape.)"""
     d = _t(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_near_dup_pairs(
-        d, "doc_id", "text", threshold=0.5, num_hashes=32, shingle_n=5
+        d, "doc_id", "text", threshold=0.5, num_hashes=32, shingle_n=5,
+        hash_fn="md5",
     )
     return pairs
 
 
-@register("q47_simhash", None)  # engine-native xxhash64 — pytest-verified
+def _simhash_oracle_sql(num_bits: int, where: str) -> str:
+    """Replicates operators.dedup.simhash with the md5-60bit word hash:
+    per-bit +1/-1 sums over word hashes, bit set iff sum positive.
+    Bits >= 60 are provably never set (the 60-bit hash has them zero, so
+    their sum is -n_words <= 0) and are omitted from the SQL."""
+    hi = min(num_bits, 60)
+    sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(hi)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(hi)
+    )
+    return f"""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id,
+             UNNEST(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS word
+      FROM documents {where}
+    ),
+    h AS MATERIALIZED (
+      SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM w
+    ),
+    bits AS (
+      SELECT doc_id,
+             {sums}
+      FROM h GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE({fp}, 0) AS simhash
+    FROM (SELECT doc_id FROM documents {where}) d
+    LEFT JOIN bits USING (doc_id)
+    """
+
+
+@register("q47_simhash", _simhash_oracle_sql(32, "WHERE doc_id < 100"))
 def q47_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return d.select("doc_id", D.simhash("text", num_bits=32).alias("simhash"))
+    return d.select(
+        "doc_id", D.simhash("text", num_bits=32, hash_fn="md5").alias("simhash")
+    )
 
 
 @register(
@@ -1376,11 +1521,25 @@ def q51_embedding_near_dup(spark, sf_dir):
     )
 
 
-@register("q52_simhash_groups", None)  # engine-native xxhash64
+def _simhash_groups_oracle_sql() -> str:
+    inner = _simhash_oracle_sql(64, "")
+    return f"""
+    WITH fp AS MATERIALIZED ({inner})
+    SELECT simhash,
+           array_to_string(list_sort(list(doc_id)), ',') AS ids_str,
+           COUNT(*) AS group_size
+    FROM fp
+    GROUP BY simhash
+    HAVING COUNT(*) >= 2
+    """
+
+
+@register("q52_simhash_groups", _simhash_groups_oracle_sql())
 def q52_simhash_groups(spark, sf_dir):
-    """SimHash duplicate groups (identical 64-bit fingerprint)."""
+    """SimHash duplicate groups (identical 64-bit fingerprint),
+    md5-hash variant so the whole grouping is oracle-verified."""
     d = _t(spark, sf_dir, "documents")
-    out = D.simhash_dup_groups(d, "doc_id", "text", num_bits=64)
+    out = D.simhash_dup_groups(d, "doc_id", "text", num_bits=64, hash_fn="md5")
     return out.select(
         "simhash", F.concat_ws(",", "ids").alias("ids_str"), "group_size"
     )
@@ -1418,14 +1577,49 @@ def q53_quality_score(spark, sf_dir):
     return d.select("doc_id", T.quality_score("text").alias("quality"))
 
 
-@register("q54_winnowing", None)  # engine-native xxhash64
+def _winnowing_oracle_sql(n: int = 8, w: int = 4) -> str:
+    """Replicates winnowing_fingerprints (md5 variant) + the q54 pair
+    pipeline: rolling md5-60bit hashes, window-of-w min, distinct fps,
+    document-frequency cap, shared-fp pair counts."""
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE doc_id < 100
+    ),
+    g AS MATERIALIZED (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(substr(text, i, {n})), 1, 15))::BIGINT AS h
+      FROM d, UNNEST(range(1, GREATEST(length(text) - {n - 1}, 0) + 1)) AS t(i)
+    ),
+    m AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+               AS wmin,
+             COUNT(*) OVER (PARTITION BY doc_id) AS sz
+      FROM g
+    ),
+    fp AS MATERIALIZED (
+      SELECT DISTINCT doc_id, wmin AS fp
+      FROM m WHERE pos <= GREATEST(sz - {w}, 0) + 1
+    ),
+    hot AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) > 20),
+    fpc AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hot))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+    FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 5
+    """
+
+
+@register("q54_winnowing", _winnowing_oracle_sql())
 def q54_winnowing(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al., SIGMOD'03): shared
-    fingerprint count per candidate pair over a small doc slice."""
+    fingerprint count per candidate pair over a small doc slice.
+    md5-hash variant — the whole pipeline is oracle-verified."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    fp = D.winnowing_fingerprints(d, "doc_id", "text", n=8, w=4).localCheckpoint(
-        eager=True
-    )  # fingerprint once, not once per join side
+    fp = D.winnowing_fingerprints(
+        d, "doc_id", "text", n=8, w=4, hash_fn="md5"
+    ).localCheckpoint(eager=True)  # fingerprint once, not once per join side
     # cap fingerprint document frequency: boilerplate n-grams shared by
     # most docs produce O(df^2) pairs and zero dedup signal
     hot = (
