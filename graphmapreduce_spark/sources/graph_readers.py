@@ -147,10 +147,18 @@ def read_subgraph_files(spark: SparkSession, paths: list[str]) -> PropertyGraph:
     vertices = []
     for path in paths:
         with open(path) as f:
+            first = True
             for line in f:
                 toks = line.split()
                 if not toks or toks[0].startswith(("%", "#")):
                     continue
+                if first:
+                    first = False
+                    # per-file header `nvtxs nedges fmt` (3 tokens; vertex
+                    # rows have 2 + 3k tokens) — e.g. the reference's
+                    # small.graph.subgraph.* fixtures carry it
+                    if len(toks) == 3:
+                        continue
                 vid = int(toks[0])
                 vwgt = float(toks[1])
                 vertices.append((vid, vwgt))
