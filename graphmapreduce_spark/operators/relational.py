@@ -70,6 +70,37 @@ def range_join(
     return left.join(right, cond & lower & upper)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi join: spread each hot join key over
+    ``num_salts`` shuffle partitions.
+
+    The big (skewed) ``left`` side gets a deterministic pseudo-random
+    salt per row (hash of all columns mod ``num_salts``); the ``right``
+    side is replicated once per salt value.  The join key becomes
+    (keys..., salt), so rows of one hot key land on ``num_salts``
+    reducers instead of one.  Result is row-identical to the plain join.
+
+    Prefer AQE's automatic skew-join splitting when it fires; this is
+    the explicit fallback for joins AQE can't rebalance (e.g. when the
+    skew only materializes after upstream transforms, or under
+    ``spark.sql.adaptive.enabled=false``).  Replication multiplies the
+    small side by ``num_salts`` — keep it broadcast-sized.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts))
+    l_salted = left.withColumn("_salt", salt.cast("int"))
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    out = l_salted.join(r_salted, [*on, "_salt"], how)
+    return out.drop("_salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -801,6 +801,57 @@ def q29_json_construct(spark, sf_dir):
     )
 
 
+@register(
+    "q57_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q57_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (sort-based agg) — the determinstic
+    counterpart of approx_percentile, value-comparable across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q58_scalar_subquery",
+    """
+    SELECT c_custkey, c_nationkey,
+           ROUND(c_acctbal, 2) AS c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def q58_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery (above-per-nation-average), decorrelated
+    the scale-correct way: one groupBy + a broadcast join back, instead
+    of a per-row subquery execution."""
+    c = _t(spark, sf_dir, "customer")
+    nat_avg = c.groupBy("c_nationkey").agg(
+        F.avg("c_acctbal").alias("_nat_avg")
+    )
+    return (
+        c.join(F.broadcast(nat_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("_nat_avg"))
+        .select(
+            "c_custkey", "c_nationkey", F.round("c_acctbal", 2).alias("c_acctbal")
+        )
+    )
+
+
 # =====================================================================
 # Graph algorithms on derived edge tables
 # =====================================================================
@@ -1800,7 +1851,7 @@ def _stream_events(spark, sf_dir):
     return stream
 
 
-def _run_stream_to_table(spark, stream_df, name: str):
+def _run_stream_to_table(spark, stream_df, name: str, output_mode: str = "update"):
     """Execute a streaming query to completion (availableNow) into an
     in-memory sink and return the materialized table."""
     import tempfile
@@ -1810,7 +1861,7 @@ def _run_stream_to_table(spark, stream_df, name: str):
     q = (
         stream_df.writeStream.format("memory")
         .queryName(qname)
-        .outputMode("update")
+        .outputMode(output_mode)
         .option(
             "checkpointLocation",
             tempfile.mkdtemp(prefix=f"gmr_ckpt_{name}_"),
@@ -1880,3 +1931,115 @@ def q64_stateful_running_totals(spark, sf_dir):
         .filter(F.col("_rn") == 1)
         .select("user_id", "n", F.round("total", 4).alias("total"))
     )
+
+
+@register(
+    "q65_streaming_session",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 5 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT MIN(ts) AS session_start, user_id,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def q65_streaming_session(spark, sf_dir):
+    """True streaming session windows: readStream → watermark →
+    session_window(gap 5 min) → append-mode memory sink.
+
+    Session aggregation only supports append output, which emits a
+    session once the watermark passes its end.  A far-future 'flush'
+    event is appended to a temp copy of the stream so the final
+    watermark closes every real session — i.e. the query exercises the
+    real eviction semantics instead of relying on query shutdown."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    src = _os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(src)
+    d = tempfile.mkdtemp(prefix="gmr_sess_src_")
+    shutil.copy(src, _os.path.join(d, "00_events.parquet"))
+    if dict(static.dtypes).get("ts") == "bigint":
+        max_ns = static.agg(F.max("ts")).first()[0]
+        flush_ns = int(max_ns) + 2 * 3600 * 1_000_000_000
+        flush = spark.createDataFrame(
+            [(-1, flush_ns, -1, "flush", 0.0, None)], static.schema
+        )
+        flush.coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema(static.schema).parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sess = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n",
+            "total_value",
+        )
+    )
+    out = _run_stream_to_table(spark, sess, "session", output_mode="append")
+    return out.filter(F.col("user_id") >= 0)
+
+
+@register(
+    "q66_stream_stream_join",
+    """
+    SELECT e1.user_id, COUNT(*) AS n_pairs
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e1.event_type = 'click' AND e2.event_type = 'purchase'
+     AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+    GROUP BY e1.user_id
+    """,
+)
+def q66_stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join (clicks ⋈ purchases within 10 min per
+    user), both sides watermarked — state is bounded by the watermark +
+    band width.  Joined rows are re-aggregated batch-side after the
+    stream completes (one micro-batch, so no pairs straddle a batch
+    boundary) and must equal the q21 batch-join oracle."""
+    stream = _stream_events(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "30 minutes")
+    )
+    buys = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("b_user_id"), F.col("ts").alias("buy_ts"))
+        .withWatermark("buy_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("b_user_id"))
+        & (F.col("buy_ts") > F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("user_id", "click_ts", "buy_ts")
+    # stream-stream joins support append output only
+    out = _run_stream_to_table(spark, joined, "ssjoin", output_mode="append")
+    return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))

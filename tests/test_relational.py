@@ -100,3 +100,25 @@ def test_range_join(spark):
         right["x"] <= left["lo"] + 5,
     )
     assert [r["x"] for r in out.collect()] == [11.0]
+
+
+def test_salted_join_matches_plain_join(spark):
+    from graphmapreduce_spark.operators.relational import salted_join
+
+    # skewed left: one hot key (1) with many rows
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 0), (3, 1)], "k long, lv long"
+    )
+    right = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (4, "d")], "k long, rv string"
+    )
+    plain = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in left.join(right, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in salted_join(left, right, ["k"], num_salts=8).collect()
+    )
+    assert salted == plain
+    assert len(salted) == 501  # 500 hot-key rows + k=2; k=3 unmatched
