@@ -802,6 +802,37 @@ def q29_json_construct(spark, sf_dir):
 
 
 @register(
+    "q59_window_range_frame",
+    """
+    SELECT o_orderkey,
+           COUNT(*) OVER w AS n_last30d,
+           ROUND(SUM(o_totalprice) OVER w, 2) AS spent_last30d
+    FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                 EPOCH(o_orderdate)::BIGINT AS ep FROM orders)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY ep
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q59_window_range_frame(spark, sf_dir):
+    """RANGE-frame window (value-based, not row-based): per customer,
+    orders within the trailing 30 days of each order.  Epoch seconds as
+    the range key keeps the frame arithmetic engine-portable."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "ep", F.unix_timestamp("o_orderdate")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ep")
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_last30d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spent_last30d"),
+    )
+
+
+@register(
     "q57_percentiles",
     """
     SELECT l_returnflag,

@@ -37,6 +37,29 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: rows hash-clustered into ``num_buckets``
+    files per partition on ``bucket_cols``.
+
+    This is the persistent form of co-located joins — two tables
+    bucketed identically on the join key join WITHOUT any Exchange (the
+    shuffle happened once at write time).  At 100 TB this converts every
+    recurring fact⋈fact join on the bucket key from a full shuffle into
+    a per-bucket merge; add ``sort_cols`` to also skip the sort of a
+    sort-merge join."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
 def show(df: DataFrame, n: int = 20, truncate: bool = True) -> None:
     """stdout sink (ref printResult parity)."""
     df.show(n=n, truncate=truncate)

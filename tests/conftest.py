@@ -1,5 +1,6 @@
 import os
 import sys
+import tempfile
 
 import pytest
 
@@ -16,7 +17,11 @@ def spark():
         app_name="gmr-spark-tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf={
+            "spark.driver.memory": "4g",
+            # managed tables (bucketing tests) go to a temp warehouse
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="gmr_wh_"),
+        },
     )
     yield s
 

@@ -78,3 +78,33 @@ def test_global_sample_sort(spark):
     assert is_globally_sorted(out, "n")
     vals = [r["n"] for r in out.collect()]
     assert vals == sorted(vals)
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed identically on the join key must join without
+    any shuffle (the Exchange happened once, at write time)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from graphmapreduce_spark.sources.sinks import write_bucketed_table
+
+    left = spark.createDataFrame(
+        [(i % 50, i) for i in range(1000)], "k long, lv long"
+    )
+    right = spark.createDataFrame(
+        [(i, str(i)) for i in range(50)], "k long, rv string"
+    )
+    write_bucketed_table(left, "t_bkt_left", ["k"], 4)
+    write_bucketed_table(right, "t_bkt_right", ["k"], 4)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_bkt_left").join(spark.table("t_bkt_right"), "k")
+        assert j.count() == 1000
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain()
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
