@@ -45,6 +45,8 @@ def sssp(
     source: int,
     threshold: float = THRESHOLD,
     max_iter: int = MAX_ITERATION,
+    check_interval: int = 1,
+    broadcast_vertices: bool = False,
 ) -> DataFrame:
     """Single-source shortest paths.  Returns (id, distance); unreachable
     vertices keep +inf.  Frontier-filtered: only vertices whose distance
@@ -74,6 +76,8 @@ def sssp(
         threshold=threshold,
         max_iter=max_iter,
         active_frontier=True,
+        check_interval=check_interval,
+        broadcast_vertices=broadcast_vertices,
     )
     res = pregel.run(init, graph.edges)
     return res.vertices.select("id", F.col("value").alias("distance"))
@@ -109,65 +113,97 @@ def pagerank(
     max_iter: int = 20,
     threshold: float = 1e-6,
     handle_dangling: bool = True,
+    check_interval: int = 1,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Returns (id, rank), ranks summing to ~1 (proper distribution,
     dangling mass redistributed uniformly unless disabled).
 
-    One superstep = one edges⋈ranks shuffle join + one groupBy(dst) sum;
-    the edge table keeps its hash partitioning across iterations so only
-    the rank vector moves.
+    One superstep = one ranks⋈edges join + one groupBy(dst) sum, and
+    exactly ONE Spark job per ``check_interval`` supersteps: the dangling
+    mass is folded into the plan as a broadcast 1-row cross join (no
+    driver round-trip), lineage is cut with a lazy ``localCheckpoint``
+    that the convergence action itself materializes, and intermediate
+    supersteps chain lazily.
+
+    ``broadcast_ranks`` forces a broadcast hint on the rank side of the
+    message join.  Default OFF: each BroadcastExchange re-executes its
+    (lazily checkpointed) subplan driver-side, which measured ~2× slower
+    than letting AQE convert the join from runtime stats — AQE already
+    broadcasts the rank vector when it is small, for free.  The flag
+    exists for non-AQE deployments only.
+
+    ``check_interval > 1`` skips the convergence test between chunks —
+    exact-iteration parity needs max_iter % check_interval == 0; with a
+    reachable threshold the loop may overshoot up to interval-1 extra
+    (harmless for fixpoint updates, so cover-style only).
     """
     from pyspark.storagelevel import StorageLevel
 
-    n = graph.num_vertices()
-    deg = graph.out_degrees()  # (id, out_degree)
-    # ranks carries its degree to avoid a second join per superstep
-    ranks = deg.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
-    # materialize edges once — every superstep joins against them
+    # materialize edges FIRST — the vertex-count, degree, and every
+    # superstep job below all contain the edge plan as a subtree, so the
+    # cache manager serves them all from this one materialization
     we_cached = graph.edges.storageLevel == StorageLevel.NONE
     edges = graph.edges
     if we_cached:
         edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
         edges.count()
+    # one job builds the (id, out_degree) state; the vertex count is then
+    # a near-free count() on the checkpointed RDD instead of a separate
+    # scan of the vertex-derivation pipeline
+    deg = graph.out_degrees().localCheckpoint(eager=True)
+    n = deg.count()
+    # ranks carries its degree to avoid a second join per superstep
+    ranks = deg.withColumn("rank", F.lit(1.0 / n))
 
-    for _ in range(max_iter):
-        contribs = (
-            ranks.filter(F.col("out_degree") > 0)
-            .join(edges, ranks["id"] == edges["src"])
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+    check_interval = max(1, check_interval)
+    it = 0
+    while it < max_iter:
+        steps = min(check_interval, max_iter - it)
+        new = ranks
+        for _ in range(steps):
+            src_side = F.broadcast(new) if broadcast_ranks else new
+            contribs = (
+                src_side.filter(F.col("out_degree") > 0)
+                .join(edges, src_side["id"] == edges["src"])
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("out_degree")).alias("contrib"),
+                )
+                .groupBy("id")
+                .agg(F.sum("contrib").alias("in_sum"))
             )
-            .groupBy("id")
-            .agg(F.sum("contrib").alias("in_sum"))
-        )
-        if handle_dangling:
-            dangling = (
-                ranks.filter(F.col("out_degree") == 0)
-                .agg(F.sum("rank"))
-                .first()[0]
-                or 0.0
+            if handle_dangling:
+                dmass = new.select(
+                    F.coalesce(
+                        F.sum(F.when(F.col("out_degree") == 0, F.col("rank"))),
+                        F.lit(0.0),
+                    ).alias("_dangling")
+                )
+                base = (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping / n) * F.col("_dangling")
+                )
+            else:
+                dmass = None
+                base = F.lit((1.0 - damping) / n)
+            rank_expr = base + F.lit(damping) * F.coalesce(
+                "in_sum", F.lit(0.0)
             )
-        else:
-            dangling = 0.0
-        base = (1.0 - damping) / n + damping * dangling / n
-        new = (
-            ranks.select("id", "out_degree", F.col("rank").alias("_old"))
-            .join(contribs, "id", "left")
-            .select(
+            stepped = new.select(
+                "id", "out_degree", F.col("rank").alias("_old")
+            ).join(contribs, "id", "left")
+            if dmass is not None:
+                stepped = stepped.crossJoin(F.broadcast(dmass))
+            new = stepped.select(
                 "id",
                 "out_degree",
-                (
-                    F.lit(base) + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
-                ).alias("rank"),
-                F.abs(
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
-                    - F.col("_old")
-                ).alias("delta"),
-            )
-            .localCheckpoint(eager=True)
-        )
+                rank_expr.alias("rank"),
+                F.abs(rank_expr - F.col("_old")).alias("delta"),
+            ).localCheckpoint(eager=False)
+        it += steps
+        # the sole action per chunk: computes max(delta) AND materializes
+        # the lazy checkpoints above it in the same job
         max_delta = new.agg(F.max("delta")).first()[0] or 0.0
         ranks = new
         if max_delta <= threshold:
@@ -182,7 +218,10 @@ def pagerank(
 # Iterative min-label propagation over the symmetrized edge set.
 # ---------------------------------------------------------------------------
 def connected_components(
-    graph: PropertyGraph, max_iter: int = MAX_ITERATION
+    graph: PropertyGraph,
+    max_iter: int = MAX_ITERATION,
+    check_interval: int = 1,
+    broadcast_vertices: bool = False,
 ) -> DataFrame:
     """(id, component) where component = min vertex id in the component.
 
@@ -190,6 +229,13 @@ def connected_components(
     idempotent under duplicate edges and map-side combine absorbs them,
     so the distinct-edges shuffle of ``undirected()`` would be pure
     overhead here."""
+    from pyspark.storagelevel import StorageLevel
+
+    # cache the base edges: the symmetrized table, the vertex init, and
+    # the vertex-set derivation all contain this plan as a subtree
+    we_cached = graph.edges.storageLevel == StorageLevel.NONE
+    if we_cached:
+        graph.edges.persist(StorageLevel.MEMORY_AND_DISK).count()
     sym = graph.edges.select("src", "dst").unionByName(
         graph.edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
@@ -212,8 +258,12 @@ def connected_components(
         threshold=0.5,
         max_iter=max_iter,
         active_frontier=True,
+        check_interval=check_interval,
+        broadcast_vertices=broadcast_vertices,
     )
     res = pregel.run(init, und.edges)
+    if we_cached:
+        graph.edges.unpersist()
     return res.vertices.select("id", F.col("value").cast("long").alias("component"))
 
 

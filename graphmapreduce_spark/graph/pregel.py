@@ -91,6 +91,8 @@ class Pregel:
         max_iter: int = MAX_ITERATION,
         checkpoint_interval: int = 1,
         active_frontier: bool = False,
+        check_interval: int = 1,
+        broadcast_vertices: bool = False,
     ):
         self.make_messages = make_messages
         self.agg = agg
@@ -99,6 +101,16 @@ class Pregel:
         self.max_iter = max_iter
         self.checkpoint_interval = max(1, checkpoint_interval)
         self.active_frontier = active_frontier
+        # check_interval > 1 chains that many supersteps into ONE Spark
+        # job (lazy checkpoints + a single convergence action), testing
+        # the vote-to-halt only at chunk boundaries.  Overshoot past the
+        # fixpoint is up to interval-1 supersteps — safe for idempotent
+        # (cover/min/max-style) updates, NOT for accu.
+        self.check_interval = max(1, check_interval)
+        # broadcast the (small) vertex-state side into the message join
+        # so the cached, pre-partitioned edge table never moves; leave
+        # False when vertex state won't fit in one executor's memory.
+        self.broadcast_vertices = broadcast_vertices
 
     def _update_expr(self, old: Column, agg: Column) -> Column:
         if self.update is UpdateMode.ACCU:
@@ -126,43 +138,48 @@ class Pregel:
         step_secs: list[float] = []
         converged = False
         it = 0
-        prev = v
-        for it in range(1, self.max_iter + 1):
+        while it < self.max_iter and not converged:
             t_step = time.perf_counter()
-            active = (
-                v.filter(F.col("delta") > self.threshold)
-                if self.active_frontier
-                else v
-            )
-            msgs = self.make_messages(active.select("id", "value"), edges)
-            aggd = msgs.groupBy("id").agg(self.agg.alias("_agg"))
-            new_value = self._update_expr(F.col("_old"), F.col("_agg"))
-            # inf-to-inf transitions (e.g. still-unreached SSSP vertices)
-            # must read as delta 0, not NaN (inf - inf).
-            delta = F.when(new_value == F.col("_old"), F.lit(0.0)).otherwise(
-                F.abs(new_value - F.col("_old"))
-            )
-            new = (
-                v.select("id", F.col("value").alias("_old"))
-                .join(aggd, "id", "left")
-                .select("id", new_value.alias("value"), delta.alias("delta"))
-            )
-            if it % self.checkpoint_interval == 0:
-                # lazy checkpoint: the convergence action below both
-                # computes max(delta) AND materializes the checkpoint —
-                # one Spark job per superstep instead of two
-                new = new.localCheckpoint(eager=False)
-            # the convergence barrier — sole driver-side scalar per superstep
+            steps = min(self.check_interval, self.max_iter - it)
+            new = v
+            for _ in range(steps):
+                active = (
+                    new.filter(F.col("delta") > self.threshold)
+                    if self.active_frontier
+                    else new
+                )
+                state = active.select("id", "value")
+                if self.broadcast_vertices:
+                    state = F.broadcast(state)
+                msgs = self.make_messages(state, edges)
+                aggd = msgs.groupBy("id").agg(self.agg.alias("_agg"))
+                new_value = self._update_expr(F.col("_old"), F.col("_agg"))
+                # inf-to-inf transitions (e.g. still-unreached SSSP
+                # vertices) must read as delta 0, not NaN (inf - inf).
+                delta = F.when(
+                    new_value == F.col("_old"), F.lit(0.0)
+                ).otherwise(F.abs(new_value - F.col("_old")))
+                new = (
+                    new.select("id", F.col("value").alias("_old"))
+                    .join(aggd, "id", "left")
+                    .select(
+                        "id", new_value.alias("value"), delta.alias("delta")
+                    )
+                )
+                it += 1
+                if it % self.checkpoint_interval == 0:
+                    # lazy checkpoint: the convergence action below both
+                    # computes max(delta) AND materializes every pending
+                    # checkpoint in this chunk — one Spark job per chunk
+                    new = new.localCheckpoint(eager=False)
+            # the convergence barrier — sole driver-side scalar per chunk
             # (ref gmr.cpp:224-232 piggybacked vote-to-halt)
             max_delta = new.agg(F.max("delta")).first()[0]
             deltas.append(float(max_delta) if max_delta is not None else 0.0)
             step_secs.append(round(time.perf_counter() - t_step, 4))
-            if prev is not v and hasattr(prev, "unpersist"):
-                pass  # localCheckpoint blocks are managed by Spark
-            prev, v = v, new
+            v = new
             if max_delta is None or max_delta <= self.threshold:
                 converged = True
-                break
         if we_cached:
             edges.unpersist()
         return PregelResult(

@@ -73,7 +73,11 @@ class PropertyGraph:
             # then reuses this partitioning and only shuffles vertex state.
             edges = edges.repartition(num_partitions, "src")
         self.edges = edges
-        self.vertices = vertices.withColumn("id", F.col("id").cast("long"))
+        self.vertices = (
+            vertices.withColumn("id", F.col("id").cast("long"))
+            if vertices is not None
+            else None
+        )
 
     # -- constructors -------------------------------------------------
 
@@ -83,20 +87,31 @@ class PropertyGraph:
         edges: DataFrame,
         default_value: float = 0.0,
         num_partitions: int | None = None,
+        prepartition: bool = True,
     ) -> "PropertyGraph":
         """Derive the vertex set as distinct(src) ∪ distinct(dst).
 
         The reference synthesizes 'gap' vertices that appear only as
         neighbors (``partition.h:628-642``); the union here is the same
         completion.
+
+        Vertices are derived from the graph's FINAL (cast, partitioned)
+        edge plan, not the raw input: Spark's cache manager substitutes
+        persisted plans by subtree match, so once ``edges`` is persisted
+        (every iterative algorithm does this first) the vertex-set,
+        degree, and init jobs all read the cache instead of re-running
+        the upstream pipeline.
         """
+        g = cls(
+            None, edges, num_partitions=num_partitions, prepartition=prepartition
+        )
         ids = (
-            edges.select(F.col("src").alias("id"))
-            .unionByName(edges.select(F.col("dst").alias("id")))
+            g.edges.select(F.col("src").alias("id"))
+            .unionByName(g.edges.select(F.col("dst").alias("id")))
             .distinct()
         )
-        vertices = ids.withColumn("value", F.lit(float(default_value)))
-        return cls(vertices, edges, num_partitions=num_partitions)
+        g.vertices = ids.withColumn("value", F.lit(float(default_value)))
+        return g
 
     # -- helpers ------------------------------------------------------
 

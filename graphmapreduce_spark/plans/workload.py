@@ -892,25 +892,40 @@ def _ps_graph(spark, sf_dir) -> PropertyGraph:
     """Bipartite part–supplier graph from lineitem (parts negated to keep
     id spaces disjoint), weight = min quantity seen."""
     li = _t(spark, sf_dir, "lineitem")
-    e = li.groupBy(
-        F.col("l_suppkey").alias("src"), (-F.col("l_partkey")).alias("dst")
-    ).agg(F.min("l_quantity").alias("weight"))
-    return PropertyGraph.from_edges(e)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # ONE shuffle: partition by src first, then aggregate — hash
+    # partitioning on src already co-locates equal (src, dst) pairs, so
+    # the groupBy needs no further exchange and the cached edge table
+    # comes out partitioned on the join key of every superstep
+    e = (
+        li.select(
+            F.col("l_suppkey").alias("src"),
+            (-F.col("l_partkey")).alias("dst"),
+            F.col("l_quantity"),
+        )
+        .repartition(n_part, "src")
+        .groupBy("src", "dst")
+        .agg(F.min("l_quantity").alias("weight"))
+    )
+    return PropertyGraph.from_edges(e, prepartition=False)
 
 
 def _mod_graph(spark, sf_dir, k: int = 500) -> PropertyGraph:
     """Directed graph on Z_k derived from lineitem (orderkey→partkey)."""
     li = _t(spark, sf_dir, "lineitem")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # single-shuffle build: see _ps_graph
     e = (
         li.select(
             (F.col("l_orderkey") % k).alias("src"),
             (F.col("l_partkey") % k).alias("dst"),
         )
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
+        .repartition(n_part, "src")
+        .dropDuplicates(["src", "dst"])
         .withColumn("weight", F.lit(1.0))
     )
-    return PropertyGraph.from_edges(e)
+    return PropertyGraph.from_edges(e, prepartition=False)
 
 
 @register(
@@ -1010,7 +1025,11 @@ def q32_pagerank(spark, sf_dir):
     """PageRank (ref algorithms.h:4-37, quirks normalized per SURVEY §7.4).
     Oracle: the same 15 power iterations unrolled as SQL CTEs."""
     g = _mod_graph(spark, sf_dir, 500)
-    pr = alg.pagerank(g, damping=0.85, max_iter=15, threshold=1e-8)
+    # fixed 15 iterations (threshold unreachable) → chain 5 supersteps
+    # per Spark job; exact-iteration parity holds since 15 % 5 == 0
+    pr = alg.pagerank(
+        g, damping=0.85, max_iter=15, threshold=1e-8, check_interval=5
+    )
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
@@ -1029,7 +1048,7 @@ def q33_sssp(spark, sf_dir):
     fixpoint has a closed-form oracle; multi-hop convergence is covered
     by the golden-graph pytest suite."""
     g = _ps_graph(spark, sf_dir)
-    d = alg.sssp(g, source=1)
+    d = alg.sssp(g, source=1, broadcast_vertices=True)
     return d.filter(F.col("distance") != float("inf")).select(
         "id", F.round("distance", 6).alias("distance")
     )
@@ -1069,7 +1088,10 @@ def q34_wcc(spark, sf_dir):
     """Connected components (ref stub algorithms.h:195).  Oracle: the
     same min-label propagation unrolled as SQL CTEs past the diameter."""
     g = _ps_graph(spark, sf_dir)
-    cc = alg.connected_components(g)
+    # min-propagation is idempotent past the fixpoint, so chunking the
+    # vote-to-halt to every 2 supersteps is safe (AQE broadcasts the
+    # small vertex state at runtime; no explicit hint needed)
+    cc = alg.connected_components(g, check_interval=2)
     return cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
 
 

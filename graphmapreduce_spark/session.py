@@ -41,6 +41,12 @@ def get_spark(
         .master(master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE: coalescePartitions.parallelismFirst stays at its default
+        # (true).  Coalescing by byte size alone (false) measured ~2×
+        # slower on compute-bound fan-out stages (MinHash shingling:
+        # ~2 MB of shuffled text exploding to millions of hashed rows) —
+        # byte-sized partitions are the wrong proxy when per-row
+        # downstream work dominates.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
