@@ -1777,6 +1777,49 @@ def q56_video_frames(spark, sf_dir):
     return frames.select("media_id", "frame_idx", "ts_ms", "frame_md5")
 
 
+@register("q67_audio_features", None)  # deterministic fake decoder
+def q67_audio_features(spark, sf_dir):
+    """Audio-clip feature extraction (framed RMS + zero-crossing rate)
+    over binary payloads — mapInPandas plumbing real, decode stubbed."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        (F.col("doc_id") % 4 * 250 + 250).cast("long").alias("duration_ms"),
+    )
+    feats = M.extract_audio_features(media, fake=True, frame_ms=25)
+    return feats.select(
+        "media_id",
+        "n_samples",
+        "n_frames",
+        F.round("rms_mean", 6).alias("rms_mean"),
+        F.round("zcr_mean", 6).alias("zcr_mean"),
+    )
+
+
+@register(
+    "q68_pivot",
+    """
+    SELECT l_linestatus,
+           ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+           ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+           ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q68_pivot(spark, sf_dir):
+    """Pivot (wide aggregation).  Explicit value list — with it the
+    pivot is a single pass (one shuffle, same plan as the CASE-WHEN
+    form); without it Spark must first run a distinct() job to discover
+    the columns, which is a full extra scan at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
 # =====================================================================
 # Streaming (batch-verifiable event-time windows)
 # =====================================================================
@@ -2096,3 +2139,31 @@ def q66_stream_stream_join(spark, sf_dir):
     # stream-stream joins support append output only
     out = _run_stream_to_table(spark, joined, "ssjoin", output_mode="append")
     return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register(
+    "q69_stream_dedup",
+    """
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q69_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup under at-least-once delivery:
+    ``dropDuplicatesWithinWatermark`` on event_id over a self-unioned
+    stream (every event delivered twice).  State for an id is kept only
+    until the watermark passes its timestamp — bounded memory at any
+    scale, unlike an unbounded ``dropDuplicates``.  The deduped stream
+    re-aggregated equals the plain batch aggregate over events."""
+    from graphmapreduce_spark.streaming.windows import dedup_within_watermark
+
+    stream = _stream_events(spark, sf_dir)
+    duplicated = stream.unionByName(stream)  # simulate redelivery
+    deduped = dedup_within_watermark(
+        duplicated, ["event_id"], ts_col="ts", delay="30 minutes"
+    )
+    out = _run_stream_to_table(spark, deduped, "sdedup", output_mode="append")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

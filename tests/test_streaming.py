@@ -166,3 +166,29 @@ def test_multimodal_fake_pipeline(spark):
     )
     fr = frames.collect()
     assert [r["frame_idx"] for r in sorted(fr, key=lambda r: r["frame_idx"])] == [0, 1]
+
+
+def test_audio_features_fake(spark):
+    """Audio stub: deterministic framed RMS/ZCR; 1 row in → 1 row out;
+    raises without fake."""
+    from graphmapreduce_spark.operators import multimodal as M
+
+    media = spark.createDataFrame(
+        [(1, "audio", "audio/fake", bytearray(b"pcm1"), None, None, 100),
+         (2, "audio", "audio/fake", bytearray(b"pcm2"), None, None, 50)],
+        M.MEDIA_SCHEMA,
+    )
+    feats = M.extract_audio_features(media, fake=True, frame_ms=25)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    # 100 ms at 16 kHz, 25 ms frames → 1600 samples, 4 frames
+    assert rows[1]["n_samples"] == 1600 and rows[1]["n_frames"] == 4
+    assert rows[2]["n_frames"] == 2
+    # uniform [-1,1] noise: RMS ≈ 1/sqrt(3) ≈ 0.577, ZCR ≈ 0.5
+    assert 0.5 < rows[1]["rms_mean"] < 0.65
+    assert 0.4 < rows[1]["zcr_mean"] < 0.6
+    # determinism across runs
+    again = {r["media_id"]: r for r in feats.collect()}
+    assert again[1]["rms_mean"] == rows[1]["rms_mean"]
+
+    with pytest.raises(Exception, match="NotImplementedError|real audio"):
+        M.extract_audio_features(media, fake=False).collect()
