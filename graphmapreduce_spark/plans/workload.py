@@ -833,6 +833,127 @@ def q59_window_range_frame(spark, sf_dir):
 
 
 @register(
+    "q70_ranking_suite",
+    """
+    SELECT c_custkey, c_nationkey,
+           ROW_NUMBER()   OVER w AS rn,
+           RANK()         OVER w AS rnk,
+           DENSE_RANK()   OVER w AS drnk,
+           NTILE(4)       OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q70_ranking_suite(spark, sf_dir):
+    """Full ranking-function surface in one window (unique ordering via
+    the custkey tiebreak makes every function deterministic)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "q71_analytic_suite",
+    """
+    SELECT o_orderkey,
+           LEAD(o_totalprice)  OVER w AS next_price,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice)  OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q71_analytic_suite(spark, sf_dir):
+    """lead / first_value / last_value / nth_value.  last & nth use an
+    explicit unbounded frame — the ANSI default frame ends at CURRENT
+    ROW, which would silently make last_value ≡ current value."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_orderkey",
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
+    )
+
+
+@register(
+    "q72_exists_subquery",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+    """,
+)
+def q72_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS — Catalyst rewrites them to
+    left-semi and left-anti hash joins (same physical plan a hand-written
+    semi/anti join would get; subquery surface, not a new operator)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql("""
+        SELECT c_custkey, c_name FROM v_customer c
+        WHERE EXISTS (SELECT 1 FROM v_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM v_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+    """)
+
+
+@register(
+    "q73_unpivot",
+    """
+    SELECT p_partkey, dim, val FROM (
+      SELECT p_partkey, 'size' AS dim, p_size::DOUBLE AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'retail' AS dim, p_retailprice AS val FROM part
+    ) WHERE val IS NOT NULL
+    """,
+)
+def q73_unpivot(spark, sf_dir):
+    """Unpivot (long-form melt) via the native ``unpivot`` — one scan,
+    no self-union (the UNION ALL oracle form scans the table once per
+    measure; at 100 TB that multiplier matters)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retail"),
+    ).unpivot("p_partkey", ["size", "retail"], "dim", "val")
+
+
+@register(
     "q57_percentiles",
     """
     SELECT l_returnflag,

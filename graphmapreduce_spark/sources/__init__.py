@@ -1,5 +1,8 @@
 """Data sources: graph-file readers and tabular source helpers."""
 
+from graphmapreduce_spark.sources.edgelist_datasource import (  # noqa: F401
+    EdgeListDataSource,
+)
 from graphmapreduce_spark.sources.graph_readers import (  # noqa: F401
     read_edge_list,
     read_metis,

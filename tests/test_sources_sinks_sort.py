@@ -108,3 +108,50 @@ def test_bucketed_join_has_no_exchange(spark):
         assert "Exchange" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_edgelist_datasource_matches_text_reader(spark):
+    """Custom Python DataSource ('edgelist' format) parses the reference
+    fixture identically to the spark.read.text composition, including
+    with byte-range splits small enough to force boundary realignment."""
+    from graphmapreduce_spark.sources import read_edge_list
+    from graphmapreduce_spark.sources.edgelist_datasource import (
+        EdgeListDataSource,
+    )
+
+    spark.dataSource.register(EdgeListDataSource)
+    path = "/root/reference/graph/rdsmall.graph"
+
+    via_text = read_edge_list(
+        spark, path, one_based_shift=False
+    ).edges.select("src", "dst", "weight")
+    expected = sorted(map(tuple, via_text.collect()))
+
+    for split_bytes in (None, 16):  # one split; many tiny splits
+        reader = spark.read.format("edgelist").option("path", path)
+        if split_bytes:
+            reader = reader.option("target_partition_bytes", split_bytes)
+        got = sorted(map(tuple, reader.load().collect()))
+        assert got == expected, f"split_bytes={split_bytes}"
+    assert len(expected) == 24  # header says 24 edges
+
+
+def test_edgelist_datasource_weights_and_comments(spark, tmp_path):
+    from graphmapreduce_spark.sources.edgelist_datasource import (
+        EdgeListDataSource,
+    )
+
+    spark.dataSource.register(EdgeListDataSource)
+    p = tmp_path / "wg.txt"
+    p.write_text("# comment\n\n1 2 0.5\n2 3\n")
+    rows = sorted(
+        map(
+            tuple,
+            spark.read.format("edgelist")
+            .option("path", str(p))
+            .option("default_weight", 9.0)
+            .load()
+            .collect(),
+        )
+    )
+    assert rows == [(1, 2, 0.5), (2, 3, 9.0)]
