@@ -7,3 +7,8 @@ from graphmapreduce_spark.operators.relational import (  # noqa: F401
     top_k,
     top_k_per_group,
 )
+from graphmapreduce_spark.operators.sketches import (  # noqa: F401
+    approx_distinct_by,
+    hll_rollup,
+    hll_sketch_table,
+)

@@ -953,6 +953,23 @@ def q73_unpivot(spark, sf_dir):
     ).unpivot("p_partkey", ["size", "retail"], "dim", "val")
 
 
+@register("q74_hll_sketch_rollup", None)  # sketch estimate: no SQL oracle
+def q74_hll_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch pre-aggregation: per-(event_type, day) HLL
+    sketches of user_id, rolled up to per-event_type distinct-user
+    estimates by merging sketches only — the pattern that answers any
+    later date-range distinct query without re-scanning the base table.
+    Estimate accuracy vs. true distinct is pytest-verified (<2%), as is
+    the union-vs-direct-sketch drift bound."""
+    from graphmapreduce_spark.operators import sketches as SK
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = SK.hll_sketch_table(e, ["event_type", "day"], "user_id")
+    return SK.hll_rollup(daily, ["event_type"]).orderBy("event_type")
+
+
 @register(
     "q57_percentiles",
     """

@@ -122,3 +122,41 @@ def test_salted_join_matches_plain_join(spark):
     )
     assert salted == plain
     assert len(salted) == 501  # 500 hot-key rows + k=2; k=3 unmatched
+
+
+def test_hll_sketch_rollup_properties(spark):
+    """HLL sketch table: (1) merging fine-grain sketches stays within
+    2% of sketching the whole range directly (the union gadget may
+    re-encode registers, so bit-equality is NOT guaranteed; lgK=14 has
+    ~0.8% relative standard error);
+    (2) estimate within 2% of exact distinct."""
+    from pyspark.sql import functions as F
+
+    from graphmapreduce_spark.operators import sketches as SK
+
+    df = spark.range(50_000).select(
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") % 30).alias("day"),
+        (F.col("id") % 4231).alias("u"),
+    )
+    daily = SK.hll_sketch_table(df, ["g", "day"], "u")
+    merged = {
+        r["g"]: r["approx_distinct"]
+        for r in SK.hll_rollup(daily, ["g"]).collect()
+    }
+    direct = {
+        r["g"]: r["approx_distinct"]
+        for r in SK.approx_distinct_by(df, ["g"], "u").collect()
+    }
+    for g in direct:
+        assert abs(merged[g] - direct[g]) / direct[g] < 0.02, (
+            g, merged[g], direct[g],
+        )
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g")
+        .agg(F.countDistinct("u").alias("n"))
+        .collect()
+    }
+    for g, est in merged.items():
+        assert abs(est - exact[g]) / exact[g] < 0.02, (g, est, exact[g])
