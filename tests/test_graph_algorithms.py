@@ -138,3 +138,33 @@ def test_kmeans_two_obvious_clusters(spark):
     assert c[1] == c[2] == c[3]
     assert c[10] == c[11] == c[12]
     assert c[1] != c[10]
+
+
+def test_pregel_check_interval_equivalent(spark):
+    """Chunked vote-to-halt (check_interval>1) must land on the same
+    fixpoint as per-superstep checking for idempotent (min/cover)
+    updates — overshoot past convergence changes nothing."""
+    g = make_graph(spark, PATH5)
+    base = {r["id"]: r["distance"] for r in alg.sssp(g, source=1).collect()}
+    chunk = {
+        r["id"]: r["distance"]
+        for r in alg.sssp(g, source=1, check_interval=3).collect()
+    }
+    assert chunk == base
+
+    g2 = make_graph(spark, TWO_CC)
+    cc1 = {r["id"]: r["component"]
+           for r in alg.connected_components(g2).collect()}
+    cc3 = {r["id"]: r["component"]
+           for r in alg.connected_components(g2, check_interval=3).collect()}
+    assert cc3 == cc1
+
+    # pagerank: fixed iteration count must be exact under chunking
+    g3 = make_graph(spark, CYCLE)
+    pr1 = {r["id"]: round(r["rank"], 9)
+           for r in alg.pagerank(g3, max_iter=6, threshold=0.0).collect()}
+    pr3 = {r["id"]: round(r["rank"], 9)
+           for r in alg.pagerank(
+               g3, max_iter=6, threshold=0.0, check_interval=3
+           ).collect()}
+    assert pr3 == pr1

@@ -155,3 +155,26 @@ def test_edgelist_datasource_weights_and_comments(spark, tmp_path):
         )
     )
     assert rows == [(1, 2, 0.5), (2, 3, 9.0)]
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """Directory-partitioned parquet: a filter on the partition column
+    must become a PartitionFilter (scan skips other directories), not a
+    post-scan filter — the read side of the partition-pruning story."""
+    import io
+    from contextlib import redirect_stdout
+
+    from graphmapreduce_spark.sources.sinks import write_parquet
+
+    df = spark.createDataFrame(
+        [(i, "A" if i % 3 else "B") for i in range(300)], "id long, st string"
+    )
+    out = str(tmp_path / "pt")
+    write_parquet(df, out, partition_by=["st"])
+    back = spark.read.parquet(out).filter(F.col("st") == "B")
+    assert back.count() == 100
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.explain()
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "B" in plan.split("PartitionFilters")[1].split("]")[0], plan
