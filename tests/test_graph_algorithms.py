@@ -168,3 +168,31 @@ def test_pregel_check_interval_equivalent(spark):
                g3, max_iter=6, threshold=0.0, check_interval=3
            ).collect()}
     assert pr3 == pr1
+
+
+def test_locality_partition_reduces_cut(spark):
+    """Balanced LPA on two cliques bridged by one edge: the partitioner
+    must put each clique in one part (cut=1, the bridge), improving on
+    the expected ~half-cut of hash placement, while staying balanced."""
+    from graphmapreduce_spark.graph.partitioning import (
+        edge_cut,
+        locality_partition,
+    )
+
+    clique_a = [(a, b, 1.0) for a in range(1, 7) for b in range(1, 7) if a != b]
+    clique_b = [
+        (a, b, 1.0) for a in range(11, 17) for b in range(11, 17) if a != b
+    ]
+    bridge = [(6, 11, 1.0)]
+    g = make_graph(spark, clique_a + clique_b + bridge)
+
+    parts = locality_partition(g, num_parts=2, max_iter=8)
+    rows = {r["id"]: r["part"] for r in parts.collect()}
+    pa = {rows[i] for i in range(1, 7)}
+    pb = {rows[i] for i in range(11, 17)}
+    assert len(pa) == 1 and len(pb) == 1 and pa != pb, rows
+
+    sym = g.edges.select("src", "dst").unionByName(
+        g.edges.selectExpr("dst as src", "src as dst")
+    )
+    assert edge_cut(sym, parts) // 2 == 1
