@@ -1,0 +1,104 @@
+"""Property-based invariants (SURVEY §5): random tiny graphs checked
+against brute-force Python references.  Few examples, no deadline —
+each example is a full Spark job round-trip."""
+
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from graphmapreduce_spark.graph import PropertyGraph
+from graphmapreduce_spark.graph import algorithms as alg
+
+N = 6  # vertices 1..N
+
+edge_sets = st.sets(
+    st.tuples(
+        st.integers(min_value=1, max_value=N),
+        st.integers(min_value=1, max_value=N),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=12,
+)
+
+SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _graph(spark, edges, weights=None):
+    rows = [
+        (a, b, float(weights.get((a, b), 1.0)) if weights else 1.0)
+        for a, b in sorted(edges)
+    ]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    return PropertyGraph.from_edges(e)
+
+
+def _brute_sssp(edges, weights, source):
+    nodes = {v for e in edges for v in e}
+    dist = {v: float("inf") for v in nodes}
+    if source in dist:
+        dist[source] = 0.0
+    for _ in range(len(nodes)):
+        for (a, b) in edges:
+            w = weights.get((a, b), 1.0)
+            if dist.get(a, float("inf")) + w < dist.get(b, float("inf")):
+                dist[b] = dist[a] + w
+    return dist
+
+
+@given(edges=edge_sets)
+@SLOW
+def test_sssp_matches_bellman_ford(spark, edges):
+    weights = {e: 1.0 + (e[0] * 7 + e[1] * 3) % 5 for e in edges}
+    g = _graph(spark, edges, weights)
+    got = {r["id"]: r["distance"] for r in alg.sssp(g, source=1).collect()}
+    want = _brute_sssp(edges, weights, 1)
+    for v, d in want.items():
+        assert got[v] == d, (v, got[v], d, sorted(edges))
+
+
+@given(edges=edge_sets)
+@SLOW
+def test_triangle_count_matches_bruteforce(spark, edges):
+    und = {frozenset(e) for e in edges}
+    nodes = sorted({v for e in edges for v in e})
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= und
+    )
+    g = _graph(spark, edges)
+    assert alg.triangle_count(g) == want, sorted(edges)
+
+
+@given(edges=edge_sets)
+@SLOW
+def test_wcc_matches_union_find(spark, edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    nodes = {v for e in edges for v in e}
+    want = {}
+    for v in nodes:
+        root = find(v)
+        want.setdefault(root, set()).add(v)
+    want_sets = {frozenset(s) for s in want.values()}
+
+    g = _graph(spark, edges)
+    comp = {}
+    for r in alg.connected_components(g).collect():
+        comp.setdefault(r["component"], set()).add(r["id"])
+    got_sets = {frozenset(s) for s in comp.values()}
+    assert got_sets == want_sets, sorted(edges)
