@@ -120,3 +120,30 @@ def dedup_within_watermark(
     `dropDuplicatesWithinWatermark` on the key columns."""
     wm = df.withWatermark(ts_col, delay)
     return wm.dropDuplicatesWithinWatermark(key_cols)
+
+
+def stream_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Exactly-once parquet file sink: offsets + file-commit log live in
+    ``checkpoint_dir``, so a restarted query resumes from the last
+    committed batch and readers never see partial files (the commit log
+    is the read manifest).  ``available_now=True`` drains the source and
+    stops — the batch-backfill mode; ``False`` runs continuously.
+
+    Returns the StreamingQuery (caller awaits/stops it)."""
+    w = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

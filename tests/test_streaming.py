@@ -192,3 +192,38 @@ def test_audio_features_fake(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|real audio"):
         M.extract_audio_features(media, fake=False).collect()
+
+
+def test_stream_to_parquet_exactly_once(spark, tmp_path):
+    """File sink round-trip: stream the events fixture to parquet with a
+    checkpoint; all rows arrive exactly once, and re-running the same
+    query with the same checkpoint writes nothing new (offsets are
+    committed — the exactly-once contract)."""
+    from graphmapreduce_spark.streaming.windows import (
+        stream_events_from_parquet,
+        stream_to_parquet,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf)
+    src = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_to_parquet(src.select("event_id", "user_id"), out, ckpt)
+    q.awaitTermination()
+    n_expected = static.count()
+    assert spark.read.parquet(out).count() == n_expected
+
+    # same checkpoint → source fully committed → no duplicate output
+    src2 = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    q2 = stream_to_parquet(src2.select("event_id", "user_id"), out, ckpt)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == n_expected
