@@ -2305,3 +2305,85 @@ def q69_stream_dedup(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+# =====================================================================
+# Driver verification-window ordering
+# =====================================================================
+# The round driver oracle-checks the FIRST 50 registered queries; round 1
+# covered q01–q42, q57–q59, q70–q74 (all green, CORRECTNESS_r01.json).
+# Rotate the window: the 24 families that have not yet received a driver
+# CORRECTNESS row come first, then queries whose implementation changed
+# this round (re-verify), then a breadth sample of already-green
+# relational queries.  Every query stays registered — ordering only
+# decides which get driver rows this round; over rounds the rotation
+# covers all of them.
+_WINDOW_PRIORITY = [
+    # -- never driver-checked before round 2 (24) --
+    "q43_token_count",
+    "q44_lang_id",
+    "q45_ngram_jaccard",
+    "q46_minhash_lsh",
+    "q47_simhash",
+    "q48_embedding_topk",
+    "q49_ivf_ann",
+    "q50_multimodal_meta",
+    "q51_embedding_near_dup",
+    "q52_simhash_groups",
+    "q53_quality_score",
+    "q54_winnowing",
+    "q55_image_features",
+    "q56_video_frames",
+    "q67_audio_features",
+    "q68_pivot",
+    "q60_tumbling_window",
+    "q61_sliding_window",
+    "q62_session_window",
+    "q63_streaming_tumbling",
+    "q64_stateful_running_totals",
+    "q65_streaming_session",
+    "q66_stream_stream_join",
+    "q69_stream_dedup",
+    # -- new queries this round (insert BEFORE the breadth fillers) --
+    # -- implementations touched this round: re-verify (13) --
+    "q30_degrees",
+    "q31_triangle_count",
+    "q32_pagerank",
+    "q33_sssp",
+    "q34_wcc",
+    "q35_bfs",
+    "q36_scc",
+    "q37_mst",
+    "q38_matmul",
+    "q39_kmeans",
+    "q40_dedup_exact",
+    "q41_fingerprint",
+    "q42_text_stats",
+    # -- breadth fillers: already-green families, keep inside the window
+    #    while slots remain (trim from the END when adding new queries) --
+    "q01_pricing_summary",
+    "q02_top_customers",
+    "q22_asof_join",
+    "q25_pandas_udaf_median",
+    "q28_udtf_tokenize",
+    "q57_percentiles",
+    "q58_scalar_subquery",
+    "q72_exists_subquery",
+    "q74_hll_sketch_rollup",
+    "q23_grouping_sets",
+    "q21_range_join",
+    "q18_json",
+]
+
+
+def _apply_window_order() -> None:
+    global QUERIES
+    missing = [n for n in _WINDOW_PRIORITY if n not in QUERIES]
+    if missing:
+        raise RuntimeError(f"_WINDOW_PRIORITY names unknown queries: {missing}")
+    prioritized = {n: QUERIES[n] for n in _WINDOW_PRIORITY}
+    rest = {n: v for n, v in QUERIES.items() if n not in prioritized}
+    QUERIES = {**prioritized, **rest}
+
+
+_apply_window_order()
