@@ -62,6 +62,14 @@ class PregelResult:
     deltas: list[float] = field(default_factory=list)
     # per-superstep wall seconds (ref per-phase timers, gmr.h:369-380)
     superstep_seconds: list[float] = field(default_factory=list)
+    # per-chunk shuffle traffic (ref totalRecvBytes, gmr.cpp:272-273,
+    # 318-319); populated when track_shuffle=True, one dict per
+    # convergence chunk with shuffle_{read,write}_{bytes,records}
+    shuffle_deltas: list[dict[str, int]] = field(default_factory=list)
+
+    @property
+    def total_shuffle_read_bytes(self) -> int:
+        return sum(d.get("shuffle_read_bytes", 0) for d in self.shuffle_deltas)
 
 
 class Pregel:
@@ -94,6 +102,7 @@ class Pregel:
         check_interval: int = 1,
         broadcast_vertices: bool = False,
         persist_edges: bool = True,
+        track_shuffle: bool = False,
     ):
         self.make_messages = make_messages
         self.agg = agg
@@ -117,6 +126,12 @@ class Pregel:
         # symmetrizing union): re-deriving per superstep beats paying a
         # second materialization + double cache residency.
         self.persist_edges = persist_edges
+        # report per-chunk shuffle bytes in PregelResult.shuffle_deltas
+        # (the reference's running totalRecvBytes).  Off by default: the
+        # AppStatusStore read is a driver-side O(stages-so-far) walk per
+        # chunk — free at human scale, not something the benchmark hot
+        # loop should pay implicitly.
+        self.track_shuffle = track_shuffle
 
     def _update_expr(self, old: Column, agg: Column) -> Column:
         if self.update is UpdateMode.ACCU:
@@ -144,6 +159,12 @@ class Pregel:
         v = v.localCheckpoint(eager=True)
         deltas: list[float] = []
         step_secs: list[float] = []
+        shuffle_deltas: list[dict[str, int]] = []
+        tracker = None
+        if self.track_shuffle:
+            from graphmapreduce_spark.metrics import ShuffleTracker
+
+            tracker = ShuffleTracker(vertices.sparkSession)
         converged = False
         it = 0
         while it < self.max_iter and not converged:
@@ -185,6 +206,8 @@ class Pregel:
             max_delta = new.agg(F.max("delta")).first()[0]
             deltas.append(float(max_delta) if max_delta is not None else 0.0)
             step_secs.append(round(time.perf_counter() - t_step, 4))
+            if tracker is not None:
+                shuffle_deltas.append(tracker.delta())
             v = new
             if max_delta is None or max_delta <= self.threshold:
                 converged = True
@@ -196,4 +219,5 @@ class Pregel:
             converged=converged,
             deltas=deltas,
             superstep_seconds=step_secs,
+            shuffle_deltas=shuffle_deltas,
         )

@@ -2,10 +2,17 @@
 
 The reference prints per-phase wall times (exchange/map/sort/reduce/
 update, ``gmr.h:369-380``, ``recordTick`` ``gmr.h:57-59``) and cumulative
-received bytes (``gmr.cpp:272-273``, ``318-319``).  Spark already meters
-every stage (shuffle bytes, spill, task time) — this module exposes a
-small phase-timer plus job-level shuffle metrics from the status tracker
-API so iterative drivers can report per-superstep numbers the same way.
+received bytes (``gmr.cpp:272-273``, ``318-319`` ``totalRecvBytes``).
+Spark already meters every stage; this module exposes:
+
+- ``PhaseTimer`` — named wall-clock phases (ref ``printTimeConsume``).
+- ``shuffle_metrics`` — cumulative shuffle read/write bytes + records
+  aggregated over all completed stages, read from the JVM
+  ``AppStatusStore`` (the store backing the UI/REST API; populated even
+  with ``spark.ui.enabled=false``).
+- ``ShuffleTracker`` — snapshot/delta wrapper so iterative drivers can
+  report per-superstep shuffle traffic, the direct analog of the
+  reference accumulating ``totalRecvBytes`` across supersteps.
 """
 
 from __future__ import annotations
@@ -38,14 +45,71 @@ class PhaseTimer:
 
 
 def shuffle_metrics(spark: SparkSession) -> dict[str, int]:
-    """Cumulative executor shuffle/memory metrics (the analog of the
-    reference's totalRecvBytes)."""
+    """Cumulative shuffle traffic across all stages of this application —
+    the analog of the reference's ``totalRecvBytes`` (``gmr.cpp:318-319``).
+
+    Reads the JVM ``AppStatusStore`` stage list (works with the UI
+    disabled; no REST round-trip, no extra listener).  Returns::
+
+        {"shuffle_read_bytes", "shuffle_write_bytes",
+         "shuffle_read_records", "shuffle_write_records",
+         "stages", "active_jobs"}
+
+    Values are cumulative since application start; use ``ShuffleTracker``
+    for per-phase deltas.  On any JVM-API mismatch the byte counters are
+    reported as 0 rather than failing the caller (metrics must never
+    break the computation).
+    """
     sc = spark.sparkContext
-    status = sc.statusTracker()
-    out = {"active_jobs": len(status.getActiveJobsIds())}
+    out = {
+        "shuffle_read_bytes": 0,
+        "shuffle_write_bytes": 0,
+        "shuffle_read_records": 0,
+        "shuffle_write_records": 0,
+        "stages": 0,
+        "active_jobs": len(sc.statusTracker().getActiveJobsIds()),
+    }
     try:
-        mem = sc._jsc.sc().getExecutorMemoryStatus().size()
-        out["executors"] = int(mem)
-    except Exception:
+        jvm = sc._jvm
+        store = sc._jsc.sc().statusStore()
+        empty = jvm.java.util.Collections.emptyList()
+        quantiles = sc._gateway.new_array(jvm.double, 0)
+        stages = store.stageList(empty, False, False, quantiles, empty)
+        it = stages.iterator()
+        while it.hasNext():
+            s = it.next()
+            out["shuffle_read_bytes"] += s.shuffleReadBytes()
+            out["shuffle_write_bytes"] += s.shuffleWriteBytes()
+            out["shuffle_read_records"] += s.shuffleReadRecords()
+            out["shuffle_write_records"] += s.shuffleWriteRecords()
+            out["stages"] += 1
+    except Exception:  # pragma: no cover - JVM API drift safety net
         pass
     return out
+
+
+class ShuffleTracker:
+    """Per-phase shuffle deltas for iterative drivers.
+
+    ``delta()`` returns the shuffle traffic since the previous call (or
+    construction) and advances the snapshot — one call per superstep
+    chunk reproduces the reference's running ``totalRecvBytes`` log line
+    (``gmr.cpp:272-273``).
+    """
+
+    _KEYS = (
+        "shuffle_read_bytes",
+        "shuffle_write_bytes",
+        "shuffle_read_records",
+        "shuffle_write_records",
+    )
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._last = shuffle_metrics(spark)
+
+    def delta(self) -> dict[str, int]:
+        cur = shuffle_metrics(self.spark)
+        d = {k: max(0, cur[k] - self._last[k]) for k in self._KEYS}
+        self._last = cur
+        return d
