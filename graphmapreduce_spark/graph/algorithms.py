@@ -244,7 +244,9 @@ def connected_components(
     und = PropertyGraph(
         graph.vertices, sym, num_partitions=graph.num_partitions
     )
-    init = und.vertices.select("id", F.col("id").cast("double").alias("value"))
+    # labels stay long (no double round-trip): ids above 2^53 would lose
+    # precision in a double and silently merge distinct components
+    init = und.vertices.select("id", F.col("id").alias("value"))
 
     def messages(active: DataFrame, edges: DataFrame) -> DataFrame:
         return active.join(edges, active["id"] == edges["src"]).select(
@@ -267,20 +269,47 @@ def connected_components(
     res = pregel.run(init, und.edges)
     if we_cached:
         graph.edges.unpersist()
-    return res.vertices.select("id", F.col("value").cast("long").alias("component"))
+    return res.vertices.select("id", F.col("value").alias("component"))
 
 
 # ---------------------------------------------------------------------------
-# SCC — ref stub algorithms.h:207.  Forward/backward min-label propagation:
-# v is in the SCC of root r iff r is both the min vertex reaching v and the
-# min vertex reachable from v.  Extract, remove, repeat (each round peels at
-# least the SCC of the globally smallest remaining vertex).
+# SCC — ref stub algorithms.h:207.  Forward/backward min-label propagation
+# with two peel rules per round:
+#
+#   f(v) = min vertex id that reaches v       (forward fixpoint)
+#   b(v) = min vertex id reachable from v     (backward fixpoint)
+#
+#   rule 1: {v : f(v) == b(v) == r} is exactly SCC(r) — peel, labeled r.
+#   rule 2: every member of an SCC shares the (f, b) pair (equal reach-in
+#           and reach-out sets), so a vertex whose (f, b) pair-class has
+#           size 1 is provably a singleton SCC — peel, labeled by itself.
+#
+# Rule 2 is what makes DAG-heavy graphs terminate fast: on any DAG all
+# pair-classes that are not captured by rule 1 shrink to singletons as
+# soon as their reach-sets differ, so a chain of N singleton SCCs (either
+# orientation) peels in ONE round instead of N (the round-1 scale-killer:
+# the old f==b-only peel removed as little as one SCC per round).
 # ---------------------------------------------------------------------------
 def strongly_connected_components(
-    graph: PropertyGraph, max_outer: int = 100
-) -> DataFrame:
+    graph: PropertyGraph,
+    max_outer: int = 50,
+    on_incomplete: str = "raise",
+    return_rounds: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
+    """(id, component), component = min vertex id of the SCC.
+
+    ``on_incomplete`` governs the (pathological) case where ``max_outer``
+    rounds don't exhaust the graph: ``'raise'`` (default) fails loudly
+    instead of silently dropping vertices; ``'sentinel'`` labels the
+    leftovers with component = -1 so callers can triage.
+    ``return_rounds=True`` additionally returns the number of peel
+    rounds executed (for convergence tests).
+    """
+
     def _min_label(vertices: DataFrame, edges: DataFrame) -> DataFrame:
-        init = vertices.select("id", F.col("id").cast("double").alias("value"))
+        # labels stay long end-to-end: a double cast would corrupt ids
+        # above 2^53 (hash-derived 64-bit ids are normal at scale)
+        init = vertices.select("id", F.col("id").alias("value"))
 
         def messages(active: DataFrame, e: DataFrame) -> DataFrame:
             return active.join(e, active["id"] == e["src"]).select(
@@ -295,27 +324,33 @@ def strongly_connected_components(
             max_iter=MAX_ITERATION,
             active_frontier=True,
         )
-        return pregel.run(init, e_part(edges)).vertices
-
-    def e_part(e: DataFrame) -> DataFrame:
-        return e
+        return pregel.run(init, edges).vertices
 
     remaining_v = graph.vertices.select("id").localCheckpoint(eager=True)
     remaining_e = graph.edges.select("src", "dst").localCheckpoint(eager=True)
     assigned: DataFrame | None = None
-    spark = graph.spark
+    rounds = 0
 
     for _ in range(max_outer):
         if remaining_v.limit(1).count() == 0:
             break
+        rounds += 1
         fwd = _min_label(remaining_v, remaining_e).withColumnRenamed("value", "f")
         rev = remaining_e.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
         bwd = _min_label(remaining_v, rev).withColumnRenamed("value", "b")
         both = fwd.join(bwd, "id")
-        found = both.filter(F.col("f") == F.col("b")).select(
-            "id", F.col("f").cast("long").alias("component")
+        pair_n = Window.partitionBy("f", "b")
+        found = (
+            both.withColumn("_n", F.count(F.lit(1)).over(pair_n))
+            .filter((F.col("f") == F.col("b")) | (F.col("_n") == 1))
+            .select(
+                "id",
+                F.when(F.col("f") == F.col("b"), F.col("f"))
+                .otherwise(F.col("id"))
+                .alias("component"),
+            )
         )
         found = found.localCheckpoint(eager=True)
         assigned = found if assigned is None else assigned.unionByName(found)
@@ -330,11 +365,22 @@ def strongly_connected_components(
             .join(found.select(F.col("id").alias("dst")), "dst", "left_anti")
             .localCheckpoint(eager=True)
         )
+    leftover = remaining_v.limit(1).count() > 0
+    if leftover:
+        if on_incomplete == "raise":
+            raise RuntimeError(
+                f"SCC peel did not converge within max_outer={max_outer} "
+                "rounds; raise max_outer or use on_incomplete='sentinel'"
+            )
+        sentinel = remaining_v.select("id", F.lit(-1).alias("component"))
+        assigned = (
+            sentinel if assigned is None else assigned.unionByName(sentinel)
+        )
     if assigned is None:
-        return graph.vertices.select(
+        assigned = graph.vertices.select(
             "id", F.col("id").alias("component")
         ).limit(0)
-    return assigned
+    return (assigned, rounds) if return_rounds else assigned
 
 
 # ---------------------------------------------------------------------------

@@ -43,7 +43,7 @@ def test_sssp_path(spark):
 def test_sssp_unreachable(spark):
     g = make_graph(spark, TWO_CC)
     d = {r["id"]: r["distance"] for r in alg.sssp(g, 1).collect()}
-    assert d[4] == 6.0 if False else d[4] == 3.0
+    assert d[4] == 3.0
     assert math.isinf(d[5]) and math.isinf(d[8])
 
 
@@ -93,6 +93,93 @@ def test_scc_cycle(spark):
     c = {r["id"]: r["component"] for r in alg.strongly_connected_components(g).collect()}
     assert c[1] == c[2] == c[3]
     assert c[4] != c[1]
+
+
+def test_scc_chain_peels_in_few_rounds(spark):
+    """A directed chain is 200 singleton SCCs.  The unique-(f,b)-pair
+    peel must take them all in one round — the old f==b-only rule
+    degenerated to one peel per round (round-1 verdict scale-killer)."""
+    n = 200
+    rows = [(i, i + 1, 1.0) for i in range(1, n)]
+    g = make_graph(spark, rows)
+    df, rounds = alg.strongly_connected_components(g, return_rounds=True)
+    c = {r["id"]: r["component"] for r in df.collect()}
+    assert c == {i: i for i in range(1, n + 1)}
+    assert rounds <= 3, rounds
+
+
+def test_scc_reversed_chain_and_shared_pairs(spark):
+    # reversed-id chain: singleton SCCs whose b-label (not f) is constant
+    rows = [(i + 1, i, 1.0) for i in range(1, 50)]
+    g = make_graph(spark, rows)
+    df, rounds = alg.strongly_connected_components(g, return_rounds=True)
+    c = {r["id"]: r["component"] for r in df.collect()}
+    assert c == {i: i for i in range(1, 51)}
+    assert rounds <= 3, rounds
+
+    # 5 and 6 share the (f,b)=(1,2) pair without being one SCC: the
+    # pair rule must NOT merge them, and round 2 must resolve them
+    g2 = make_graph(
+        spark, [(1, 5, 1.0), (5, 2, 1.0), (1, 6, 1.0), (6, 2, 1.0)]
+    )
+    c2 = {
+        r["id"]: r["component"]
+        for r in alg.strongly_connected_components(g2).collect()
+    }
+    assert c2 == {1: 1, 2: 2, 5: 5, 6: 6}
+
+
+def test_scc_mixed_cycles_and_tails(spark):
+    # two 3-cycles joined by a path, plus a dangling tail
+    rows = (
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)]
+        + [(3, 10, 1.0), (10, 11, 1.0)]
+        + [(11, 12, 1.0), (12, 13, 1.0), (13, 11, 1.0)]
+        + [(13, 99, 1.0)]
+    )
+    g = make_graph(spark, rows)
+    df, rounds = alg.strongly_connected_components(g, return_rounds=True)
+    c = {r["id"]: r["component"] for r in df.collect()}
+    assert c[1] == c[2] == c[3] == 1
+    assert c[11] == c[12] == c[13] == 11
+    assert c[10] == 10 and c[99] == 99
+    assert rounds <= 3, rounds
+
+
+def test_scc_incomplete_raises(spark):
+    # max_outer=0 runs zero peel rounds -> leftovers must raise, and the
+    # sentinel mode must label them -1 instead of dropping them
+    g = make_graph(spark, [(1, 2, 1.0), (2, 1, 1.0)])
+    with pytest.raises(RuntimeError, match="max_outer"):
+        alg.strongly_connected_components(g, max_outer=0)
+    c = {
+        r["id"]: r["component"]
+        for r in alg.strongly_connected_components(
+            g, max_outer=0, on_incomplete="sentinel"
+        ).collect()
+    }
+    assert c == {1: -1, 2: -1}
+
+
+def test_component_labels_exceed_double_mantissa(spark):
+    """Ids above 2^53 are not representable in a double; labels must
+    survive exactly (they are kept long end-to-end)."""
+    base = 1 << 60
+    rows = [
+        (base + 1, base + 2, 1.0),
+        (base + 3, base + 4, 1.0),
+    ]
+    g = make_graph(spark, rows)
+    c = {r["id"]: r["component"] for r in alg.connected_components(g).collect()}
+    # a double round-trip would collapse base+1 and base+3 to the same
+    # label and merge the two components
+    assert c[base + 1] == c[base + 2] == base + 1
+    assert c[base + 3] == c[base + 4] == base + 3
+    s = {
+        r["id"]: r["component"]
+        for r in alg.strongly_connected_components(g).collect()
+    }
+    assert len(set(s.values())) == 4
 
 
 def test_matmul_identity(spark):
