@@ -349,12 +349,24 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard via inverted shingle index: explode
-    distinct shingles, self-join on shingle, count shared shingles, then
-    |A∩B| / (|A|+|B|-|A∩B|).  The shingle join prunes pairs with zero
-    overlap — far from all-pairs on real corpora; pair counts are bounded
-    by shingle document frequency (cap hot shingles upstream if needed).
+    """n-gram Jaccard similarity join via inverted shingle index.
+
+    Candidate pairs come from a self-join of the inverted index (docs
+    sharing ≥1 indexed shingle — far from all-pairs on real corpora);
+    the Jaccard itself is computed exactly from the full shingle arrays
+    (``array_intersect``), so the index is free to be pruned.
+
+    ``max_df`` caps shingle document frequency in the index: a shingle
+    appearing in more than ``max_df`` docs produces O(df²) join rows and
+    carries no dedup signal (boilerplate).  Hot shingles are removed
+    with a broadcast anti-join (the hot set is tiny by construction —
+    same scheme as the winnowing pair pipeline).  Capping only affects
+    candidate GENERATION: scored pairs keep their exact Jaccard
+    (including hot shingles); the only pairs lost are those whose every
+    shared shingle is hotter than ``max_df``.  ``None`` = no cap
+    (exact, quadratic-risk on boilerplate-heavy corpora).
 
     Returns (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
     """
@@ -362,22 +374,30 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         T.char_shingles(text_col, n=n, distinct=True).alias("sh"),
     )
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
     inv = sh.select("id", F.explode("sh").alias("g"))
+    if max_df is not None:
+        hot = (
+            inv.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("g")
+        )
+        inv = inv.join(F.broadcast(hot), "g", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
-    inter = (
+    cands = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        inter.join(sa, "id_a")
+        cands.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
             "jaccard",
-            F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")),
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

@@ -1504,9 +1504,14 @@ def q44_lang_id(spark, sf_dir):
     """,
 )
 def q45_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard similarity join via shingle inverted index."""
+    """Exact n-gram Jaccard similarity join via shingle inverted index.
+    max_df=1000 exceeds the 100-doc slice's maximum possible document
+    frequency, so the cap is exercised in-plan without changing results
+    (the oracle is uncapped)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+    return D.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.2, max_df=1000
+    )
 
 
 def _minhash_lsh_oracle_sql(

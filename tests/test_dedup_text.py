@@ -42,6 +42,38 @@ def test_ngram_jaccard_finds_near_dups(docs):
     assert not any(4 in p for p in got)
 
 
+def test_ngram_jaccard_max_df_bounds_hot_shingle_pairs(spark):
+    """One boilerplate shingle shared by every doc must not force O(n²)
+    candidate pairs when max_df caps it; genuinely similar pairs (linked
+    by cold shingles) survive with their EXACT jaccard (hot shingles
+    still count in the score)."""
+    n_docs = 40
+    rows = [(i, f"ZZZZ doc number {i:04d} unique payload {i*7:05d}") for i in range(n_docs)]
+    # docs 100/101: near-identical beyond the boilerplate
+    rows += [
+        (100, "ZZZZ shared sentence about spark engines and parquet"),
+        (101, "ZZZZ shared sentence about spark engines and parquets"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=4, threshold=0.01
+    )
+    capped = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=4, threshold=0.01, max_df=10
+    )
+    n_uncapped = uncapped.count()
+    capped_rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    # every doc shares the 'ZZZZ' 4-gram: uncapped is full quadratic
+    assert n_uncapped == (n_docs + 2) * (n_docs + 1) // 2
+    assert len(capped_rows) < n_uncapped / 4
+    # the true near-dup pair survives the cap with its exact score
+    assert (100, 101) in capped_rows
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in uncapped.collect()
+    }[(100, 101)]
+    assert capped_rows[(100, 101)] == exact
+
+
 def test_minhash_lsh_finds_exact_and_near(docs):
     pairs = D.minhash_lsh_near_dup_pairs(
         docs, "doc_id", "text", threshold=0.5, num_hashes=32, bands=16
