@@ -8,14 +8,19 @@ Two paths:
   side stays partition-parallel; the only shuffle is the final per-query
   top-k (tiny: k rows per partition per query after partial filtering).
 
-- ``ivf_topk``: IVF-style approximate search — k-means coarse centroids
-  partition the corpus into cells (the "inverted file"); a query probes
-  only its ``nprobe`` nearest cells.  Scale path: the corpus is scored
-  only where cell ids match, i.e. a hash join on cell id instead of a
-  cross join.
+- ``ivf_build`` / ``ivf_search``: IVF-style approximate search —
+  k-means coarse centroids partition the corpus into cells (the
+  "inverted file"); a query probes only its ``nprobe`` nearest cells.
+  Scale path: the corpus is scored only where cell ids match, i.e. a
+  hash join on cell id instead of a cross join.  The index is built
+  ONCE (the k-means iterations and cell assignment are the expensive
+  part) and probed many times — the build/search split is the real ANN
+  service shape; ``ivf_topk`` is the one-shot convenience wrapper.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -66,31 +71,46 @@ def cosine_topk(
     )
 
 
-def ivf_topk(
+@dataclass
+class IvfIndex:
+    """A built inverted-file index.
+
+    ``cells`` — (neighbor_id, cv array<double>, cell) the cell-tagged
+    corpus; persisted so repeated searches never re-run the k-means
+    build.  ``centroids`` — (cell, centroid array<double>), broadcast-
+    sized by construction (n_cells × dim).
+    """
+
+    cells: DataFrame
+    centroids: DataFrame
+    n_cells: int
+
+    def unpersist(self) -> None:
+        self.cells.unpersist()
+        self.centroids.unpersist()
+
+
+def ivf_build(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     n_cells: int = 16,
-    nprobe: int = 4,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
-    query_id: str = "vec_id",
-    query_vec: str = "embedding",
     kmeans_iters: int = 5,
-    include_self: bool = False,
-) -> DataFrame:
-    """IVF approximate top-k: corpus assigned to its nearest of ``n_cells``
-    k-means centroids; each query scores only vectors in its ``nprobe``
-    nearest cells.  Same output shape as ``cosine_topk`` (approximate)."""
+    persist: bool = True,
+) -> IvfIndex:
+    """Build the IVF index once: k-means coarse quantizer (the expensive,
+    iterative part) + cell assignment of every corpus vector.  The result
+    is probe-ready for any number of ``ivf_search`` calls."""
     c = corpus.select(
         F.col(corpus_id).alias("id"),
         F.col(corpus_vec).cast("array<double>").alias("vec"),
     )
     assign = kmeans(c, k=n_cells, max_iter=kmeans_iters)  # (id, cluster)
     cellized = c.join(assign, "id").select(
-        F.col("id").alias("neighbor_id"), F.col("vec").alias("cv"), F.col("cluster").alias("cell")
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("cv"),
+        F.col("cluster").alias("cell"),
     )
-    # centroids as literal rows for query-side probing
     cent = (
         cellized.groupBy("cell")
         .agg(F.collect_list("cv").alias("vs"))
@@ -105,12 +125,34 @@ def ivf_topk(
             ).alias("centroid"),
         )
     )
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        cellized = cellized.persist(StorageLevel.MEMORY_AND_DISK)
+        cent = cent.persist(StorageLevel.MEMORY_AND_DISK)
+        cent.count()  # materialize both (centroids derive from cells)
+    return IvfIndex(cells=cellized, centroids=cent, n_cells=n_cells)
+
+
+def ivf_search(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Probe a built index: each query ranks the (broadcast) centroids,
+    keeps its ``nprobe`` nearest cells, and scores only corpus vectors in
+    those cells via a hash join on cell id.  Same output shape as
+    ``cosine_topk`` (approximate)."""
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).cast("array<double>").alias("qv"),
     )
     probed = (
-        q.join(F.broadcast(cent), F.lit(True))
+        q.join(F.broadcast(index.centroids), F.lit(True))
         .select(
             "query_id",
             "qv",
@@ -120,13 +162,15 @@ def ivf_topk(
         .withColumn(
             "pr",
             F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.col("cd").asc(), F.col("cell").asc())
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cd").asc(), F.col("cell").asc()
+                )
             ),
         )
         .filter(F.col("pr") <= nprobe)
         .select("query_id", "qv", "cell")
     )
-    scored = probed.join(cellized, "cell").select(
+    scored = probed.join(index.cells, "cell").select(
         "query_id",
         "neighbor_id",
         F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
@@ -137,3 +181,38 @@ def ivf_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    kmeans_iters: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """One-shot IVF approximate top-k (build + single search).  For
+    repeated probing keep the ``ivf_build`` result and call
+    ``ivf_search`` per query batch."""
+    index = ivf_build(
+        corpus,
+        n_cells=n_cells,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        kmeans_iters=kmeans_iters,
+        persist=False,
+    )
+    return ivf_search(
+        index,
+        queries,
+        k=k,
+        nprobe=nprobe,
+        query_id=query_id,
+        query_vec=query_vec,
+        include_self=include_self,
+    )

@@ -68,3 +68,25 @@ def test_ivf_recall_on_separated_blobs(spark, emb):
     a = {r["neighbor_id"] for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.8
+
+
+def test_ivf_build_once_search_many(spark, emb):
+    """One ivf_build serves repeated ivf_search calls (the ANN-service
+    shape); per-batch results must match the one-shot wrapper."""
+    index = S.ivf_build(emb, n_cells=4, kmeans_iters=4)
+    try:
+        one_shot = S.ivf_topk(
+            emb, emb.filter("vec_id = 1"), k=5, n_cells=4, nprobe=2,
+            kmeans_iters=4,
+        )
+        s1 = S.ivf_search(index, emb.filter("vec_id = 1"), k=5, nprobe=2)
+        s2 = S.ivf_search(index, emb.filter("vec_id = 2"), k=5, nprobe=2)
+        got1 = {(r["neighbor_id"], r["rank"]) for r in s1.collect()}
+        expect1 = {(r["neighbor_id"], r["rank"]) for r in one_shot.collect()}
+        assert got1 == expect1
+        # second search is a different query batch over the same index
+        by_q = {r["query_id"] for r in s2.collect()}
+        assert by_q == {2}
+        assert s2.count() == 5
+    finally:
+        index.unpersist()
