@@ -343,6 +343,80 @@ def simhash_dup_groups(
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash near-duplicates with hamming tolerance (the banded mode
+    promised alongside ``simhash_dup_groups``'s exact-fingerprint mode).
+
+    Banding: the ``num_bits`` fingerprint is split into ``bands`` equal
+    slices; candidate pairs share at least one identical (band index,
+    band value) bucket; candidates are verified by exact popcount
+    distance.  By pigeonhole the scheme is COMPLETE for
+    ``max_hamming < bands`` (k differing bits can dirty at most k
+    bands, leaving one intact) — the default 4×16-bit bands over a
+    64-bit fingerprint exactly cover the classic hamming≤3 setting.
+    Bucket join instead of the all-pairs cross product; the only
+    quadratic step is within-bucket pair generation.
+
+    Returns (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming.
+    """
+    if num_bits % bands:
+        raise ValueError("num_bits must be divisible by bands")
+    if max_hamming >= bands:
+        raise ValueError(
+            "completeness needs max_hamming < bands "
+            f"(got hamming {max_hamming} with {bands} bands)"
+        )
+    band_w = num_bits // bands
+    fp = df.select(
+        F.col(id_col).alias("id"),
+        simhash(text_col, num_bits, hash_fn).alias("fp"),
+    )
+    if band_w >= 64:
+        band_vals = F.array(F.col("fp"))
+    else:
+        mask = (1 << band_w) - 1
+        band_vals = F.array(
+            *[
+                F.shiftrightunsigned("fp", j * band_w).bitwiseAND(F.lit(mask))
+                for j in range(bands)
+            ]
+        )
+    banded = fp.select(
+        "id", "fp", F.posexplode(band_vals).alias("band", "bv")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fa"),
+            F.col("b.fp").alias("fb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

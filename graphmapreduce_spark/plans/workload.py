@@ -1592,11 +1592,12 @@ def q46_minhash_lsh(spark, sf_dir):
     return pairs
 
 
-def _simhash_oracle_sql(num_bits: int, where: str) -> str:
-    """Replicates operators.dedup.simhash with the md5-60bit word hash:
-    per-bit +1/-1 sums over word hashes, bit set iff sum positive.
-    Bits >= 60 are provably never set (the 60-bit hash has them zero, so
-    their sum is -n_words <= 0) and are omitted from the SQL."""
+def _simhash_fp_ctes(num_bits: int, where: str) -> str:
+    """CTE chain yielding ``sh(doc_id, simhash)`` that replicates
+    operators.dedup.simhash with the md5-60bit word hash: per-bit +1/-1
+    sums over word hashes, bit set iff sum positive.  Bits >= 60 are
+    provably never set (the 60-bit hash has them zero, so their sum is
+    -n_words <= 0) and are omitted from the SQL."""
     hi = min(num_bits, 60)
     sums = ",\n             ".join(
         f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
@@ -1605,8 +1606,7 @@ def _simhash_oracle_sql(num_bits: int, where: str) -> str:
     fp = " + ".join(
         f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(hi)
     )
-    return f"""
-    WITH w AS MATERIALIZED (
+    return f"""w AS MATERIALIZED (
       SELECT doc_id,
              UNNEST(list_filter(string_split_regex(trim(text), '\\s+'),
                                 x -> x <> '')) AS word
@@ -1619,10 +1619,43 @@ def _simhash_oracle_sql(num_bits: int, where: str) -> str:
       SELECT doc_id,
              {sums}
       FROM h GROUP BY doc_id
+    ),
+    sh AS MATERIALIZED (
+      SELECT d.doc_id, COALESCE({fp}, 0) AS simhash
+      FROM (SELECT doc_id FROM documents {where}) d
+      LEFT JOIN bits USING (doc_id)
+    )"""
+
+
+def _simhash_oracle_sql(num_bits: int, where: str) -> str:
+    return f"""
+    WITH {_simhash_fp_ctes(num_bits, where)}
+    SELECT doc_id, simhash FROM sh
+    """
+
+
+def _simhash_hamming_oracle_sql(
+    num_bits: int, bands: int, max_hamming: int, where: str
+) -> str:
+    """Replicates simhash_near_dup_pairs: banded candidate buckets over
+    the replicated fingerprints, popcount-verified."""
+    band_w = num_bits // bands
+    mask = (1 << band_w) - 1
+    return f"""
+    WITH {_simhash_fp_ctes(num_bits, where)},
+    bands AS (
+      SELECT doc_id, simhash AS fp, t.j,
+             (simhash >> (t.j * {band_w})) & {mask} AS bv
+      FROM sh CROSS JOIN range(0, {bands}) t(j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.fp AS fa, b.fp AS fb
+      FROM bands a JOIN bands b
+        ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
     )
-    SELECT d.doc_id, COALESCE({fp}, 0) AS simhash
-    FROM (SELECT doc_id FROM documents {where}) d
-    LEFT JOIN bits USING (doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
     """
 
 
@@ -1632,6 +1665,23 @@ def q47_simhash(spark, sf_dir):
     return d.select(
         "doc_id", D.simhash("text", num_bits=32, hash_fn="md5").alias("simhash")
     )
+
+
+@register(
+    "q75_simhash_hamming",
+    _simhash_hamming_oracle_sql(32, 4, 3, "WHERE doc_id < 200"),
+)
+def q75_simhash_hamming(spark, sf_dir):
+    """SimHash hamming-band near-dup: 4 bands over a 32-bit fingerprint,
+    candidates share a band, verified by popcount <= 3 (complete for
+    hamming < bands by pigeonhole).  md5 variant — the full pipeline is
+    replicated by the SQL oracle."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = D.simhash_near_dup_pairs(
+        d, "doc_id", "text", num_bits=32, bands=4, max_hamming=3,
+        hash_fn="md5",
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 @register(
@@ -2350,6 +2400,7 @@ _WINDOW_PRIORITY = [
     "q66_stream_stream_join",
     "q69_stream_dedup",
     # -- new queries this round (insert BEFORE the breadth fillers) --
+    "q75_simhash_hamming",
     # -- implementations touched this round: re-verify (13) --
     "q30_degrees",
     "q31_triangle_count",

@@ -102,6 +102,46 @@ def test_simhash_identical_for_exact_dups(docs):
     assert fp[1] != fp[4]
 
 
+def test_simhash_hamming_band_near_dup(spark):
+    """Banded hamming near-dup must equal the brute-force popcount join
+    for max_hamming < bands (pigeonhole completeness)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),  # ~1 word
+        (3, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+        (4, "completely unrelated text about database query engines"),
+        (5, "another entirely different document mentioning volcanoes"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_dup_pairs(
+            docs, "doc_id", "text", num_bits=64, bands=4, max_hamming=3
+        ).collect()
+    }
+    # brute force over the actual fingerprints
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", D.simhash("text", 64).alias("fp")
+        ).collect()
+    }
+    ids = sorted(fps)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                expect[(a, b)] = h
+    assert got == expect
+    assert got[(1, 3)] == 0  # exact dup pair must be present
+
+    with pytest.raises(ValueError, match="max_hamming < bands"):
+        D.simhash_near_dup_pairs(
+            docs, "doc_id", "text", bands=4, max_hamming=4
+        )
+
+
 def test_simhash_dup_groups(docs):
     groups = D.simhash_dup_groups(docs, "doc_id", "text", num_bits=32).collect()
     grouped_ids = {tuple(g["ids"]) for g in groups}
