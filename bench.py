@@ -37,8 +37,10 @@ HEADLINE = [
     "q45_ngram_jaccard",
     "q46_minhash_lsh",
     "q48_embedding_topk",
+    "q54_winnowing",
     "q60_tumbling_window",
     "q62_session_window",
+    "q63_streaming_tumbling",
 ]
 
 

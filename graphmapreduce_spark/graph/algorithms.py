@@ -107,6 +107,9 @@ def bfs(graph: PropertyGraph, source: int, max_iter: int = MAX_ITERATION) -> Dat
 # PageRank — ref algorithms.h:4-37 (map: value/deg to out-neighbors :12-18;
 # reduce: d*sum + (1-d)/n :24-33).  Quirks normalized per SURVEY §7.4.
 # ---------------------------------------------------------------------------
+REFERENCE_DAMPING = 0.5  # ref algorithms.h:30 hard-codes d=0.5
+
+
 def pagerank(
     graph: PropertyGraph,
     damping: float = 0.85,
@@ -115,9 +118,17 @@ def pagerank(
     handle_dangling: bool = True,
     check_interval: int = 1,
     broadcast_ranks: bool = False,
+    reference_compat: bool = False,
 ) -> DataFrame:
     """Returns (id, rank), ranks summing to ~1 (proper distribution,
     dangling mass redistributed uniformly unless disabled).
+
+    ``reference_compat=True`` is the documented SURVEY §7.4 compat mode:
+    it pins ``damping`` to the reference's hard-coded 0.5
+    (``algorithms.h:30``).  The reference's other quirk — dividing the
+    teleport term by the process-LOCAL vertex count (``gmr.cpp:191``),
+    which makes results depend on how many MPI ranks ran — is
+    deliberately NOT reproduced; we always use the global N.
 
     One superstep = one ranks⋈edges join + one groupBy(dst) sum, and
     exactly ONE Spark job per ``check_interval`` supersteps: the dangling
@@ -140,6 +151,8 @@ def pagerank(
     """
     from pyspark.storagelevel import StorageLevel
 
+    if reference_compat:
+        damping = REFERENCE_DAMPING
     # materialize edges FIRST — the vertex-count, degree, and every
     # superstep job below all contain the edge plan as a subtree, so the
     # cache manager serves them all from this one materialization

@@ -84,7 +84,11 @@ def salted_join(
     salt per row (hash of all columns mod ``num_salts``); the ``right``
     side is replicated once per salt value.  The join key becomes
     (keys..., salt), so rows of one hot key land on ``num_salts``
-    reducers instead of one.  Result is row-identical to the plain join.
+    reducers instead of one.  Result is row-identical to the plain join
+    for the supported join types: ``inner``, ``left``/``left_outer``,
+    ``left_semi``, ``left_anti``, ``cross``.  Right/full outer joins are
+    rejected — the replicated right side would emit every unmatched
+    right row once per salt.
 
     Prefer AQE's automatic skew-join splitting when it fires; this is
     the explicit fallback for joins AQE can't rebalance (e.g. when the
@@ -92,6 +96,14 @@ def salted_join(
     ``spark.sql.adaptive.enabled=false``).  Replication multiplies the
     small side by ``num_salts`` — keep it broadcast-sized.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched right "
+            "rows would be duplicated once per salt (use a plain join or "
+            "AQE skew handling for right/full outer)"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts))
     l_salted = left.withColumn("_salt", salt.cast("int"))
     r_salted = right.withColumn(

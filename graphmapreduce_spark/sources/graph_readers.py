@@ -39,15 +39,18 @@ def read_edge_list(
     has_header_counts: bool | None = None,
     delimiter: str | None = None,
     default_weight: float = 1.0,
-    one_based_shift: bool = True,
+    one_based_shift: bool = False,
 ) -> PropertyGraph:
     """Distributed edge-list reader.
 
     Accepts ``src dst [weight]`` rows; skips ``#`` comments and blank
     lines; tolerates (and drops) the reference's 2-line count header by
     filtering any row without a second field when ``has_header_counts``
-    is None (auto).  0-based inputs are shifted to 1-based like the
-    reference (``partition.h:435-437``) when ``one_based_shift``.
+    is None (auto).  ``one_based_shift=True`` shifts 0-based inputs to
+    1-based like the reference (``partition.h:435-437``) — opt-in
+    compat: the min-id probe it needs is an extra full pass over the
+    edge set, which only ever matters for the reference's small
+    fixtures, never for at-scale inputs.
     """
     raw = spark.read.text(path)
     parts = F.split(F.trim(F.col("value")), delimiter or r"\s+")

@@ -40,17 +40,27 @@ RUNNING_OUTPUT_SCHEMA = StructType(
 )
 
 
-def _update_running(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-    (user_id,) = key
-    if state.hasTimedOut:
-        state.remove()
-        return
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame({"user_id": [user_id], "n": [n], "total": [total]})
+def _make_update_running(timeout_duration_ms: int | None):
+    """Build the state-update fn; a non-None duration arms a processing-
+    time timeout per key after every update (the eviction path)."""
+
+    def _update_running(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if timeout_duration_ms is not None:
+            # must be re-armed after every state.update — an un-armed
+            # key would never hit the hasTimedOut branch
+            state.setTimeoutDuration(timeout_duration_ms)
+        yield pd.DataFrame({"user_id": [user_id], "n": [n], "total": [total]})
+
+    return _update_running
 
 
 def running_totals(
@@ -58,18 +68,27 @@ def running_totals(
     key_col: str = "user_id",
     value_col: str = "value",
     timeout: str = "NoTimeout",
+    timeout_duration_ms: int = 60_000,
 ) -> DataFrame:
     """Per-key running (count, sum) across micro-batches.
 
     Works on a streaming DataFrame with columns (key_col, value_col);
     emits one updated row per key per micro-batch.  State is two scalars
-    per key — O(distinct keys) executor memory, evictable via timeout.
+    per key — O(distinct keys) executor memory; with
+    ``timeout='ProcessingTimeTimeout'`` a key idle for
+    ``timeout_duration_ms`` is evicted (its state removed) at the next
+    micro-batch, bounding state for ever-growing key spaces.
     """
+    conf = getattr(GroupStateTimeout, timeout, GroupStateTimeout.NoTimeout)
+    duration = (
+        timeout_duration_ms if conf == GroupStateTimeout.ProcessingTimeTimeout
+        else None
+    )
     src = events.selectExpr(f"{key_col} AS user_id", f"{value_col} AS value")
     return src.groupBy("user_id").applyInPandasWithState(
-        _update_running,
+        _make_update_running(duration),
         outputStructType=RUNNING_OUTPUT_SCHEMA,
         stateStructType=RUNNING_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=getattr(GroupStateTimeout, timeout, GroupStateTimeout.NoTimeout),
+        timeoutConf=conf,
     )

@@ -123,6 +123,14 @@ def test_salted_join_matches_plain_join(spark):
     assert salted == plain
     assert len(salted) == 501  # 500 hot-key rows + k=2; k=3 unmatched
 
+    # right/full outer would duplicate unmatched right rows per salt
+    import pytest
+
+    with pytest.raises(ValueError, match="salted_join does not support"):
+        salted_join(left, right, ["k"], num_salts=8, how="full_outer")
+    with pytest.raises(ValueError, match="salted_join does not support"):
+        salted_join(left, right, ["k"], num_salts=8, how="right")
+
 
 def test_hll_sketch_rollup_properties(spark):
     """HLL sketch table: (1) merging fine-grain sketches stays within

@@ -23,9 +23,12 @@ def test_edge_list_reader(spark, tmp_path):
 def test_edge_list_zero_based_shift(spark, tmp_path):
     p = tmp_path / "g0.txt"
     p.write_text("0 1\n1 2\n")
-    g = read_edge_list(spark, str(p))
+    g = read_edge_list(spark, str(p), one_based_shift=True)
     edges = sorted((r.src, r.dst) for r in g.edges.collect())
     assert edges == [(1, 2), (2, 3)]  # shifted to 1-based like the reference
+    # default: no shift (and no min-id scan)
+    g0 = read_edge_list(spark, str(p))
+    assert sorted((r.src, r.dst) for r in g0.edges.collect()) == [(0, 1), (1, 2)]
 
 
 def test_metis_reader_weighted(spark, tmp_path):

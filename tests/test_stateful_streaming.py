@@ -52,3 +52,57 @@ def test_running_totals_across_microbatches(spark):
         assert got[3] == (1, 7.0)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_running_totals_processing_time_timeout_evicts(spark):
+    """End-to-end eviction: a key idle past the timeout has its state
+    removed, so new data for it restarts the running total from zero.
+
+    NOTE processAllAvailable() can NOT be the barrier here: with
+    ProcessingTimeTimeout the microbatch engine keeps issuing 'no new
+    data but cleaning up state' batches, so the query never quiesces —
+    we poll the memory sink with a deadline instead.  (Those cleanup
+    batches are also exactly what fires the eviction without new input.)
+    """
+    import time
+
+    def poll(predicate, timeout_s=90):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT user_id, n, total FROM t_running_to"
+            ).collect()
+            got = {(r["user_id"], r["n"], r["total"]) for r in rows}
+            if predicate(got):
+                return got
+            time.sleep(0.5)
+        raise AssertionError(f"sink never satisfied predicate; last={got}")
+
+    d = tempfile.mkdtemp(prefix="gmr_state_to_")
+    try:
+        spark.createDataFrame(
+            [(1, 2.0), (1, 3.0), (2, 4.0)], "user_id long, value double"
+        ).coalesce(1).write.parquet(d + "/all")
+        src = stream_events_from_parquet(spark, d + "/all")
+        out = running_totals(
+            src, timeout="ProcessingTimeTimeout", timeout_duration_ms=2_000
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_running_to")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            poll(lambda got: (1, 2, 5.0) in got and (2, 1, 4.0) in got)
+            # idle past the 2s timeout: cleanup batches evict both keys
+            time.sleep(4)
+            # new data for key 1 restarts from zero — n=1, not 3
+            spark.createDataFrame(
+                [(1, 7.0)], "user_id long, value double"
+            ).coalesce(1).write.parquet(d + "/all", mode="append")
+            poll(lambda got: (1, 1, 7.0) in got)
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
