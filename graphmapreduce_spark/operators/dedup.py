@@ -292,10 +292,81 @@ def winnowing_fingerprints(
 def dedup_by_pairs(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """Greedy keep-smallest-id dedup: drop any row whose id appears as the
     larger side of a near-dup pair.  (Deterministic, single anti-join; the
-    transitive-closure variant is `connected_components` on the pair graph
-    for cluster-level dedup.)"""
+    transitive-closure variant is `dedup_clusters` for cluster-level
+    dedup.)"""
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Transitive closure of near-dup pairs: (id, cluster) where cluster
+    is the smallest doc id in the connected component of the pair graph.
+
+    Near-dup similarity is NOT transitive — A~B and B~C do not make A and
+    C similar — so corpus-level dedup takes the closure explicitly and
+    keeps one canonical document per cluster (the standard practice in
+    large-scale training-data dedup; `dedup_by_pairs` is the greedy
+    non-transitive variant).
+
+    Scale shape: the pair graph holds only near-dup ids — a small
+    fraction of a 100 TB corpus — and the closure is min-label
+    propagation via the Pregel driver: one hash join + min-agg per
+    superstep, lineage truncated per chunk, converging in O(cluster
+    diameter) supersteps (dup clusters are short chains in practice).
+    """
+    from graphmapreduce_spark.graph.algorithms import connected_components
+    from graphmapreduce_spark.graph.property_graph import PropertyGraph
+
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"),
+        F.col(id_b).cast("long").alias("dst"),
+    )
+    graph = PropertyGraph.from_edges(edges)
+    comp = connected_components(graph, max_iter=max_iter, check_interval=4)
+    return comp.select(F.col("id"), F.col("component").alias("cluster"))
+
+
+def canonical_docs(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    prefer: Column | str | None = None,
+) -> DataFrame:
+    """One representative row per near-dup cluster, plus every row that
+    is in no cluster (unique docs pass through untouched).
+
+    Default pick is the smallest id in the cluster (deterministic, no
+    extra data needed).  With ``prefer`` (e.g. a quality-score column)
+    the member maximizing it wins, ties broken by smallest id — so dedup
+    keeps the BEST copy, not an arbitrary one.
+
+    One left join + one per-cluster window (rows already co-located by
+    the cluster shuffle); unique docs skip the window entirely.
+    """
+    from pyspark.sql.window import Window
+
+    cl = clusters.select(
+        F.col("id").alias(id_col), F.col("cluster")
+    )
+    joined = df.join(cl, id_col, "left")
+    in_cluster = joined.filter(F.col("cluster").isNotNull())
+    unique = joined.filter(F.col("cluster").isNull()).drop("cluster")
+    order = [F.col(id_col).asc()]
+    if prefer is not None:
+        p = F.col(prefer) if isinstance(prefer, str) else prefer
+        order = [p.desc(), F.col(id_col).asc()]
+    w = Window.partitionBy("cluster").orderBy(*order)
+    best = (
+        in_cluster.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "cluster")
+    )
+    return unique.unionByName(best)
 
 
 def simhash(

@@ -2362,6 +2362,103 @@ def q69_stream_dedup(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# Cluster-level dedup: transitive closure of near-dup pairs + canonical
+# doc selection.  The oracle runs the SAME closure as a DuckDB recursive
+# CTE (min-label reachability), so the whole pipeline — shingles →
+# jaccard pairs → connected components → representative pick — is
+# value-checked end-to-end.
+# ---------------------------------------------------------------------
+_PAIR_CLOSURE_CTES = """
+    sh AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, GREATEST(length(text) - 2, 0) + 1),
+               i -> substr(text, i, 3))) AS grams
+      FROM documents WHERE doc_id < 100
+    ),
+    inv AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (len(sa.grams) + len(sb.grams) - i) >= 0.6
+    ),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+    verts AS (SELECT DISTINCT src AS id FROM sym),
+    reach AS (
+      SELECT id, id AS lbl FROM verts
+      UNION
+      SELECT s.dst AS id, r.lbl AS lbl
+      FROM reach r JOIN sym s ON s.src = r.id
+    ),
+    clusters AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)
+"""
+
+
+def _pair_frame(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d, D.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.6, max_df=1000
+    )
+
+
+@register(
+    "q76_dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    {_PAIR_CLOSURE_CTES}
+    SELECT id, cluster FROM clusters
+    """,
+)
+def q76_dedup_clusters(spark, sf_dir):
+    """Transitive closure of n-gram-Jaccard near-dup pairs: (doc id,
+    cluster = min id in its connected component).  Spark side runs
+    min-label Pregel over the pair graph; the oracle runs the identical
+    closure as a DuckDB recursive CTE."""
+    _, pairs = _pair_frame(spark, sf_dir)
+    return D.dedup_clusters(pairs)
+
+
+@register(
+    "q77_canonical_docs",
+    f"""
+    WITH RECURSIVE
+    {_PAIR_CLOSURE_CTES},
+    scored AS (
+      SELECT d.doc_id, length(d.text) AS n_chars, c.cluster,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster
+                                ORDER BY length(d.text) DESC, d.doc_id)
+               AS rn
+      FROM documents d JOIN clusters c ON c.id = d.doc_id
+      WHERE d.doc_id < 100
+    )
+    SELECT doc_id, n_chars FROM scored WHERE rn = 1
+    UNION ALL
+    SELECT doc_id, length(text) AS n_chars FROM documents
+    WHERE doc_id < 100
+      AND doc_id NOT IN (SELECT id FROM clusters)
+    """,
+)
+def q77_canonical_docs(spark, sf_dir):
+    """Cluster-level dedup keeping the BEST copy: per near-dup cluster
+    the longest member (ties → smallest id) survives; unique docs pass
+    through.  This is the full corpus-dedup pipeline a training-data
+    run would execute."""
+    docs, pairs = _pair_frame(spark, sf_dir)
+    clusters = D.dedup_clusters(pairs)
+    slim = docs.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    return D.canonical_docs(slim, "doc_id", clusters, prefer="n_chars")
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -2401,6 +2498,8 @@ _WINDOW_PRIORITY = [
     "q69_stream_dedup",
     # -- new queries this round (insert BEFORE the breadth fillers) --
     "q75_simhash_hamming",
+    "q76_dedup_clusters",
+    "q77_canonical_docs",
     # -- implementations touched this round: re-verify (13) --
     "q30_degrees",
     "q31_triangle_count",
@@ -2427,8 +2526,6 @@ _WINDOW_PRIORITY = [
     "q72_exists_subquery",
     "q74_hll_sketch_rollup",
     "q23_grouping_sets",
-    "q21_range_join",
-    "q18_json",
 ]
 
 

@@ -237,3 +237,33 @@ def test_winnowing_fingerprints_rows_match_expression_form(spark):
         ).collect()
     }
     assert got == {k: v for k, v in expr.items() if v}
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    """A-B and B-C chain one cluster labeled by min id; D-E separate;
+    clusters contain only paired ids (uniques absent)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster"] for r in D.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_canonical_docs_prefers_quality_and_passes_uniques(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (10, 1.0), (11, 1.0), (42, 0.0)],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    clusters = D.dedup_clusters(pairs)
+    # default: smallest id per cluster + untouched unique doc 42
+    kept = {r["doc_id"] for r in D.canonical_docs(df, "doc_id", clusters).collect()}
+    assert kept == {1, 10, 42}
+    # prefer=q: highest q wins, tie broken by smallest id (2 beats 3)
+    kept_q = {
+        r["doc_id"]
+        for r in D.canonical_docs(df, "doc_id", clusters, prefer="q").collect()
+    }
+    assert kept_q == {2, 10, 42}
