@@ -1,0 +1,109 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+`df.sample()` is NOT reproducible at scale: its output depends on the
+partition layout and the per-partition RNG stream, so the same call over
+the same data re-partitioned differently yields a different sample.  A
+100 TB corpus pipeline needs sampling that is (a) a pure filter — no
+shuffle, pushes down past column pruning, re-runnable per partition on
+failure — and (b) content-deterministic, so a train/eval split or a
+data-mixture recipe is exactly reproducible across runs, engines and
+cluster sizes.  The standard trick: hash the row's stable id with a
+seed and keep rows whose hash bucket falls below the rate.
+
+Hash options mirror the dedup operators: ``xxhash64`` (JVM-side, fast
+default) and ``md5`` (portable 60-bit — the DuckDB oracle replicates it
+bit-for-bit, so sampling itself is value-checked, not just row-counted).
+
+The reference has no sampling surface (its sampling analog is the
+splitter sampling inside samplesort.cpp:40-69, a different concern);
+these are [EXT] north-star operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphmapreduce_spark.functions import text as T
+
+# Denominator of the keep-rate fraction: hash mod 1e6 < rate*1e6 gives
+# one-in-a-million rate resolution while staying far from the 60-bit
+# hash range (no modulo bias worth speaking of).
+_BUCKETS = 1_000_000
+
+
+def _bucket(id_col: Column, seed: int, hash_fn: str) -> Column:
+    salted = F.concat(id_col.cast("string"), F.lit(f":{seed}"))
+    return F.pmod(T._hash_col(salted, hash_fn), F.lit(_BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff
+    ``hash(id:seed) mod 1e6 < fraction * 1e6``.
+
+    Pure narrow filter — no shuffle, no RNG state, survives any
+    repartitioning; different seeds give independent samples (disjoint
+    splits come from `hash_split`)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    thresh = int(fraction * _BUCKETS)
+    return df.filter(_bucket(F.col(id_col), seed, hash_fn) < F.lit(thresh))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: list[float],
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> list[DataFrame]:
+    """Disjoint deterministic splits (e.g. train/val/test) from ONE hash:
+    contiguous bucket ranges of one hash value, so the splits partition
+    the input exactly — no row lost, none duplicated — and stay stable
+    when rows are added (an id keeps its split forever)."""
+    if any(f < 0 for f in fractions) or abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must be >=0 and sum to 1, got {fractions}")
+    b = _bucket(F.col(id_col), seed, hash_fn)
+    out, lo = [], 0
+    for i, f in enumerate(fractions):
+        hi = _BUCKETS if i == len(fractions) - 1 else lo + int(f * _BUCKETS)
+        out.append(df.filter((b >= F.lit(lo)) & (b < F.lit(hi))))
+        lo = hi
+    return out
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: Mapping[object, float],
+    default_fraction: float = 0.0,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixture operator:
+    ``fractions`` maps a stratum value (source, language, quality tier)
+    to its keep rate; strata not listed keep ``default_fraction``.
+
+    Still a pure filter: the rate lookup is a CASE expression compiled
+    into the scan, so a 100-way mixture over 100 TB reads each row once
+    and shuffles nothing."""
+    for k, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {k!r} out of [0,1]: {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction out of [0,1]: {default_fraction}")
+    rate = F.lit(int(default_fraction * _BUCKETS))
+    for k, f in fractions.items():
+        rate = F.when(
+            F.col(strata_col) == F.lit(k), F.lit(int(f * _BUCKETS))
+        ).otherwise(rate)
+    return df.filter(_bucket(F.col(id_col), seed, hash_fn) < rate)

@@ -29,6 +29,7 @@ from graphmapreduce_spark.graph import PropertyGraph
 from graphmapreduce_spark.graph import algorithms as alg
 from graphmapreduce_spark.operators import dedup as D
 from graphmapreduce_spark.operators import multimodal as M
+from graphmapreduce_spark.operators import sampling as SMP
 from graphmapreduce_spark.operators import similarity as S
 from graphmapreduce_spark.operators.relational import asof_join, top_k_per_group
 from graphmapreduce_spark.streaming import session_agg, sliding_agg, tumbling_agg
@@ -2459,6 +2460,120 @@ def q77_canonical_docs(spark, sf_dir):
     return D.canonical_docs(slim, "doc_id", clusters, prefer="n_chars")
 
 
+# ---------------------------------------------------------------------
+# Deterministic sampling — reproducible corpus subsampling, train/eval
+# splits and data-mixture control.  md5 variant is value-checked: the
+# oracle replicates the 60-bit hash bit-for-bit, so set MEMBERSHIP (not
+# just the rate) must match.
+# ---------------------------------------------------------------------
+_MD5_BUCKET = (
+    "('0x' || substr(md5(CAST({col} AS VARCHAR) || ':{seed}'), 1, 15))"
+    "::BIGINT % 1000000"
+)
+
+
+@register(
+    "q78_hash_sample",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE {_MD5_BUCKET.format(col='doc_id', seed=0)} < 100000
+    """,
+)
+def q78_hash_sample(spark, sf_dir):
+    """10% deterministic Bernoulli sample of the corpus: pure filter
+    (no shuffle, no RNG state), same members on any engine / partition
+    layout — unlike df.sample()."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return SMP.hash_sample(d, "doc_id", 0.10, seed=0, hash_fn="md5")
+
+
+@register(
+    "q79_stratified_sample",
+    f"""
+    SELECT event_id, event_type FROM events
+    WHERE {_MD5_BUCKET.format(col='event_id', seed=7)}
+          < CASE event_type WHEN 'click' THEN 500000
+                            WHEN 'error' THEN 50000
+                            ELSE 200000 END
+    """,
+)
+def q79_stratified_sample(spark, sf_dir):
+    """Data-mixture control: per-stratum deterministic keep rates
+    (upsample clicks to 50%, downsample errors to 5%, default 20%) as a
+    single CASE-rate filter compiled into the scan."""
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    return SMP.stratified_hash_sample(
+        e,
+        "event_id",
+        "event_type",
+        {"click": 0.5, "error": 0.05},
+        default_fraction=0.2,
+        seed=7,
+        hash_fn="md5",
+    )
+
+
+@register(
+    "q80_hash_split",
+    f"""
+    WITH b AS (
+      SELECT doc_id,
+             {_MD5_BUCKET.format(col='doc_id', seed=1)} AS bk
+      FROM documents
+    )
+    SELECT 'test' AS split, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b WHERE bk >= 900000
+    UNION ALL
+    SELECT 'train', CAST(COUNT(*) AS BIGINT) FROM b WHERE bk < 800000
+    UNION ALL
+    SELECT 'val', CAST(COUNT(*) AS BIGINT)
+    FROM b WHERE bk >= 800000 AND bk < 900000
+    """,
+)
+def q80_hash_split(spark, sf_dir):
+    """80/10/10 train/val/test split from ONE hash: contiguous bucket
+    ranges, so the three frames partition the corpus exactly and an id
+    keeps its split forever as new data lands."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    train, val, test = SMP.hash_split(
+        d, "doc_id", [0.8, 0.1, 0.1], seed=1, hash_fn="md5"
+    )
+    parts = [("train", train), ("val", val), ("test", test)]
+    out = None
+    for name, frame in parts:
+        c = frame.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("split"), "n"
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+@register(
+    "q81_heavy_hitters",
+    r"""
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT UNNEST(list_filter(
+            string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+          FROM documents)
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 20
+    """,
+)
+def q81_heavy_hitters(spark, sf_dir):
+    """Exact corpus-wide top-20 terms (count desc, term tiebreak) —
+    boilerplate detection / vocabulary profiling.  explode + partial
+    agg; top-k via TakeOrdered, never a global sort."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(T.words("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -2500,6 +2615,10 @@ _WINDOW_PRIORITY = [
     "q75_simhash_hamming",
     "q76_dedup_clusters",
     "q77_canonical_docs",
+    "q78_hash_sample",
+    "q79_stratified_sample",
+    "q80_hash_split",
+    "q81_heavy_hitters",
     # -- implementations touched this round: re-verify (13) --
     "q30_degrees",
     "q31_triangle_count",
@@ -2522,10 +2641,6 @@ _WINDOW_PRIORITY = [
     "q25_pandas_udaf_median",
     "q28_udtf_tokenize",
     "q57_percentiles",
-    "q58_scalar_subquery",
-    "q72_exists_subquery",
-    "q74_hll_sketch_rollup",
-    "q23_grouping_sets",
 ]
 
 

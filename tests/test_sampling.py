@@ -1,0 +1,69 @@
+"""Deterministic sampling operators: reproducibility across partition
+layouts, split disjointness/stability, stratified rates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphmapreduce_spark.operators import sampling as SMP
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+
+
+def test_hash_sample_deterministic_and_layout_independent(ids):
+    a = {r["doc_id"] for r in SMP.hash_sample(ids, "doc_id", 0.1).collect()}
+    b = {
+        r["doc_id"]
+        for r in SMP.hash_sample(
+            ids.repartition(13, "doc_id"), "doc_id", 0.1
+        ).collect()
+    }
+    assert a == b  # same members under any partitioning — df.sample is not
+    assert 800 <= len(a) <= 1200  # ~10% of 10k
+
+
+def test_hash_sample_seeds_independent(ids):
+    a = {r["doc_id"] for r in SMP.hash_sample(ids, "doc_id", 0.1, seed=0).collect()}
+    b = {r["doc_id"] for r in SMP.hash_sample(ids, "doc_id", 0.1, seed=1).collect()}
+    overlap = len(a & b) / max(len(a), 1)
+    assert 0.02 <= overlap <= 0.25  # ~independent: E[overlap rate] = 10%
+
+
+def test_hash_sample_md5_matches_xxhash_shape(ids):
+    m = SMP.hash_sample(ids, "doc_id", 0.1, hash_fn="md5").count()
+    assert 800 <= m <= 1200
+
+
+def test_hash_split_partitions_exactly(ids):
+    train, val, test = SMP.hash_split(ids, "doc_id", [0.8, 0.1, 0.1])
+    nt, nv, ns = train.count(), val.count(), test.count()
+    assert nt + nv + ns == 10_000  # no row lost or duplicated
+    assert nt > 7500 and 700 < nv < 1300 and 700 < ns < 1300
+    # id→split assignment is stable under growth: a subset of the data
+    # gets the identical assignment for surviving ids
+    sub = ids.filter(F.col("doc_id") < 5000)
+    t2 = {r["doc_id"] for r in SMP.hash_split(sub, "doc_id", [0.8, 0.1, 0.1])[0].collect()}
+    t1 = {r["doc_id"] for r in train.filter(F.col("doc_id") < 5000).collect()}
+    assert t1 == t2
+
+
+def test_stratified_rates(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(20_000)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = SMP.stratified_hash_sample(
+        df, "id", "s", {"a": 0.5, "b": 0.05}, default_fraction=0.0
+    )
+    counts = {r["s"]: r["n"] for r in got.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 4500 <= counts.get("a", 0) <= 5500  # ~50% of 10k
+    assert 300 <= counts.get("b", 0) <= 700  # ~5% of 10k
+
+
+def test_validation_errors(ids):
+    with pytest.raises(ValueError):
+        SMP.hash_sample(ids, "doc_id", 1.5)
+    with pytest.raises(ValueError):
+        SMP.hash_split(ids, "doc_id", [0.5, 0.4])  # doesn't sum to 1
+    with pytest.raises(ValueError):
+        SMP.stratified_hash_sample(ids, "doc_id", "doc_id", {1: 2.0})
