@@ -31,6 +31,7 @@ from graphmapreduce_spark.operators import dedup as D
 from graphmapreduce_spark.operators import multimodal as M
 from graphmapreduce_spark.operators import sampling as SMP
 from graphmapreduce_spark.operators import similarity as S
+from graphmapreduce_spark.operators import sketches as SK
 from graphmapreduce_spark.operators.relational import asof_join, top_k_per_group
 from graphmapreduce_spark.streaming import session_agg, sliding_agg, tumbling_agg
 
@@ -2574,6 +2575,53 @@ def q81_heavy_hitters(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# Sketch extensions: mergeable quantiles (KLL) + distinct-count set
+# algebra (theta).  KLL estimates are rank-bounded but the compaction
+# is randomized → rows-only driver check, accuracy pytest.  Theta is
+# EXACT below its nominal capacity, so q83 gets a full value oracle.
+# ---------------------------------------------------------------------
+@register("q82_kll_quantile_rollup", None)  # randomized compaction: no oracle
+def q82_kll_quantile_rollup(spark, sf_dir):
+    """Mergeable-percentile pattern: KLL sketch per (event_type, day)
+    fine grain, rolled up to event_type by sketch MERGE — any later
+    quantile question over any date range without re-scanning the base
+    table.  Rank error is bounded by k regardless of merge depth."""
+    e = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    sk = SK.kll_sketch_table(e, ["event_type", "day"], "value")
+    return SK.kll_quantile_rollup(sk, ["event_type"], [0.5, 0.95]).orderBy(
+        "event_type"
+    )
+
+
+@register(
+    "q83_theta_segment_overlap",
+    """
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click' AND value > 90),
+         b AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase' AND value > 90)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM (SELECT * FROM a UNION SELECT * FROM b)) AS n_union,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+             AS n_intersect,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_a_only
+    """,
+)
+def q83_theta_segment_overlap(spark, sf_dir):
+    """Segment distinct-count algebra from theta sketches: high-value
+    click users vs purchase users — |A|, |B|, |A∪B|, |A∩B|, |A\\B|
+    with NO self-join of the fact table.  Below 2^lgk distinct values
+    the sketch is exact, so the oracle compares exact set counts."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value") > 90)
+    sk = SK.theta_sketch_table(e, ["event_type"], "user_id", lgk=12)
+    return SK.theta_overlap(sk, "event_type", "click", "purchase")
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -2619,6 +2667,8 @@ _WINDOW_PRIORITY = [
     "q79_stratified_sample",
     "q80_hash_split",
     "q81_heavy_hitters",
+    "q82_kll_quantile_rollup",
+    "q83_theta_segment_overlap",
     # -- implementations touched this round: re-verify (13) --
     "q30_degrees",
     "q31_triangle_count",
@@ -2639,8 +2689,6 @@ _WINDOW_PRIORITY = [
     "q02_top_customers",
     "q22_asof_join",
     "q25_pandas_udaf_median",
-    "q28_udtf_tokenize",
-    "q57_percentiles",
 ]
 
 

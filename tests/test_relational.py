@@ -168,3 +168,33 @@ def test_hll_sketch_rollup_properties(spark):
     }
     for g, est in merged.items():
         assert abs(est - exact[g]) / exact[g] < 0.02, (g, est, exact[g])
+
+
+def test_kll_quantile_rollup_accuracy(spark):
+    """Merged-sketch quantiles stay within KLL's rank-error bound of the
+    exact percentiles: with k=200 the normalized rank error is ~1.65%,
+    so on 0..9999 the p50/p95 estimates must land within ~250 ranks."""
+    from graphmapreduce_spark.operators import sketches as SK
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 10).alias("g"), F.col("id").cast("double").alias("v")
+    )
+    sk = SK.kll_sketch_table(df, ["g"], "v")  # 10 fine-grain sketches
+    got = SK.kll_quantile_rollup(sk, [], [0.5, 0.95]).collect()[0]
+    assert abs(got["q_50"] - 5000) <= 300
+    assert abs(got["q_95"] - 9500) <= 300
+
+
+def test_theta_overlap_exact_below_capacity(spark):
+    """Below 2^lgk distinct values theta sketches are exact: the overlap
+    report equals the set-algebra ground truth."""
+    from graphmapreduce_spark.operators import sketches as SK
+
+    rows = [("a", i) for i in range(100)] + [("b", i) for i in range(60, 200)]
+    df = spark.createDataFrame(rows, "seg string, uid long")
+    sk = SK.theta_sketch_table(df, ["seg"], "uid", lgk=12)
+    got = SK.theta_overlap(sk, "seg", "a", "b").collect()[0]
+    assert (got["n_a"], got["n_b"]) == (100, 140)
+    assert got["n_union"] == 200
+    assert got["n_intersect"] == 40  # 60..99
+    assert got["n_a_only"] == 60  # 0..59
