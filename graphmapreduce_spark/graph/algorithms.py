@@ -637,3 +637,55 @@ def kmeans(
         got = dict(new_centroids)
         centroids = [(cid, got.get(cid, cen)) for cid, cen in centroids]
     return assign.select("id", "cluster")
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition [EXT] — no reference analog; standard subgraph-mining
+# primitive (densest-region extraction, spam/bot filtering on interaction
+# graphs).  Synchronous peel: drop ALL vertices of degree < k each round;
+# converges to the unique maximal subgraph with min degree >= k, so the
+# schedule cannot change the answer (which is what makes the unrolled-CTE
+# SQL oracle exact).
+# ---------------------------------------------------------------------------
+def k_core(
+    graph: PropertyGraph,
+    k: int,
+    max_iter: int = 100,
+    assume_simple: bool = False,
+) -> DataFrame:
+    """(id, core_degree) for vertices of the k-core, with their degree
+    inside the core subgraph.
+
+    Scale shape: per round, one degree agg + two semi-joins on the
+    SHRINKING edge set (never the original graph), lineage truncated by
+    an eager localCheckpoint, and exactly one O(1) driver action (the
+    empty-check on the peel frontier).  Rounds are bounded by the
+    degeneracy ordering depth, typically small on real graphs.
+
+    ``assume_simple=True`` skips the symmetrize-distinct shuffle when
+    the input edges are already a simple canonical (a<b) orientation —
+    at 100 TB that is one full shuffle saved.
+    """
+    sym = graph.edges.select("src", "dst").unionByName(
+        graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    if not assume_simple:
+        sym = sym.distinct()
+    edges = sym.localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("core_degree"))
+    for _ in range(max_iter):
+        low = deg.filter(F.col("core_degree") < k).select("src")
+        if low.isEmpty():
+            break
+        keep = (
+            deg.filter(F.col("core_degree") >= k)
+            .select("src")
+            .localCheckpoint(eager=True)
+        )
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("core_degree"))
+    return deg.select(F.col("src").alias("id"), "core_degree")

@@ -2622,6 +2622,58 @@ def q83_theta_segment_overlap(spark, sf_dir):
     return SK.theta_overlap(sk, "event_type", "click", "purchase")
 
 
+def _kcore_oracle_sql(k: int = 15, mod: int = 5000, rounds: int = 8) -> str:
+    """Unrolled synchronous peel (same pattern as the PageRank oracle):
+    each round keeps vertices with degree >= k and re-filters the edge
+    set.  The k-core is the unique maximal subgraph with min degree >= k,
+    so once the fixture converges (3 rounds at sf0.01) the remaining
+    unrolled rounds are no-ops and the fixed-depth SQL equals Spark's
+    run-to-fixpoint result."""
+    pre = f"""
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT LEAST(l_orderkey % {mod}, l_partkey % {mod}) AS a,
+                      GREATEST(l_orderkey % {mod}, l_partkey % {mod}) AS b
+      FROM lineitem WHERE l_orderkey % {mod} <> l_partkey % {mod}
+    ),
+    s0 AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL SELECT b AS src, a AS dst FROM und)"""
+    its = []
+    for i in range(1, rounds + 1):
+        p = f"s{i - 1}"
+        its.append(f"""
+    k{i} AS MATERIALIZED (
+      SELECT src FROM {p} GROUP BY src HAVING COUNT(*) >= {k}),
+    s{i} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM {p} e
+      JOIN k{i} x ON x.src = e.src
+      JOIN k{i} y ON y.src = e.dst)""")
+    return (
+        pre + "," + ",".join(its)
+        + f"""
+    SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM s{rounds} GROUP BY src"""
+    )
+
+
+@register("q84_kcore", _kcore_oracle_sql())
+def q84_kcore(spark, sf_dir):
+    """k-core of the lineitem-derived graph (k=15): iterative
+    synchronous peel; oracle is the unrolled-CTE form of the same peel."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_orderkey") % 5000).alias("s"),
+            (F.col("l_partkey") % 5000).alias("t"),
+        )
+        .filter(F.col("s") != F.col("t"))
+        .select(F.least("s", "t").alias("src"), F.greatest("s", "t").alias("dst"))
+        .distinct()
+    )
+    g = PropertyGraph.from_edges(e)
+    return alg.k_core(g, k=15, assume_simple=True)
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -2669,6 +2721,7 @@ _WINDOW_PRIORITY = [
     "q81_heavy_hitters",
     "q82_kll_quantile_rollup",
     "q83_theta_segment_overlap",
+    "q84_kcore",
     # -- implementations touched this round: re-verify (13) --
     "q30_degrees",
     "q31_triangle_count",
@@ -2688,7 +2741,6 @@ _WINDOW_PRIORITY = [
     "q01_pricing_summary",
     "q02_top_customers",
     "q22_asof_join",
-    "q25_pandas_udaf_median",
 ]
 
 

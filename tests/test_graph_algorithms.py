@@ -283,3 +283,24 @@ def test_locality_partition_reduces_cut(spark):
         g.edges.selectExpr("dst as src", "src as dst")
     )
     assert edge_cut(sym, parts) // 2 == 1
+
+
+def test_k_core_golden(spark):
+    """K4 with a pendant tail: 3-core = exactly the K4 (degree 3 inside
+    the core); the tail (and its bridge endpoint's extra degree) peels
+    away.  A path graph has no 2-core at all."""
+    from graphmapreduce_spark.graph.algorithms import k_core
+    from graphmapreduce_spark.graph.property_graph import PropertyGraph
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tail = [(4, 5), (5, 6)]
+    g = PropertyGraph.from_edges(
+        spark.createDataFrame(k4 + tail, "src long, dst long")
+    )
+    got = {r["id"]: r["core_degree"] for r in k_core(g, k=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    path = PropertyGraph.from_edges(
+        spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    )
+    assert k_core(path, k=2).count() == 0
