@@ -178,3 +178,50 @@ def winnowing_fingerprint(col: Column | str, n: int = 8, w: int = 4) -> Column:
     return F.when(
         F.size(hs) > 0, F.array_sort(F.array_distinct(mins))
     ).otherwise(F.array().cast("array<long>"))
+
+
+# ---------------------------------------------------------------------------
+# Normalization / scrubbing / repetition — training-data cleaning stage.
+# All pure Column expressions (JVM-side, codegen); regexes restricted to
+# syntax with identical semantics in Java regex and RE2 so the DuckDB
+# oracle can replicate them byte-for-byte.
+# ---------------------------------------------------------------------------
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_LONG_DIGITS_RE = r"\b\d{10,18}\b"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for dedup/fingerprinting: lowercase, control
+    chars to spaces, whitespace runs collapsed, trimmed.
+
+    Deliberately NO unicode NFC/accent folding: Spark has no built-in
+    for it and a per-row Python UDF in a 100 TB hot path is the wrong
+    trade — normalize encodings at ingest instead."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[\x00-\x1f\x7f]", " ")
+    c = F.regexp_replace(c, r"\s{2,}", " ")
+    return F.trim(c)
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact common PII lexemes: emails, IPv4 addresses, long digit
+    runs (phones / account ids).  Email first — emails contain digits
+    and dots the later passes would half-eat."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, _IPV4_RE, "<IP>")
+    c = F.regexp_replace(c, _LONG_DIGITS_RE, "<NUM>")
+    return c
+
+
+def repetition_ratio(col: Column | str, n: int = 8) -> Column:
+    """Intra-document repetition: 1 - distinct/total char n-grams
+    (Gopher-style quality signal; high ratio = looped/spammy text)."""
+    total_grams = char_shingles(col, n, distinct=False)
+    t = F.size(total_grams)
+    u = F.size(F.array_distinct(total_grams))
+    return F.when(
+        t > 0, F.lit(1.0) - u.cast("double") / t.cast("double")
+    ).otherwise(F.lit(0.0))

@@ -583,3 +583,55 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def remove_boilerplate_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delimiter: str = r"\n{2,}",
+    min_df: int = 2,
+    rejoin: str = "\n\n",
+    max_hot: int | None = 100_000,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (RefinedWeb-style): split each
+    doc into segments, drop every segment whose trimmed form appears in
+    >= ``min_df`` DISTINCT documents (headers, footers, nav chrome,
+    license blurbs), reassemble the survivors in original order.
+
+    Returns (id_col, text_col) for documents with >= 1 surviving
+    segment; fully-boilerplate docs drop out (filter them upstream of
+    rejoin if empty docs must be kept).
+
+    Scale shape: posexplode -> per-segment doc-frequency agg (two
+    shuffles over segment text, map-side combinable) -> the hot set is
+    joined back with a broadcast anti-join when it fits under
+    ``max_hot`` rows (boilerplate vocabularies are small by nature),
+    else a shuffle anti-join -> one groupBy(id) to reassemble.  No UDF,
+    no driver data path.
+    """
+    seg = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias("pos", "seg"),
+    ).filter(F.trim(F.col("seg")) != "")
+    key = F.trim(F.col("seg"))
+    hot = (
+        seg.select(key.alias("k"), F.col(id_col))
+        .distinct()
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("k")
+    )
+    if max_hot is not None:
+        hot = F.broadcast(hot.limit(max_hot))
+    kept = seg.join(hot, key == F.col("k"), "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            rejoin,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias(text_col)
+    )

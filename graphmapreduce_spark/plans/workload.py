@@ -2674,6 +2674,109 @@ def q84_kcore(spark, sf_dir):
     return alg.k_core(g, k=15, assume_simple=True)
 
 
+# ---------------------------------------------------------------------
+# Text cleaning stage: normalization, PII scrubbing, boilerplate
+# removal, repetition scoring.  The fixture text is already clean ASCII
+# word-soup, so q85 injects deterministic noise (case, tabs, an email,
+# an IP, a long digit run) IN THE QUERY on both engines — the
+# transformations are exercised for real, not vacuously.
+# ---------------------------------------------------------------------
+@register(
+    "q85_normalize_scrub",
+    r"""
+    WITH noisy AS (
+      SELECT doc_id,
+             '  THE Quick' || chr(9) || text ||
+             '  reach me: bob.smith+x@example.co.uk or 10.0.42.7 ref 123456789012  '
+               AS t
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(t),
+                '[\x00-\x1f\x7f]', ' ', 'g'), '\s{2,}', ' ', 'g'))
+             AS norm_text,
+           regexp_replace(regexp_replace(regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                '\b\d{10,18}\b', '<NUM>', 'g')
+             AS scrubbed
+    FROM noisy
+    """,
+)
+def q85_normalize_scrub(spark, sf_dir):
+    """Text normalization + PII scrubbing as pure expressions; noise is
+    injected deterministically so case folding, control-char removal,
+    whitespace collapse and all three redaction patterns fire."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    noisy = F.concat(
+        F.lit("  THE Quick\t"),
+        F.col("text"),
+        F.lit("  reach me: bob.smith+x@example.co.uk or 10.0.42.7 ref 123456789012  "),
+    )
+    return d.select(
+        "doc_id",
+        T.normalize_text(noisy).alias("norm_text"),
+        T.scrub_pii(noisy).alias("scrubbed"),
+    )
+
+
+@register(
+    "q87_boilerplate_segments",
+    """
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+    ),
+    arrs AS (SELECT doc_id, string_split_regex(text, ' the ') AS arr FROM d),
+    segs AS (
+      SELECT doc_id, i AS pos, trim(arr[i]) AS k, arr[i] AS seg
+      FROM arrs, UNNEST(range(1, len(arr) + 1)) AS t(i)
+      WHERE trim(arr[i]) <> ''
+    ),
+    hot AS (
+      SELECT k FROM (
+        SELECT k, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY k
+      ) WHERE df >= 2
+    ),
+    kept AS (SELECT * FROM segs WHERE k NOT IN (SELECT k FROM hot))
+    SELECT doc_id, string_agg(seg, ' the ' ORDER BY pos) AS text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q87_boilerplate_segments(spark, sf_dir):
+    """Corpus-level boilerplate removal: segments appearing in >= 2
+    distinct docs are dropped, survivors re-joined in order.  The
+    fixture's synthetic text has no newlines, so segments are delimited
+    by a frequent token — the plan (posexplode, doc-frequency agg,
+    broadcast anti-join, ordered reassembly) is identical to the
+    paragraph-delimiter production form."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return D.remove_boilerplate_segments(
+        d, "doc_id", "text", delimiter=" the ", min_df=2, rejoin=" the "
+    )
+
+
+@register(
+    "q88_repetition_ratio",
+    """
+    SELECT doc_id,
+           ROUND(CASE WHEN len(g) > 0
+                 THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+                 ELSE 0.0 END, 6) AS rep_ratio
+    FROM (SELECT doc_id,
+                 list_transform(range(1, GREATEST(length(text) - 7, 0) + 1),
+                                i -> substr(text, i, 8)) AS g
+          FROM documents)
+    """,
+)
+def q88_repetition_ratio(spark, sf_dir):
+    """Gopher-style intra-doc repetition: 1 - distinct/total char
+    8-grams, pure expression."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(T.repetition_ratio("text", 8), 6).alias("rep_ratio")
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -2722,6 +2825,9 @@ _WINDOW_PRIORITY = [
     "q82_kll_quantile_rollup",
     "q83_theta_segment_overlap",
     "q84_kcore",
+    "q85_normalize_scrub",
+    "q87_boilerplate_segments",
+    "q88_repetition_ratio",
     # -- implementations touched this round: re-verify (13) --
     "q30_degrees",
     "q31_triangle_count",
@@ -2738,9 +2844,6 @@ _WINDOW_PRIORITY = [
     "q42_text_stats",
     # -- breadth fillers: already-green families, keep inside the window
     #    while slots remain (trim from the END when adding new queries) --
-    "q01_pricing_summary",
-    "q02_top_customers",
-    "q22_asof_join",
 ]
 
 

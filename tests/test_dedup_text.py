@@ -267,3 +267,52 @@ def test_canonical_docs_prefers_quality_and_passes_uniques(spark):
         for r in D.canonical_docs(df, "doc_id", clusters, prefer="q").collect()
     }
     assert kept_q == {2, 10, 42}
+
+
+def test_normalize_text_and_scrub_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "  HELLO\tWorld\x01  mail a.b+c@ex.org ip 10.0.0.1 acct 12345678901  ")],
+        "id long, t string",
+    )
+    r = df.select(
+        T.normalize_text("t").alias("n"), T.scrub_pii("t").alias("s")
+    ).collect()[0]
+    assert r["n"] == "hello world mail a.b+c@ex.org ip 10.0.0.1 acct 12345678901"
+    assert "<EMAIL>" in r["s"] and "<IP>" in r["s"] and "<NUM>" in r["s"]
+    assert "a.b+c@ex.org" not in r["s"] and "10.0.0.1" not in r["s"]
+
+
+def test_remove_boilerplate_paragraphs_default_delimiter(spark):
+    footer = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha content\n\n{footer}"),
+            (2, f"unique beta content\n\n{footer}"),
+            (3, f"{footer}"),  # all boilerplate: drops out entirely
+            (4, "standalone gamma text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in D.remove_boilerplate_segments(docs, "doc_id", "text").collect()
+    }
+    assert out == {
+        1: "unique alpha content",
+        2: "unique beta content",
+        4: "standalone gamma text",
+    }
+
+
+def test_repetition_ratio(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefgh" * 10), (2, "abcdefghijklmnop")], "id long, t string"
+    )
+    got = {
+        r["id"]: r["r"]
+        for r in df.select("id", T.repetition_ratio("t", 8).alias("r")).collect()
+    }
+    # doc 1: 73 total 8-grams but only 8 distinct (fully looped text)
+    assert got[1] > 0.85
+    # doc 2: all 9 8-grams distinct
+    assert got[2] == 0.0
