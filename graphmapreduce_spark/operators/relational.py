@@ -177,3 +177,30 @@ def asof_join(
         *[F.col("_lrow")[c].alias(c) for c in lcols],
         *[F.col(f"_r_{c}").alias(c) for c in value_cols],
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    session_col: str = "session_seq",
+) -> DataFrame:
+    """Gap-based sessionization (batch analog of the streaming
+    ``session_window``): a new session starts when the time since the
+    same key's previous event exceeds ``gap_seconds``; appends
+    ``session_col`` = 1-based session sequence number per key.
+
+    One shuffle (the per-key window sort); both window passes share the
+    same partitioning.  At 100 TB the key partitioning bounds state —
+    no per-key driver work, no UDF."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = (
+        prev.isNull()
+        | ((F.col(ts_col).cast("long") - prev.cast("long")) > gap_seconds)
+    ).cast("long")
+    run = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(session_col, F.sum(is_new).over(run))

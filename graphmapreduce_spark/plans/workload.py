@@ -29,6 +29,7 @@ from graphmapreduce_spark.graph import PropertyGraph
 from graphmapreduce_spark.graph import algorithms as alg
 from graphmapreduce_spark.operators import dedup as D
 from graphmapreduce_spark.operators import multimodal as M
+from graphmapreduce_spark.operators import relational as R
 from graphmapreduce_spark.operators import sampling as SMP
 from graphmapreduce_spark.operators import similarity as S
 from graphmapreduce_spark.operators import sketches as SK
@@ -2777,6 +2778,80 @@ def q88_repetition_ratio(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# Event analytics: gap-based sessionization (the batch analog of the
+# streaming session window) and first-touch funnel.
+# ---------------------------------------------------------------------
+@register(
+    "q89_sessionize",
+    """
+    WITH e AS (
+      -- floor to whole seconds: Spark's cast(timestamp AS long)
+      -- truncates, DuckDB's epoch() keeps fractional seconds
+      SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, tsec,
+             CASE WHEN lag(tsec) OVER w IS NULL
+                       OR tsec - lag(tsec) OVER w > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, tsec,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM s
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(tsec) - MIN(tsec) AS span_s
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def q89_sessionize(spark, sf_dir):
+    """Sessionize the event stream with a 30-minute inactivity gap and
+    summarize each session (event count, span).  Two window passes over
+    ONE per-user shuffle, then a hash agg."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    s = R.sessionize(e, "user_id", "ts", gap_seconds=1800)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+        .alias("span_s"),
+    )
+
+
+@register(
+    "q90_funnel",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted FROM (
+      SELECT user_id
+      FROM events
+      GROUP BY user_id
+      HAVING MIN(CASE WHEN event_type = 'view' THEN ts END)
+               < MIN(CASE WHEN event_type = 'click' THEN ts END)
+         AND MIN(CASE WHEN event_type = 'click' THEN ts END)
+               < MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+    )
+    """,
+)
+def q90_funnel(spark, sf_dir):
+    """First-touch funnel: users whose first view precedes their first
+    click, which precedes their first purchase — one hash agg with
+    conditional MINs, no self-joins."""
+    e = _t(spark, sf_dir, "events")
+    m = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    per_user = e.groupBy("user_id").agg(
+        m("view").alias("v"), m("click").alias("c"), m("purchase").alias("p")
+    )
+    return per_user.filter(
+        (F.col("v") < F.col("c")) & (F.col("c") < F.col("p"))
+    ).agg(F.count(F.lit(1)).alias("n_converted"))
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -2828,6 +2903,8 @@ _WINDOW_PRIORITY = [
     "q85_normalize_scrub",
     "q87_boilerplate_segments",
     "q88_repetition_ratio",
+    "q89_sessionize",
+    "q90_funnel",
     # -- implementations touched this round: re-verify (13) --
     "q30_degrees",
     "q31_triangle_count",
@@ -2840,8 +2917,6 @@ _WINDOW_PRIORITY = [
     "q38_matmul",
     "q39_kmeans",
     "q40_dedup_exact",
-    "q41_fingerprint",
-    "q42_text_stats",
     # -- breadth fillers: already-green families, keep inside the window
     #    while slots remain (trim from the END when adding new queries) --
 ]

@@ -198,3 +198,24 @@ def test_theta_overlap_exact_below_capacity(spark):
     assert got["n_union"] == 200
     assert got["n_intersect"] == 40  # 60..99
     assert got["n_a_only"] == 60  # 0..59
+
+
+def test_sessionize_gap_semantics(spark):
+    from graphmapreduce_spark.operators.relational import sessionize
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:10:00"),  # same session (10 min gap)
+        (1, "2024-01-01 11:00:00"),  # new session (50 min gap)
+        (2, "2024-01-01 09:00:00"),  # separate key: own numbering
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r["user_id"], r["ts"].minute, r["ts"].hour): r["session_seq"]
+        for r in sessionize(df, "user_id", "ts", gap_seconds=1800).collect()
+    }
+    assert got[(1, 0, 10)] == 1 and got[(1, 10, 10)] == 1
+    assert got[(1, 0, 11)] == 2
+    assert got[(2, 0, 9)] == 1
