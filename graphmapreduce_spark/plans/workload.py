@@ -2852,6 +2852,36 @@ def q90_funnel(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n_converted"))
 
 
+@register(
+    "q91_python_udtf",
+    r"""
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, arr[i] AS term
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS arr
+          FROM documents WHERE doc_id < 20),
+         UNNEST(range(1, len(arr) + 1)) AS t(i)
+    """,
+)
+def q91_python_udtf(spark, sf_dir):
+    """Genuine PySpark-4 table-function API (@udtf class + SQL LATERAL
+    correlation) — complements q28's Arrow-batched mapInPandas form.
+    Row-at-a-time Python: API-parity query on a small slice, NOT the
+    bulk-tokenization path (that's functions.text.words)."""
+    from graphmapreduce_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.term
+        FROM _udtf_docs d, LATERAL tokenize_udtf(d.text) t
+        """
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -2905,6 +2935,7 @@ _WINDOW_PRIORITY = [
     "q88_repetition_ratio",
     "q89_sessionize",
     "q90_funnel",
+    "q91_python_udtf",
     # -- implementations touched this round: re-verify (13) --
     "q30_degrees",
     "q31_triangle_count",
@@ -2916,7 +2947,6 @@ _WINDOW_PRIORITY = [
     "q37_mst",
     "q38_matmul",
     "q39_kmeans",
-    "q40_dedup_exact",
     # -- breadth fillers: already-green families, keep inside the window
     #    while slots remain (trim from the END when adding new queries) --
 ]

@@ -219,3 +219,18 @@ def test_sessionize_gap_semantics(spark):
     assert got[(1, 0, 10)] == 1 and got[(1, 10, 10)] == 1
     assert got[(1, 0, 11)] == 2
     assert got[(2, 0, 9)] == 1
+
+
+def test_python_udtf_lateral(spark):
+    from graphmapreduce_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "a b  c"), (2, None)], "id long, t string"
+    ).createOrReplaceTempView("_udtf_t")
+    rows = spark.sql(
+        "SELECT id, pos, term FROM _udtf_t, LATERAL tokenize_udtf(t)"
+    ).collect()
+    got = {(r["id"], r["pos"]): r["term"] for r in rows}
+    # null text yields no rows; double space collapses like str.split()
+    assert got == {(1, 0): "a", (1, 1): "b", (1, 2): "c"}
