@@ -29,6 +29,7 @@ from graphmapreduce_spark.graph import PropertyGraph
 from graphmapreduce_spark.graph import algorithms as alg
 from graphmapreduce_spark.operators import dedup as D
 from graphmapreduce_spark.operators import multimodal as M
+from graphmapreduce_spark.operators import packing as PK
 from graphmapreduce_spark.operators import relational as R
 from graphmapreduce_spark.operators import sampling as SMP
 from graphmapreduce_spark.operators import similarity as S
@@ -2882,6 +2883,133 @@ def q91_python_udtf(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# Pretraining layout + IR scoring
+# ---------------------------------------------------------------------
+@register(
+    "q92_sequence_packing",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS "offset"
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           "offset" // 2048 AS bin,
+           "offset" FROM cum
+    """,
+)
+def q92_sequence_packing(spark, sf_dir):
+    """Pretraining sequence packing: docs virtually concatenated in
+    doc_id order and cut into 2048-token context windows — each doc gets
+    (bin, offset).  The oracle is the naive global running sum; the
+    Spark plan computes the identical layout with the scalable two-level
+    cumsum (parallel per-range windows + broadcast prefix offsets)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").cast("long").alias("n_tokens")
+    )
+    return PK.packed_layout(
+        d, "doc_id", "n_tokens", capacity=2048, range_size=100
+    )
+
+
+@register(
+    "q93_bm25",
+    r"""
+    WITH params AS (SELECT 1.2 AS k1, 0.75 AS b),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(len(ws)) AS avg_len FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*)::DOUBLE AS tf, ANY_VALUE(dl) AS dl
+      FROM (SELECT doc_id, UNNEST(ws) AS term, len(ws)::DOUBLE AS dl
+            FROM toks)
+      WHERE term IN ('spark', 'fast', 'window')
+      GROUP BY doc_id, term
+    ),
+    idf AS (
+      SELECT term,
+             ln(((SELECT n_docs FROM stats) - COUNT(*) + 0.5)
+                / (COUNT(*) + 0.5) + 1.0) AS idf
+      FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id,
+           ROUND(SUM(idf.idf * tf.tf * (k1 + 1)
+                     / (tf.tf + k1 * (1 - b + b * tf.dl
+                                      / (SELECT avg_len FROM stats)))),
+                 6) AS bm25
+    FROM tf JOIN idf USING (term), params
+    GROUP BY tf.doc_id
+    """,
+)
+def q93_bm25(spark, sf_dir):
+    """BM25 relevance of every document to the query terms
+    {spark, fast, window}: tf via explode+filter, df/idf per term
+    (broadcast — the query vocabulary is tiny), avg doc length as a
+    1-row broadcast.  One corpus scan, no UDF; the Lucene-style idf
+    ln((N-df+.5)/(df+.5)+1) keeps scores positive."""
+    k1, b = 1.2, 0.75
+    terms = ["spark", "fast", "window"]
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.words("text").alias("ws")
+    )
+    toks = d.select(
+        "doc_id", F.size("ws").cast("double").alias("dl"), "ws"
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avg_len")
+    )
+    tf = (
+        toks.select(
+            "doc_id", "dl", F.explode("ws").alias("term")
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"),
+             F.first("dl").alias("dl"))
+    )
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1)
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avg_len"))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("contrib"), 6).alias("bm25")
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -2936,6 +3064,8 @@ _WINDOW_PRIORITY = [
     "q89_sessionize",
     "q90_funnel",
     "q91_python_udtf",
+    "q92_sequence_packing",
+    "q93_bm25",
     # -- implementations touched this round: re-verify (13) --
     "q30_degrees",
     "q31_triangle_count",
@@ -2945,8 +3075,6 @@ _WINDOW_PRIORITY = [
     "q35_bfs",
     "q36_scc",
     "q37_mst",
-    "q38_matmul",
-    "q39_kmeans",
     # -- breadth fillers: already-green families, keep inside the window
     #    while slots remain (trim from the END when adding new queries) --
 ]

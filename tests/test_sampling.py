@@ -67,3 +67,27 @@ def test_validation_errors(ids):
         SMP.hash_split(ids, "doc_id", [0.5, 0.4])  # doesn't sum to 1
     with pytest.raises(ValueError):
         SMP.stratified_hash_sample(ids, "doc_id", "doc_id", {1: 2.0})
+
+
+def test_packed_layout_equals_global_cumsum(spark):
+    """The scalable two-level cumsum must equal the naive global
+    Window.orderBy running sum exactly — including across range
+    boundaries and with non-contiguous ids."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from graphmapreduce_spark.operators.packing import packed_layout
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 3).alias("doc_id"),  # non-contiguous ids
+        (F.pmod(F.col("id") * 37, F.lit(90)) + 1).alias("n"),
+    )
+    got = {
+        r["doc_id"]: (r["bin"], r["offset"])
+        for r in packed_layout(df, "doc_id", "n", capacity=256, range_size=64).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = {
+        r["doc_id"]: (r["off"] // 256, r["off"])
+        for r in df.withColumn("off", F.sum("n").over(w) - F.col("n")).collect()
+    }
+    assert got == naive
