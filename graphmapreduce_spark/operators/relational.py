@@ -204,3 +204,24 @@ def sessionize(
         Window.unboundedPreceding, Window.currentRow
     )
     return df.withColumn(session_col, F.sum(is_new).over(run))
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Warehouse MERGE / SCD-type-1 upsert as a pure relational rewrite
+    (no ACID table format needed): rows whose key appears in ``updates``
+    are replaced wholesale, unmatched update keys are inserted, all
+    other base rows pass through.
+
+    One anti-join + one union — the anti-join's build side is the
+    updates' key projection, which broadcasts whenever the update batch
+    is small relative to the base (the common CDC shape at 100 TB).
+    Deterministic: requires ``updates`` to hold at most one row per key
+    (enforce upstream with `top_k_per_group` or `exact_dedup`)."""
+    survivors = base.join(
+        updates.select(*key_cols), on=list(key_cols), how="left_anti"
+    )
+    return survivors.unionByName(updates)

@@ -234,3 +234,16 @@ def test_python_udtf_lateral(spark):
     got = {(r["id"], r["pos"]): r["term"] for r in rows}
     # null text yields no rows; double space collapses like str.split()
     assert got == {(1, 0): "a", (1, 1): "b", (1, 2): "c"}
+
+
+def test_merge_upsert_semantics(spark):
+    from graphmapreduce_spark.operators.relational import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B"), (9, "Z")], "k long, v string"
+    )
+    got = {r["k"]: r["v"] for r in merge_upsert(base, updates, ["k"]).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 9: "Z"}  # replace, insert, keep
