@@ -604,11 +604,13 @@ def remove_boilerplate_segments(
     rejoin if empty docs must be kept).
 
     Scale shape: posexplode -> per-segment doc-frequency agg (two
-    shuffles over segment text, map-side combinable) -> the hot set is
-    joined back with a broadcast anti-join when it fits under
-    ``max_hot`` rows (boilerplate vocabularies are small by nature),
-    else a shuffle anti-join -> one groupBy(id) to reassemble.  No UDF,
-    no driver data path.
+    shuffles over segment text, map-side combinable) -> anti-join of
+    the hot set, broadcast-hinted when the CALLER asserts it is small
+    via ``max_hot`` (boilerplate vocabularies usually are; pass None to
+    let AQE/shuffle handle an unbounded hot set) -> one groupBy(id) to
+    reassemble.  No UDF, no driver data path.  ``max_hot`` is ONLY a
+    planning hint — no hot segment is ever dropped, so results never
+    depend on it.
     """
     seg = df.select(
         F.col(id_col),
@@ -624,7 +626,7 @@ def remove_boilerplate_segments(
         .select("k")
     )
     if max_hot is not None:
-        hot = F.broadcast(hot.limit(max_hot))
+        hot = F.broadcast(hot)
     kept = seg.join(hot, key == F.col("k"), "left_anti")
     return kept.groupBy(id_col).agg(
         F.concat_ws(
