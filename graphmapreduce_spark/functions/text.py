@@ -135,6 +135,42 @@ def char_shingles(col: Column | str, n: int = 3, distinct: bool = True) -> Colum
     return F.array_distinct(grams) if distinct else grams
 
 
+def word_ngrams(col: Column | str, n: int = 8, distinct: bool = True) -> Column:
+    """Word n-gram array: whitespace tokens joined back with single
+    spaces, ``n`` at a time.  The unit of test-set decontamination
+    (n-gram collision between a training doc and an eval benchmark).
+    Docs with fewer than ``n`` words yield an empty array (same
+    ``sequence`` guard as ``char_shingles``)."""
+    ws = words(col)
+    grams = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams) if distinct else grams
+
+
+def chunk_text(col: Column | str, size: int = 512, stride: int = 384) -> Column:
+    """Fixed-size character chunks with overlap (RAG / context-window
+    layout): starts at 1, 1+stride, … while the start is inside the
+    text; the last chunk may be short.  Returns array<string>; empty
+    text yields an empty array.  Pure expression — chunking 100 TB is
+    one narrow map stage, no shuffle."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    c = F.col(col) if isinstance(col, str) else col
+    n_chunks = F.floor((F.length(c) - 1) / stride).cast("int")
+    return F.when(
+        F.length(c) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks),
+            lambda i: c.substr(i * stride + 1, F.lit(size)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def md5_hash60(col: Column | str) -> Column:
     """Portable 60-bit hash: first 15 hex digits of md5, as LONG.
 

@@ -637,3 +637,61 @@ def remove_boilerplate_segments(
             ),
         ).alias(text_col)
     )
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_text_col: str | None = None,
+    n: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-training-doc count of distinct word n-grams shared with an
+    eval/benchmark set — the standard test-set-decontamination signal
+    (n-gram collision, as used for pretraining-corpus decontamination).
+
+    Returns (id_col, matched_ngrams >= 1); clean docs are absent.
+
+    Scale shape: the eval side (benchmarks: thousands of docs) collapses
+    to a distinct n-gram set and is broadcast, so the 100 TB train side
+    is ONE scan + broadcast hash semi-join — no train-side shuffle until
+    the per-doc count agg, which only sees matched (rare) rows.  Pass
+    ``broadcast_eval=False`` for an eval set too big to broadcast; the
+    same plan runs as a shuffle join.  ``word_ngrams`` is distinct
+    per doc, so the count is exactly #distinct contaminated grams.
+    """
+    ev = eval_df.select(
+        F.explode(
+            T.word_ngrams(eval_text_col or text_col, n)
+        ).alias("gram")
+    ).distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = train.select(
+        F.col(id_col),
+        F.explode(T.word_ngrams(text_col, n)).alias("gram"),
+    )
+    return tr.join(ev, "gram").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("matched_ngrams")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_text_col: str | None = None,
+    n: int = 8,
+    min_overlap: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Drop training docs sharing >= ``min_overlap`` distinct word
+    n-grams with the eval set (anti-join on the contamination report).
+    Returns the clean ``train`` rows unchanged."""
+    flagged = contamination_report(
+        train, eval_df, id_col, text_col, eval_text_col, n, broadcast_eval
+    ).filter(F.col("matched_ngrams") >= min_overlap)
+    return train.join(flagged.select(id_col), id_col, "left_anti")

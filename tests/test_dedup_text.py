@@ -316,3 +316,53 @@ def test_repetition_ratio(spark):
     assert got[1] > 0.85
     # doc 2: all 9 8-grams distinct
     assert got[2] == 0.0
+
+
+def test_word_ngrams_and_chunk_text(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", T.word_ngrams("text", n=3).alias("g")
+        ).collect()
+    }
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == [] and got[3] == []  # shorter than n -> empty
+    ch = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", T.chunk_text("text", size=3, stride=2).alias("c")
+        ).collect()
+    }
+    # "a b c d" (7 chars): starts 1,3,5,7 -> last chunk is the short tail
+    assert ch[1] == ["a b", "b c", "c d", "d"]
+    assert ch[3] == []
+
+
+def test_decontaminate_flags_and_drops(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),  # shares 4-grams w/ eval
+            (2, "totally unrelated training text here"),
+            (3, "the quick brown fox"),  # exactly one shared 4-gram
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox runs away")], "doc_id long, text string"
+    )
+    rep = {
+        r["doc_id"]: r["matched_ngrams"]
+        for r in D.contamination_report(
+            train, ev, "doc_id", "text", n=4
+        ).collect()
+    }
+    assert rep == {1: 1, 3: 1}  # only "the quick brown fox" collides
+    clean = D.decontaminate(train, ev, "doc_id", "text", n=4)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2]
+    # min_overlap above the collision count keeps everything
+    lax = D.decontaminate(train, ev, "doc_id", "text", n=4, min_overlap=2)
+    assert lax.count() == 3
