@@ -21,6 +21,7 @@ Reference quirks deliberately normalized (SURVEY.md §7.4):
 from __future__ import annotations
 
 import math
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -689,3 +690,144 @@ def k_core(
         )
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("core_degree"))
     return deg.select(F.col("src").alias("id"), "core_degree")
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank — random walk with restart to a seed set.
+# Same superstep shape as pagerank() (one join + one agg per step, one
+# Spark job per check_interval chunk); only the teleport vector differs:
+# uniform over the seed set instead of uniform over V, and dangling mass
+# restarts to the seeds.  The workhorse of seed-expansion retrieval
+# ("find documents related to these") over a similarity graph.
+# ---------------------------------------------------------------------------
+def personalized_pagerank(
+    graph: PropertyGraph,
+    sources: Sequence[int],
+    damping: float = 0.85,
+    max_iter: int = 20,
+    threshold: float = 1e-6,
+    check_interval: int = 1,
+) -> DataFrame:
+    """Returns (id, rank) with restart distribution uniform over
+    ``sources``.  Ranks sum to ~1 over the reachable set."""
+    from pyspark.storagelevel import StorageLevel
+
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    srcs = sorted(set(int(s) for s in sources))
+    e_v = 1.0 / len(srcs)
+
+    we_cached = graph.edges.storageLevel == StorageLevel.NONE
+    edges = graph.edges
+    if we_cached:
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        edges.count()
+    deg = graph.out_degrees().localCheckpoint(eager=True)
+    restart = F.when(F.col("id").isin(srcs), F.lit(e_v)).otherwise(0.0)
+    ranks = deg.withColumn("rank", restart)
+
+    check_interval = max(1, check_interval)
+    it = 0
+    while it < max_iter:
+        steps = min(check_interval, max_iter - it)
+        new = ranks
+        for _ in range(steps):
+            contribs = (
+                new.filter(F.col("out_degree") > 0)
+                .join(edges, new["id"] == edges["src"])
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("out_degree")).alias("contrib"),
+                )
+                .groupBy("id")
+                .agg(F.sum("contrib").alias("in_sum"))
+            )
+            dmass = new.select(
+                F.coalesce(
+                    F.sum(F.when(F.col("out_degree") == 0, F.col("rank"))),
+                    F.lit(0.0),
+                ).alias("_dangling")
+            )
+            rank_expr = (
+                (F.lit(1.0 - damping) + F.lit(damping) * F.col("_dangling"))
+                * restart
+                + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+            )
+            new = (
+                new.select("id", "out_degree", F.col("rank").alias("_old"))
+                .join(contribs, "id", "left")
+                .crossJoin(F.broadcast(dmass))
+                .select(
+                    "id",
+                    "out_degree",
+                    rank_expr.alias("rank"),
+                    F.abs(rank_expr - F.col("_old")).alias("delta"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        it += steps
+        max_delta = new.agg(F.max("delta")).first()[0] or 0.0
+        ranks = new
+        if max_delta <= threshold:
+            break
+    if we_cached:
+        edges.unpersist()
+    return ranks.select("id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (synchronous, deterministic).
+# Per round: (dst, label) count agg, then per-dst argmax with
+# (count desc, label asc) tie-break folded into ONE struct-min agg —
+# two map-side-combinable aggs + one left join per round, no window.
+# Fixed round count: synchronous LPA can 2-cycle on bipartite
+# structures, so callers pick max_iter and results are reproducible.
+# ---------------------------------------------------------------------------
+def label_propagation(
+    graph: PropertyGraph,
+    max_iter: int = 5,
+    symmetrize: bool = True,
+) -> DataFrame:
+    """Returns (id, label): community = fixed-point-ish of 'adopt the
+    most frequent neighbor label, ties to the smallest label'."""
+    from pyspark.storagelevel import StorageLevel
+
+    edges = graph.edges.select("src", "dst")
+    if symmetrize:
+        # distinct IS required here (unlike WCC, whose min-agg absorbs
+        # duplicates): a reciprocal directed pair must not double the
+        # neighbor's vote.  One extra shuffle, amortized over rounds by
+        # the persist below.
+        edges = edges.unionByName(
+            graph.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        ).distinct()
+    we_cached = graph.edges.storageLevel == StorageLevel.NONE
+    if we_cached:
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        edges.count()
+    labels = graph.vertices.select("id", F.col("id").alias("label"))
+    for _ in range(max_iter):
+        cnt = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # min of (-c, label) == (max count, then smallest label)
+        best = cnt.groupBy("id").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), "label"))["label"].alias(
+                "new_label"
+            )
+        )
+        labels = (
+            labels.join(best, "id", "left")
+            .select(
+                "id",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    if we_cached:
+        edges.unpersist()
+    return labels

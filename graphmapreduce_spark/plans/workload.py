@@ -3210,6 +3210,118 @@ def q97_chunk_documents(spark, sf_dir):
     )
 
 
+def _ppr_oracle_sql(
+    n_iter: int = 12,
+    d: float = 0.85,
+    k: int = 500,
+    seeds: tuple[int, ...] = (0, 7, 42),
+) -> str:
+    """Personalized PageRank unrolled: same power iteration as
+    _pagerank_oracle_sql but the teleport vector is uniform over the
+    seed set and dangling mass restarts to the seeds."""
+    seed_list = ", ".join(str(s) for s in seeds)
+    e_v = f"(CASE WHEN v.id IN ({seed_list}) THEN 1.0/{len(seeds)} ELSE 0.0 END)"
+    pre = f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey % {k} AS src, l_partkey % {k} AS dst
+      FROM lineitem WHERE l_orderkey % {k} <> l_partkey % {k}
+    ),
+    v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+    deg AS MATERIALIZED (
+      SELECT src AS id, COUNT(*)::DOUBLE AS d FROM e GROUP BY src),
+    r0 AS MATERIALIZED (
+      SELECT v.id, {e_v} AS rank FROM v)
+    """
+    its = []
+    for i in range(1, n_iter + 1):
+        p = f"r{i - 1}"
+        its.append(f"""
+    r{i} AS MATERIALIZED (
+      SELECT v.id,
+             ((1-{d}) + {d} * (SELECT COALESCE(SUM(r.rank),0) FROM {p} r
+                               LEFT JOIN deg dg ON dg.id = r.id
+                               WHERE dg.id IS NULL)) * {e_v}
+             + {d} * COALESCE(s.in_sum, 0) AS rank
+      FROM v
+      LEFT JOIN (SELECT e.dst AS id, SUM(r.rank / dg.d) AS in_sum
+                 FROM e JOIN {p} r ON r.id = e.src
+                        JOIN deg dg ON dg.id = e.src
+                 GROUP BY e.dst) s ON s.id = v.id
+    )""")
+    return (
+        pre + "," + ",".join(its)
+        + f"\n    SELECT id, ROUND(rank, 6) AS rank FROM r{n_iter}"
+        + "\n    WHERE ROUND(rank, 6) > 0"
+    )
+
+
+@register("q98_personalized_pagerank", _ppr_oracle_sql())
+def q98_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank from seeds {0,7,42}: seed-expansion
+    retrieval over the Z_500 lineitem graph.  Oracle: the same 12
+    restart-walk iterations unrolled as SQL CTEs.  Zero-rank vertices
+    (unreachable from the seeds) are filtered on both sides."""
+    g = _mod_graph(spark, sf_dir, 500)
+    pr = alg.personalized_pagerank(
+        g, sources=[0, 7, 42], damping=0.85, max_iter=12,
+        threshold=1e-12, check_interval=4,
+    )
+    return pr.select("id", F.round("rank", 6).alias("rank")).filter(
+        F.col("rank") > 0
+    )
+
+
+def _label_propagation_oracle_sql(n_iter: int = 3, k: int = 2000) -> str:
+    """Synchronous LPA unrolled: per round a (dst,label) count and a
+    (count desc, label asc) argmax — deterministic, so exact."""
+    pre = f"""
+    WITH de AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey % {k} AS src, l_partkey % {k} AS dst
+      FROM lineitem WHERE l_orderkey % {k} <> l_partkey % {k}
+    ),
+    e AS MATERIALIZED (SELECT src, dst FROM de UNION SELECT dst, src FROM de),
+    v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+    l0 AS MATERIALIZED (SELECT id, id AS lab FROM v)
+    """
+    its = []
+    for i in range(1, n_iter + 1):
+        p = f"l{i - 1}"
+        its.append(f"""
+    c{i} AS MATERIALIZED (
+      SELECT e.dst AS id, p.lab, COUNT(*) AS c
+      FROM e JOIN {p} p ON p.id = e.src GROUP BY e.dst, p.lab
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT id, lab FROM (
+        SELECT id, lab,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY c DESC, lab ASC) AS rn
+        FROM c{i}) WHERE rn = 1
+    ),
+    l{i} AS MATERIALIZED (
+      SELECT p.id, COALESCE(b.lab, p.lab) AS lab
+      FROM {p} p LEFT JOIN b{i} b ON b.id = p.id
+    )""")
+    return (
+        pre + "," + ",".join(its)
+        + f"\n    SELECT lab AS community, COUNT(*) AS n_members"
+        + f" FROM l{n_iter} GROUP BY lab"
+    )
+
+
+@register("q99_label_propagation", _label_propagation_oracle_sql())
+def q99_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation (3 rounds,
+    deterministic most-frequent-neighbor-label / smallest-label
+    tie-break) on the undirected Z_2000 lineitem graph — sparse enough
+    (avg degree ~30 at sf0.01) that multiple communities survive."""
+    g = _mod_graph(spark, sf_dir, 2000)
+    lp = alg.label_propagation(g, max_iter=3, symmetrize=True)
+    return lp.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -3272,12 +3384,13 @@ _WINDOW_PRIORITY = [
     "q86_decontaminate",
     "q96_tfidf",
     "q97_chunk_documents",
-    # -- implementations touched this round: re-verify (pagerank gained
-    #    the compat flag, wcc long labels, scc was rewritten; sssp/bfs/
-    #    triangle_count are byte-identical to their round-1-green code,
-    #    so their slots went to the new queries above) --
-    "q32_pagerank",
-    "q34_wcc",
+    "q98_personalized_pagerank",
+    "q99_label_propagation",
+    # -- implementations touched this round: re-verify (scc was
+    #    rewritten, so it keeps a slot; pagerank's compat flag and
+    #    wcc's long labels were verified locally via
+    #    tools/check_oracle.py and their round-1 rows stand, so their
+    #    slots went to the two new graph queries above) --
     "q36_scc",
     # -- breadth fillers: already-green families, keep inside the window
     #    while slots remain (trim from the END when adding new queries) --

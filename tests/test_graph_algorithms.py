@@ -304,3 +304,49 @@ def test_k_core_golden(spark):
         spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
     )
     assert k_core(path, k=2).count() == 0
+
+
+def test_personalized_pagerank_localizes_to_seed(spark):
+    """Two disjoint triangles; restarting at vertex 1 puts ALL mass in
+    its triangle and none in the other; rank sums to ~1."""
+    from graphmapreduce_spark.graph.algorithms import personalized_pagerank
+    from graphmapreduce_spark.graph.property_graph import PropertyGraph
+
+    tri_a = [(1, 2), (2, 3), (3, 1)]
+    tri_b = [(10, 11), (11, 12), (12, 10)]
+    g = PropertyGraph.from_edges(
+        spark.createDataFrame(tri_a + tri_b, "src long, dst long")
+    )
+    pr = {
+        r["id"]: r["rank"]
+        for r in personalized_pagerank(
+            g, sources=[1], max_iter=30, threshold=1e-10
+        ).collect()
+    }
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+    assert pr[10] == pr[11] == pr[12] == 0.0
+    assert pr[1] > pr[2] > 0  # seed holds the most mass
+    assert pr[3] > 0
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two K4s joined by one bridge edge: every vertex adopts its
+    clique's min id; the bridge doesn't merge them (one vote vs three)."""
+    from graphmapreduce_spark.graph.algorithms import label_propagation
+    from graphmapreduce_spark.graph.property_graph import PropertyGraph
+
+    def k4(base):
+        vs = [base + i for i in range(4)]
+        return [(a, b) for a in vs for b in vs if a < b]
+
+    g = PropertyGraph.from_edges(
+        spark.createDataFrame(
+            k4(1) + k4(11) + [(4, 11)], "src long, dst long"
+        )
+    )
+    labels = {
+        r["id"]: r["label"]
+        for r in label_propagation(g, max_iter=4).collect()
+    }
+    assert {labels[i] for i in (1, 2, 3, 4)} == {1}
+    assert {labels[i] for i in (11, 12, 13, 14)} == {11}
