@@ -498,18 +498,20 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """n-gram Jaccard similarity join via inverted shingle index.
 
-    Candidate pairs come from a self-join of the inverted index (docs
-    sharing ≥1 indexed shingle — far from all-pairs on real corpora);
-    the Jaccard itself is computed exactly from the full shingle arrays
-    (``array_intersect``), so the index is free to be pruned.
+    Candidate pairs AND their shared-shingle counts come from one
+    groupBy over the inverted-index self-join (count = |A∩B| over the
+    indexed shingles) — full shingle arrays never ship to pairs; only
+    the scalar set sizes join in, so the pair table stays narrow.
 
     ``max_df`` caps shingle document frequency in the index: a shingle
     appearing in more than ``max_df`` docs produces O(df²) join rows and
     carries no dedup signal (boilerplate).  Hot shingles are removed
     with a broadcast anti-join (the hot set is tiny by construction —
-    same scheme as the winnowing pair pipeline).  Capping only affects
-    candidate GENERATION: scored pairs keep their exact Jaccard
-    (including hot shingles); the only pairs lost are those whose every
+    same scheme as the winnowing pair pipeline).  The Jaccard stays
+    EXACT: the intersection count missing from the capped index is
+    recovered by joining each doc's own (tiny) hot-shingle array to the
+    pair and intersecting those — O(|hot per doc|) per pair, not
+    O(|shingles per doc|).  The only pairs lost are those whose every
     shared shingle is hotter than ``max_df``.  ``None`` = no cap
     (exact, quadratic-risk on boilerplate-heavy corpora).
 
@@ -519,7 +521,9 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         T.char_shingles(text_col, n=n, distinct=True).alias("sh"),
     )
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
     inv = sh.select("id", F.explode("sh").alias("g"))
+    hot_by_doc = None
     if max_df is not None:
         hot = (
             inv.groupBy("g")
@@ -527,22 +531,43 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_df)
             .select("g")
         )
+        hot_by_doc = (
+            inv.join(F.broadcast(hot), "g")
+            .groupBy("id")
+            .agg(F.collect_list("g").alias("hot_sh"))
+        )
         inv = inv.join(F.broadcast(hot), "g", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
-    cands = (
+    pairs = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    pairs = pairs.join(sa, "id_a").join(sb, "id_b")
+    if hot_by_doc is not None:
+        ha = hot_by_doc.select(F.col("id").alias("id_a"), F.col("hot_sh").alias("hot_a"))
+        hb = hot_by_doc.select(F.col("id").alias("id_b"), F.col("hot_sh").alias("hot_b"))
+        empty = F.array().cast("array<string>")
+        pairs = (
+            pairs.join(ha, "id_a", "left")
+            .join(hb, "id_b", "left")
+            .withColumn(
+                "inter",
+                F.col("inter")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce("hot_a", empty), F.coalesce("hot_b", empty)
+                    )
+                ),
+            )
+        )
     return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
