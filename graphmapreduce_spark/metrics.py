@@ -71,6 +71,14 @@ def shuffle_metrics(spark: SparkSession) -> dict[str, int]:
     }
     try:
         jvm = sc._jvm
+        # the AppStatusStore is populated asynchronously by the listener
+        # bus; drain it first or counters read right after an action can
+        # miss the just-completed stages (bounded wait: metrics must not
+        # stall the caller if the bus is busy with a streaming query)
+        try:
+            sc._jsc.sc().listenerBus().waitUntilEmpty(2000)
+        except Exception:
+            pass
         store = sc._jsc.sc().statusStore()
         empty = jvm.java.util.Collections.emptyList()
         quantiles = sc._gateway.new_array(jvm.double, 0)

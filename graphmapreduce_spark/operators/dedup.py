@@ -720,3 +720,57 @@ def decontaminate(
         train, eval_df, id_col, text_col, eval_text_col, n, broadcast_eval
     ).filter(F.col("matched_ngrams") >= min_overlap)
     return train.join(flagged.select(id_col), id_col, "left_anti")
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delimiter: str = r"\n",
+    rejoin: str = "\n",
+    min_len: int = 1,
+) -> DataFrame:
+    """Corpus-level exact line dedup (CCNet-style): every distinct
+    trimmed line keeps ONLY its first occurrence in corpus order —
+    smallest (doc id, position) — and every later copy (in other docs
+    or later in the same doc) is dropped.  The complement of
+    ``remove_boilerplate_segments``: that removes ALL copies of hot
+    segments, this keeps exactly one copy of every line.
+
+    Lines whose trimmed form is empty are dropped; lines shorter than
+    ``min_len`` characters are exempt from dedup (kept everywhere) so
+    structural stubs — bullets, braces, separators — don't collapse
+    corpus-wide.  ``delimiter`` is a Java regex, ``rejoin`` a literal.
+
+    Returns (id_col, text_col); docs whose every line lost drop out.
+
+    Scale shape: posexplode -> winner-per-line agg + join back, both
+    keyed on md5(line) so shuffle keys stay fixed-width regardless of
+    line length; no UDF, no driver data path.  Two shuffles over the
+    line set, map-side combinable.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias("pos", "line"),
+    ).withColumn("k", F.md5(F.trim(F.col("line"))))
+    lines = lines.filter(F.trim(F.col("line")) != "")
+    exempt = lines.filter(F.length(F.trim(F.col("line"))) < min_len)
+    ded = lines.filter(F.length(F.trim(F.col("line"))) >= min_len)
+    winners = ded.groupBy("k").agg(
+        F.min(F.struct(F.col("_id").alias("i"), F.col("pos").alias("p"))).alias("w")
+    )
+    kept = (
+        ded.join(winners, "k")
+        .filter((F.col("_id") == F.col("w.i")) & (F.col("pos") == F.col("w.p")))
+        .select("_id", "pos", "line")
+    )
+    survivors = kept.unionByName(exempt.select("_id", "pos", "line"))
+    return survivors.groupBy("_id").agg(
+        F.concat_ws(
+            rejoin,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias(text_col)
+    ).select(F.col("_id").alias(id_col), text_col)

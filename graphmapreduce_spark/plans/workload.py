@@ -3322,6 +3322,42 @@ def q99_label_propagation(spark, sf_dir):
     )
 
 
+@register(
+    "q100_line_dedup",
+    """
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+    ),
+    arrs AS (SELECT doc_id, string_split_regex(text, ' the ') AS arr FROM d),
+    segs AS (
+      SELECT doc_id, i AS pos, trim(arr[i]) AS k, arr[i] AS line
+      FROM arrs, UNNEST(range(1, len(arr) + 1)) AS t(i)
+      WHERE trim(arr[i]) <> ''
+    ),
+    kept AS (
+      SELECT doc_id, pos, line FROM (
+        SELECT doc_id, pos, line,
+               ROW_NUMBER() OVER (PARTITION BY k
+                                  ORDER BY doc_id, pos) AS rn
+        FROM segs) WHERE rn = 1
+    )
+    SELECT doc_id, string_agg(line, ' the ' ORDER BY pos) AS text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q100_line_dedup(spark, sf_dir):
+    """Corpus-level exact line dedup (CCNet-style keep-first): every
+    distinct trimmed segment keeps only its first (doc id, position)
+    occurrence; later copies anywhere in the corpus are dropped.  Same
+    ' the ' delimiter trick as q87 (the fixture text has no newlines);
+    the plan — posexplode, winner-per-line agg on an md5 key, join-back,
+    ordered reassembly — is the production newline form."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return D.dedup_lines(
+        d, "doc_id", "text", delimiter=" the ", rejoin=" the ", min_len=1
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
