@@ -261,3 +261,29 @@ def repetition_ratio(col: Column | str, n: int = 8) -> Column:
     return F.when(
         t > 0, F.lit(1.0) - u.cast("double") / t.cast("double")
     ).otherwise(F.lit(0.0))
+
+
+def char_entropy(col: Column | str) -> Column:
+    """Shannon entropy (bits) of the character unigram distribution —
+    the quality signal that separates natural prose (~4 bits/char for
+    English) from degenerate filler (repeated char -> 0) and random
+    noise (-> log2 alphabet).  Complements `repetition_ratio`, which
+    only sees n-gram-level looping.
+
+    Pure higher-order-function expression: distinct chars x counted via
+    in-array filter, p·log2 p folded with `aggregate` — O(distinct·len)
+    per row JVM-side, NO shuffle (the explode+groupBy formulation costs
+    two shuffles over the full character set of the corpus)."""
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.split(c, "")
+    n = F.size(chars).cast("double")
+    probs = F.transform(
+        F.array_distinct(chars),
+        lambda ch: F.size(F.filter(chars, lambda x: x == ch)).cast("double") / n,
+    )
+    ent = -F.aggregate(
+        probs,
+        F.lit(0.0),
+        lambda acc, p: acc + p * F.log2(p),
+    )
+    return F.when(n > 0, ent).otherwise(F.lit(0.0))

@@ -225,3 +225,60 @@ def merge_upsert(
         updates.select(*key_cols), on=list(key_cols), how="left_anti"
     )
     return survivors.unionByName(updates)
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str = "ts",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """SCD-type-2 MERGE: apply a CDC batch to a versioned dimension,
+    closing superseded versions instead of overwriting them (the history
+    complement of `merge_upsert`'s type-1 replace).
+
+    ``current`` holds (keys, attrs, from_col, to_col) with ``to_col``
+    NULL on the open version; ``updates`` holds (keys, attrs, ts_col)
+    and may carry several versions per key in one batch.  Semantics:
+
+    - closed history rows pass through untouched;
+    - per key, the open row and the batch rows form one timeline ordered
+      by timestamp; consecutive entries whose tracked attrs are equal
+      (null-safe) collapse into the earlier entry, so no-op updates
+      never open a version;
+    - each surviving entry's ``to_col`` is the next entry's timestamp
+      (NULL on the newest) — chained mid-batch versions get correct
+      half-open [from, to) spans in a single pass.
+
+    Scale shape: one shuffle on the dimension keys carries both window
+    passes (dedup-lag + close-lead); the union with closed history is
+    shuffle-free.  Requires batch timestamps > the open rows'
+    ``from_col`` for affected keys (the usual CDC contract).
+    """
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    cols = keys + attrs + [from_col, to_col]
+    closed = current.filter(F.col(to_col).isNotNull()).select(*cols)
+    open_rows = current.filter(F.col(to_col).isNull())
+    timeline = open_rows.select(
+        *keys, *attrs, F.col(from_col).alias("_ts"), F.lit(0).alias("_src")
+    ).unionByName(
+        updates.select(
+            *keys, *attrs, F.col(ts_col).alias("_ts"), F.lit(1).alias("_src")
+        )
+    )
+    w = Window.partitionBy(*keys).orderBy("_ts", "_src")
+    fingerprint = F.struct(*[F.col(a) for a in attrs])
+    changed = timeline.withColumn(
+        "_same", fingerprint.eqNullSafe(F.lag(fingerprint).over(w))
+    ).filter((F.col("_src") == 0) | ~F.coalesce(F.col("_same"), F.lit(False)))
+    spans = changed.withColumn("_to", F.lead("_ts").over(w)).select(
+        *keys,
+        *attrs,
+        F.col("_ts").alias(from_col),
+        F.col("_to").alias(to_col),
+    )
+    return closed.unionByName(spans)

@@ -1,0 +1,85 @@
+"""Time-series regularization: resample onto a fixed grid + gap fill.
+
+The reference has no time-series surface (its `events`-style workloads
+stop at sort+reduce, ``gmr.h:160-189``); this is [EXT] inventory for the
+metrics/telemetry shape every large pipeline carries: irregular event
+streams → fixed-interval series with gaps filled, so downstream windowed
+models see a dense matrix.
+
+Everything is expression-level (sequence/explode/window) — no UDF, no
+driver loop.  Scale shape: one shuffle on the series key carries the
+bucket agg, the grid join, and the fill windows; the grid itself is
+generated in-plan per key (`sequence()`), so the operator never
+materializes a driver-side calendar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    step_seconds: int,
+    fill: str = "ffill",
+) -> DataFrame:
+    """Resample each key's series onto a ``step_seconds`` grid spanning
+    [floor(min ts), floor(max ts)] and fill empty buckets.
+
+    Bucket value = the observation with the greatest (ts, tiebreak row)
+    inside the bucket — "last known value at bucket close".  ``fill``:
+
+    - ``"ffill"`` — carry the last non-null bucket value forward;
+      leading buckets before the first observation stay NULL (nothing
+      to carry).  The standard telemetry/as-of semantics.
+    - ``"zero"``  — empty buckets become 0.0 (event-count-like series).
+    - ``"none"``  — leave gaps NULL (caller interpolates).
+
+    Output: (key_col, bucket_start BIGINT epoch-seconds, val_col).
+    Epochs stay integral end-to-end (memory: fractional-second epochs
+    round differently across engines).
+    """
+    if fill not in ("ffill", "zero", "none"):
+        raise ValueError(f"unknown fill mode: {fill}")
+    step = int(step_seconds)
+    obs = df.select(
+        F.col(key_col).alias("_k"),
+        (F.floor(F.col(ts_col).cast("long") / step) * step)
+        .cast("long")
+        .alias("bucket_start"),
+        F.col(ts_col).cast("long").alias("_ts"),
+        F.col(val_col).cast("double").alias("_v"),
+    )
+    # last observation per bucket: max_by on the raw epoch; ties broken
+    # by value so the winner is engine-independent
+    per_bucket = obs.groupBy("_k", "bucket_start").agg(
+        F.max(F.struct(F.col("_ts"), F.col("_v"))).alias("_w")
+    ).select("_k", "bucket_start", F.col("_w._v").alias("_v"))
+    # per-key grid, generated in-plan: sequence() is a few ints per key,
+    # exploded executor-side — no driver calendar, no cross join
+    grid = obs.groupBy("_k").agg(
+        F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi")
+    ).select(
+        "_k",
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step))
+        ).alias("bucket_start"),
+    )
+    dense = grid.join(per_bucket, ["_k", "bucket_start"], "left")
+    if fill == "ffill":
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("bucket_start")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        dense = dense.withColumn("_v", F.last("_v", ignorenulls=True).over(w))
+    elif fill == "zero":
+        dense = dense.withColumn("_v", F.coalesce(F.col("_v"), F.lit(0.0)))
+    return dense.select(
+        F.col("_k").alias(key_col), "bucket_start", F.col("_v").alias(val_col)
+    )

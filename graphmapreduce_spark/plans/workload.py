@@ -34,6 +34,7 @@ from graphmapreduce_spark.operators import relational as R
 from graphmapreduce_spark.operators import sampling as SMP
 from graphmapreduce_spark.operators import similarity as S
 from graphmapreduce_spark.operators import sketches as SK
+from graphmapreduce_spark.operators import timeseries as TS
 from graphmapreduce_spark.operators.relational import asof_join, top_k_per_group
 from graphmapreduce_spark.streaming import session_agg, sliding_agg, tumbling_agg
 
@@ -3355,6 +3356,180 @@ def q100_line_dedup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return D.dedup_lines(
         d, "doc_id", "text", delimiter=" the ", rejoin=" the ", min_len=1
+    )
+
+
+@register(
+    "q101_stats_suite",
+    """
+    WITH m AS (SELECT l_returnflag, avg(l_quantity) AS mu
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 2)  AS covarp_qty_price,
+           ROUND(stddev_samp(l_discount), 6)                 AS sd_disc,
+           ROUND(var_samp(l_discount), 6)                    AS var_disc,
+           ROUND(avg((l_quantity - mu) ^ 3)
+                 / avg((l_quantity - mu) ^ 2) ^ 1.5, 6)      AS skew_qty,
+           ROUND(avg((l_quantity - mu) ^ 4)
+                 / avg((l_quantity - mu) ^ 2) ^ 2 - 3, 6)    AS kurt_qty,
+           ROUND(median(l_quantity), 6)                      AS med_qty
+    FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def q101_stats_suite(spark, sf_dir):
+    """Statistical aggregate suite — corr/covar/stddev/var/skewness/
+    kurtosis/median per group, all single-pass hash aggregates (Spark
+    computes the moments map-side-combinably; median is the sort-based
+    exact form).  Oracle note: DuckDB's skewness/kurtosis are
+    bias-corrected SAMPLE statistics while Spark's are population
+    moments, so the oracle derives them from raw central moments
+    (m3/m2^1.5, m4/m2^2-3) — verified to reproduce Spark bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias(
+            "covarp_qty_price"
+        ),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+    )
+
+
+@register(
+    "q102_scd2",
+    """
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             TIMESTAMP '1992-01-01' AS ts, 0 AS src
+      FROM customer WHERE c_custkey <= 300
+    ),
+    upd AS (
+      SELECT o_custkey AS c_custkey, min(o_orderpriority) AS segment,
+             o_orderdate AS ts, 1 AS src
+      FROM orders WHERE o_custkey <= 300
+      GROUP BY o_custkey, o_orderdate
+    ),
+    tl AS (SELECT * FROM cur UNION ALL SELECT * FROM upd),
+    lagged AS (
+      SELECT *, lag(segment) OVER (PARTITION BY c_custkey
+                                   ORDER BY ts, src) AS prev
+      FROM tl
+    ),
+    kept AS (
+      SELECT * FROM lagged
+      WHERE src = 0 OR (prev IS DISTINCT FROM segment)
+    )
+    SELECT c_custkey, segment, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY c_custkey
+                          ORDER BY ts, src) AS valid_to
+    FROM kept
+    """,
+)
+def q102_scd2(spark, sf_dir):
+    """SCD-type-2 dimension versioning: replay each customer's order
+    priorities as segment-change CDC events against a day-one snapshot;
+    `scd2_apply` chains mid-batch versions, collapses no-op updates, and
+    emits half-open [valid_from, valid_to) spans in one keyed shuffle.
+    The history-keeping complement of q94's type-1 MERGE."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    cur = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 300)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.min("o_orderpriority").alias("segment"))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "segment",
+            F.col("o_orderdate").alias("ts"),
+        )
+    )
+    return R.scd2_apply(cur, upd, ["c_custkey"], ["segment"], "ts")
+
+
+@register(
+    "q103_resample_gapfill",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+      FROM events WHERE user_id < 50
+    ),
+    b AS (SELECT user_id, (es // 86400) * 86400 AS bucket_start, es, value
+          FROM e),
+    pb AS (
+      SELECT user_id, bucket_start, value FROM (
+        SELECT user_id, bucket_start, value,
+               row_number() OVER (PARTITION BY user_id, bucket_start
+                                  ORDER BY es DESC, value DESC) AS rn
+        FROM b) WHERE rn = 1
+    ),
+    bounds AS (SELECT user_id, min(bucket_start) AS lo,
+                      max(bucket_start) AS hi
+               FROM b GROUP BY user_id),
+    grid AS (SELECT user_id, g AS bucket_start
+             FROM bounds, UNNEST(range(lo, hi + 1, 86400)) AS t(g)),
+    j AS (SELECT g.user_id, g.bucket_start, pb.value
+          FROM grid g LEFT JOIN pb
+            ON g.user_id = pb.user_id AND g.bucket_start = pb.bucket_start)
+    SELECT user_id, bucket_start,
+           ROUND(last_value(value IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY bucket_start
+                       ROWS UNBOUNDED PRECEDING), 6) AS value
+    FROM j
+    """,
+)
+def q103_resample_gapfill(spark, sf_dir):
+    """Time-series regularization: resample each user's irregular event
+    stream onto a daily grid (last value at bucket close) and forward-
+    fill the gaps — `resample_ffill`, one keyed shuffle for bucket agg +
+    grid join + fill window, grid generated in-plan via sequence()."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    out = TS.resample_ffill(e, "user_id", "ts", "value", 86400, fill="ffill")
+    return out.withColumn("value", F.round("value", 6))
+
+
+@register(
+    "q104_char_entropy",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents
+               WHERE doc_id < 500 AND length(text) > 0),
+    chars AS (
+      SELECT doc_id, c
+      FROM d, UNNEST(string_split(text, '')) AS t(c)
+    ),
+    cnt AS (SELECT doc_id, c, count(*) AS n FROM chars GROUP BY doc_id, c),
+    tot AS (SELECT doc_id, sum(n) AS tot FROM cnt GROUP BY doc_id)
+    SELECT cnt.doc_id,
+           ROUND(-sum((n / tot) * log2(n / tot)), 6) AS entropy_bits
+    FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+    GROUP BY cnt.doc_id
+    """,
+)
+def q104_char_entropy(spark, sf_dir):
+    """Character-distribution entropy as a corpus quality signal
+    (degenerate filler -> 0 bits, prose ~4, noise -> log2 alphabet).
+    The Spark side is a pure higher-order-function expression — NO
+    shuffle at all — while the oracle uses the equivalent
+    explode+group formulation."""
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 500) & (F.length("text") > 0)
+    )
+    return d.select(
+        "doc_id", F.round(T.char_entropy("text"), 6).alias("entropy_bits")
     )
 
 

@@ -1,0 +1,117 @@
+"""Unit tests for SCD-type-2 versioning, time-series resample/gap-fill,
+corpus line dedup, and char entropy on tiny hand-checked inputs."""
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from graphmapreduce_spark.functions.text import char_entropy
+from graphmapreduce_spark.operators.relational import scd2_apply
+from graphmapreduce_spark.operators.timeseries import resample_ffill
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _scd_fixture(spark):
+    current = spark.createDataFrame(
+        [
+            # closed history row: must pass through untouched
+            (1, "OLD", ts("1990-01-01"), ts("1992-01-01")),
+            # open rows
+            (1, "A", ts("1992-01-01"), None),
+            (2, "B", ts("1992-01-01"), None),
+            (3, "C", ts("1992-01-01"), None),
+        ],
+        "k long, seg string, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "A", ts("1993-01-01")),  # no-op vs open row -> collapsed
+            (1, "X", ts("1994-01-01")),  # real change
+            (2, "Y", ts("1993-06-01")),  # chain of two changes
+            (2, "Z", ts("1995-06-01")),
+            (2, "Z", ts("1996-06-01")),  # no-op vs previous batch row
+            (4, "N", ts("1997-01-01")),  # brand-new key
+        ],
+        "k long, seg string, ts timestamp",
+    )
+    return current, updates
+
+
+def test_scd2_apply_versions(spark):
+    current, updates = _scd_fixture(spark)
+    out = scd2_apply(current, updates, ["k"], ["seg"], "ts")
+    rows = {
+        (r["k"], r["seg"], r["valid_from"], r["valid_to"])
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, "OLD", ts("1990-01-01"), ts("1992-01-01")),
+        (1, "A", ts("1992-01-01"), ts("1994-01-01")),  # no-op absorbed
+        (1, "X", ts("1994-01-01"), None),
+        (2, "B", ts("1992-01-01"), ts("1993-06-01")),
+        (2, "Y", ts("1993-06-01"), ts("1995-06-01")),
+        (2, "Z", ts("1995-06-01"), None),  # duplicate Z collapsed
+        (3, "C", ts("1992-01-01"), None),  # untouched key stays open
+        (4, "N", ts("1997-01-01"), None),  # insert
+    }
+
+
+def test_scd2_open_row_count_invariant(spark):
+    # exactly one open version per live key, spans never overlap
+    current, updates = _scd_fixture(spark)
+    out = scd2_apply(current, updates, ["k"], ["seg"], "ts").cache()
+    open_per_key = (
+        out.filter(F.col("valid_to").isNull()).groupBy("k").count().collect()
+    )
+    assert all(r["count"] == 1 for r in open_per_key)
+    # each closed span's valid_to equals the next span's valid_from
+    w_rows = out.filter(F.col("k") == 2).orderBy("valid_from").collect()
+    for a, b in zip(w_rows, w_rows[1:]):
+        assert a["valid_to"] == b["valid_from"]
+
+
+def test_resample_ffill_modes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T00:00:30"), 10.0),
+            (1, ts("2024-01-01T00:00:45"), 11.0),  # same bucket: last wins
+            (1, ts("2024-01-01T00:03:10"), 30.0),  # two-bucket gap before
+            (2, ts("2024-01-01T00:00:00"), 5.0),
+        ],
+        "k long, ts timestamp, v double",
+    )
+    out = resample_ffill(df, "k", "ts", "v", 60, fill="ffill")
+    got = {(r["k"], r["bucket_start"], r["v"]) for r in out.collect()}
+    base = int(ts("2024-01-01T00:00:00").timestamp())
+    assert got == {
+        (1, base, 11.0),  # last obs in bucket, not first
+        (1, base + 60, 11.0),  # gap forward-filled
+        (1, base + 120, 11.0),
+        (1, base + 180, 30.0),
+        (2, base, 5.0),
+    }
+    zero = resample_ffill(df, "k", "ts", "v", 60, fill="zero")
+    gz = {(r["k"], r["bucket_start"], r["v"]) for r in zero.collect()}
+    assert (1, base + 60, 0.0) in gz and (1, base, 11.0) in gz
+    none = resample_ffill(df, "k", "ts", "v", 60, fill="none")
+    gn = {(r["k"], r["bucket_start"], r["v"]) for r in none.collect()}
+    assert (1, base + 60, None) in gn
+
+
+def test_char_entropy_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "id long, t string",
+    )
+    got = {
+        r["id"]: r["e"]
+        for r in df.select("id", char_entropy("t").alias("e")).collect()
+    }
+    assert got[1] == 0.0
+    assert math.isclose(got[2], 1.0, abs_tol=1e-9)
+    assert math.isclose(got[3], 2.0, abs_tol=1e-9)
+    assert got[4] == 0.0
