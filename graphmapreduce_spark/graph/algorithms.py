@@ -831,3 +831,76 @@ def label_propagation(
     if we_cached:
         edges.unpersist()
     return labels
+
+
+# ---------------------------------------------------------------------------
+# k-truss — the edge-analog of k_core: the maximal subgraph in which
+# every edge closes at least k-2 triangles.  Same synchronous-peel
+# driver shape as k_core (ref BSP loop gmr.cpp:224-232): per round one
+# triangle enumeration + one support agg + one filter on the SHRINKING
+# edge set, eager localCheckpoint lineage truncation, one O(1) driver
+# action (the peel-frontier empty check).
+# ---------------------------------------------------------------------------
+def k_truss(graph: PropertyGraph, k: int, max_iter: int = 50) -> DataFrame:
+    """(a, b, support) — the canonical (a<b) edges of the k-truss with
+    their triangle support inside the truss.
+
+    Triangles are enumerated on the canonical orientation a<b<c (each
+    triangle materializes exactly once: (a,b)x(b,c) wedge closed by
+    (a,c), the same 3-way self-join as triangle_count), then each
+    triangle credits its three edges; support is one map-side-combinable
+    count agg.  Rounds are bounded by the truss peeling depth —
+    typically a handful on real graphs, since each round removes every
+    under-supported edge at once.
+
+    At 100 TB the wedge join dominates; it shuffles on the shared
+    endpoint, so skewed high-degree vertices are the hot spot —
+    degree-ordered orientation (rank instead of id) bounds wedge counts
+    on skewed graphs and drops in here without changing the peel.
+    """
+    if k < 2:
+        raise ValueError("k-truss requires k >= 2")
+    need = k - 2
+    edges = (
+        graph.edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    support = None
+    for _ in range(max_iter):
+        tri = (
+            edges.alias("x")
+            .join(edges.alias("y"), F.col("x.b") == F.col("y.a"))
+            .join(
+                edges.alias("z"),
+                (F.col("z.a") == F.col("x.a")) & (F.col("z.b") == F.col("y.b")),
+            )
+            .select(
+                F.col("x.a").alias("a"),
+                F.col("x.b").alias("b"),
+                F.col("y.b").alias("c"),
+            )
+        )
+        support = (
+            tri.select("a", "b")
+            .unionAll(tri.select(F.col("b").alias("a"), F.col("c").alias("b")))
+            .unionAll(tri.select("a", F.col("c").alias("b")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        scored = edges.join(support, ["a", "b"], "left").select(
+            "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+        ).localCheckpoint(eager=True)
+        if scored.filter(F.col("support") < need).isEmpty():
+            return scored
+        edges = (
+            scored.filter(F.col("support") >= need)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    # max_iter exhausted without reaching the fixpoint: the result would
+    # silently include under-supported edges — fail loudly instead
+    raise RuntimeError(f"k_truss did not converge within {max_iter} rounds")

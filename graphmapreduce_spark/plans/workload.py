@@ -3533,6 +3533,56 @@ def q104_char_entropy(spark, sf_dir):
     )
 
 
+def _ktruss_oracle_sql(need: int = 2, mod: int = 2000, rounds: int = 12) -> str:
+    """Unrolled synchronous truss peel (k-core-oracle pattern,
+    `_kcore_oracle_sql`): per round enumerate canonical a<b<c triangles,
+    credit each one to its three edges, keep edges with support >= k-2.
+    The k-truss is the unique maximal such subgraph, so once the fixture
+    converges (10 rounds at sf0.01) extra unrolled rounds are no-ops.
+    Edges in no triangle never enter the support table and drop
+    implicitly — support 0 < need."""
+    pre = f"""
+    WITH s0 AS MATERIALIZED (
+      SELECT DISTINCT LEAST(l_orderkey % {mod}, l_partkey % {mod}) AS a,
+                      GREATEST(l_orderkey % {mod}, l_partkey % {mod}) AS b
+      FROM lineitem WHERE l_orderkey % {mod} <> l_partkey % {mod})"""
+    its = []
+    for i in range(1, rounds + 1):
+        p = f"s{i - 1}"
+        its.append(f"""
+    t{i} AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+             FROM {p} e1
+             JOIN {p} e2 ON e1.b = e2.a
+             JOIN {p} e3 ON e3.a = e1.a AND e3.b = e2.b),
+    p{i} AS MATERIALIZED (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+        SELECT a, b FROM t{i}
+        UNION ALL SELECT b AS a, c AS b FROM t{i}
+        UNION ALL SELECT a, c AS b FROM t{i}) GROUP BY a, b),
+    s{i} AS MATERIALIZED (
+      SELECT a, b FROM p{i} WHERE support >= {need})""")
+    return (
+        pre + "," + ",".join(its)
+        + f"""
+    SELECT a, b, support FROM p{rounds} WHERE support >= {need}"""
+    )
+
+
+@register("q105_ktruss", _ktruss_oracle_sql())
+def q105_ktruss(spark, sf_dir):
+    """4-truss of the lineitem-derived graph: every surviving edge
+    closes >= 2 triangles inside the truss (10 synchronous peel rounds
+    to fixpoint at sf0.01); oracle is the unrolled-CTE form of the same
+    peel."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        (F.col("l_orderkey") % 2000).alias("src"),
+        (F.col("l_partkey") % 2000).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    g = PropertyGraph.from_edges(e)
+    return alg.k_truss(g, k=4)
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================

@@ -350,3 +350,25 @@ def test_label_propagation_two_cliques(spark):
     }
     assert {labels[i] for i in (1, 2, 3, 4)} == {1}
     assert {labels[i] for i in (11, 12, 13, 14)} == {11}
+
+
+def test_k_truss_k4_with_tail(spark):
+    # K4 plus a pendant edge: every K4 edge closes exactly 2 triangles
+    # (the 4-truss), the pendant edge closes none and is peeled
+    edges = K4 + [(4, 5, 1.0)]
+    g = make_graph(spark, edges)
+    out = {(r["a"], r["b"]): r["support"] for r in alg.k_truss(g, k=4).collect()}
+    assert out == {(1, 2): 2, (1, 3): 2, (1, 4): 2, (2, 3): 2, (2, 4): 2, (3, 4): 2}
+    # k=5 needs support >= 3: K4 can't provide it -> empty truss
+    assert alg.k_truss(g, k=5).isEmpty()
+
+
+def test_k_truss_cascade(spark):
+    # two triangles sharing an edge: each outer edge has support 1, the
+    # shared edge 2 -> the 4-truss is empty only after the cascade
+    # (remove outer edges round 1, shared edge loses both triangles)
+    edges = [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0), (2, 4, 1.0), (3, 4, 1.0)]
+    g = make_graph(spark, edges)
+    assert alg.k_truss(g, k=4).isEmpty()
+    out = {(r["a"], r["b"]) for r in alg.k_truss(g, k=3).select("a", "b").collect()}
+    assert out == {(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)}
