@@ -282,3 +282,67 @@ def scd2_apply(
         F.col("_to").alias(to_col),
     )
     return closed.unionByName(spans)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_span: tuple[str, str],
+    right_span: tuple[str, str],
+    on: Sequence[str] = (),
+    bucket_width: int = 3600,
+) -> DataFrame:
+    """Interval-overlap join: all (left, right) row pairs whose
+    half-open spans [start, end) intersect, optionally also matching on
+    equi ``on`` keys.  Complements `range_join` (point-in-interval) for
+    the two-interval-table case (time ranges, genomic regions).
+
+    Scale shape — bucket blocking, NOT an inequality-only join (which
+    Catalyst can only plan as broadcast-nested-loop): each interval
+    explodes into the fixed-width buckets it spans via an in-plan
+    `sequence()`, pairs meet with a plain HASH join on (keys, bucket),
+    and the exact overlap predicate filters bucket-collisions.  Each
+    overlapping pair would surface once per shared bucket, so it is
+    emitted only in the bucket containing the overlap's start —
+    deterministic dedup with no extra distinct shuffle.  Pick
+    ``bucket_width`` near the typical span length: too small explodes
+    rows, too large degrades to per-key all-pairs.
+
+    Spans are integral (epoch seconds / positions); left columns keep
+    their names, right columns that collide get an ``_r`` suffix.
+    """
+    ls, le = left_span
+    rs, re_ = right_span
+    keys = list(on)
+    lcols = set(left.columns)
+    renames = [c for c in right.columns if c in lcols and c not in keys]
+    r = right
+    for c in renames:
+        r = r.withColumnRenamed(c, f"{c}_r")
+    rs = f"{rs}_r" if rs in renames else rs
+    re_ = f"{re_}_r" if re_ in renames else re_
+
+    def spanned(df, s, e):
+        return df.withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / bucket_width),
+                    # end is exclusive: an interval ending exactly on a
+                    # bucket edge does not enter that bucket
+                    F.floor((F.col(e) - 1) / bucket_width),
+                )
+            ),
+        )
+
+    lb = spanned(left, ls, le)
+    rb = spanned(r, rs, re_)
+    joined = lb.join(rb, keys + ["_bkt"]) if keys else lb.join(
+        rb, lb["_bkt"] == rb["_bkt"]
+    ).drop(rb["_bkt"])
+    overlap_start = F.greatest(F.col(ls), F.col(rs))
+    return joined.filter(
+        (F.col(ls) < F.col(re_))
+        & (F.col(rs) < F.col(le))
+        & (F.col("_bkt") == F.floor(overlap_start / bucket_width))
+    ).drop("_bkt")

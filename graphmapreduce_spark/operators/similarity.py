@@ -216,3 +216,66 @@ def ivf_topk(
         query_vec=query_vec,
         include_self=include_self,
     )
+
+
+def fuzzy_self_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """Edit-distance self-join: (id_a, id_b, dist) for every pair of
+    rows with ``levenshtein(text_a, text_b) <= max_dist`` and
+    ``id_a < id_b`` — the entity-resolution / fuzzy-dedup primitive.
+
+    Scale shape — q-gram count filtering, NOT an all-pairs cross join:
+    each string explodes into its positional q-grams with multiplicity;
+    candidate pairs come from an inverted gram join, and the MULTISET
+    intersection size ``sum(least(c_a, c_b))`` prunes to pairs sharing
+    at least ``max(|a|,|b|) - q + 1 - q*max_dist`` grams (the classical
+    count-filter bound: one edit destroys at most q grams).  Only the
+    survivors pay the levenshtein verify.  The bound is conservative,
+    so no true pair is lost — PROVIDED every string has at least
+    ``q*(max_dist+1)`` chars; shorter strings can be inside the distance
+    while sharing zero grams, so route them to a (small) brute-force
+    pool upstream.  Degenerate case to know about: a corpus-wide shared
+    prefix (ids, URLs) makes every pair a candidate — strip the static
+    prefix before gramming.
+    """
+    bound = lambda la, lb: F.greatest(la, lb) - q + 1 - q * max_dist  # noqa: E731
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    ).withColumn("_len", F.length("_t"))
+    grams = base.select(
+        "_id",
+        "_len",
+        F.explode(
+            F.expr(f"transform(sequence(1, greatest(length(_t) - {q} + 1, 1)), i -> substring(_t, i, {q}))")
+        ).alias("_g"),
+    )
+    counted = grams.groupBy("_id", "_len", "_g").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    a, b = counted.alias("a"), counted.alias("b")
+    cand = (
+        a.join(b, (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._len").alias("_la"),
+            F.col("b._len").alias("_lb"),
+        )
+        .agg(F.sum(F.least(F.col("a._c"), F.col("b._c"))).alias("_shared"))
+        .filter(F.col("_shared") >= bound(F.col("_la"), F.col("_lb")))
+        .select("id_a", "id_b")
+    )
+    sa = base.select(F.col("_id").alias("id_a"), F.col("_t").alias("_ta"))
+    sb = base.select(F.col("_id").alias("id_b"), F.col("_t").alias("_tb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", F.levenshtein("_ta", "_tb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -179,3 +179,123 @@ def theta_overlap(
         .cast("long")
         .alias("n_a_only"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch + Bloom filter as DATAFRAME-NATIVE structures: the
+# sketch is itself a (row, bucket, count) / (bucket) table, so building
+# is one hash agg, merging is a union + re-agg, and probing is a hash
+# join — every step partial-aggregates map-side and nothing ever passes
+# through the driver.  Hashes are the portable md5-60bit family
+# (functions/text.md5_hash60), so a SQL oracle reproduces the sketch
+# bit-for-bit — unlike opaque binary sketch blobs.
+# ---------------------------------------------------------------------------
+def _bucket_hash(col, salt: int, width: int):
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("#", col, F.lit(str(salt)))), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_table(
+    df: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch of ``value_col`` as a (d, w, cnt) table —
+    ``depth`` salted hash rows x ``width`` buckets.  At most
+    depth*width rows regardless of input size; build is one explode
+    (depth rows per input) + one map-side-combinable count agg.
+    Merge two sketches of the same shape: union + groupBy(d,w) sum."""
+    rows = df.select(
+        F.posexplode(
+            F.array(
+                *[_bucket_hash(F.col(value_col), j, width) for j in range(depth)]
+            )
+        ).alias("d", "w")
+    )
+    return rows.groupBy("d", "w").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_lookup(
+    cms: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates: (value_col, est) with
+    ``est = min_d cnt[d][h_d(x)]`` — the classical CMS upper bound
+    (overcounts on collisions, never undercounts).  One hash join of
+    the probe rows (x depth) against the sketch table; the sketch side
+    is at most depth*width rows, so Spark broadcasts it."""
+    pr = probes.select(value_col).distinct()
+    keyed = pr.select(
+        value_col,
+        F.posexplode(
+            F.array(
+                *[_bucket_hash(F.col(value_col), j, width) for j in range(depth)]
+            )
+        ).alias("d", "w"),
+    )
+    return (
+        keyed.join(cms, ["d", "w"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def bloom_table(
+    df: DataFrame,
+    value_col: str,
+    num_bits: int = 8192,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Bloom filter of ``value_col`` as a table of SET bit positions —
+    at most ``num_bits`` rows however large the input.  Build: explode
+    each value into its ``num_hashes`` positions, distinct."""
+    return df.select(
+        F.explode(
+            F.array(
+                *[
+                    _bucket_hash(F.col(value_col), j, num_bits)
+                    for j in range(num_hashes)
+                ]
+            )
+        ).alias("bit")
+    ).distinct()
+
+
+def bloom_maybe_contains(
+    bloom: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    num_bits: int = 8192,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """(value_col, maybe) — ``maybe`` true iff ALL hash positions are
+    set: false positives possible (rate ~ (1 - e^{-kn/m})^k), false
+    negatives impossible.  The join-pruning pattern at 100 TB: build
+    the filter from the small side's keys, broadcast these <= num_bits
+    rows, and pre-filter the big side before the real shuffle join."""
+    pr = probes.select(value_col).distinct()
+    keyed = pr.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    _bucket_hash(F.col(value_col), j, num_bits)
+                    for j in range(num_hashes)
+                ]
+            )
+        ).alias("bit"),
+    )
+    marked = keyed.join(
+        bloom.withColumn("_set", F.lit(1)), "bit", "left"
+    )
+    return marked.groupBy(value_col).agg(
+        (F.count(F.lit(1)) == F.sum(F.coalesce(F.col("_set"), F.lit(0)))).alias(
+            "maybe"
+        )
+    )

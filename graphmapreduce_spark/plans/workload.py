@@ -3583,6 +3583,150 @@ def q105_ktruss(spark, sf_dir):
     return alg.k_truss(g, k=4)
 
 
+@register(
+    "q106_fuzzy_join",
+    """
+    WITH c AS (SELECT c_custkey AS id, c_name AS t
+               FROM customer WHERE c_custkey < 400)
+    SELECT a.id AS id_a, b.id AS id_b,
+           levenshtein(a.t, b.t) AS dist
+    FROM c a JOIN c b ON a.id < b.id
+    WHERE levenshtein(a.t, b.t) <= 2
+    """,
+)
+def q106_fuzzy_join(spark, sf_dir):
+    """Edit-distance self-join on customer names (dist <= 2): q-gram
+    multiset count filtering prunes candidates before the levenshtein
+    verify; the oracle is the O(n^2) brute force the blocking avoids.
+    Completeness precondition (len >= q*(d+1) = 9) holds — names are
+    18 chars."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    out = S.fuzzy_self_join(c, "c_custkey", "c_name", max_dist=2, q=3)
+    return out.withColumn("dist", F.col("dist").cast("long"))
+
+
+@register(
+    "q107_interval_join",
+    """
+    WITH iv AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)                   AS s,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               + CAST(floor(value * 60) AS BIGINT) + 1          AS e
+      FROM events WHERE user_id < 200
+    ),
+    l AS (SELECT * FROM iv WHERE event_type = 'click'),
+    r AS (SELECT * FROM iv WHERE event_type = 'view')
+    SELECT l.user_id, l.event_id AS a_id, r.event_id AS b_id,
+           least(l.e, r.e) - greatest(l.s, r.s) AS overlap_secs
+    FROM l JOIN r ON l.user_id = r.user_id
+                 AND l.s < r.e AND r.s < l.e
+    """,
+)
+def q107_interval_join(spark, sf_dir):
+    """Interval-overlap join: click spans x view spans per user (span =
+    [ts, ts + value minutes)).  `interval_join` blocks on 1-hour
+    buckets generated in-plan so the pairs meet with a HASH join plus
+    an exact-overlap filter (emitted once, in the overlap-start
+    bucket); the oracle is the inequality join Catalyst would plan as
+    a nested loop."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    iv = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("s"),
+        (
+            F.col("ts").cast("long")
+            + F.floor(F.col("value") * 60).cast("long")
+            + 1
+        ).alias("e"),
+    )
+    left = iv.filter(F.col("event_type") == "click").drop("event_type")
+    right = iv.filter(F.col("event_type") == "view").drop("event_type")
+    out = R.interval_join(
+        left, right, ("s", "e"), ("s", "e"), on=["user_id"], bucket_width=3600
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.col("event_id_r").alias("b_id"),
+        (F.least("e", "e_r") - F.greatest("s", "s_r")).alias("overlap_secs"),
+    )
+
+
+@register(
+    "q108_cms_freq",
+    """
+    WITH j(j) AS (SELECT unnest([0, 1, 2, 3])),
+    cms AS (
+      SELECT j AS d,
+             ('0x' || substr(md5(p_brand || '#' || j), 1, 15))::BIGINT % 16
+               AS w,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM part, j GROUP BY 1, 2
+    ),
+    probes AS (SELECT DISTINCT p_brand FROM part),
+    keyed AS (
+      SELECT p_brand, j AS d,
+             ('0x' || substr(md5(p_brand || '#' || j), 1, 15))::BIGINT % 16
+               AS w
+      FROM probes, j
+    )
+    SELECT k.p_brand, min(coalesce(cnt, 0)) AS est
+    FROM keyed k LEFT JOIN cms ON k.d = cms.d AND k.w = cms.w
+    GROUP BY k.p_brand
+    """,
+)
+def q108_cms_freq(spark, sf_dir):
+    """Count-min sketch as a DataFrame-native (d, w, cnt) table —
+    width 16 x depth 4 is deliberately tight so bucket collisions
+    OCCUR and the estimates show the CMS overcount, which the oracle
+    reproduces hash-for-hash (portable md5 bucketing).  Build is one
+    bounded-size agg; probing all 25 brands is a broadcast join."""
+    part = _t(spark, sf_dir, "part")
+    cms = SK.cms_table(part, "p_brand", width=16, depth=4)
+    return SK.cms_lookup(cms, part, "p_brand", width=16, depth=4)
+
+
+@register(
+    "q109_bloom_filter",
+    """
+    WITH j(j) AS (SELECT unnest([0, 1, 2, 3])),
+    member AS (SELECT CAST(s_suppkey AS VARCHAR) AS v
+               FROM supplier WHERE s_nationkey < 5),
+    bloom AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(v || '#' || j), 1, 15))::BIGINT % 64 AS bit
+      FROM member, j
+    ),
+    probes AS (SELECT DISTINCT CAST(s_suppkey AS VARCHAR) AS v FROM supplier),
+    keyed AS (
+      SELECT v, ('0x' || substr(md5(v || '#' || j), 1, 15))::BIGINT % 64
+               AS bit
+      FROM probes, j
+    )
+    SELECT k.v, count(*) = sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END)
+             AS maybe
+    FROM keyed k LEFT JOIN bloom b ON k.bit = b.bit
+    GROUP BY k.v
+    """,
+)
+def q109_bloom_filter(spark, sf_dir):
+    """Bloom filter as a table of set bit positions (64 bits x 4
+    hashes over ~1/5 of suppliers — tight enough that false positives
+    appear; the oracle reproduces them exactly).  The 100 TB use: build
+    from the small join side, broadcast the <=64 rows, pre-filter the
+    big side before the real shuffle."""
+    sup = _t(spark, sf_dir, "supplier")
+    member = sup.filter(F.col("s_nationkey") < 5).select(
+        F.col("s_suppkey").cast("string").alias("v")
+    )
+    probes = sup.select(F.col("s_suppkey").cast("string").alias("v"))
+    bloom = SK.bloom_table(member, "v", num_bits=64, num_hashes=4)
+    return SK.bloom_maybe_contains(bloom, probes, "v", num_bits=64, num_hashes=4)
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================

@@ -1,0 +1,100 @@
+"""Unit tests for fuzzy edit-distance join, interval-overlap join, and
+the DataFrame-native count-min / Bloom sketches."""
+
+from pyspark.sql import functions as F
+
+from graphmapreduce_spark.operators.relational import interval_join
+from graphmapreduce_spark.operators.similarity import fuzzy_self_join
+from graphmapreduce_spark.operators.sketches import (
+    bloom_maybe_contains,
+    bloom_table,
+    cms_lookup,
+    cms_table,
+)
+
+
+def test_fuzzy_self_join_known_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitten"), (3, "sittin"), (4, "mitten"), (5, "banana")],
+        "id long, name string",
+    )
+    out = fuzzy_self_join(df, "id", "name", max_dist=1, q=2)
+    got = {(r["id_a"], r["id_b"], r["dist"]) for r in out.collect()}
+    assert got == {(1, 2, 1), (1, 4, 1), (2, 3, 1), (2, 4, 1)}
+
+
+def test_fuzzy_self_join_dist2_transitive(spark):
+    df = spark.createDataFrame(
+        [(1, "kitten"), (2, "sittin"), (3, "bitter")], "id long, name string"
+    )
+    out = fuzzy_self_join(df, "id", "name", max_dist=2, q=2)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in got  # dist exactly 2
+    assert (1, 3) in got  # kitten -> bitten -> bitter
+
+
+def test_interval_join_half_open_and_single_emit(spark):
+    left = spark.createDataFrame(
+        [(1, 1, 0, 10), (2, 1, 100, 9000), (3, 2, 0, 10)],
+        "lid long, k long, s long, e long",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 1, 10, 20),  # touches lid=1 at endpoint: NO overlap
+            (11, 1, 5, 8),  # inside lid=1
+            (12, 1, 8000, 8500),  # overlaps lid=2 in its THIRD bucket
+            (13, 2, 9, 30),  # 1-sec overlap with lid=3
+        ],
+        "rid long, k long, s long, e long",
+    )
+    out = interval_join(
+        left, right, ("s", "e"), ("s", "e"), on=["k"], bucket_width=3600
+    )
+    pairs = [(r["lid"], r["rid"]) for r in out.collect()]
+    assert sorted(pairs) == [(1, 11), (2, 12), (3, 13)]  # each exactly once
+
+
+def test_interval_join_no_keys(spark):
+    left = spark.createDataFrame([(1, 0, 100)], "lid long, s long, e long")
+    right = spark.createDataFrame(
+        [(9, 50, 60), (8, 200, 300)], "rid long, s long, e long"
+    )
+    out = interval_join(left, right, ("s", "e"), ("s", "e"), bucket_width=64)
+    assert [(r["lid"], r["rid"]) for r in out.collect()] == [(1, 9)]
+
+
+def test_cms_never_undercounts(spark):
+    df = spark.createDataFrame(
+        [(w,) for w in ["a"] * 50 + ["b"] * 30 + ["c"] * 5 + ["d"] * 1],
+        "v string",
+    )
+    # width 2: heavy collisions guaranteed
+    cms = cms_table(df, "v", width=2, depth=2)
+    est = {
+        r["v"]: r["est"]
+        for r in cms_lookup(cms, df, "v", width=2, depth=2).collect()
+    }
+    exact = {"a": 50, "b": 30, "c": 5, "d": 1}
+    assert all(est[k] >= exact[k] for k in exact)
+    # ample width: no collisions, estimates exact
+    cms2 = cms_table(df, "v", width=4096, depth=4)
+    est2 = {
+        r["v"]: r["est"]
+        for r in cms_lookup(cms2, df, "v", width=4096, depth=4).collect()
+    }
+    assert est2 == exact
+
+
+def test_bloom_no_false_negatives(spark):
+    members = spark.createDataFrame([(str(i),) for i in range(40)], "v string")
+    probes = spark.createDataFrame([(str(i),) for i in range(200)], "v string")
+    bloom = bloom_table(members, "v", num_bits=128, num_hashes=3)
+    got = {
+        r["v"]: r["maybe"]
+        for r in bloom_maybe_contains(
+            bloom, probes, "v", num_bits=128, num_hashes=3
+        ).collect()
+    }
+    assert all(got[str(i)] for i in range(40))  # no false negatives
+    # bitmap is bounded by num_bits rows however many members
+    assert bloom.count() <= 128
