@@ -3727,6 +3727,35 @@ def q109_bloom_filter(spark, sf_dir):
     return SK.bloom_maybe_contains(bloom, probes, "v", num_bits=64, num_hashes=4)
 
 
+@register(
+    "q110_stream_static_join",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q110_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment join: the event stream joins the
+    customer dimension (stateless — the static side is re-planned per
+    micro-batch, broadcast when small) and feeds a streaming aggregate.
+    One availableNow micro-batch over the fixture, so update mode emits
+    exactly the converged totals; equals the batch join+agg oracle."""
+    stream = _stream_events(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        stream.join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+    )
+    return _run_stream_to_table(spark, agg, "streamstatic")
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
