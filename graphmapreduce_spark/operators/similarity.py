@@ -254,8 +254,14 @@ def fuzzy_self_join(
             F.expr(f"transform(sequence(1, greatest(length(_t) - {q} + 1, 1)), i -> substring(_t, i, {q}))")
         ).alias("_g"),
     )
-    counted = grams.groupBy("_id", "_len", "_g").agg(
-        F.count(F.lit(1)).alias("_c")
+    # materialize the counted gram table once: it feeds BOTH sides of
+    # the self-join (same pattern as the winnowing self-join, and the
+    # triangle-count 3-way join) — without this the explode+agg runs
+    # twice and the base table is scanned once per alias
+    counted = (
+        grams.groupBy("_id", "_len", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
     )
     a, b = counted.alias("a"), counted.alias("b")
     cand = (
