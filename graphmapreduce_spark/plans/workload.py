@@ -3756,6 +3756,155 @@ def q110_stream_static_join(spark, sf_dir):
     return _run_stream_to_table(spark, agg, "streamstatic")
 
 
+@register(
+    "q111_quality_audit",
+    """
+    SELECT 'completeness:o_orderkey' AS "check",
+           ROUND(avg(CASE WHEN o_orderkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+             AS metric FROM orders
+    UNION ALL
+    SELECT 'completeness:prio',
+           ROUND(avg(CASE WHEN nullif(o_orderpriority, '1-URGENT')
+                          IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) FROM orders
+    UNION ALL
+    SELECT 'uniqueness:o_orderkey',
+           ROUND(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'uniqueness:o_custkey',
+           ROUND(CAST(count(DISTINCT o_custkey) AS DOUBLE) / count(*), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'integrity:orders_customer',
+           ROUND(CAST((SELECT count(*) FROM orders
+                       WHERE o_custkey IN (SELECT c_custkey FROM customer))
+                      AS DOUBLE)
+                 / (SELECT count(*) FROM orders), 6)
+    UNION ALL
+    SELECT 'integrity:lineitem_halfpart',
+           ROUND(CAST((SELECT count(*) FROM lineitem
+                       WHERE l_partkey IN (SELECT p_partkey FROM part
+                                           WHERE p_partkey % 2 = 0))
+                      AS DOUBLE)
+                 / (SELECT count(*) FROM lineitem), 6)
+    """,
+)
+def q111_quality_audit(spark, sf_dir):
+    """Deequ-style data-quality gate: null-fraction, key-uniqueness and
+    referential-integrity metrics as ONE (check, metric) report — each
+    family is a single aggregate pass (no per-rule rescans); the prio
+    column gets nulls injected via nullif and the part side is halved so
+    both failure modes actually show fractions < 1."""
+    from graphmapreduce_spark.operators import quality as Q
+
+    o = _t(spark, sf_dir, "orders")
+    o2 = o.withColumn("prio", F.expr("nullif(o_orderpriority, '1-URGENT')"))
+    li = _t(spark, sf_dir, "lineitem")
+    return Q.audit(
+        [
+            Q.completeness(o2, ["o_orderkey", "prio"]),
+            Q.uniqueness(o, ["o_orderkey", "o_custkey"]),
+            Q.referential_integrity(
+                o,
+                _t(spark, sf_dir, "customer"),
+                "o_custkey",
+                "c_custkey",
+                "orders_customer",
+            ),
+            Q.referential_integrity(
+                li,
+                _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 2 == 0),
+                "l_partkey",
+                "p_partkey",
+                "lineitem_halfpart",
+            ),
+        ]
+    )
+
+
+@register(
+    "q112_histogram",
+    """
+    WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+               FROM orders)
+    SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20)), 19)
+                AS BIGINT)                                   AS bucket,
+           ROUND(lo + least(floor((o_totalprice - lo) / ((hi - lo) / 20)), 19)
+                      * ((hi - lo) / 20), 4)                 AS bucket_lo,
+           CAST(count(*) AS BIGINT)                          AS n
+    FROM orders, b
+    GROUP BY 1, 2
+    """,
+)
+def q112_histogram(spark, sf_dir):
+    """Equal-width histogram (20 bins over the observed [min, max]):
+    the bounds are a 1-row aggregate broadcast back over the scan —
+    two passes total, both full-codegen, no driver round-trip for the
+    bounds."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    w = (F.col("hi") - F.col("lo")) / 20
+    bucket = F.least(F.floor((F.col("o_totalprice") - F.col("lo")) / w), F.lit(19))
+    return (
+        o.join(F.broadcast(bounds))
+        .groupBy(
+            bucket.cast("long").alias("bucket"),
+            F.round(F.col("lo") + bucket * w, 4).alias("bucket_lo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q113_cogroup_merge",
+    """
+    WITH o AS (SELECT o_custkey, count(*) AS n_orders,
+                      sum(o_totalprice) AS total
+               FROM orders GROUP BY o_custkey)
+    SELECT coalesce(o.o_custkey, c.c_custkey) AS custkey,
+           CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+           ROUND(coalesce(total, 0.0), 2) AS total_spend,
+           c.c_acctbal AS acctbal
+    FROM o FULL JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q113_cogroup_merge(spark, sf_dir):
+    """Co-grouped map (the `groupBy().cogroup().applyInPandas` API):
+    both sides shuffle once on the key, then each key's order rows and
+    customer row meet in ONE Arrow-batched pandas call — the escape
+    hatch for per-key merge logic joins can't express.  This instance
+    is deliberately join-expressible so the full-outer join+agg oracle
+    value-checks the plumbing (keys on either side, empty frames)."""
+    import pandas as pd
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+
+    def merge(key, left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "custkey": [int(key[0])],
+                "n_orders": [len(left)],
+                "total_spend": [float(left["o_totalprice"].sum())],
+                "acctbal": [
+                    float(right["c_acctbal"].iloc[0]) if len(right) else None
+                ],
+            }
+        )
+
+    out = (
+        orders.groupBy("o_custkey")
+        .cogroup(cust.groupBy("c_custkey"))
+        .applyInPandas(
+            merge,
+            schema="custkey long, n_orders long, total_spend double, acctbal double",
+        )
+    )
+    return out.withColumn("total_spend", F.round("total_spend", 2))
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================

@@ -98,3 +98,12 @@ def test_bloom_no_false_negatives(spark):
     assert all(got[str(i)] for i in range(40))  # no false negatives
     # bitmap is bounded by num_bits rows however many members
     assert bloom.count() <= 128
+
+
+def test_referential_integrity_duplicate_parents_not_inflated(spark):
+    from graphmapreduce_spark.operators.quality import referential_integrity
+
+    child = spark.createDataFrame([(1,), (2,)], "fk long")
+    parent = spark.createDataFrame([(1,), (1,), (1,)], "pk long")
+    out = referential_integrity(child, parent, "fk", "pk").collect()
+    assert out[0]["metric"] == 0.5  # semi-join: 3 duplicate parents ≠ 3 matches
