@@ -904,3 +904,34 @@ def k_truss(graph: PropertyGraph, k: int, max_iter: int = 50) -> DataFrame:
     # max_iter exhausted without reaching the fixpoint: the result would
     # silently include under-supported edges — fail loudly instead
     raise RuntimeError(f"k_truss did not converge within {max_iter} rounds")
+
+
+def harmonic_centrality(
+    graph: PropertyGraph,
+    sources: Sequence[int],
+    max_iter: int = MAX_ITERATION,
+) -> DataFrame:
+    """Sampled harmonic centrality: (id, harmonic) with
+    ``harmonic(v) = sum over seed sources s of 1/dist(s, v)`` (directed
+    BFS distances, unreachable pairs contribute nothing, sources don't
+    score themselves).  With sources = a uniform sample this is the
+    standard estimator for full harmonic centrality at 1/|V| of the
+    all-pairs cost; with a fixed seed list it is deterministic and
+    oracle-checkable.
+
+    One BFS fixpoint per source (frontier-filtered Pregel — each is
+    |sources| supersteps of one join + one min agg); the per-source
+    level tables union and collapse in a single final agg.  Sources
+    evaluate independently, so Spark schedules their jobs back-to-back
+    over the same cached edge table.
+    """
+    if not sources:
+        raise ValueError("harmonic_centrality needs at least one source")
+    parts = []
+    for s in sources:
+        lv = bfs(graph, s, max_iter=max_iter).filter(F.col("level") > 0)
+        parts.append(lv.select("id", (F.lit(1.0) / F.col("level")).alias("h")))
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return allp.groupBy("id").agg(F.sum("h").alias("harmonic"))

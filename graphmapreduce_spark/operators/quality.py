@@ -77,3 +77,31 @@ def audit(parts: Sequence[DataFrame]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def iqr_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier flagging per group: rows outside
+    [q1 - k*IQR, q3 + k*IQR] of their group's exact quartiles get
+    ``is_outlier`` true.  Two passes: one sort-based percentile agg per
+    group (tiny result), joined back over the scan — the join
+    broadcasts whenever the group count does, so the flagging pass
+    stays shuffle-free on the fact side."""
+    keys = list(group_cols)
+    fences = df.groupBy(*keys).agg(
+        F.percentile(value_col, F.lit(0.25)).alias("_q1"),
+        F.percentile(value_col, F.lit(0.75)).alias("_q3"),
+    )
+    lo = F.col("_q1") - k * (F.col("_q3") - F.col("_q1"))
+    hi = F.col("_q3") + k * (F.col("_q3") - F.col("_q1"))
+    return (
+        df.join(F.broadcast(fences), keys)
+        .withColumn(
+            "is_outlier", (F.col(value_col) < lo) | (F.col(value_col) > hi)
+        )
+        .drop("_q1", "_q3")
+    )

@@ -3905,6 +3905,86 @@ def q113_cogroup_merge(spark, sf_dir):
     return out.withColumn("total_spend", F.round("total_spend", 2))
 
 
+def _harmonic_oracle_sql(
+    sources: tuple[int, ...] = (0, 1, 2), mod: int = 500, depth: int = 8
+) -> str:
+    """Per-source unrolled BFS (min-dist accumulation; extra rounds
+    no-op once the frontier is exhausted — the mod-500 graph's directed
+    diameter is ~4 at sf0.01), then the harmonic sum over sources."""
+    pre = f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey % {mod} AS src, l_partkey % {mod} AS dst
+      FROM lineitem WHERE l_orderkey % {mod} <> l_partkey % {mod})"""
+    blocks, finals = [], []
+    for s in sources:
+        blocks.append(f"""
+    s{s}d0 AS (SELECT CAST({s} AS BIGINT) AS id, 0 AS dist)""")
+        for i in range(1, depth + 1):
+            p = f"s{s}d{i - 1}"
+            blocks.append(f"""
+    s{s}d{i} AS MATERIALIZED (
+      SELECT id, min(dist) AS dist FROM (
+        SELECT id, dist FROM {p}
+        UNION ALL
+        SELECT e.dst AS id, p.dist + 1 AS dist
+        FROM e JOIN {p} p ON p.id = e.src
+      ) GROUP BY id)""")
+        finals.append(
+            f"SELECT id, 1.0 / dist AS h FROM s{s}d{depth} WHERE dist > 0"
+        )
+    return (
+        pre
+        + ","
+        + ",".join(blocks)
+        + f"""
+    SELECT id, ROUND(sum(h), 6) AS harmonic
+    FROM ({" UNION ALL ".join(finals)}) GROUP BY id"""
+    )
+
+
+@register("q114_harmonic_centrality", _harmonic_oracle_sql())
+def q114_harmonic_centrality(spark, sf_dir):
+    """Sampled harmonic centrality from 3 fixed seed sources over the
+    directed mod-500 graph — one frontier-filtered BFS fixpoint per
+    source over the shared cached edge table; oracle is the per-source
+    unrolled min-dist BFS summed the same way."""
+    g = _mod_graph(spark, sf_dir)
+    out = alg.harmonic_centrality(g, [0, 1, 2])
+    return out.withColumn("harmonic", F.round("harmonic", 6))
+
+
+@register(
+    "q115_iqr_outliers",
+    """
+    WITH f AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(sum(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
+                           OR o_totalprice > q3 + 1.5 * (q3 - q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders o JOIN f ON o.o_orderpriority = f.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q115_iqr_outliers(spark, sf_dir):
+    """Tukey-fence (1.5 IQR) outlier counts per order priority: exact
+    per-group quartiles (one tiny sort-based agg) broadcast back over
+    the scan, so the flagging pass is shuffle-free on the fact side."""
+    from graphmapreduce_spark.operators import quality as Q
+
+    o = _t(spark, sf_dir, "orders")
+    flagged = Q.iqr_outliers(o, ["o_orderpriority"], "o_totalprice", k=1.5)
+    return flagged.groupBy("o_orderpriority").agg(
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================

@@ -147,3 +147,42 @@ def stream_to_parquet(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_upsert_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    available_now: bool = True,
+):
+    """foreachBatch MERGE sink: each micro-batch type-1 upserts into a
+    parquet target (read current -> `merge_upsert` -> overwrite) — the
+    keyed-sink pattern for CDC compaction when no ACID table format is
+    available.  Restart-safe: the checkpoint skips committed batches,
+    and replaying a committed batch is idempotent because upserting the
+    same keys twice is a no-op.
+
+    The merged result is materialized (localCheckpoint) BEFORE the
+    overwrite, so the plan never reads the files it is replacing.
+    Requires each micro-batch to hold at most one row per key (enforce
+    upstream with dropDuplicates/last-write-wins).
+
+    Returns the StreamingQuery (caller awaits/stops it)."""
+    from graphmapreduce_spark.operators.relational import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            base = spark.read.parquet(path)
+            merged = merge_upsert(base, batch_df, key_cols)
+        except Exception:  # first batch: no target yet
+            merged = batch_df
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+    w = stream_df.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -227,3 +227,32 @@ def test_stream_to_parquet_exactly_once(spark, tmp_path):
     q2 = stream_to_parquet(src2.select("event_id", "user_id"), out, ckpt)
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == n_expected
+
+
+def test_stream_upsert_foreachbatch(spark, tmp_path):
+    """foreachBatch MERGE sink: two micro-batches of keyed updates land
+    as latest-per-key in the parquet target (type-1 upsert), and the
+    second batch only touches its own keys."""
+    from graphmapreduce_spark.streaming.windows import stream_upsert_to_parquet
+
+    src_dir = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "tgt"), str(tmp_path / "ck")
+    spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double").write.mode(
+        "append"
+    ).parquet(src_dir)
+    schema = "k long, v double"
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = stream_upsert_to_parquet(stream, out, ckpt, ["k"])
+    q.awaitTermination()
+    got = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: 10.0, 2: 20.0}
+
+    # second batch: update k=2, insert k=3
+    spark.createDataFrame([(2, 99.0), (3, 30.0)], schema).write.mode(
+        "append"
+    ).parquet(src_dir)
+    stream2 = spark.readStream.schema(schema).parquet(src_dir)
+    q2 = stream_upsert_to_parquet(stream2, out, ckpt, ["k"])
+    q2.awaitTermination()
+    got = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0}
