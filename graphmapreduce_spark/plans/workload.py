@@ -3985,6 +3985,47 @@ def q115_iqr_outliers(spark, sf_dir):
     )
 
 
+def _zorder_oracle_sql(bits: int = 8) -> str:
+    """Bit-for-bit replica of `layout.zorder_key` arithmetic on
+    (o_custkey % 256, epoch-day % 256)."""
+    terms = []
+    for i, col in enumerate(("x", "y")):
+        for b in range(bits):
+            terms.append(f"((({col} >> {b}) & 1) << {b * 2 + i})")
+    z = " | ".join(terms)
+    return f"""
+    WITH src AS (
+      SELECT o_orderkey,
+             o_custkey % 256 AS x,
+             (o_orderdate::DATE - DATE '1970-01-01') % 256 AS y
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderkey, x, y, {z} AS z FROM src
+    """
+
+
+@register("q116_zorder_key", _zorder_oracle_sql())
+def q116_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over (customer, order-day) — the
+    layout expression behind `cluster_by_zorder`, which range-partitions
+    and sorts on this key so parquet files stay narrow in BOTH columns
+    and multi-dimensional filters prune files.  The oracle replicates
+    the bit interleave arithmetic exactly."""
+    from graphmapreduce_spark.operators.layout import zorder_key
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    src = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("x"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+            .cast("long")
+            % 256
+        ).alias("y"),
+    )
+    return src.withColumn("z", zorder_key(["x", "y"], bits=8))
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================

@@ -107,3 +107,29 @@ def test_referential_integrity_duplicate_parents_not_inflated(spark):
     parent = spark.createDataFrame([(1,), (1,), (1,)], "pk long")
     out = referential_integrity(child, parent, "fk", "pk").collect()
     assert out[0]["metric"] == 0.5  # semi-join: 3 duplicate parents ≠ 3 matches
+
+
+def test_zorder_locality_and_roundtrip(spark):
+    from graphmapreduce_spark.operators.layout import cluster_by_zorder, zorder_key
+
+    # full 16x16 grid, 4-bit interleave: sorting by z must visit whole
+    # quadrants — each consecutive quarter of the order is one 8x8 block
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    rows = (
+        grid.withColumn("z", zorder_key(["x", "y"], bits=4))
+        .orderBy("z")
+        .collect()
+    )
+    zs = [r["z"] for r in rows]
+    assert zs == sorted(zs) and len(set(zs)) == 256  # bijective on the grid
+    for qi in range(4):
+        chunk = rows[qi * 64 : (qi + 1) * 64]
+        xs = [r["x"] for r in chunk]
+        ys = [r["y"] for r in chunk]
+        assert max(xs) - min(xs) == 7 and max(ys) - min(ys) == 7  # one quadrant
+
+    # cluster_by_zorder preserves rows and drops the key column
+    out = cluster_by_zorder(grid, ["x", "y"], bits=4, num_partitions=4)
+    assert out.columns == ["x", "y"] and out.count() == 256
