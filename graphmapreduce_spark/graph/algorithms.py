@@ -935,3 +935,73 @@ def harmonic_centrality(
     for p in parts[1:]:
         allp = allp.unionByName(p)
     return allp.groupBy("id").agg(F.sum("h").alias("harmonic"))
+
+
+def maximal_independent_set(graph: PropertyGraph, max_iter: int = 60) -> DataFrame:
+    """Luby's parallel MIS with DETERMINISTIC priorities: vertex v joins
+    the independent set when its priority (portable md5-60bit of the id)
+    beats every still-active neighbor's; v and its neighbors then leave
+    the game.  Hash priorities instead of per-round RNG keep the
+    classical O(log n)-round behavior while making the result a pure
+    function of the graph — reproducible across runs, engines and
+    partitionings, hence oracle-checkable.
+
+    Per round: one neighbor-min agg + one anti-join on the SHRINKING
+    active set (edges re-filtered by semi-joins), eager localCheckpoint
+    lineage truncation, one O(1) driver emptiness check.  Returns (id)
+    rows of the MIS.  Raises if max_iter rounds don't finish — a
+    silently partial MIS is not independent-set-maximal.
+    """
+    from graphmapreduce_spark.functions.text import md5_hash60
+
+    sym = (
+        graph.edges.select("src", "dst")
+        .unionByName(
+            graph.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    active = graph.vertices.select(
+        "id", md5_hash60(F.concat(F.col("id").cast("string"), F.lit(":mis"))).alias("pri")
+    ).localCheckpoint(eager=True)
+    edges = sym
+    mis_parts = []
+    for _ in range(max_iter):
+        if active.isEmpty():
+            if not mis_parts:  # empty graph
+                return graph.vertices.select("id").limit(0)
+            out = mis_parts[0]
+            for p in mis_parts[1:]:
+                out = out.unionByName(p)
+            return out
+        nb_min = (
+            edges.join(active.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("pri").alias("_mn"))
+            .withColumnRenamed("dst", "id")
+        )
+        winners = (
+            active.join(nb_min, "id", "left")
+            .filter(F.col("_mn").isNull() | (F.col("pri") < F.col("_mn")))
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        mis_parts.append(winners)
+        removed = winners.unionByName(
+            edges.join(winners.withColumnRenamed("id", "src"), "src").select(
+                F.col("dst").alias("id")
+            )
+        ).distinct()
+        active = active.join(removed, "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        edges = (
+            edges.join(active.select(F.col("id").alias("src")), "src", "left_semi")
+            .join(active.select(F.col("id").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"maximal_independent_set did not finish in {max_iter} rounds")

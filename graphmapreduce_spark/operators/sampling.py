@@ -107,3 +107,23 @@ def stratified_hash_sample(
             F.col(strata_col) == F.lit(k), F.lit(int(f * _BUCKETS))
         ).otherwise(rate)
     return df.filter(_bucket(F.col(id_col), seed, hash_fn) < rate)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    scale: float = 1.0,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-row Bernoulli sampling with probability
+    ``clamp(weight * scale, 0, 1)`` — the quality-weighted data-mixture
+    primitive (keep high-quality documents with higher probability),
+    content-deterministic like every sampler here: same (id, seed) =>
+    same uniform draw, so re-runs, engines and partition layouts agree
+    row-for-row.  Pure narrow filter; the weight can be any in-row
+    expression (quality score, source prior), no shuffle ever."""
+    u = _bucket(F.col(id_col), seed, hash_fn).cast("double") / _BUCKETS
+    p = F.least(F.greatest(F.col(weight_col) * scale, F.lit(0.0)), F.lit(1.0))
+    return df.filter(u < p)

@@ -4026,6 +4026,82 @@ def q116_zorder_key(spark, sf_dir):
     return src.withColumn("z", zorder_key(["x", "y"], bits=8))
 
 
+def _mis_oracle_sql(mod: int = 500, rounds: int = 8) -> str:
+    """Unrolled Luby rounds with the same md5-60bit priorities: winners
+    beat every active neighbor, winners+neighbors retire, repeat.  The
+    dense mod-500 graph finishes in ~3 rounds at sf0.01; later rounds
+    are no-ops on an empty active set."""
+    pre = f"""
+    WITH de AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey % {mod} AS src, l_partkey % {mod} AS dst
+      FROM lineitem WHERE l_orderkey % {mod} <> l_partkey % {mod}),
+    e AS MATERIALIZED (
+      SELECT src, dst FROM de UNION SELECT dst AS src, src AS dst FROM de),
+    a0 AS MATERIALIZED (
+      SELECT id, ('0x' || substr(md5(id || ':mis'), 1, 15))::BIGINT AS pri
+      FROM (SELECT DISTINCT src AS id FROM e))"""
+    its, winners = [], []
+    for i in range(rounds):
+        a, w = f"a{i}", f"w{i}"
+        its.append(f"""
+    nm{i} AS (
+      SELECT e.dst AS id, min(s.pri) AS mn
+      FROM e JOIN {a} s ON s.id = e.src JOIN {a} t ON t.id = e.dst
+      GROUP BY e.dst),
+    {w} AS MATERIALIZED (
+      SELECT a.id FROM {a} a LEFT JOIN nm{i} m ON m.id = a.id
+      WHERE m.mn IS NULL OR a.pri < m.mn),
+    rm{i} AS (
+      SELECT id FROM {w}
+      UNION SELECT e.dst AS id FROM e JOIN {w} w ON w.id = e.src),
+    a{i + 1} AS MATERIALIZED (
+      SELECT a.id, a.pri FROM {a} a
+      WHERE a.id NOT IN (SELECT id FROM rm{i}))""")
+        winners.append(f"SELECT id FROM w{i}")
+    return (
+        pre + "," + ",".join(its)
+        + f"""
+    {" UNION ALL ".join(winners)}"""
+    )
+
+
+@register("q117_maximal_independent_set", _mis_oracle_sql())
+def q117_maximal_independent_set(spark, sf_dir):
+    """Luby's parallel MIS with deterministic md5 priorities over the
+    symmetrized mod-500 graph — O(log n) BSP rounds, each one
+    neighbor-min agg + anti-join on the shrinking active set; the
+    oracle unrolls the same rounds in SQL."""
+    g = _mod_graph(spark, sf_dir)
+    return alg.maximal_independent_set(g)
+
+
+@register(
+    "q118_weighted_sample",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             least(greatest(CAST(n_chars AS DOUBLE) / 800.0, 0.0), 1.0) AS p
+      FROM documents
+    )
+    SELECT doc_id, n_chars FROM d
+    WHERE CAST(('0x' || substr(md5(doc_id || ':7'), 1, 15))::BIGINT % 1000000
+               AS DOUBLE) / 1000000 < p
+    """,
+)
+def q118_weighted_sample(spark, sf_dir):
+    """Quality-weighted Bernoulli sampling: keep probability scales with
+    document length (the data-mixture upweighting move), drawn from the
+    content-deterministic hash uniform — a pure narrow filter the oracle
+    replicates draw-for-draw (md5 variant)."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "p", F.col("n_chars").cast("double") / 800.0
+    )
+    out = SMP.weighted_hash_sample(
+        d, "doc_id", "p", scale=1.0, seed=7, hash_fn="md5"
+    )
+    return out.select("doc_id", "n_chars")
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================

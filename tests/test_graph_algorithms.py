@@ -372,3 +372,22 @@ def test_k_truss_cascade(spark):
     assert alg.k_truss(g, k=4).isEmpty()
     out = {(r["a"], r["b"]) for r in alg.k_truss(g, k=3).select("a", "b").collect()}
     assert out == {(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)}
+
+
+def test_maximal_independent_set_properties(spark):
+    # path 1-2-3-4-5 plus isolated vertex 9 (via self-contained edge 9-9
+    # being filtered, use a disconnected pair 9-10)
+    edges = [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (4, 5, 1.0), (9, 10, 1.0)]
+    g = make_graph(spark, edges)
+    mis = {r["id"] for r in alg.maximal_independent_set(g).collect()}
+    und = set()
+    for a, b, _ in edges:
+        und.add((a, b))
+        und.add((b, a))
+    # independence: no edge joins two MIS members
+    assert not any((a, b) in und for a in mis for b in mis if a != b)
+    # maximality: every non-member has a MIS neighbor
+    vertices = {v for e in edges for v in e[:2]}
+    for v in vertices - mis:
+        assert any((v, m) in und for m in mis)
+    assert len(mis & {9, 10}) == 1  # exactly one of the isolated pair
