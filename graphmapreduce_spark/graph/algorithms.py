@@ -1005,3 +1005,49 @@ def maximal_independent_set(graph: PropertyGraph, max_iter: int = 60) -> DataFra
             .localCheckpoint(eager=True)
         )
     raise RuntimeError(f"maximal_independent_set did not finish in {max_iter} rounds")
+
+
+def deterministic_walks(
+    graph: PropertyGraph,
+    walk_length: int = 5,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """Random-walk corpus generation (the node2vec/DeepWalk input stage)
+    with DETERMINISTIC transitions: from each start vertex, step t moves
+    to the out-neighbor minimizing md5(cur, t, neighbor) — a fixed
+    pseudo-random choice, so the corpus is a pure function of the graph
+    (reproducible across runs/engines, diversified across steps by the
+    step salt).  Walks stop early at sinks.
+
+    Returns (start, step, node) rows, step 0 = the start itself.
+    Scale shape: one hash join + one min-struct agg per step against the
+    cached edge table — walk_length sequential joins, each shuffling
+    only the frontier (|starts| rows), never the edge set.
+    """
+    from graphmapreduce_spark.functions.text import md5_hash60
+
+    edges = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+    if starts is None:
+        starts = graph.vertices.select(F.col("id").alias("start"))
+    cur = starts.select("start", F.col("start").alias("node"))
+    out = [cur.select("start", F.lit(0).alias("step"), "node")]
+    for t in range(1, walk_length + 1):
+        hop = (
+            cur.join(edges, cur["node"] == edges["src"])
+            .select(
+                "start",
+                F.col("dst"),
+                md5_hash60(
+                    F.concat_ws("|", F.col("node"), F.lit(str(t)), F.col("dst"))
+                ).alias("_h"),
+            )
+            .groupBy("start")
+            .agg(F.min(F.struct("_h", "dst")).alias("_w"))
+            .select("start", F.col("_w.dst").alias("node"))
+        )
+        cur = hop.localCheckpoint(eager=True)
+        out.append(cur.select("start", F.lit(t).alias("step"), "node"))
+    res = out[0]
+    for p in out[1:]:
+        res = res.unionByName(p)
+    return res

@@ -4102,6 +4102,102 @@ def q118_weighted_sample(spark, sf_dir):
     return out.select("doc_id", "n_chars")
 
 
+def _walks_oracle_sql(mod: int = 500, length: int = 4) -> str:
+    """Unrolled deterministic-walk steps: step t moves to the
+    out-neighbor minimizing (md5-60bit of 'cur|t|nb', nb) — the same
+    argmin `deterministic_walks` takes via min(struct)."""
+    pre = f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey % {mod} AS src, l_partkey % {mod} AS dst
+      FROM lineitem WHERE l_orderkey % {mod} <> l_partkey % {mod}),
+    v AS MATERIALIZED (
+      SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+    s0 AS (SELECT id AS start, id AS node FROM v)"""
+    its = []
+    for t in range(1, length + 1):
+        its.append(f"""
+    s{t} AS MATERIALIZED (
+      SELECT start, node FROM (
+        SELECT c.start, e.dst AS node,
+               row_number() OVER (
+                 PARTITION BY c.start
+                 ORDER BY ('0x' || substr(md5(c.node || '|' || {t} || '|'
+                                              || e.dst), 1, 15))::BIGINT,
+                          e.dst) AS rn
+        FROM s{t - 1} c JOIN e ON e.src = c.node) WHERE rn = 1)""")
+    sel = ["SELECT start, 0 AS step, node FROM s0"] + [
+        f"SELECT start, {t} AS step, node FROM s{t}" for t in range(1, length + 1)
+    ]
+    return pre + "," + ",".join(its) + "\n    " + " UNION ALL ".join(sel)
+
+
+@register("q119_deterministic_walks", _walks_oracle_sql())
+def q119_deterministic_walks(spark, sf_dir):
+    """Random-walk corpus generation (DeepWalk/node2vec input) with
+    hash-deterministic transitions from every vertex of the mod-500
+    graph — per step one frontier join + min-struct agg, never
+    reshuffling the edge set; oracle unrolls the same argmin steps."""
+    g = _mod_graph(spark, sf_dir)
+    return alg.deterministic_walks(g, walk_length=4)
+
+
+@register(
+    "q120_cooccurrence",
+    r"""
+    WITH dw AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, UNNEST(list_filter(
+          string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+        FROM documents WHERE doc_id < 400)
+      WHERE length(term) >= 4
+    ),
+    df AS (SELECT term, count(*) AS d FROM dw GROUP BY term),
+    keep AS (SELECT term FROM df WHERE d BETWEEN 5 AND 320),
+    dk AS (SELECT dw.doc_id, dw.term FROM dw JOIN keep USING (term))
+    SELECT a.term AS term_a, b.term AS term_b,
+           CAST(count(*) AS BIGINT) AS support
+    FROM dk a JOIN dk b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY a.term, b.term
+    ORDER BY support DESC, term_a, term_b
+    LIMIT 20
+    """,
+)
+def q120_cooccurrence(spark, sf_dir):
+    """Market-basket co-occurrence mining: top word pairs sharing
+    documents.  Scale hygiene mirrors the n-gram-Jaccard lesson: a
+    document-frequency band (5..320) caps the per-term fanout BEFORE
+    the within-doc self-join, so one corpus-wide term can never create
+    O(docs^2) pair rows; top-k via TakeOrdered, no global sort."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    dw = (
+        d.select("doc_id", F.explode(T.words("text")).alias("term"))
+        .filter(F.length("term") >= 4)
+        .distinct()
+    )
+    df_band = (
+        dw.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter((F.col("d") >= 5) & (F.col("d") <= 320))
+        .select("term")
+    )
+    dk = dw.join(F.broadcast(df_band), "term").localCheckpoint(eager=False)
+    pairs = (
+        dk.alias("a")
+        .join(
+            dk.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return pairs.orderBy(
+        F.desc("support"), F.asc("term_a"), F.asc("term_b")
+    ).limit(20)
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================

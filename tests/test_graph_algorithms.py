@@ -391,3 +391,16 @@ def test_maximal_independent_set_properties(spark):
     for v in vertices - mis:
         assert any((v, m) in und for m in mis)
     assert len(mis & {9, 10}) == 1  # exactly one of the isolated pair
+
+
+def test_deterministic_walks_stable_and_stop_at_sink(spark):
+    g = make_graph(spark, PATH5)  # 1→2→3→4→5, 5 is a sink
+    w1 = {(r["start"], r["step"]): r["node"] for r in alg.deterministic_walks(g, 3).collect()}
+    w2 = {(r["start"], r["step"]): r["node"] for r in alg.deterministic_walks(g, 3).collect()}
+    assert w1 == w2  # pure function of the graph
+    # chain has one out-neighbor per node: the walk IS the path
+    assert w1[(1, 0)] == 1 and w1[(1, 1)] == 2 and w1[(1, 3)] == 4
+    # start=5 is a sink: only step 0 exists
+    assert (5, 1) not in w1 and (5, 0) in w1
+    # start=4 reaches the sink after one hop, then stops
+    assert w1[(4, 1)] == 5 and (4, 2) not in w1
