@@ -4198,6 +4198,70 @@ def q120_cooccurrence(spark, sf_dir):
     ).limit(20)
 
 
+@register(
+    "q121_recursive_cte",
+    """
+    WITH RECURSIVE chain(id, root, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, chain.root, chain.depth + 1
+      FROM customer c JOIN chain ON chain.id = c.c_custkey // 10
+      WHERE c.c_custkey >= 10
+    )
+    SELECT id, root, depth FROM chain
+    """,
+)
+def q121_recursive_cte(spark, sf_dir):
+    """Recursive SQL (WITH RECURSIVE, new in Spark 4): hierarchy
+    traversal over the implicit digit-prefix forest (parent(k) = k
+    div 10) — the BOM-explosion / org-chain shape, expressed the same
+    way on both engines; each recursion level is one hash join, depth
+    bounded by the key width."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(id, root, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer_v WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, chain.root, chain.depth + 1
+          FROM customer_v c JOIN chain ON chain.id = c.c_custkey div 10
+          WHERE c.c_custkey >= 10
+        )
+        SELECT id, root, depth FROM chain
+        """
+    )
+
+
+@register(
+    "q122_variant_json",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+    GROUP BY event_type
+    """,
+)
+def q122_variant_json(spark, sf_dir):
+    """Semi-structured VARIANT path (Spark 4): `parse_json` once into
+    the binary variant encoding, then typed `variant_get` extraction —
+    the shredded-JSON fast path vs per-access string re-parsing
+    (q18's from_json covers the schema-ful route).  Oracle uses
+    DuckDB's json_extract on the same paths."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"),
+    )
+    return (
+        v.filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("k_sum"), F.count(F.lit(1)).alias("n"))
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
