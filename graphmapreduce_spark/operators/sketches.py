@@ -299,3 +299,33 @@ def bloom_maybe_contains(
             "maybe"
         )
     )
+
+
+def merge_agg_tables(
+    base: DataFrame,
+    delta: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    count_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: merge a delta
+    batch's aggregate table into the base aggregate table WITHOUT
+    re-scanning history — union + one re-agg over (|base| + |delta|)
+    group rows, exactly because count/sum/min/max are algebraic (their
+    states merge by the same function).  avg = merged sum / merged
+    count downstream; for distinct counts keep an HLL sketch table
+    (`hll_sketch_table`) next to this and merge that instead.
+
+    Both inputs must share the (group_cols + metric columns) schema —
+    i.e. the delta is aggregated at the same grain first."""
+    keys = list(group_cols)
+    merged = base.select(*base.columns).unionByName(delta.select(*base.columns))
+    aggs = (
+        [F.sum(c).alias(c) for c in sum_cols]
+        + [F.sum(c).alias(c) for c in count_cols]
+        + [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols]
+    )
+    return merged.groupBy(*keys).agg(*aggs)

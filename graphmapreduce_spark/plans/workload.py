@@ -4262,6 +4262,54 @@ def q122_variant_json(spark, sf_dir):
     )
 
 
+@register(
+    "q123_incremental_agg",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)        AS n,
+           ROUND(sum(o_totalprice), 2)     AS total,
+           ROUND(min(o_totalprice), 2)     AS lo,
+           ROUND(max(o_totalprice), 2)     AS hi
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q123_incremental_agg(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance: history and the
+    'new day' are aggregated separately, then `merge_agg_tables` merges
+    the two agg tables WITHOUT re-scanning history (union + re-agg over
+    group rows only — count/sum/min/max states are algebraic).  The
+    oracle is the from-scratch aggregate the merge must equal."""
+    o = _t(spark, sf_dir, "orders")
+    cutoff = "1997-01-01"
+
+    def agg_at_grain(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("total"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+
+    base = agg_at_grain(o.filter(F.col("o_orderdate") < cutoff))
+    delta = agg_at_grain(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = SK.merge_agg_tables(
+        base,
+        delta,
+        ["o_orderpriority"],
+        sum_cols=["total"],
+        count_cols=["n"],
+        min_cols=["lo"],
+        max_cols=["hi"],
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n",
+        F.round("total", 2).alias("total"),
+        F.round("lo", 2).alias("lo"),
+        F.round("hi", 2).alias("hi"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================

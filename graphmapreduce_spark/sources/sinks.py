@@ -63,3 +63,47 @@ def write_bucketed_table(
 def show(df: DataFrame, n: int = 20, truncate: bool = True) -> None:
     """stdout sink (ref printResult parity)."""
     df.show(n=n, truncate=truncate)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    roughly ``target_file_bytes`` — the maintenance job every streaming
+    / incremental sink needs, because a thousand 1 MB files cost a 100
+    TB reader far more in open/footer overhead and scheduler tasks than
+    one 1 GB file.  File count = ceil(input_bytes / target); optional
+    ``sort_cols`` clusters within the rewrite (pair with
+    `layout.cluster_by_zorder` for multi-dim layouts).
+
+    Writes to a sibling temp dir first and swaps only after success, so
+    a failed compaction never destroys the input.  Returns the new file
+    count."""
+    import math
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    # size the rewrite from the Hadoop listing — O(#files) metadata
+    # only, no data scan
+    total = 0
+    fs = spark._jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    it = fs.listFiles(spark._jvm.org.apache.hadoop.fs.Path(path), True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += f.getLen()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    out = df.repartition(n_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files
