@@ -17,6 +17,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from graphmapreduce_spark.operators import _time
+
 
 def top_k(df: DataFrame, order_cols: Sequence[Column | str], k: int) -> DataFrame:
     """Global top-k.  `orderBy + limit` — Spark plans this as a
@@ -193,12 +195,15 @@ def sessionize(
 
     One shuffle (the per-key window sort); both window passes share the
     same partitioning.  At 100 TB the key partitioning bounds state —
-    no per-key driver work, no UDF."""
+    no per-key driver work, no UDF.
+
+    Accepts TIMESTAMP, TIMESTAMP_NTZ, or integral-epoch ``ts_col``
+    (NTZ rejects a direct bigint cast — see `_time.epoch_seconds`)."""
+    tsec = _time.epoch_seconds(df, ts_col)
     w = Window.partitionBy(key_col).orderBy(ts_col)
-    prev = F.lag(F.col(ts_col)).over(w)
+    prev = F.lag(tsec).over(w)
     is_new = (
-        prev.isNull()
-        | ((F.col(ts_col).cast("long") - prev.cast("long")) > gap_seconds)
+        prev.isNull() | ((tsec - prev) > gap_seconds)
     ).cast("long")
     run = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

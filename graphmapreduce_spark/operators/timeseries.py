@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from graphmapreduce_spark.operators import _time
+
 
 def resample_ffill(
     df: DataFrame,
@@ -47,12 +49,12 @@ def resample_ffill(
     if fill not in ("ffill", "zero", "none"):
         raise ValueError(f"unknown fill mode: {fill}")
     step = int(step_seconds)
+    # type-robust epoch extraction: TIMESTAMP_NTZ rejects cast("long")
+    tsec = _time.epoch_seconds(df, ts_col)
     obs = df.select(
         F.col(key_col).alias("_k"),
-        (F.floor(F.col(ts_col).cast("long") / step) * step)
-        .cast("long")
-        .alias("bucket_start"),
-        F.col(ts_col).cast("long").alias("_ts"),
+        (F.floor(tsec / step) * step).cast("long").alias("bucket_start"),
+        tsec.alias("_ts"),
         F.col(val_col).cast("double").alias("_v"),
     )
     # last observation per bucket: max_by on the raw epoch; ties broken

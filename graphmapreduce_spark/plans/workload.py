@@ -27,6 +27,7 @@ from graphmapreduce_spark.functions import text as T
 from graphmapreduce_spark.functions import vectors as V
 from graphmapreduce_spark.graph import PropertyGraph
 from graphmapreduce_spark.graph import algorithms as alg
+from graphmapreduce_spark.operators._time import normalize_ts as _normalize_ts
 from graphmapreduce_spark.operators import dedup as D
 from graphmapreduce_spark.operators import multimodal as M
 from graphmapreduce_spark.operators import packing as PK
@@ -44,17 +45,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as long and convert (values are
-        # µs-aligned, so the ns→µs division is lossless and matches
-        # DuckDB's TIMESTAMP_NS→TIMESTAMP cast).
+        # events.ts varies by fixture build: TIMESTAMP(NANOS) (read as
+        # long under nanosAsLong; values are µs-aligned so the integer
+        # ns→µs div is lossless), TIMESTAMP_MICROS isAdjustedToUTC=0
+        # (Spark TIMESTAMP_NTZ, which watermarks and bigint casts
+        # reject), or plain TIMESTAMP.  Normalize every shape to
+        # session-TZ TIMESTAMP (session TZ is UTC) so downstream epoch
+        # math matches DuckDB's epoch(ts) on the same file.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            # integer div, not /1000.0: ns epochs exceed double mantissa
-            # precision, and DuckDB's ns→µs cast truncates
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return _normalize_ts(spark.read.parquet(path), "ts")
     return spark.read.parquet(path)
 
 
@@ -2124,8 +2123,10 @@ def q62_session_window(spark, sf_dir):
 
 
 def _stream_events(spark, sf_dir):
-    """readStream over the events parquet fixture (ns timestamps read as
-    long and converted, mirroring ``_t``)."""
+    """readStream over the events parquet fixture, with ``ts``
+    normalized to session-TZ TIMESTAMP whatever the physical form
+    (nanos-as-long, TIMESTAMP_NTZ, or TIMESTAMP), mirroring ``_t`` —
+    watermarks require TIMESTAMP, not NTZ."""
     import os as _os
 
     path = _os.path.join(sf_dir, "events.parquet")
@@ -2138,11 +2139,7 @@ def _stream_events(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return stream
+    return _normalize_ts(stream, "ts")
 
 
 def _run_stream_to_table(spark, stream_df, name: str, output_mode: str = "update"):
@@ -2270,16 +2267,21 @@ def q65_streaming_session(spark, sf_dir):
     static = spark.read.parquet(src)
     d = tempfile.mkdtemp(prefix="gmr_sess_src_")
     shutil.copy(src, _os.path.join(d, "00_events.parquet"))
+    # flush row in the fixture's native physical type (nanos-long,
+    # TIMESTAMP_NTZ, or TIMESTAMP), 2h past the max event
+    max_ts = static.agg(F.max("ts")).first()[0]
     if dict(static.dtypes).get("ts") == "bigint":
-        max_ns = static.agg(F.max("ts")).first()[0]
-        flush_ns = int(max_ns) + 2 * 3600 * 1_000_000_000
-        flush = spark.createDataFrame(
-            [(-1, flush_ns, -1, "flush", 0.0, None)], static.schema
-        )
-        flush.coalesce(1).write.mode("append").parquet(d)
-    stream = (
-        spark.readStream.schema(static.schema).parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        flush_ts = int(max_ts) + 2 * 3600 * 1_000_000_000
+    else:
+        import datetime as _dt
+
+        flush_ts = max_ts + _dt.timedelta(hours=2)
+    flush = spark.createDataFrame(
+        [(-1, flush_ts, -1, "flush", 0.0, None)], static.schema
+    )
+    flush.coalesce(1).write.mode("append").parquet(d)
+    stream = _normalize_ts(
+        spark.readStream.schema(static.schema).parquet(d), "ts"
     )
     sess = (
         stream.withWatermark("ts", "10 minutes")
