@@ -56,25 +56,35 @@ def main() -> int:
     qs = workload.queries()
     # session warmup: JVM JIT, codegen, parquet footer cache — so query
     # times measure plan execution, not first-run compilation
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-    workload.q01_pricing_summary(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    times: dict[str, float] = {}
+    try:
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+        workload.q01_pricing_summary(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception as exc:  # warmup failure must not kill the run
+        print(f"# warmup failed: {exc}", file=sys.stderr)
+    times: dict[str, float | None] = {}
     for name in HEADLINE:
         fn = qs[name]
+        # per-query isolation: one throwing query records null and the
+        # run continues — the JSON line is ALWAYS emitted
         # best of 2: pass 1 includes per-query codegen compilation and
         # any ambient-load spike; the min is the repeatable warm number
         best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            t = time.perf_counter() - t0
-            best = t if best is None else min(best, t)
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]:.2f}s", file=sys.stderr)
-    total = round(sum(times.values()), 3)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                t = time.perf_counter() - t0
+                best = t if best is None else min(best, t)
+            times[name] = round(best, 3)
+            print(f"# {name}: {times[name]:.2f}s", file=sys.stderr)
+        except Exception as exc:
+            times[name] = None
+            print(f"# {name}: FAILED {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+    total = round(sum(t for t in times.values() if t is not None), 3)
     print(
         json.dumps(
             {
@@ -82,6 +92,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "failed": [k for k, v in times.items() if v is None],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
