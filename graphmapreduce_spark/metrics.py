@@ -69,30 +69,51 @@ def shuffle_metrics(spark: SparkSession) -> dict[str, int]:
         "stages": 0,
         "active_jobs": len(sc.statusTracker().getActiveJobsIds()),
     }
-    try:
-        jvm = sc._jvm
-        # the AppStatusStore is populated asynchronously by the listener
-        # bus; drain it first or counters read right after an action can
-        # miss the just-completed stages (bounded wait: metrics must not
-        # stall the caller if the bus is busy with a streaming query)
+
+    def _read() -> dict[str, int] | None:
         try:
-            sc._jsc.sc().listenerBus().waitUntilEmpty(2000)
+            jvm = sc._jvm
+            store = sc._jsc.sc().statusStore()
+            empty = jvm.java.util.Collections.emptyList()
+            quantiles = sc._gateway.new_array(jvm.double, 0)
+            stages = store.stageList(empty, False, False, quantiles, empty)
+            acc = {k: 0 for k in out if k not in ("active_jobs",)}
+            it = stages.iterator()
+            while it.hasNext():
+                s = it.next()
+                acc["shuffle_read_bytes"] += s.shuffleReadBytes()
+                acc["shuffle_write_bytes"] += s.shuffleWriteBytes()
+                acc["shuffle_read_records"] += s.shuffleReadRecords()
+                acc["shuffle_write_records"] += s.shuffleWriteRecords()
+                acc["stages"] += 1
+            return acc
+        except Exception:  # pragma: no cover - JVM API drift safety net
+            return None
+
+    # the AppStatusStore is populated asynchronously by the listener bus
+    # AND flushed from live-entity state on its own cadence; a single
+    # drain can still observe stale stage rows right after an action.
+    # waitUntilEmpty THROWS on timeout — retry the drain under load
+    # (e.g. a full-suite run sharing the bus with streaming queries),
+    # then poll until two consecutive reads agree.  All waits bounded:
+    # metrics must never stall the caller.
+    for _ in range(3):
+        try:
+            sc._jsc.sc().listenerBus().waitUntilEmpty(3000)
+            break
         except Exception:
-            pass
-        store = sc._jsc.sc().statusStore()
-        empty = jvm.java.util.Collections.emptyList()
-        quantiles = sc._gateway.new_array(jvm.double, 0)
-        stages = store.stageList(empty, False, False, quantiles, empty)
-        it = stages.iterator()
-        while it.hasNext():
-            s = it.next()
-            out["shuffle_read_bytes"] += s.shuffleReadBytes()
-            out["shuffle_write_bytes"] += s.shuffleWriteBytes()
-            out["shuffle_read_records"] += s.shuffleReadRecords()
-            out["shuffle_write_records"] += s.shuffleWriteRecords()
-            out["stages"] += 1
-    except Exception:  # pragma: no cover - JVM API drift safety net
-        pass
+            continue
+    prev = _read()
+    if prev is None:
+        return out
+    deadline = time.monotonic() + 2.0
+    while time.monotonic() < deadline:
+        time.sleep(0.05)
+        cur = _read()
+        if cur is None or cur == prev:
+            break
+        prev = cur
+    out.update(prev)
     return out
 
 
