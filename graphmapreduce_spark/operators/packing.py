@@ -60,9 +60,15 @@ def packed_layout(
     ).select("_rng", "_before")
     out = local.join(F.broadcast(prefix), "_rng")
     offset = F.col("_before") + F.col("_cum_in") - F.col(size_col)
+    # bin via integer division: double division rounds once the global
+    # token count passes 2^53 (within reach of a 100-TB corpus)
     return out.select(
         F.col(id_col),
         F.col(size_col),
-        (offset / F.lit(capacity)).cast("long").alias("bin"),
         offset.alias("offset"),
+    ).select(
+        F.col(id_col),
+        F.col(size_col),
+        F.expr(f"offset div {int(capacity)}").alias("bin"),
+        F.col("offset"),
     )

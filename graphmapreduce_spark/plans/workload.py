@@ -2900,13 +2900,15 @@ def q91_python_udtf(spark, sf_dir):
     ),
     cum AS (
       SELECT doc_id, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) - n_tokens
-               AS "offset"
+             -- CAST: DuckDB SUM(BIGINT) is HUGEINT; Spark emits BIGINT
+             -- and the driver hash is type-sensitive
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS "offset"
       FROM toks
     )
     SELECT doc_id, n_tokens,
-           "offset" // 2048 AS bin,
+           CAST("offset" // 2048 AS BIGINT) AS bin,
            "offset" FROM cum
     """,
 )
