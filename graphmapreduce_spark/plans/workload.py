@@ -4318,74 +4318,69 @@ def q123_incremental_agg(spark, sf_dir):
 # Driver verification-window ordering
 # =====================================================================
 # The round driver oracle-checks the FIRST 50 registered queries; round 1
-# covered q01–q42, q57–q59, q70–q74 (all green, CORRECTNESS_r01.json).
-# Rotate the window: the 24 families that have not yet received a driver
-# CORRECTNESS row come first, then queries whose implementation changed
-# this round (re-verify), then a breadth sample of already-green
-# relational queries.  Every query stays registered — ordering only
-# decides which get driver rows this round; over rounds the rotation
-# covers all of them.
+# covered q01–q42, q57–q59, q70–q74; round 2 covered q43–q69, q75–q99
+# (CORRECTNESS_r01/r02.json).  Round 3 rotates the window to the 24
+# queries that have never received a driver row (q100–q123), then the
+# queries whose implementation changed this round (timestamp
+# normalization + packing fixes: re-verify), then breadth fillers from
+# round-1 green families that have not been re-checked since.  Every
+# query stays registered — ordering only decides which get driver rows
+# this round; over rounds the rotation covers all of them.
 _WINDOW_PRIORITY = [
-    # -- never driver-checked before round 2 (24) --
-    "q43_token_count",
-    "q44_lang_id",
-    "q45_ngram_jaccard",
-    "q46_minhash_lsh",
-    "q47_simhash",
-    "q48_embedding_topk",
-    "q49_ivf_ann",
-    "q50_multimodal_meta",
-    "q51_embedding_near_dup",
-    "q52_simhash_groups",
-    "q53_quality_score",
-    "q54_winnowing",
-    "q55_image_features",
-    "q56_video_frames",
-    "q67_audio_features",
-    "q68_pivot",
-    "q60_tumbling_window",
-    "q61_sliding_window",
-    "q62_session_window",
+    # -- never driver-checked before round 3 (24) --
+    "q100_line_dedup",
+    "q101_stats_suite",
+    "q102_scd2",
+    "q103_resample_gapfill",
+    "q104_char_entropy",
+    "q105_ktruss",
+    "q106_fuzzy_join",
+    "q107_interval_join",
+    "q108_cms_freq",
+    "q109_bloom_filter",
+    "q110_stream_static_join",
+    "q111_quality_audit",
+    "q112_histogram",
+    "q113_cogroup_merge",
+    "q114_harmonic_centrality",
+    "q115_iqr_outliers",
+    "q116_zorder_key",
+    "q117_maximal_independent_set",
+    "q118_weighted_sample",
+    "q119_deterministic_walks",
+    "q120_cooccurrence",
+    "q121_recursive_cte",
+    "q122_variant_json",
+    "q123_incremental_agg",
+    # -- implementations touched this round: re-verify --
     "q63_streaming_tumbling",
-    "q64_stateful_running_totals",
     "q65_streaming_session",
     "q66_stream_stream_join",
     "q69_stream_dedup",
-    # -- new queries this round (insert BEFORE the breadth fillers) --
-    "q75_simhash_hamming",
-    "q76_dedup_clusters",
-    "q77_canonical_docs",
-    "q78_hash_sample",
-    "q79_stratified_sample",
-    "q80_hash_split",
-    "q81_heavy_hitters",
-    "q82_kll_quantile_rollup",
-    "q83_theta_segment_overlap",
-    "q84_kcore",
-    "q85_normalize_scrub",
-    "q87_boilerplate_segments",
-    "q88_repetition_ratio",
     "q89_sessionize",
-    "q90_funnel",
-    "q91_python_udtf",
     "q92_sequence_packing",
-    "q93_bm25",
-    "q94_merge_upsert",
-    "q95_embedding_centroids",
-    # -- new queries (late round 2) --
-    "q86_decontaminate",
-    "q96_tfidf",
-    "q97_chunk_documents",
-    "q98_personalized_pagerank",
-    "q99_label_propagation",
-    # -- implementations touched this round: re-verify (scc was
-    #    rewritten, so it keeps a slot; pagerank's compat flag and
-    #    wcc's long labels were verified locally via
-    #    tools/check_oracle.py and their round-1 rows stand, so their
-    #    slots went to the two new graph queries above) --
-    "q36_scc",
-    # -- breadth fillers: already-green families, keep inside the window
-    #    while slots remain (trim from the END when adding new queries) --
+    # -- breadth fillers: round-1 green families not re-checked since
+    #    (trim from the END when adding new queries) --
+    "q01_pricing_summary",
+    "q02_top_customers",
+    "q03_snowflake_agg",
+    "q04_semi_join",
+    "q05_anti_join",
+    "q06_outer_join_counts",
+    "q07_window_topk_per_group",
+    "q08_window_lag",
+    "q09_window_running_sum",
+    "q10_rollup",
+    "q11_cube",
+    "q12_distinct_agg",
+    "q13_set_ops",
+    "q14_sort_limit",
+    "q20_theta_join",
+    "q21_range_join",
+    "q22_asof_join",
+    "q23_grouping_sets",
+    "q31_triangle_count",
+    "q32_pagerank",
 ]
 
 
