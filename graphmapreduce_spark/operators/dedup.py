@@ -149,6 +149,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     exact_buckets: bool = False,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Banding: split the signature into ``bands`` rows, bucket by
     (band index, band content); docs sharing any bucket become a
@@ -156,7 +157,17 @@ def lsh_candidate_pairs(
 
     ``exact_buckets=True`` keeps the band content itself (as a string)
     as the bucket key instead of its xxhash64 — collision-free, SQL-
-    oracle-replicable; the default 8-byte hash keys shuffle less."""
+    oracle-replicable; the default 8-byte hash keys shuffle less.
+
+    ``max_bucket_size`` bounds the within-bucket pair blowup: a
+    degenerate bucket (mass-duplicated boilerplate puts df docs in one
+    band bucket) would otherwise emit O(df²) pairs from the self-join.
+    Buckets over the cap switch to STAR expansion — every member pairs
+    with the bucket's min id only, O(df) pairs — which preserves the
+    bucket's connected component exactly (transitive dedup clustering
+    downstream recovers the same groups) while dropping the redundant
+    within-bucket cross pairs.  ``None`` disables the cap (exact
+    all-pairs semantics, e.g. for an oracle comparison)."""
     rows_per_band = num_hashes // bands
     banded = df.select(
         F.col(id_col).alias("_id"),
@@ -183,8 +194,19 @@ def lsh_candidate_pairs(
                 "bucket"
             ),
         )
-    l, r = banded.alias("l"), banded.alias("r")
-    return (
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        # one extra count over the same (band, bucket) partitioning the
+        # self-join shuffles on anyway — no new shuffle key
+        wb = Window.partitionBy("band", "bucket")
+        banded = banded.withColumn("_bn", F.count(F.lit(1)).over(wb))
+        small = banded.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
+        big = banded.filter(F.col("_bn") > max_bucket_size).drop("_bn")
+    else:
+        small, big = banded, None
+    l, r = small.alias("l"), small.alias("r")
+    pairs = (
         l.join(
             r,
             (F.col("l.bucket") == F.col("r.bucket"))
@@ -192,8 +214,18 @@ def lsh_candidate_pairs(
             & (F.col("l._id") < F.col("r._id")),
         )
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
     )
+    if big is not None:
+        hub = big.groupBy("band", "bucket").agg(F.min("_id").alias("_hub"))
+        star = (
+            big.join(hub, ["band", "bucket"])
+            .filter(F.col("_id") != F.col("_hub"))
+            .select(
+                F.col("_hub").alias("id_a"), F.col("_id").alias("id_b")
+            )
+        )
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def minhash_lsh_near_dup_pairs(
@@ -206,9 +238,15 @@ def minhash_lsh_near_dup_pairs(
     shingle_n: int = 3,
     seed: int = 42,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Near-duplicate pairs with exact-Jaccard verification of LSH
     candidates.  Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``max_bucket_size`` caps degenerate band buckets via star
+    expansion (see `lsh_candidate_pairs`); note that inside an
+    oversized bucket only hub pairs are verified, so pairwise recall
+    there is deliberately reduced to what transitive clustering needs.
 
     ``bands`` defaults to the largest b with (1/b)^(b/num_hashes) ≥
     threshold — i.e. the banding whose S-curve knee sits at the requested
@@ -231,6 +269,7 @@ def minhash_lsh_near_dup_pairs(
     cands = lsh_candidate_pairs(
         sigs, "_id", "sig", num_hashes, bands,
         exact_buckets=(hash_fn == "md5"),
+        max_bucket_size=max_bucket_size,
     )
     sh = df.select(
         F.col(id_col).alias("_sid"),

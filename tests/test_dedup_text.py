@@ -366,3 +366,35 @@ def test_decontaminate_flags_and_drops(spark):
     # min_overlap above the collision count keeps everything
     lax = D.decontaminate(train, ev, "doc_id", "text", n=4, min_overlap=2)
     assert lax.count() == 3
+
+
+def test_lsh_bucket_cap_star_expansion(spark):
+    """A degenerate bucket (many identical docs -> every band bucket
+    holds all of them) must not emit the O(n^2) all-pairs blowup: over
+    the cap, members pair with the bucket's min id only (star), which
+    keeps the connected component intact at O(n) pairs."""
+    n = 1000
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        # identical text -> identical signature -> one bucket per band
+        "'the same boilerplate line repeated everywhere' AS text",
+    )
+    sigs = D.minhash_signatures(docs, "doc_id", "text", num_hashes=32)
+    capped = D.lsh_candidate_pairs(
+        sigs, "doc_id", "sig", num_hashes=32, bands=8, max_bucket_size=100
+    )
+    rows = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # star: exactly n-1 pairs, all anchored at the min id
+    assert len(rows) == n - 1
+    assert all(a == 0 for a, _ in rows)
+    # transitive closure still recovers ONE group of n docs
+    groups = D.dedup_clusters(capped.selectExpr(
+        "id_a", "id_b"
+    ), "id_a", "id_b")
+    comp = {r[0]: r[1] for r in groups.collect()}
+    assert len(comp) == n and len(set(comp.values())) == 1
+    # under the cap the exact all-pairs semantics are untouched
+    uncapped = D.lsh_candidate_pairs(
+        sigs, "doc_id", "sig", num_hashes=32, bands=8, max_bucket_size=None
+    )
+    assert uncapped.count() == n * (n - 1) // 2
