@@ -1,0 +1,38 @@
+"""CLI launcher parity (ref startgmr.sh:14-69, gmr.cpp:52-105,176-188):
+`python -m graphmapreduce_spark <algorithm> <graphfile>` runs the named
+algorithm on the reference's own graph fixtures and reproduces the
+golden pytest values."""
+
+import os
+import subprocess
+import sys
+
+from graphmapreduce_spark.__main__ import _detect_format
+
+REF = "/root/reference/graph"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_format_autodetect_on_reference_fixtures():
+    # METIS adjacency: header `nvtxs nedges`, body line per vertex
+    assert _detect_format(f"{REF}/small.graph") == "metis"
+    assert _detect_format(f"{REF}/4elt.graph") == "metis"
+    # edge lists: 2-line count header (rdsmall) or none (3line, rd4elt)
+    assert _detect_format(f"{REF}/rdsmall.graph") == "edgelist"
+    assert _detect_format(f"{REF}/3line.graph") == "edgelist"
+    assert _detect_format(f"{REF}/rd4elt.graph") == "edgelist"
+    # pre-partitioned subgraph files
+    assert _detect_format(f"{REF}/small.graph.subgraph.0") == "subgraph"
+
+
+def test_cli_trianglecount_small_graph_golden():
+    """Reference default algorithm on its golden fixture: small.graph
+    has exactly one triangle {1,2,3}."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, "-m", "graphmapreduce_spark",
+         "trianglecount", f"{REF}/small.graph"],
+        capture_output=True, text=True, timeout=300, cwd=REPO, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "triangles: 1" in out.stdout
