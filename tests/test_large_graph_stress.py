@@ -1,0 +1,109 @@
+"""Large-graph stress: a generated 120k-vertex small-world graph
+(mdual scale — the reference names the 258k-vertex mdual fixture in
+graph/README.md:22 but ships only the 15.6k 4elt) run through the
+iterative path end-to-end: pagerank, wcc, and k-core to convergence
+under a wall-clock budget, with per-superstep times and shuffle deltas
+recorded via the metrics surface (ref gmr.h:369-380, gmr.cpp:318-319).
+
+The graph is built entirely in-plan (range + hash chords — no driver
+edge list): a ring guarantees one connected component, one xxhash64
+chord per vertex gives O(log n) diameter so min-label WCC converges in
+few supersteps (a bare ring would need O(n))."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphmapreduce_spark.graph import algorithms as alg
+from graphmapreduce_spark.graph.property_graph import PropertyGraph
+from graphmapreduce_spark.metrics import ShuffleTracker
+
+N = 120_000
+BUDGET_S = 240.0
+
+
+@pytest.fixture(scope="module")
+def big_graph(spark):
+    base = spark.range(1, N + 1).select(F.col("id").alias("src"))
+    ring = base.select("src", (F.col("src") % N + 1).alias("dst"))
+    chords = base.select(
+        "src", (F.pmod(F.xxhash64("src"), F.lit(N)) + 1).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    edges = ring.unionByName(chords).withColumn("weight", F.lit(1.0))
+    return PropertyGraph.from_edges(edges)
+
+
+@pytest.mark.slow
+def test_stress_pagerank_wcc_kcore_converge_in_budget(spark, big_graph):
+    g = big_graph
+    assert g.vertices.count() == N
+    tracker = ShuffleTracker(spark)
+    t0 = time.perf_counter()
+
+    pr = alg.pagerank(g, max_iter=10, threshold=1e-9)
+    total = pr.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-6
+    d_pr = tracker.delta()
+
+    cc = alg.connected_components(g, max_iter=40, check_interval=4)
+    assert cc.select("component").distinct().count() == 1  # ring: connected
+    d_cc = tracker.delta()
+
+    kc = alg.k_core(g, 3)
+    n_core = kc.count()
+    # ring + chords: most vertices have degree >= 3 and survive the peel
+    assert 0 < n_core <= N
+    assert kc.agg(F.min("core_degree")).first()[0] >= 3
+
+    wall = time.perf_counter() - t0
+    assert wall < BUDGET_S, f"stress run {wall:.0f}s over budget"
+    # the iterative supersteps shuffle messages — the fixed metrics
+    # tracker must observe nonzero traffic for both drivers
+    assert d_pr["shuffle_read_bytes"] > 0
+    assert d_cc["shuffle_read_bytes"] > 0
+
+
+@pytest.mark.slow
+def test_stress_pregel_superstep_times_recorded(spark, big_graph):
+    """The Pregel result carries per-superstep wall times (ref
+    printTimeConsume analog) — nonzero and one per executed superstep."""
+    from graphmapreduce_spark.graph.pregel import Pregel
+
+    g = big_graph
+    init = g.vertices.select(
+        "id",
+        F.when(F.col("id") == 1, 0.0).otherwise(float("inf")).alias("value"),
+    )
+
+    def messages(active, e):
+        return (
+            active.filter(F.col("value") != float("inf"))
+            .join(e, active["id"] == e["src"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("value") + F.col("weight")).alias("msg"),
+            )
+        )
+
+    p = Pregel(
+        make_messages=messages,
+        agg=F.min("msg"),
+        update=lambda old, agg: F.least(old, F.coalesce(agg, old)),
+        threshold=0.5,
+        # directed small-world: the BFS wavefront from one source needs
+        # tens of hops (ring succ + one hash chord per vertex)
+        max_iter=100,
+        active_frontier=True,
+        check_interval=8,
+        track_shuffle=True,
+    )
+    res = p.run(init, g.edges)
+    assert res.converged
+    # times are recorded per superstep CHUNK (check_interval=8)
+    assert len(res.superstep_seconds) == -(-res.iterations // 8)
+    assert all(s > 0 for s in res.superstep_seconds)
+    assert res.total_shuffle_read_bytes > 0
+    # small-world: every vertex reached
+    reached = res.vertices.filter(F.col("value") != float("inf")).count()
+    assert reached == N
