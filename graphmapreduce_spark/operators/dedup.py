@@ -195,14 +195,32 @@ def lsh_candidate_pairs(
             ),
         )
     if max_bucket_size is not None:
-        from pyspark.sql.window import Window
+        from pyspark.storagelevel import StorageLevel
 
-        # one extra count over the same (band, bucket) partitioning the
-        # self-join shuffles on anyway — no new shuffle key
-        wb = Window.partitionBy("band", "bucket")
-        banded = banded.withColumn("_bn", F.count(F.lit(1)).over(wb))
-        small = banded.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
-        big = banded.filter(F.col("_bn") > max_bucket_size).drop("_bn")
+        # oversized buckets are RARE by construction (a bucket is a
+        # near-exact signature match), so find them with one partial
+        # agg and split via broadcast semi/anti joins — the common
+        # (no-degenerate-bucket) case costs one cheap agg and zero
+        # extra shuffles of the banded rows; a window count here would
+        # sort the whole banded set.  The banded projection feeds three
+        # plan branches (size agg, small split, big split) whose
+        # subtrees differ, so exchange reuse cannot dedup the expensive
+        # upstream signature computation — persist it (a few dozen
+        # bytes per doc per band; Spark LRU-evicts when pressured).
+        if banded.storageLevel == StorageLevel.NONE:
+            banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        big_keys = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        small = banded.join(
+            F.broadcast(big_keys), ["band", "bucket"], "left_anti"
+        )
+        big = banded.join(
+            F.broadcast(big_keys), ["band", "bucket"], "left_semi"
+        )
     else:
         small, big = banded, None
     l, r = small.alias("l"), small.alias("r")
