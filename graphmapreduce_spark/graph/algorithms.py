@@ -1051,3 +1051,109 @@ def deterministic_walks(
     for p in out[1:]:
         res = res.unionByName(p)
     return res
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient — composes the triangle machinery
+# (ref algorithms.h:97-180) with undirected degrees: cc(v) =
+# 2*tri(v) / (deg(v)*(deg(v)-1)), 0 where deg < 2.
+# ---------------------------------------------------------------------------
+def clustering_coefficient(graph: PropertyGraph) -> DataFrame:
+    """(id, degree, triangles, cc) for every vertex.
+
+    Scale shape: triangles come from the canonical-orientation wedge
+    join (`triangles_per_vertex`); degrees from one distinct-neighbor
+    agg over the symmetrized edge set; a final key join stitches them.
+    No driver loop, no UDF — all whole-stage-codegen expressions."""
+    sym = (
+        _directed_canonical(graph)
+        .select(F.col("a").alias("id"), F.col("b").alias("nbr"))
+        .unionByName(
+            _directed_canonical(graph).select(
+                F.col("b").alias("id"), F.col("a").alias("nbr")
+            )
+        )
+    )
+    deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    tri = triangles_per_vertex(graph)
+    return (
+        tri.join(deg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("degree", F.lit(0)).alias("degree"),
+            "triangles",
+        )
+        .select(
+            "id",
+            "degree",
+            "triangles",
+            F.when(F.col("degree") < 2, F.lit(0.0))
+            .otherwise(
+                2.0 * F.col("triangles")
+                / (F.col("degree") * (F.col("degree") - 1))
+            )
+            .alias("cc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vertex-pair Jaccard similarity (common-neighbor overlap) — the link-
+# prediction / entity-resolution primitive.  Wedge-join formulation.
+# ---------------------------------------------------------------------------
+def vertex_jaccard(
+    graph: PropertyGraph,
+    min_common: int = 1,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, common, jaccard) for vertex pairs sharing ≥
+    ``min_common`` neighbors, id_a < id_b, over the undirected simple
+    graph.  jaccard = |N(a)∩N(b)| / |N(a)∪N(b)|.
+
+    Scale shape: pairs are generated ONLY through shared neighbors
+    (wedge join on the center vertex), never an all-pairs cross — the
+    same inverted-index blocking as `ngram_jaccard_pairs`.  A hub of
+    degree d fans out O(d²) wedges; ``max_degree`` drops hub centers
+    from pair GENERATION (their edges still count toward degrees), the
+    standard approximation for power-law graphs."""
+    und = _directed_canonical(graph)
+    sym = und.select(
+        F.col("a").alias("id"), F.col("b").alias("nbr")
+    ).unionByName(
+        und.select(F.col("b").alias("id"), F.col("a").alias("nbr"))
+    )
+    deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    centers = sym.select(F.col("nbr").alias("c"), F.col("id").alias("leaf"))
+    if max_degree is not None:
+        ok = deg.filter(F.col("deg") <= max_degree).select(
+            F.col("id").alias("c")
+        )
+        centers = centers.join(ok, "c", "left_semi")
+    l, r = centers.alias("l"), centers.alias("r")
+    common = (
+        l.join(
+            r,
+            (F.col("l.c") == F.col("r.c"))
+            & (F.col("l.leaf") < F.col("r.leaf")),
+        )
+        .groupBy(
+            F.col("l.leaf").alias("id_a"), F.col("r.leaf").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    da = deg.select(F.col("id").alias("id_a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("id").alias("id_b"), F.col("deg").alias("_db"))
+    return (
+        common.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            (
+                F.col("common")
+                / (F.col("_da") + F.col("_db") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )

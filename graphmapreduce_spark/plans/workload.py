@@ -4314,6 +4314,96 @@ def q123_incremental_agg(spark, sf_dir):
     )
 
 
+@register(
+    "q124_clustering_coefficient",
+    """
+    WITH und AS (
+      SELECT DISTINCT LEAST(l_orderkey % 500, l_partkey % 500) AS a,
+                      GREATEST(l_orderkey % 500, l_partkey % 500) AS b
+      FROM lineitem
+      WHERE l_orderkey % 500 <> l_partkey % 500
+    ),
+    sym AS (SELECT a AS id, b AS nbr FROM und
+            UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT id, COUNT(*) AS deg FROM sym GROUP BY id),
+    tris AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1 JOIN und e2 ON e1.b = e2.a
+                  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (SELECT x AS id FROM tris
+                UNION ALL SELECT y FROM tris
+                UNION ALL SELECT z FROM tris),
+    pvt AS (SELECT id, COUNT(*) AS t FROM corners GROUP BY id)
+    SELECT d.id,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(COALESCE(pvt.t, 0) AS BIGINT) AS triangles,
+           ROUND(CASE WHEN d.deg < 2 THEN 0.0
+                      ELSE 2.0 * COALESCE(pvt.t, 0)
+                           / (d.deg * (d.deg - 1)) END, 6) AS cc
+    FROM deg d LEFT JOIN pvt ON d.id = pvt.id
+    """,
+)
+def q124_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient per vertex over the Z_500 lineitem
+    graph — `clustering_coefficient` composes the canonical-orientation
+    wedge join (triangles) with one distinct-neighbor degree agg; the
+    oracle replays both as plain SQL."""
+    from graphmapreduce_spark.graph.algorithms import clustering_coefficient
+
+    g = _mod_graph(spark, sf_dir, 500)
+    out = clustering_coefficient(g)
+    return out.withColumn("cc", F.round("cc", 6))
+
+
+@register(
+    "q125_vertex_jaccard",
+    """
+    WITH und AS (
+      SELECT DISTINCT LEAST(l_orderkey % 2000, l_partkey % 2000) AS a,
+                      GREATEST(l_orderkey % 2000, l_partkey % 2000) AS b
+      FROM lineitem
+      WHERE l_orderkey % 2000 <> l_partkey % 2000 AND l_quantity <= 5
+    ),
+    sym AS (SELECT a AS id, b AS nbr FROM und
+            UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT id, COUNT(*) AS deg FROM sym GROUP BY id),
+    common AS (
+      SELECT l.id AS id_a, r.id AS id_b, CAST(COUNT(*) AS BIGINT) AS common
+      FROM sym l JOIN sym r ON l.nbr = r.nbr AND l.id < r.id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT c.id_a, c.id_b, c.common,
+           ROUND(c.common::DOUBLE
+                 / (da.deg + db.deg - c.common), 6) AS jaccard
+    FROM common c JOIN deg da ON c.id_a = da.id
+                  JOIN deg db ON c.id_b = db.id
+    """,
+)
+def q125_vertex_jaccard(spark, sf_dir):
+    """Common-neighbor Jaccard similarity between vertex pairs (the
+    link-prediction primitive) on a sparse lineitem-derived graph —
+    `vertex_jaccard` generates pairs ONLY through shared neighbors
+    (wedge join), never an all-pairs cross; the oracle is the same
+    wedge join in SQL."""
+    from graphmapreduce_spark.graph.algorithms import vertex_jaccard
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.filter(F.col("l_quantity") <= 5)
+        .select(
+            (F.col("l_orderkey") % 2000).alias("src"),
+            (F.col("l_partkey") % 2000).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .withColumn("weight", F.lit(1.0))
+    )
+    g = PropertyGraph.from_edges(e, prepartition=False)
+    out = vertex_jaccard(g, min_common=2)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -4379,8 +4469,9 @@ _WINDOW_PRIORITY = [
     "q21_range_join",
     "q22_asof_join",
     "q23_grouping_sets",
-    "q31_triangle_count",
-    "q32_pagerank",
+    # -- new queries this round --
+    "q124_clustering_coefficient",
+    "q125_vertex_jaccard",
 ]
 
 

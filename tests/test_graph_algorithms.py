@@ -404,3 +404,31 @@ def test_deterministic_walks_stable_and_stop_at_sink(spark):
     assert (5, 1) not in w1 and (5, 0) in w1
     # start=4 reaches the sink after one hop, then stops
     assert w1[(4, 1)] == 5 and (4, 2) not in w1
+
+
+def test_clustering_coefficient_k4_and_path(spark):
+    # K4: every vertex has degree 3 and sits in 3 triangles -> cc = 1
+    g = make_graph(spark, K4)
+    rows = {r["id"]: r for r in alg.clustering_coefficient(g).collect()}
+    for v in (1, 2, 3, 4):
+        assert rows[v]["degree"] == 3
+        assert rows[v]["triangles"] == 3
+        assert rows[v]["cc"] == 1.0
+    # path: no triangles anywhere; endpoints have degree 1 -> cc 0
+    p = make_graph(spark, PATH5)
+    prow = {r["id"]: r for r in alg.clustering_coefficient(p).collect()}
+    assert all(r["cc"] == 0.0 for r in prow.values())
+    assert prow[1]["degree"] == 1 and prow[3]["degree"] == 2
+
+
+def test_vertex_jaccard_shared_neighbors(spark):
+    # 1 and 2 share neighbors {3,4}; deg(1)=deg(2)=2 (no 1-2 edge)
+    # -> jaccard = 2 / (2+2-2) = 1.0; pair (3,4) shares {1,2} with
+    # deg 2 each -> also 1.0
+    edges = [(1, 3, 1.0), (1, 4, 1.0), (2, 3, 1.0), (2, 4, 1.0)]
+    g = make_graph(spark, edges)
+    rows = {(r["id_a"], r["id_b"]): r for r in alg.vertex_jaccard(g).collect()}
+    assert rows[(1, 2)]["common"] == 2 and rows[(1, 2)]["jaccard"] == 1.0
+    assert rows[(3, 4)]["common"] == 2 and rows[(3, 4)]["jaccard"] == 1.0
+    # max_degree cap below 2 removes every center -> no pairs
+    assert alg.vertex_jaccard(g, max_degree=1).count() == 0
