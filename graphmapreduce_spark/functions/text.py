@@ -287,3 +287,21 @@ def char_entropy(col: Column | str) -> Column:
         lambda acc, p: acc + p * F.log2(p),
     )
     return F.when(n > 0, ent).otherwise(F.lit(0.0))
+
+
+def dedup_lines(col: Column | str) -> Column:
+    """Within-document line dedup: drop every repeat of a line already
+    seen earlier in the SAME document, keeping first occurrences in
+    order (the intra-doc complement of the corpus-level CCNet line
+    dedup in ``operators/dedup.py`` — kills template/menu spam
+    without cross-doc state).
+
+    Pure higher-order expression — the index lambda keeps a line only
+    where `array_position` says its first occurrence is itself, so the
+    whole transform runs in-scan with NO shuffle and no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+    kept = F.filter(
+        lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
+    )
+    return F.array_join(kept, "\n")

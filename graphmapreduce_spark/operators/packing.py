@@ -72,3 +72,36 @@ def packed_layout(
         F.expr(f"offset div {int(capacity)}").alias("bin"),
         F.col("offset"),
     )
+
+
+def shard_assignment(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    num_shards: int,
+    range_size: int = 100_000,
+) -> DataFrame:
+    """Token-balanced contiguous sharding: docs in ``id_col`` order are
+    cut into ``num_shards`` shards of ~equal TOKEN mass (not doc
+    count) — the training-data layout step that hands each data-loader
+    worker the same amount of work.  Returns (id_col, size_col,
+    shard LONG, offset LONG); shard boundaries land mid-doc-stream at
+    multiples of ceil(total/num_shards).
+
+    Same scalable two-level cumsum as `packed_layout` (the shard is
+    just the bin at capacity = ceil(total/num_shards)); the one extra
+    cost is a single O(1) driver action for the global token total —
+    the same class of action as the sort-splitter sample.
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    total = df.agg(F.sum(F.col(size_col).cast("long"))).first()[0] or 0
+    cap = max(1, -(-int(total) // num_shards))
+    out = packed_layout(df, id_col, size_col, capacity=cap,
+                        range_size=range_size)
+    return out.select(
+        F.col(id_col),
+        F.col(size_col),
+        F.col("bin").alias("shard"),
+        F.col("offset"),
+    )

@@ -105,3 +105,64 @@ def iqr_outliers(
         )
         .drop("_q1", "_q3")
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_len: float = 3.0,
+    max_avg_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    max_bullet_frac: float = 0.9,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1 —
+    the standard pretraining-corpus repetition/format gates), computed
+    as pure Column expressions in ONE narrow pass: word-count bounds,
+    mean word length, alphabetic-word fraction, bulleted-line fraction,
+    and a distinct-stopword floor.  Returns the per-doc metrics plus a
+    ``keep`` verdict so the policy layer can threshold or re-weight
+    without re-scanning.
+
+    Zero UDFs, zero shuffles — every rule is a higher-order-function
+    expression over the split arrays, so the filter runs at scan speed
+    and pipelines into whatever consumes it."""
+    c = F.col(text_col)
+    ws = F.filter(F.split(F.trim(c), "\\s+"), lambda w: w != "")
+    nw = F.size(ws)
+    # mean word length from the space-stripped char count (identical
+    # arithmetic is replayable in SQL without per-word aggregation)
+    nonspace = F.length(F.regexp_replace(c, "\\s", ""))
+    avg_len = F.when(nw > 0, nonspace.cast("double") / nw).otherwise(0.0)
+    alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(nw > 0, alpha.cast("double") / nw).otherwise(0.0)
+    lines = F.split(c, "\n")
+    nl = F.size(lines)
+    bullets = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]")))
+    bullet_frac = F.when(nl > 0, bullets.cast("double") / nl).otherwise(0.0)
+    low = F.transform(ws, lambda w: F.lower(w))
+    stop_hits = sum(
+        F.array_contains(low, sw).cast("int")
+        for sw in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    out = df.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        F.round(avg_len, 6).alias("avg_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("avg_word_len") >= min_avg_len)
+        & (F.col("avg_word_len") <= max_avg_len)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("bullet_frac") <= max_bullet_frac)
+        & (F.col("stop_hits") >= min_stopword_hits),
+    )

@@ -351,3 +351,28 @@ def interval_join(
         & (F.col(rs) < F.col(le))
         & (F.col("_bkt") == F.floor(overlap_start / bucket_width))
     ).drop("_bkt")
+
+
+def merge_apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Full CDC MERGE: apply a change batch carrying an op column
+    ('I' insert / 'U' update / 'D' delete) to the base table — the
+    three-way generalization of `merge_upsert` (which only upserts).
+    Matched 'U' rows are replaced wholesale, 'I' rows are inserted,
+    'D' keys disappear; base rows without a change pass through.
+
+    One anti-join (base vs ALL change keys — upserts and deletes
+    alike) + one union of the non-delete payload.  The anti-join's
+    build side is the change batch's key projection, which broadcasts
+    whenever the batch is small relative to the base — the standard
+    CDC shape at 100 TB.  Requires at most one change row per key
+    (dedupe upstream with `top_k_per_group` on a sequence column).
+    """
+    keys = list(key_cols)
+    survivors = base.join(changes.select(*keys), on=keys, how="left_anti")
+    payload = changes.filter(F.col(op_col) != "D").drop(op_col)
+    return survivors.unionByName(payload)

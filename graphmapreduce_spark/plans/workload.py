@@ -4404,6 +4404,259 @@ def q125_vertex_jaccard(spark, sf_dir):
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
+@register(
+    "q126_shard_assignment",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS n_tokens
+      FROM documents
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM toks),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS "offset"
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST("offset" // ((t + 7) // 8) AS BIGINT) AS shard,
+           "offset"
+    FROM cum, tot
+    """,
+)
+def q126_shard_assignment(spark, sf_dir):
+    """Token-balanced contiguous sharding of the corpus into 8 shards
+    (equal token mass per data-loader worker) — `shard_assignment`
+    reuses the scalable two-level cumsum; the oracle is the naive
+    global window with ceil-divided capacity."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").cast("long").alias("n_tokens")
+    )
+    return PK.shard_assignment(d, "doc_id", "n_tokens", num_shards=8)
+
+
+@register(
+    "q127_gopher_quality",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         w -> w <> '') AS ws,
+             string_split(text, chr(10)) AS lines,
+             length(regexp_replace(text, '\s', '', 'g')) AS nonspace
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(ws)::BIGINT AS n_words,
+             ROUND(CASE WHEN len(ws) > 0
+                        THEN nonspace::DOUBLE / len(ws) ELSE 0.0 END, 6)
+               AS avg_word_len,
+             ROUND(CASE WHEN len(ws) > 0
+                        THEN len(list_filter(ws,
+                             w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                             / len(ws) ELSE 0.0 END, 6) AS alpha_frac,
+             ROUND(CASE WHEN len(lines) > 0
+                        THEN len(list_filter(lines,
+                             x -> regexp_matches(x, '^\s*[-*•]')))::DOUBLE
+                             / len(lines) ELSE 0.0 END, 6) AS bullet_frac,
+             CAST(list_contains(list_transform(ws, w -> lower(w)), 'the')::INT
+                + list_contains(list_transform(ws, w -> lower(w)), 'be')::INT
+                + list_contains(list_transform(ws, w -> lower(w)), 'to')::INT
+                + list_contains(list_transform(ws, w -> lower(w)), 'of')::INT
+                + list_contains(list_transform(ws, w -> lower(w)), 'and')::INT
+                + list_contains(list_transform(ws, w -> lower(w)), 'that')::INT
+                + list_contains(list_transform(ws, w -> lower(w)), 'have')::INT
+                + list_contains(list_transform(ws, w -> lower(w)), 'with')::INT
+               AS BIGINT) AS stop_hits
+      FROM base
+    )
+    SELECT *,
+           (n_words BETWEEN 50 AND 100000
+            AND avg_word_len BETWEEN 3.0 AND 10.0
+            AND alpha_frac >= 0.8
+            AND bullet_frac <= 0.9
+            AND stop_hits >= 2) AS keep
+    FROM m
+    """,
+)
+def q127_gopher_quality(spark, sf_dir):
+    """Gopher-style quality gates over the corpus (word-count bounds,
+    mean word length, alphabetic fraction, bullet-line fraction,
+    stopword floor) — `gopher_rules` computes every rule as pure
+    expressions in one scan-speed pass; the oracle replays the same
+    arithmetic with DuckDB list lambdas."""
+    from graphmapreduce_spark.operators import quality as Q
+
+    d = _t(spark, sf_dir, "documents")
+    return Q.gopher_rules(d, "doc_id", "text")
+
+
+@register(
+    "q128_merge_cdc",
+    """
+    WITH changes AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 20 = 0 THEN 'D'
+                  WHEN c_custkey % 10 = 0 THEN 'U'
+                  ELSE 'I' END AS op,
+             c_name,
+             ROUND(c_acctbal + 100.0, 2) AS c_acctbal
+      FROM customer WHERE c_custkey % 5 = 0
+    ),
+    survivors AS (
+      SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal
+      FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)
+    )
+    SELECT * FROM survivors
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal FROM changes WHERE op <> 'D'
+    """,
+)
+def q128_merge_cdc(spark, sf_dir):
+    """Full CDC MERGE (insert/update/delete ops in one change batch)
+    against the customer dimension — `merge_apply_cdc` is one anti-join
+    on the broadcastable change keys + one union; deleted keys vanish,
+    updates replace wholesale.  The oracle is the NOT IN + union
+    formulation."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    changes = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 20 == 0, "D")
+            .when(F.col("c_custkey") % 10 == 0, "U")
+            .otherwise("I")
+            .alias("op"),
+            "c_name",
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        )
+    )
+    return R.merge_apply_cdc(c, changes, ["c_custkey"], op_col="op")
+
+
+@register(
+    "q129_stream_left_outer_join",
+    """
+    SELECT e1.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(e2.ts) AS BIGINT) AS n_unmatched
+    FROM events e1 LEFT JOIN events e2
+      ON e1.user_id = e2.user_id AND e2.event_type = 'purchase'
+     AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+    WHERE e1.event_type = 'click'
+    GROUP BY e1.user_id
+    """,
+)
+def q129_stream_left_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: every click emits —
+    matched with purchases within 10 minutes, or with nulls once the
+    watermark proves no match can arrive.  Outer results only
+    materialize when BOTH sides' watermarks pass the join window, so a
+    far-future flush event per side (click + purchase, user -1) is
+    appended to a temp copy of the stream — the query exercises real
+    outer-eviction semantics, not shutdown flushing."""
+    import datetime as _dt
+    import os as _os
+    import shutil
+    import tempfile
+
+    src = _os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(src)
+    d = tempfile.mkdtemp(prefix="gmr_loj_src_")
+    shutil.copy(src, _os.path.join(d, "00_events.parquet"))
+    max_ts = static.agg(F.max("ts")).first()[0]
+    if dict(static.dtypes).get("ts") == "bigint":
+        f1 = int(max_ts) + 2 * 3600 * 1_000_000_000
+    else:
+        f1 = max_ts + _dt.timedelta(hours=2)
+    flush = spark.createDataFrame(
+        [(-1, f1, -1, "click", 0.0, None), (-2, f1, -1, "purchase", 0.0, None)],
+        static.schema,
+    )
+    flush.coalesce(1).write.mode("append").parquet(d)
+    stream = _normalize_ts(
+        spark.readStream.schema(static.schema).parquet(d), "ts"
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "30 minutes")
+    )
+    buys = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user_id"), F.col("ts").alias("buy_ts")
+        )
+        .withWatermark("buy_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("b_user_id"))
+        & (F.col("buy_ts") > F.col("click_ts"))
+        & (
+            F.col("buy_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")
+        ),
+        "left_outer",
+    ).select("user_id", "click_ts", "buy_ts")
+    out = _run_stream_to_table(spark, joined, "lojoin", output_mode="append")
+    return (
+        out.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("buy_ts").isNull(), 1).otherwise(0)
+            ).alias("n_unmatched"),
+        )
+    )
+
+
+@register(
+    "q130_intradoc_line_dedup",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+    ),
+    k AS (
+      SELECT doc_id, ls,
+             list_transform(
+               list_filter(range(1, len(ls) + 1),
+                           i -> list_position(ls, ls[i]) = i),
+               i -> ls[i]) AS kept
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           array_to_string(kept, chr(10)) AS cleaned
+    FROM k
+    """,
+)
+def q130_intradoc_line_dedup(spark, sf_dir):
+    """Within-document repeated-line removal (template/menu spam) —
+    `dedup_lines` keeps first occurrences in order via an index-lambda
+    filter, entirely in-scan with no shuffle; the oracle rebuilds the
+    same kept-list with DuckDB list lambdas."""
+    d = _t(spark, sf_dir, "documents")
+    cleaned = T.dedup_lines("text")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), "\n")).alias("n_lines"),
+        F.size(F.split(cleaned, "\n")).alias("n_kept"),
+        cleaned.alias("cleaned"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -4464,14 +4717,14 @@ _WINDOW_PRIORITY = [
     "q11_cube",
     "q12_distinct_agg",
     "q13_set_ops",
-    "q14_sort_limit",
-    "q20_theta_join",
-    "q21_range_join",
-    "q22_asof_join",
-    "q23_grouping_sets",
     # -- new queries this round --
     "q124_clustering_coefficient",
     "q125_vertex_jaccard",
+    "q126_shard_assignment",
+    "q127_gopher_quality",
+    "q128_merge_cdc",
+    "q129_stream_left_outer_join",
+    "q130_intradoc_line_dedup",
 ]
 
 

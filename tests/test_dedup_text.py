@@ -398,3 +398,40 @@ def test_lsh_bucket_cap_star_expansion(spark):
         sigs, "doc_id", "sig", num_hashes=32, bands=8, max_bucket_size=None
     )
     assert uncapped.count() == n * (n - 1) // 2
+
+
+def test_dedup_lines_keeps_first_occurrence(spark):
+    from graphmapreduce_spark.functions.text import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\na\nc\nb\na"),
+            (2, "x\nx\nx"),
+            (3, "only"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id", dedup_lines("text").alias("c")
+    ).collect()}
+    assert got[1] == "a\nb\nc"
+    assert got[2] == "x"
+    assert got[3] == "only"
+    assert got[4] == ""
+
+
+def test_gopher_rules_flags(spark):
+    from graphmapreduce_spark.operators.quality import gopher_rules
+
+    good = "The cat sat on the mat and that was fine to watch. " * 10
+    bullets = "\n".join("- item" for _ in range(20))
+    df = spark.createDataFrame(
+        [(1, good), (2, "short text"), (3, bullets)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_rules(df, "doc_id", "text").collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False          # word count below floor
+    assert rows[3]["bullet_frac"] == 1.0     # all lines bulleted
+    assert rows[3]["keep"] is False

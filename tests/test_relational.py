@@ -247,3 +247,18 @@ def test_merge_upsert_semantics(spark):
     )
     got = {r["k"]: r["v"] for r in merge_upsert(base, updates, ["k"]).collect()}
     assert got == {1: "a", 2: "B", 3: "c", 9: "Z"}  # replace, insert, keep
+
+
+def test_merge_apply_cdc_insert_update_delete(spark):
+    from graphmapreduce_spark.operators.relational import merge_apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "U", "b2"), (3, "D", None), (4, "I", "d")],
+        "k long, op string, v string",
+    )
+    got = {r["k"]: r["v"] for r in
+           merge_apply_cdc(base, changes, ["k"]).collect()}
+    assert got == {1: "a", 2: "b2", 4: "d"}  # 3 deleted, 2 updated, 4 new

@@ -91,3 +91,28 @@ def test_packed_layout_equals_global_cumsum(spark):
         for r in df.withColumn("off", F.sum("n").over(w) - F.col("n")).collect()
     }
     assert got == naive
+
+
+def test_shard_assignment_balanced_token_mass(spark):
+    from graphmapreduce_spark.operators.packing import shard_assignment
+
+    df = spark.range(1, 1001).selectExpr(
+        "id AS doc_id", "CAST(id % 97 + 1 AS LONG) AS n"
+    )
+    out = shard_assignment(df, "doc_id", "n", num_shards=4, range_size=100)
+    rows = out.collect()
+    assert len(rows) == 1000
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], 0)
+        by_shard[r["shard"]] += r["n"]
+    assert set(by_shard) == {0, 1, 2, 3}
+    total = sum(by_shard.values())
+    cap = -(-total // 4)
+    # contiguous token-balanced cuts: every shard holds <= cap tokens
+    # plus at most one straddling doc
+    max_doc = 97
+    assert all(v <= cap + max_doc for v in by_shard.values())
+    # offsets are the exact global cumsum -> shard is offset div cap
+    for r in rows:
+        assert r["shard"] == r["offset"] // cap
