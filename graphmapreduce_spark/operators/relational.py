@@ -376,3 +376,55 @@ def merge_apply_cdc(
     survivors = base.join(changes.select(*keys), on=keys, how="left_anti")
     payload = changes.filter(F.col(op_col) != "D").drop(op_col)
     return survivors.unionByName(payload)
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Reconciliation diff of two keyed tables: one row per key that
+    differs, with ``status`` in ('only_a', 'only_b', 'changed') and
+    both sides' compare columns (``<col>_a`` / ``<col>_b``).  Equal
+    rows are dropped — at 100 TB the diff output is the small side.
+
+    One full-outer hash join on the keys; the change predicate is a
+    null-safe column comparison so NULL↔value edits count as changes.
+    The standard anti-entropy / migration-validation primitive."""
+    keys = list(key_cols)
+    cols = list(compare_cols)
+    left = a.select(*keys, *[F.col(c).alias(f"{c}_a") for c in cols])
+    right = b.select(
+        *[F.col(k).alias(f"_bk_{k}") for k in keys],
+        *[F.col(c).alias(f"{c}_b") for c in cols],
+    )
+    cond = None
+    for k in keys:
+        c = left[k] == right[f"_bk_{k}"]
+        cond = c if cond is None else cond & c
+    j = left.join(right, cond, "full_outer")
+    in_a = left[keys[0]].isNotNull()
+    in_b = right[f"_bk_{keys[0]}"].isNotNull()
+    same = None
+    for c in cols:
+        eq = F.col(f"{c}_a").eqNullSafe(F.col(f"{c}_b"))
+        same = eq if same is None else same & eq
+    status = (
+        F.when(in_a & ~in_b, F.lit("only_a"))
+        .when(~in_a & in_b, F.lit("only_b"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(
+            *[
+                F.coalesce(left[k], right[f"_bk_{k}"]).alias(k)
+                for k in keys
+            ],
+            "status",
+            *[F.col(f"{c}_a") for c in cols],
+            *[F.col(f"{c}_b") for c in cols],
+        )
+    )

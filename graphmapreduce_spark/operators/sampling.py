@@ -127,3 +127,38 @@ def weighted_hash_sample(
     u = _bucket(F.col(id_col), seed, hash_fn).cast("double") / _BUCKETS
     p = F.least(F.greatest(F.col(weight_col) * scale, F.lit(0.0)), F.lit(1.0))
     return df.filter(u < p)
+
+
+def stratified_fixed_k(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    k: int,
+    seed: int = 0,
+    id_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Deterministic fixed-size sample per stratum: exactly
+    min(k, |stratum|) rows from each group, chosen by portable md5
+    priority over the id columns — a pure function of the data, stable
+    across runs, engines, and partitionings (same contract as
+    `hash_sample`, which samples by RATE instead of count).
+
+    One keyed window shuffle (row_number over the hash order); no
+    driver state.  ``id_cols`` defaults to every non-strata column —
+    pass the real key columns when rows are wide."""
+    from pyspark.sql.window import Window as W
+
+    from graphmapreduce_spark.functions.text import md5_hash60
+
+    strata = list(strata_cols)
+    ids = list(id_cols) if id_cols is not None else [
+        c for c in df.columns if c not in strata
+    ]
+    pri = md5_hash60(
+        F.concat_ws("|", F.lit(str(seed)), *[F.col(c) for c in ids])
+    )
+    w = W.partitionBy(*strata).orderBy(pri, *[F.col(c) for c in ids])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

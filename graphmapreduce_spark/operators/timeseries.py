@@ -85,3 +85,46 @@ def resample_ffill(
     return dense.select(
         F.col("_k").alias(key_col), "bucket_start", F.col("_v").alias(val_col)
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP) over fixed buckets: each
+    observation's weight is the time it remained current — until the
+    key's next observation, clamped to the bucket edge; the last
+    observation in a bucket carries to the bucket end.  The standard
+    telemetry/finance aggregate where plain AVG over irregular samples
+    is biased toward bursts.
+
+    One keyed shuffle carries both the lead() window and the bucket
+    agg.  Accepts TIMESTAMP / TIMESTAMP_NTZ / integral-epoch ``ts_col``
+    (see `_time.epoch_seconds`).  Output: (key_col, bucket_start BIGINT,
+    twap DOUBLE).
+    """
+    step = int(bucket_seconds)
+    tsec = _time.epoch_seconds(df, ts_col)
+    obs = df.select(
+        F.col(key_col).alias("_k"),
+        tsec.alias("_ts"),
+        F.col(val_col).cast("double").alias("_v"),
+    ).withColumn(
+        "bucket_start", (F.floor(F.col("_ts") / step) * step).cast("long")
+    )
+    w = Window.partitionBy("_k").orderBy("_ts", "_v")
+    nxt = F.lead("_ts").over(w)
+    bucket_end = F.col("bucket_start") + step
+    dt = (
+        F.least(F.coalesce(nxt, bucket_end), bucket_end) - F.col("_ts")
+    ).cast("double")
+    weighted = obs.withColumn("_dt", dt)
+    return (
+        weighted.groupBy(F.col("_k").alias(key_col), "bucket_start")
+        .agg(
+            (F.sum(F.col("_v") * F.col("_dt")) / F.sum("_dt")).alias("twap")
+        )
+    )

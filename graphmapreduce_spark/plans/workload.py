@@ -4657,6 +4657,138 @@ def q130_intradoc_line_dedup(spark, sf_dir):
     )
 
 
+@register(
+    "q131_time_weighted_avg",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+      FROM events WHERE user_id < 100
+    ),
+    o AS (
+      SELECT user_id, es, value,
+             (es // 86400) * 86400 AS bucket_start,
+             lead(es) OVER (PARTITION BY user_id ORDER BY es, value) AS nxt
+      FROM e
+    ),
+    w AS (
+      SELECT user_id, bucket_start, value,
+             (LEAST(COALESCE(nxt, bucket_start + 86400),
+                    bucket_start + 86400) - es)::DOUBLE AS dt
+      FROM o
+    )
+    SELECT user_id, bucket_start,
+           ROUND(SUM(value * dt) / SUM(dt), 6) AS twap
+    FROM w GROUP BY user_id, bucket_start
+    """,
+)
+def q131_time_weighted_avg(spark, sf_dir):
+    """Daily TWAP per user over the irregular event stream — each
+    observation weighted by how long it stayed current (lead() clamped
+    to the bucket edge); `time_weighted_avg` carries the window and the
+    bucket agg on ONE keyed shuffle.  Plain AVG would overweight
+    bursts; the oracle replays the same lead/clamp arithmetic."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    out = TS.time_weighted_avg(e, "user_id", "ts", "value", 86400)
+    return out.withColumn("twap", F.round("twap", 6))
+
+
+@register(
+    "q132_table_diff",
+    """
+    WITH a AS (
+      SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal
+      FROM customer
+    ),
+    b0 AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 7 = 0
+                  THEN ROUND(c_acctbal + 50.0, 2)
+                  ELSE ROUND(c_acctbal, 2) END AS c_acctbal
+      FROM customer WHERE c_custkey % 11 <> 0
+    ),
+    bn AS (
+      SELECT c_custkey + 1000000 AS c_custkey, c_name,
+             ROUND(c_acctbal, 2) AS c_acctbal
+      FROM customer WHERE c_custkey % 13 = 0
+    ),
+    b AS (SELECT * FROM b0 UNION ALL SELECT * FROM bn),
+    j AS (
+      SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+             CASE WHEN b.c_custkey IS NULL THEN 'only_a'
+                  WHEN a.c_custkey IS NULL THEN 'only_b'
+                  WHEN NOT (a.c_name IS NOT DISTINCT FROM b.c_name
+                            AND a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal)
+                  THEN 'changed' END AS status,
+             a.c_name AS c_name_a, a.c_acctbal AS c_acctbal_a,
+             b.c_name AS c_name_b, b.c_acctbal AS c_acctbal_b
+      FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+    )
+    SELECT c_custkey, status, c_name_a, c_acctbal_a, c_name_b, c_acctbal_b
+    FROM j WHERE status IS NOT NULL
+    """,
+)
+def q132_table_diff(spark, sf_dir):
+    """Anti-entropy reconciliation: diff the customer dimension against
+    a drifted copy (dropped keys, changed balances, new keys) —
+    `table_diff` is one full-outer hash join emitting only the
+    differing keys with null-safe change detection."""
+    a = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    b0 = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 11 != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(
+                F.col("c_custkey") % 7 == 0,
+                F.round(F.col("c_acctbal") + 50.0, 2),
+            )
+            .otherwise(F.round("c_acctbal", 2))
+            .alias("c_acctbal"),
+        )
+    )
+    bn = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 13 == 0)
+        .select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+    )
+    return R.table_diff(
+        a, b0.unionByName(bn), ["c_custkey"], ["c_name", "c_acctbal"]
+    )
+
+
+@register(
+    "q133_stratified_fixed_k",
+    """
+    SELECT o_orderkey, o_orderpriority FROM (
+      SELECT o_orderkey, o_orderpriority,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY ('0x' || substr(md5('0' || '|'
+                         || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT,
+                        o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 100
+    """,
+)
+def q133_stratified_fixed_k(spark, sf_dir):
+    """Deterministic fixed-size stratified sample: exactly 100 orders
+    per priority class chosen by portable md5 priority —
+    `stratified_fixed_k` is one keyed window shuffle, a pure function
+    of the data (stable across runs/engines/partitionings), the
+    count-based complement of the rate-based `hash_sample`."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return SMP.stratified_fixed_k(
+        o, ["o_orderpriority"], k=100, seed=0, id_cols=["o_orderkey"]
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -4714,10 +4846,9 @@ _WINDOW_PRIORITY = [
     "q08_window_lag",
     "q09_window_running_sum",
     "q10_rollup",
-    "q11_cube",
-    "q12_distinct_agg",
-    "q13_set_ops",
     # -- new queries this round --
+    "q131_time_weighted_avg",
+    "q132_table_diff",
     "q124_clustering_coefficient",
     "q125_vertex_jaccard",
     "q126_shard_assignment",
@@ -4725,6 +4856,7 @@ _WINDOW_PRIORITY = [
     "q128_merge_cdc",
     "q129_stream_left_outer_join",
     "q130_intradoc_line_dedup",
+    "q133_stratified_fixed_k",
 ]
 
 

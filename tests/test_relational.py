@@ -262,3 +262,20 @@ def test_merge_apply_cdc_insert_update_delete(spark):
     got = {r["k"]: r["v"] for r in
            merge_apply_cdc(base, changes, ["k"]).collect()}
     assert got == {1: "a", 2: "b2", 4: "d"}  # 3 deleted, 2 updated, 4 new
+
+
+def test_table_diff_statuses(spark):
+    from graphmapreduce_spark.operators.relational import table_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0), (5, None, 5.0)],
+        "k long, name string, bal double",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 9.0), (4, "w", 4.0), (5, "now", 5.0)],
+        "k long, name string, bal double",
+    )
+    rows = {r["k"]: r["status"] for r in
+            table_diff(a, b, ["k"], ["name", "bal"]).collect()}
+    # 1 is identical -> absent; NULL -> value counts as changed
+    assert rows == {2: "changed", 3: "only_a", 4: "only_b", 5: "changed"}

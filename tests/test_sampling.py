@@ -116,3 +116,21 @@ def test_shard_assignment_balanced_token_mass(spark):
     # offsets are the exact global cumsum -> shard is offset div cap
     for r in rows:
         assert r["shard"] == r["offset"] // cap
+
+
+def test_stratified_fixed_k_exact_counts_and_determinism(spark):
+    from graphmapreduce_spark.operators.sampling import stratified_fixed_k
+
+    df = spark.range(1000).selectExpr("id", "id % 3 AS g")
+    s1 = stratified_fixed_k(df, ["g"], k=50, id_cols=["id"])
+    counts = {r["g"]: r["n"] for r in
+              s1.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {0: 50, 1: 50, 2: 50}
+    # pure function of the data: repeated + repartitioned runs agree
+    s2 = stratified_fixed_k(df.repartition(7), ["g"], k=50, id_cols=["id"])
+    assert sorted(r["id"] for r in s1.collect()) == sorted(
+        r["id"] for r in s2.collect()
+    )
+    # small strata are taken whole
+    tiny = spark.range(5).selectExpr("id", "0 AS g")
+    assert stratified_fixed_k(tiny, ["g"], k=50, id_cols=["id"]).count() == 5
