@@ -305,3 +305,23 @@ def dedup_lines(col: Column | str) -> Column:
         lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
     )
     return F.array_join(kept, "\n")
+
+
+def flesch_reading_ease(col: Column | str) -> Column:
+    """Flesch reading-ease score (206.835 − 1.015·words/sentences −
+    84.6·syllables/words) with the standard cheap proxies: sentences =
+    terminal-punctuation runs (min 1), syllables = vowel-group runs.
+    Vowel groups never span whitespace, so the document-level regexp
+    count equals the per-word sum — one expression, no explode.  NULL
+    for wordless docs.  The corpus-readability gate alongside
+    `quality_score` / `gopher_rules`."""
+    c = F.col(col) if isinstance(col, str) else col
+    nw = n_words(c)
+    sentences = F.greatest(F.regexp_count(c, F.lit("[.!?]+")), F.lit(1))
+    syllables = F.regexp_count(F.lower(c), F.lit("[aeiouy]+"))
+    return F.when(
+        nw > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (nw.cast("double") / sentences)
+        - F.lit(84.6) * (syllables.cast("double") / nw),
+    )

@@ -1157,3 +1157,76 @@ def vertex_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Whole-graph structure statistics — degree assortativity and partition
+# modularity, the two standard "is this graph healthy / well-clustered"
+# scalars.  Both are single-scan aggregates over the symmetrized edges.
+# ---------------------------------------------------------------------------
+def degree_assortativity(graph: PropertyGraph) -> DataFrame:
+    """One-row (assortativity DOUBLE): Pearson correlation of endpoint
+    degrees over the symmetrized undirected edge set (Newman 2002).
+    Positive = hubs link hubs; negative = hub-leaf (most real webs).
+
+    Degrees via one agg; the correlation via the built-in ``corr`` over
+    the degree-annotated edges — two hash joins, no iteration."""
+    und = _directed_canonical(graph)
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("_db"))
+    return (
+        sym.join(da, "a")
+        .join(db, "b")
+        .agg(F.corr("_da", "_db").alias("assortativity"))
+    )
+
+
+def modularity(graph: PropertyGraph, communities: DataFrame) -> DataFrame:
+    """One-row (modularity DOUBLE): Newman modularity Q of a community
+    assignment ``communities(id, community)`` over the undirected simple
+    graph — Q = Σ_c [ e_c/m − (a_c/2m)² ] with e_c = intra-community
+    edges, a_c = degree mass of c, m = total undirected edges.
+
+    The quality gate for `label_propagation` / `locality_partition`
+    output.  Two broadcastable joins of the assignment onto the
+    canonical edge set + two tiny aggs — no iteration, no collect of
+    anything larger than the community list."""
+    und = _directed_canonical(graph)
+    m = und.agg(F.count(F.lit(1)).alias("m"))
+    ca = communities.select(
+        F.col("id").alias("a"), F.col("community").alias("_ca")
+    )
+    cb = communities.select(
+        F.col("id").alias("b"), F.col("community").alias("_cb")
+    )
+    tagged = und.join(ca, "a").join(cb, "b")
+    intra = (
+        tagged.filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    degmass = (
+        sym.join(ca, "a")
+        .groupBy(F.col("_ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("a_c"))
+    )
+    per_c = degmass.join(intra, "community", "left").select(
+        "community",
+        F.coalesce("e_c", F.lit(0)).alias("e_c"),
+        "a_c",
+    )
+    return per_c.crossJoin(F.broadcast(m)).agg(
+        F.sum(
+            F.col("e_c") / F.col("m")
+            - F.pow(F.col("a_c") / (2.0 * F.col("m")), 2)
+        ).alias("modularity")
+    )

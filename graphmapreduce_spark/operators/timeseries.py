@@ -128,3 +128,36 @@ def time_weighted_avg(
             (F.sum(F.col("_v") * F.col("_dt")) / F.sum("_dt")).alias("twap")
         )
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_cols,
+    val_col: str,
+    alpha: float = 0.5,
+    k: int = 5,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Finite-window exponentially weighted moving average: per key, the
+    last ``k`` observations weighted (1-alpha)^age and renormalized over
+    the weights actually present (series heads use fewer terms).  The
+    truncated form of the recursive EWMA — expressible as ``k`` unrolled
+    ``lag()`` terms over ONE window, so the whole smoother is a single
+    keyed shuffle with no recursion, no UDF, and an exact SQL replica.
+
+    ``order_cols`` must be a deterministic total order (add a unique
+    tiebreak column — ties make lag() engine-dependent).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    v = F.col(val_col).cast("double")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(k):
+        lagged = F.lag(v, j).over(w)
+        wt = float((1.0 - alpha) ** j)
+        num = num + F.when(lagged.isNotNull(), F.lit(wt) * lagged).otherwise(0.0)
+        den = den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(0.0)
+    return df.withColumn(out_col, num / den)

@@ -4789,6 +4789,148 @@ def q133_stratified_fixed_k(spark, sf_dir):
     )
 
 
+@register(
+    "q134_ewma",
+    """
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+      FROM events WHERE user_id < 30
+    ),
+    l AS (
+      SELECT user_id, event_id, es, value,
+             lag(value, 1) OVER w AS v1,
+             lag(value, 2) OVER w AS v2,
+             lag(value, 3) OVER w AS v3,
+             lag(value, 4) OVER w AS v4
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+    )
+    SELECT user_id, event_id,
+           ROUND((value
+                  + COALESCE(0.5 * v1, 0) + COALESCE(0.25 * v2, 0)
+                  + COALESCE(0.125 * v3, 0) + COALESCE(0.0625 * v4, 0))
+                 / (1
+                    + CASE WHEN v1 IS NULL THEN 0 ELSE 0.5 END
+                    + CASE WHEN v2 IS NULL THEN 0 ELSE 0.25 END
+                    + CASE WHEN v3 IS NULL THEN 0 ELSE 0.125 END
+                    + CASE WHEN v4 IS NULL THEN 0 ELSE 0.0625 END), 6)
+             AS ewma
+    FROM l
+    """,
+)
+def q134_ewma(spark, sf_dir):
+    """Finite-window EWMA smoothing of each user's value series
+    (alpha=0.5, last 5 observations, renormalized at series heads) —
+    `ewma` unrolls the recursion into lag() terms over ONE keyed
+    window; the oracle is the same unrolled arithmetic."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30).select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("es"), "value"
+    )
+    out = TS.ewma(
+        e, "user_id", ["es", "event_id"], "value", alpha=0.5, k=5
+    )
+    return out.select(
+        "user_id", "event_id", F.round("ewma", 6).alias("ewma")
+    )
+
+
+@register(
+    "q135_degree_assortativity",
+    """
+    WITH und AS (
+      SELECT DISTINCT LEAST(l_orderkey % 500, l_partkey % 500) AS a,
+                      GREATEST(l_orderkey % 500, l_partkey % 500) AS b
+      FROM lineitem
+      WHERE l_orderkey % 500 <> l_partkey % 500
+    ),
+    sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT a AS id, COUNT(*) AS deg FROM sym GROUP BY a)
+    SELECT ROUND(corr(da.deg, db.deg), 6) AS assortativity
+    FROM sym JOIN deg da ON sym.a = da.id
+             JOIN deg db ON sym.b = db.id
+    """,
+)
+def q135_degree_assortativity(spark, sf_dir):
+    """Newman degree assortativity of the Z_500 lineitem graph — one
+    scalar from two degree joins + the built-in corr aggregate;
+    positive means hubs attach to hubs."""
+    from graphmapreduce_spark.graph.algorithms import degree_assortativity
+
+    g = _mod_graph(spark, sf_dir, 500)
+    return degree_assortativity(g).select(
+        F.round("assortativity", 6).alias("assortativity")
+    )
+
+
+@register(
+    "q136_modularity",
+    """
+    WITH und AS (
+      SELECT DISTINCT LEAST(l_orderkey % 500, l_partkey % 500) AS a,
+                      GREATEST(l_orderkey % 500, l_partkey % 500) AS b
+      FROM lineitem
+      WHERE l_orderkey % 500 <> l_partkey % 500
+    ),
+    m AS (SELECT COUNT(*)::DOUBLE AS m FROM und),
+    intra AS (
+      SELECT a % 4 AS community, COUNT(*) AS e_c
+      FROM und WHERE a % 4 = b % 4 GROUP BY 1
+    ),
+    sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+    degmass AS (
+      SELECT a % 4 AS community, COUNT(*) AS a_c FROM sym GROUP BY 1
+    )
+    SELECT ROUND(SUM(COALESCE(e_c, 0) / m - POW(a_c / (2 * m), 2)), 6)
+             AS modularity
+    FROM degmass LEFT JOIN intra USING (community), m
+    """,
+)
+def q136_modularity(spark, sf_dir):
+    """Newman modularity Q of a 4-way hash community assignment on the
+    Z_500 lineitem graph — `modularity` is two broadcastable assignment
+    joins + two tiny aggs, the quality gate for label-propagation or
+    locality-partition output."""
+    from graphmapreduce_spark.graph.algorithms import modularity
+
+    g = _mod_graph(spark, sf_dir, 500)
+    comm = g.vertices.select(
+        "id", (F.col("id") % 4).alias("community")
+    )
+    return modularity(g, comm).select(
+        F.round("modularity", 6).alias("modularity")
+    )
+
+
+@register(
+    "q137_flesch_readability",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             w -> w <> ''))::BIGINT AS nw,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN nw > 0
+                THEN ROUND(206.835 - 1.015 * (nw::DOUBLE / sentences)
+                           - 84.6 * (syllables::DOUBLE / nw), 4)
+           END AS flesch
+    FROM base
+    """,
+)
+def q137_flesch_readability(spark, sf_dir):
+    """Flesch reading-ease per document (vowel-group syllable proxy,
+    terminal-punctuation sentence proxy) — `flesch_reading_ease` is one
+    regexp-count expression per component, no explode, scan-speed."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(T.flesch_reading_ease("text"), 4).alias("flesch")
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -4842,11 +4984,11 @@ _WINDOW_PRIORITY = [
     "q04_semi_join",
     "q05_anti_join",
     "q06_outer_join_counts",
-    "q07_window_topk_per_group",
-    "q08_window_lag",
-    "q09_window_running_sum",
-    "q10_rollup",
     # -- new queries this round --
+    "q134_ewma",
+    "q135_degree_assortativity",
+    "q136_modularity",
+    "q137_flesch_readability",
     "q131_time_weighted_avg",
     "q132_table_diff",
     "q124_clustering_coefficient",

@@ -435,3 +435,18 @@ def test_gopher_rules_flags(spark):
     assert rows[2]["keep"] is False          # word count below floor
     assert rows[3]["bullet_frac"] == 1.0     # all lines bulleted
     assert rows[3]["keep"] is False
+
+
+def test_flesch_reading_ease_known_values(spark):
+    from graphmapreduce_spark.functions.text import flesch_reading_ease
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat."), (2, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["f"] for r in df.select(
+        "doc_id", flesch_reading_ease("text").alias("f")
+    ).collect()}
+    # 3 words, 1 sentence, 3 vowel groups (e/a/a):
+    # 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert abs(got[1] - 119.19) < 1e-6
+    assert got[2] is None

@@ -432,3 +432,26 @@ def test_vertex_jaccard_shared_neighbors(spark):
     assert rows[(3, 4)]["common"] == 2 and rows[(3, 4)]["jaccard"] == 1.0
     # max_degree cap below 2 removes every center -> no pairs
     assert alg.vertex_jaccard(g, max_degree=1).count() == 0
+
+
+def test_degree_assortativity_star_is_negative(spark):
+    # star K1,4: every edge links the deg-4 hub to a deg-1 leaf ->
+    # perfectly disassortative (corr = -1)
+    g = make_graph(spark, [(1, i, 1.0) for i in (2, 3, 4, 5)])
+    r = alg.degree_assortativity(g).first()[0]
+    assert abs(r - (-1.0)) < 1e-9
+
+
+def test_modularity_two_cliques(spark):
+    # two triangles joined by one bridge edge; the 2-community split
+    # along the bridge: m=7, e_c=3 each, a_c=7 each
+    # Q = 2*(3/7 - (7/14)^2) = 6/7 - 1/2
+    edges = [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0),
+             (4, 5, 1.0), (5, 6, 1.0), (4, 6, 1.0), (3, 4, 1.0)]
+    g = make_graph(spark, edges)
+    comm = g.vertices.selectExpr("id", "CAST(id > 3 AS INT) AS community")
+    q = alg.modularity(g, comm).first()[0]
+    assert abs(q - (6.0 / 7.0 - 0.5)) < 1e-9
+    # everyone in one community -> Q = 0
+    one = g.vertices.selectExpr("id", "0 AS community")
+    assert abs(alg.modularity(g, one).first()[0]) < 1e-9

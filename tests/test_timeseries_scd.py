@@ -134,3 +134,17 @@ def test_time_weighted_avg_hand_computed(spark):
     one = spark.createDataFrame([(2, 250, 7.0)], "k long, ts long, v double")
     r = time_weighted_avg(one, "k", "ts", "v", 100).collect()[0]
     assert r["bucket_start"] == 200 and r["twap"] == 7.0
+
+
+def test_ewma_weights_and_head_renormalization(spark):
+    from graphmapreduce_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0)],
+        "k long, t long, v double",
+    )
+    rows = {r["t"]: r["ewma"] for r in
+            ewma(df, "k", ["t"], "v", alpha=0.5, k=3).collect()}
+    assert abs(rows[1] - 10.0) < 1e-9                       # head: itself
+    assert abs(rows[2] - (20 + 0.5 * 10) / 1.5) < 1e-9      # two terms
+    assert abs(rows[3] - (30 + 0.5 * 20 + 0.25 * 10) / 1.75) < 1e-9
