@@ -166,3 +166,59 @@ def gopher_rules(
         & (F.col("bullet_frac") <= max_bullet_frac)
         & (F.col("stop_hits") >= min_stopword_hits),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    val_col: str,
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clip ``val_col`` to its group's
+    [lo_p, hi_p] exact percentiles (linear interpolation — the
+    ``percentile``/``quantile_cont`` semantics shared by engines).
+    Appends ``out_col`` (default ``<val>_wins``) plus the bounds.
+
+    Two-pass shape that scales: one agg computes the per-group bounds
+    (a tiny table — broadcast), one map-side join clips.  No window
+    sort of the full data, no UDF."""
+    out_col = out_col or f"{val_col}_wins"
+    groups = list(group_cols)
+    bounds = df.groupBy(*groups).agg(
+        F.expr(f"percentile({val_col}, {lo_p})").alias("_lo"),
+        F.expr(f"percentile({val_col}, {hi_p})").alias("_hi"),
+    )
+    j = df.join(F.broadcast(bounds), groups)
+    return j.withColumn(
+        out_col, F.greatest(F.col("_lo"), F.least(F.col("_hi"), F.col(val_col)))
+    ).withColumnRenamed("_lo", f"{val_col}_lo").withColumnRenamed(
+        "_hi", f"{val_col}_hi"
+    )
+
+
+def chi_squared(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """One-row (chi2 DOUBLE, dof BIGINT) Pearson chi-squared statistic
+    of independence between two categorical columns — observed
+    contingency counts vs the product-marginal expectation.
+
+    Three aggs over the same pass discipline as `audit` (cell counts,
+    two marginals — each a tiny table) + broadcast joins; nothing
+    larger than the category cross product ever materializes."""
+    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("_o"))
+    ra = df.groupBy(col_a).agg(F.count(F.lit(1)).alias("_ra"))
+    rb = df.groupBy(col_b).agg(F.count(F.lit(1)).alias("_rb"))
+    n = df.count()
+    # expected = ra*rb/n for EVERY (a, b) pair, including empty cells
+    # (obs=0 still contributes exp to the statistic)
+    grid = ra.crossJoin(rb)
+    full = grid.join(F.broadcast(cells), [col_a, col_b], "left").select(
+        (F.col("_ra") * F.col("_rb") / F.lit(float(n))).alias("_e"),
+        F.coalesce("_o", F.lit(0)).alias("_o"),
+    )
+    stat = full.agg(
+        F.sum(F.pow(F.col("_o") - F.col("_e"), 2) / F.col("_e")).alias("chi2")
+    )
+    dof = (ra.count() - 1) * (rb.count() - 1)
+    return stat.select("chi2", F.lit(int(dof)).alias("dof"))

@@ -161,3 +161,35 @@ def ewma(
         num = num + F.when(lagged.isNotNull(), F.lit(wt) * lagged).otherwise(0.0)
         den = den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(0.0)
     return df.withColumn(out_col, num / den)
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST activity
+    bucket (the cohort), counted as retained in every later bucket they
+    reappear in.  Output (cohort BIGINT, bucket_offset BIGINT,
+    n_users BIGINT) — the standard product-analytics triangle.
+
+    One keyed agg derives each user's cohort, one broadcastless join
+    tags activity rows, one distinct-agg counts — the user key carries
+    all three on the same partitioning."""
+    step = int(bucket_seconds)
+    tsec = _time.epoch_seconds(df, ts_col)
+    act = df.select(
+        F.col(user_col).alias("_u"),
+        ((F.floor(tsec / step)) * step).cast("long").alias("_b"),
+    ).distinct()
+    cohort = act.groupBy("_u").agg(F.min("_b").alias("_c"))
+    tagged = act.join(cohort, "_u")
+    return (
+        tagged.groupBy(
+            F.col("_c").alias("cohort"),
+            ((F.col("_b") - F.col("_c")) / step).cast("long")
+            .alias("bucket_offset"),
+        )
+        .agg(F.count_distinct("_u").alias("n_users"))
+    )

@@ -4931,6 +4931,112 @@ def q137_flesch_readability(spark, sf_dir):
     )
 
 
+@register(
+    "q138_winsorize",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_lo,
+           CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clip_hi,
+           ROUND(AVG(GREATEST(lo, LEAST(hi, l_extendedprice))), 2)
+             AS avg_wins,
+           ROUND(ANY_VALUE(lo), 4) AS p05,
+           ROUND(ANY_VALUE(hi), 4) AS p95
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def q138_winsorize(spark, sf_dir):
+    """Per-group winsorized price summary: clip to the group's exact
+    [p05, p95] percentiles then summarize — `winsorize` is a two-pass
+    shape (tiny bounds agg broadcast onto a map-side clip join), never
+    a full-data window sort."""
+    from graphmapreduce_spark.operators import quality as Q
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Q.winsorize(li, ["l_returnflag"], "l_extendedprice", 0.05, 0.95)
+    return w.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("l_extendedprice") < F.col("l_extendedprice_lo"))
+            .cast("long")
+        ).alias("n_clip_lo"),
+        F.sum(
+            (F.col("l_extendedprice") > F.col("l_extendedprice_hi"))
+            .cast("long")
+        ).alias("n_clip_hi"),
+        F.round(F.avg("l_extendedprice_wins"), 2).alias("avg_wins"),
+        F.round(F.any_value("l_extendedprice_lo"), 4).alias("p05"),
+        F.round(F.any_value("l_extendedprice_hi"), 4).alias("p95"),
+    )
+
+
+@register(
+    "q139_chi_squared",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    ra AS (SELECT o_orderpriority AS a, COUNT(*) AS ra FROM orders GROUP BY 1),
+    rb AS (SELECT o_orderstatus AS b, COUNT(*) AS rb FROM orders GROUP BY 1),
+    n AS (SELECT COUNT(*)::DOUBLE AS n FROM orders),
+    fullgrid AS (
+      SELECT COALESCE(cells.o, 0) AS o, ra.ra * rb.rb / n.n AS e
+      FROM ra CROSS JOIN rb CROSS JOIN n
+      LEFT JOIN cells ON cells.a = ra.a AND cells.b = rb.b
+    )
+    SELECT ROUND(SUM(POW(o - e, 2) / e), 4) AS chi2,
+           CAST((SELECT (COUNT(*) - 1) FROM ra)
+                * (SELECT (COUNT(*) - 1) FROM rb) AS BIGINT) AS dof
+    FROM fullgrid
+    """,
+)
+def q139_chi_squared(spark, sf_dir):
+    """Pearson chi-squared independence test between order priority and
+    status — `chi_squared` builds the full product-marginal grid
+    (empty cells still contribute their expectation) from three tiny
+    aggs + broadcast joins."""
+    from graphmapreduce_spark.operators import quality as Q
+
+    o = _t(spark, sf_dir, "orders")
+    out = Q.chi_squared(o, "o_orderpriority", "o_orderstatus")
+    return out.select(F.round("chi2", 4).alias("chi2"), "dof")
+
+
+@register(
+    "q140_retention_cohorts",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS b
+      FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(b) AS c FROM act GROUP BY user_id)
+    SELECT c AS cohort,
+           CAST((b - c) // 86400 AS BIGINT) AS bucket_offset,
+           CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS n_users
+    FROM act JOIN cohort USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q140_retention_cohorts(spark, sf_dir):
+    """Daily cohort retention triangle over the event stream (users
+    bucketed by first-activity day, counted in every later day they
+    return) — `retention_cohorts` carries the distinct, the cohort
+    min, and the count on one user-key partitioning."""
+    e = _t(spark, sf_dir, "events")
+    return TS.retention_cohorts(e, "user_id", "ts", 86400)
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -4981,10 +5087,10 @@ _WINDOW_PRIORITY = [
     "q01_pricing_summary",
     "q02_top_customers",
     "q03_snowflake_agg",
-    "q04_semi_join",
-    "q05_anti_join",
-    "q06_outer_join_counts",
     # -- new queries this round --
+    "q138_winsorize",
+    "q139_chi_squared",
+    "q140_retention_cohorts",
     "q134_ewma",
     "q135_degree_assortativity",
     "q136_modularity",

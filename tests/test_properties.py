@@ -102,3 +102,44 @@ def test_wcc_matches_union_find(spark, edges):
         comp.setdefault(r["component"], set()).add(r["id"])
     got_sets = {frozenset(s) for s in comp.values()}
     assert got_sets == want_sets, sorted(edges)
+
+
+def test_winsorize_bounds_and_clipping(spark):
+    from graphmapreduce_spark.operators.quality import winsorize
+
+    df = spark.range(1, 101).selectExpr(
+        "'g' AS g", "CAST(id AS DOUBLE) AS v"
+    )
+    w = winsorize(df, ["g"], "v", 0.10, 0.90)
+    rows = w.collect()
+    lo, hi = rows[0]["v_lo"], rows[0]["v_hi"]
+    # exact interpolated percentiles of 1..100
+    assert abs(lo - 10.9) < 1e-9 and abs(hi - 90.1) < 1e-9
+    assert all(lo <= r["v_wins"] <= hi for r in rows)
+    assert sum(r["v_wins"] != r["v"] for r in rows) == 20  # 10 per tail
+
+
+def test_chi_squared_independent_and_dependent(spark):
+    from graphmapreduce_spark.operators.quality import chi_squared
+
+    # perfectly dependent: b == a -> chi2 = n * (k-1)
+    dep = spark.range(400).selectExpr("id % 4 AS a", "id % 4 AS b")
+    r = chi_squared(dep, "a", "b").first()
+    assert abs(r["chi2"] - 400 * 3) < 1e-6 and r["dof"] == 9
+    # perfectly independent balanced grid -> chi2 = 0
+    ind = spark.range(400).selectExpr("id % 4 AS a", "(id div 4) % 5 AS b")
+    r2 = chi_squared(ind, "a", "b").first()
+    assert abs(r2["chi2"]) < 1e-6 and r2["dof"] == 12
+
+
+def test_retention_cohorts_triangle(spark):
+    from graphmapreduce_spark.operators.timeseries import retention_cohorts
+
+    # u1 active day0+day1, u2 day0 only, u3 day1 only
+    df = spark.createDataFrame(
+        [(1, 10), (1, 86410), (2, 20), (3, 86420), (1, 15)],
+        "u long, ts long",
+    )
+    rows = {(r["cohort"], r["bucket_offset"]): r["n_users"]
+            for r in retention_cohorts(df, "u", "ts", 86400).collect()}
+    assert rows == {(0, 0): 2, (0, 1): 1, (86400, 0): 1}
