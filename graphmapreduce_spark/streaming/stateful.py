@@ -92,3 +92,101 @@ def running_totals(
         outputMode="update",
         timeoutConf=conf,
     )
+
+
+# ---------------------------------------------------------------------
+# transformWithState (Spark 4) — the successor API to
+# applyInPandasWithState: named state variables (ValueState/ListState/
+# MapState) + timers on a StatefulProcessor class.  `running_extremes`
+# is the same running-aggregate family as `running_totals`, expressed
+# against the new API so both stateful surfaces are covered.
+# ---------------------------------------------------------------------
+EXTREMES_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType(), False),
+        StructField("lo", DoubleType(), False),
+        StructField("hi", DoubleType(), False),
+        StructField("total", DoubleType(), False),
+    ]
+)
+
+EXTREMES_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("n", LongType(), False),
+        StructField("lo", DoubleType(), False),
+        StructField("hi", DoubleType(), False),
+        StructField("total", DoubleType(), False),
+    ]
+)
+
+
+def _make_extremes_processor():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ExtremesProcessor(StatefulProcessor):
+        """Per-key running (count, min, max, sum) via one ValueState."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "extremes", EXTREMES_STATE_SCHEMA
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            if self._state.exists():
+                n, lo, hi, total = self._state.get()
+            else:
+                n, lo, hi, total = 0, float("inf"), float("-inf"), 0.0
+            for pdf in rows:
+                n += len(pdf)
+                lo = min(lo, float(pdf["value"].min()))
+                hi = max(hi, float(pdf["value"].max()))
+                total += float(pdf["value"].sum())
+            self._state.update((n, lo, hi, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n": [n],
+                    "lo": [lo],
+                    "hi": [hi],
+                    "total": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return ExtremesProcessor()
+
+
+def running_extremes(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running (count, min, max, sum) across micro-batches on
+    the Spark-4 `transformWithStateInPandas` API: named ValueState per
+    key, updated per batch, one row emitted per key per batch.  State
+    is four scalars per key — O(distinct keys) executor memory, same
+    bound as `running_totals` on the legacy API.
+
+    transformWithState only runs on the RocksDB state store — the
+    provider conf is set here (session-wide; the HDFS-backed default
+    works for every other stateful operator too, RocksDB is simply the
+    superset requirement)."""
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    src = events.selectExpr(f"{key_col} AS user_id", f"{value_col} AS value")
+    return src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_extremes_processor(),
+        outputStructType=EXTREMES_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

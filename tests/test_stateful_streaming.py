@@ -5,6 +5,8 @@ import datetime as dt
 import shutil
 import tempfile
 
+import pytest
+
 from graphmapreduce_spark.streaming.stateful import running_totals
 from graphmapreduce_spark.streaming.windows import stream_events_from_parquet
 
@@ -104,5 +106,57 @@ def test_running_totals_processing_time_timeout_evicts(spark):
             poll(lambda got: (1, 1, 7.0) in got)
         finally:
             q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_running_extremes_transform_with_state(spark):
+    """transformWithStateInPandas (Spark 4 API): ValueState persists
+    across micro-batches — min/max/sum/count accumulate.
+
+    The TWS python worker speaks protobuf to the JVM state server;
+    skipped where protobuf is absent (same environment-gating as the
+    multimodal codec stubs — the operator plumbing is real)."""
+    pytest.importorskip("google.protobuf")
+    import glob
+    import os
+
+    from graphmapreduce_spark.streaming.stateful import running_extremes
+
+    d = tempfile.mkdtemp(prefix="gmr_tws_")
+    try:
+        b1 = spark.createDataFrame(
+            [(1, 10.0), (1, 5.0), (2, 1.0)], "user_id long, value double"
+        )
+        b2 = spark.createDataFrame(
+            [(1, 30.0), (2, -4.0)], "user_id long, value double"
+        )
+        b1.coalesce(1).write.parquet(d + "/f1")
+        b2.coalesce(1).write.parquet(d + "/f2")
+        merged = d + "/all"
+        os.makedirs(merged)
+        for i, f in enumerate(
+            sorted(glob.glob(d + "/f1/*.parquet"))
+            + sorted(glob.glob(d + "/f2/*.parquet"))
+        ):
+            shutil.copy(f, f"{merged}/part-{i:03d}.parquet")
+        src = stream_events_from_parquet(spark, merged, max_files_per_trigger=1)
+        out = running_extremes(src)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_extremes")
+            .outputMode("update")
+            .start()
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user_id, max(n) AS n, min(lo) AS lo, max(hi) AS hi,"
+            " max(total) AS total FROM t_extremes GROUP BY user_id"
+        ).collect()
+        q.stop()
+        got = {r["user_id"]: (r["n"], r["lo"], r["hi"], r["total"])
+               for r in rows}
+        assert got[1] == (3, 5.0, 30.0, 45.0)
+        assert got[2] == (2, -4.0, 1.0, -3.0)
     finally:
         shutil.rmtree(d, ignore_errors=True)
