@@ -5037,6 +5037,86 @@ def q140_retention_cohorts(spark, sf_dir):
     return TS.retention_cohorts(e, "user_id", "ts", 86400)
 
 
+@register(
+    "q141_corpus_pipeline",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[\x00-\x1f\x7f]', ' ', 'g'), '\s{2,}', ' ', 'g')) AS ntext
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, ntext,
+             list_filter(string_split_regex(trim(ntext), '\s+'),
+                         w -> w <> '') AS ws,
+             string_split(ntext, chr(10)) AS lines,
+             length(regexp_replace(ntext, '\s', '', 'g')) AS nonspace
+      FROM norm
+    ),
+    m AS (
+      SELECT doc_id, ntext,
+             len(ws)::BIGINT AS n_words,
+             ROUND(CASE WHEN len(ws) > 0
+                        THEN nonspace::DOUBLE / len(ws) ELSE 0.0 END, 6)
+               AS avg_word_len,
+             ROUND(CASE WHEN len(ws) > 0
+                        THEN len(list_filter(ws,
+                             w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                             / len(ws) ELSE 0.0 END, 6) AS alpha_frac,
+             ROUND(CASE WHEN len(lines) > 0
+                        THEN len(list_filter(lines,
+                             x -> regexp_matches(x, '^\s*[-*•]')))::DOUBLE
+                             / len(lines) ELSE 0.0 END, 6) AS bullet_frac,
+             (list_contains(ws, 'the')::INT + list_contains(ws, 'be')::INT
+              + list_contains(ws, 'to')::INT + list_contains(ws, 'of')::INT
+              + list_contains(ws, 'and')::INT + list_contains(ws, 'that')::INT
+              + list_contains(ws, 'have')::INT
+              + list_contains(ws, 'with')::INT) AS stop_hits
+      FROM base
+    ),
+    gated AS (
+      SELECT doc_id, ntext FROM m
+      WHERE n_words BETWEEN 20 AND 100000
+        AND avg_word_len BETWEEN 3.0 AND 10.0
+        AND alpha_frac >= 0.8 AND bullet_frac <= 0.9 AND stop_hits >= 1
+    ),
+    dedup AS (SELECT ntext, MIN(doc_id) AS doc_id FROM gated GROUP BY ntext),
+    toks AS (
+      SELECT doc_id,
+             len(regexp_extract_all(ntext,
+                 '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS n_tokens
+      FROM dedup
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS "offset"
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST("offset" // 2048 AS BIGINT) AS bin, "offset"
+    FROM cum
+    """,
+)
+def q141_corpus_pipeline(spark, sf_dir):
+    """The composed corpus-prep flow (`pipeline.prepare_corpus`):
+    normalize → Gopher gate → exact dedup on the normalized form →
+    tokenize → pack into 2048-token windows.  Every stage is an
+    already-oracled operator; the chained CTE oracle value-checks the
+    composition end-to-end.  Narrow stages fuse into one scan — the
+    only shuffles are the dedup agg and the packing cumsum."""
+    from graphmapreduce_spark.pipeline import prepare_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return prepare_corpus(
+        d, "doc_id", "text", capacity=2048,
+        # fixture register: terse technical docs (10-99 words)
+        min_words=20, min_stopword_hits=1,
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -5086,7 +5166,7 @@ _WINDOW_PRIORITY = [
     #    (trim from the END when adding new queries) --
     "q01_pricing_summary",
     "q02_top_customers",
-    "q03_snowflake_agg",
+    "q141_corpus_pipeline",
     # -- new queries this round --
     "q138_winsorize",
     "q139_chi_squared",

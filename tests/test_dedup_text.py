@@ -450,3 +450,31 @@ def test_flesch_reading_ease_known_values(spark):
     # 206.835 - 1.015*3 - 84.6*1 = 119.19
     assert abs(got[1] - 119.19) < 1e-6
     assert got[2] is None
+
+
+def test_prepare_corpus_pipeline_stages(spark):
+    """Composed corpus prep: gate drops junk, dedup keeps min id on the
+    NORMALIZED form, offsets are the contiguous token cumsum."""
+    from graphmapreduce_spark.pipeline import prepare_corpus
+
+    good = "the quick brown fox jumps over the lazy dog again and again "
+    docs = spark.createDataFrame(
+        [
+            (1, good * 5),
+            (2, "  THE  quick brown fox jumps over the lazy dog again "
+                "and again extra tail words " + good * 4),  # distinct text
+            (3, good.upper() * 5),          # normalizes EQUAL to doc 1
+            (4, "zz " * 60),                # no stopwords -> gated out
+            (5, "too short"),               # word floor -> gated out
+        ],
+        "doc_id long, text string",
+    )
+    out = prepare_corpus(
+        docs, capacity=64, min_words=20, min_stopword_hits=1
+    ).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 2]  # 3 deduped into 1; 4, 5 gated
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[1]["offset"] == 0
+    assert rows[2]["offset"] == rows[1]["n_tokens"]
+    assert rows[2]["bin"] == rows[2]["offset"] // 64
