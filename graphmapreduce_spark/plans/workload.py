@@ -5117,6 +5117,177 @@ def q141_corpus_pipeline(spark, sf_dir):
     )
 
 
+@register(
+    "q142_asof_forward",
+    """
+    WITH l AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click'),
+    r AS (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase')
+    SELECT l.user_id, l.event_id,
+           MIN(CASE WHEN r.ts >= l.ts
+                    THEN r.ts END) AS next_purchase_ts
+    FROM l LEFT JOIN r ON l.user_id = r.user_id
+    GROUP BY l.user_id, l.event_id
+    """,
+)
+def q142_asof_forward(spark, sf_dir):
+    """Forward as-of join: each click matched to the EARLIEST purchase
+    at-or-after it per user — `asof_join(direction='forward')` is the
+    tagged-union + running-window formulation (one keyed shuffle,
+    per-key row counts unbounded); q22 covers the backward direction.
+    The oracle is the quadratic min-over-future formulation."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("b_ts"), "value"
+    )
+    out = asof_join(
+        clicks, buys, on="user_id", left_ts="ts", right_ts="b_ts",
+        value_cols=["b_ts"], direction="forward",
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.col("b_ts").alias("next_purchase_ts"),
+    )
+
+
+@register(
+    "q143_distribution_windows",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(percent_rank() OVER w, 6) AS pr,
+           ROUND(cume_dist() OVER w, 6) AS cd,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q143_distribution_windows(spark, sf_dir):
+    """Distribution window functions (percent_rank / cume_dist /
+    ntile) per priority class — completes the window-function family
+    beyond the q07/q70 ranking and q08/q71 analytic rows.  Unique
+    (price, key) order keeps every engine's tie handling identical."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+@register(
+    "q144_ordered_listagg",
+    """
+    SELECT o_orderpriority,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_totalprice DESC, o_orderkey) AS top_keys
+    FROM (
+      SELECT * FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey)
+                 AS rn
+        FROM orders) WHERE rn <= 10)
+    GROUP BY o_orderpriority
+    """,
+)
+def q144_ordered_listagg(spark, sf_dir):
+    """Deterministic ordered string aggregation: the 10 priciest order
+    keys per priority, concatenated in (price desc, key) order — the
+    report/export shape.  Spark side sorts structs inside the
+    aggregated array (`array_sort` of (neg-price, key) structs), so the
+    concatenation order is plan-independent — never a bare
+    collect_list, whose order is partition-dependent."""
+    o = _t(spark, sf_dir, "orders")
+    top = R.top_k_per_group(
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        10,
+    )
+    agged = top.groupBy("o_orderpriority").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("o_totalprice")).alias("np"),
+                    F.col("o_orderkey").alias("k"),
+                )
+            )
+        ).alias("_s")
+    )
+    return agged.select(
+        "o_orderpriority",
+        F.array_join(
+            F.transform(F.col("_s"), lambda s: s["k"].cast("string")), ","
+        ).alias("top_keys"),
+    )
+
+
+@register(
+    "q145_mad_outliers",
+    """
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
+      FROM lineitem GROUP BY 1
+    ),
+    dev AS (
+      SELECT l.l_returnflag, ABS(l_extendedprice - m.m) AS d, m.m
+      FROM lineitem l JOIN med m USING (l_returnflag)
+    ),
+    mad AS (
+      SELECT l_returnflag, ANY_VALUE(m) AS m,
+             quantile_cont(d, 0.5) AS mad
+      FROM dev GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(ANY_VALUE(mad.m), 4) AS median,
+           ROUND(ANY_VALUE(mad.mad), 4) AS mad,
+           CAST(SUM(CASE WHEN ABS(l.l_extendedprice - mad.m)
+                              > 3 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lineitem l JOIN mad USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def q145_mad_outliers(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation (the
+    breakdown-resistant alternative to q115's IQR fences): two exact
+    median aggs (group-tiny, broadcast back) + a scan-speed flagging
+    pass with the 1.4826 normal-consistency factor."""
+    li = _t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("m")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag")
+    mad = dev.groupBy("l_returnflag").agg(
+        F.any_value("m").alias("m"),
+        F.expr("percentile(abs(l_extendedprice - m), 0.5)").alias("mad"),
+    )
+    out = li.join(F.broadcast(mad), "l_returnflag")
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.any_value("m"), 4).alias("median"),
+        F.round(F.any_value("mad"), 4).alias("mad"),
+        F.sum(
+            (
+                F.abs(F.col("l_extendedprice") - F.col("m"))
+                > 3 * 1.4826 * F.col("mad")
+            ).cast("long")
+        ).alias("n_outliers"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -5164,9 +5335,11 @@ _WINDOW_PRIORITY = [
     "q92_sequence_packing",
     # -- breadth fillers: round-1 green families not re-checked since
     #    (trim from the END when adding new queries) --
-    "q01_pricing_summary",
-    "q02_top_customers",
     "q141_corpus_pipeline",
+    "q142_asof_forward",
+    "q143_distribution_windows",
+    # q144/q145 overflow the 50-slot window this round (verified
+    # locally via tools/check_oracle.py); next rotation banks them
     # -- new queries this round --
     "q138_winsorize",
     "q139_chi_squared",
