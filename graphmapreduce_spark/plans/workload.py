@@ -5288,6 +5288,51 @@ def q145_mad_outliers(spark, sf_dir):
     )
 
 
+@register(
+    "q146_salted_skew_join",
+    """
+    WITH skewed AS (
+      SELECT CASE WHEN l_orderkey % 10 < 7 THEN 1
+                  ELSE l_orderkey % 100 END AS k,
+             l_quantity
+      FROM lineitem
+    ),
+    dim AS (SELECT DISTINCT o_orderkey % 100 AS k,
+                   o_orderpriority
+            FROM orders WHERE o_orderkey % 100 < 100)
+    SELECT s.k, d.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(s.l_quantity), 2) AS qty
+    FROM skewed s JOIN dim d ON s.k = d.k
+    GROUP BY s.k, d.o_orderpriority
+    """,
+)
+def q146_salted_skew_join(spark, sf_dir):
+    """Skew-resistant equi join: ~70% of the fact rows share ONE hot
+    key — `salted_join` spreads it over 8 shuffle partitions (salt on
+    the fact side, replicate the dim side) and must return rows
+    identical to the plain join the oracle computes.  The explicit
+    fallback for joins AQE's skew splitting can't rebalance."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 7, 1)
+        .otherwise(F.col("l_orderkey") % 100)
+        .alias("k"),
+        "l_quantity",
+    )
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_orderkey") % 100).alias("k"), "o_orderpriority"
+        )
+        .distinct()
+    )
+    joined = R.salted_join(li, dim, ["k"], num_salts=8)
+    return joined.groupBy("k", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -5338,7 +5383,7 @@ _WINDOW_PRIORITY = [
     "q141_corpus_pipeline",
     "q142_asof_forward",
     "q143_distribution_windows",
-    # q144/q145 overflow the 50-slot window this round (verified
+    # q144-q146 overflow the 50-slot window this round (verified
     # locally via tools/check_oracle.py); next rotation banks them
     # -- new queries this round --
     "q138_winsorize",
