@@ -5333,6 +5333,175 @@ def q146_salted_skew_join(spark, sf_dir):
     )
 
 
+@register(
+    "q147_embedding_dim_stats",
+    """
+    SELECT CAST(i - 1 AS INTEGER) AS pos,
+           ROUND(AVG(embedding[i]), 6) AS mean,
+           ROUND(STDDEV_POP(embedding[i]), 6) AS std,
+           ROUND(MIN(embedding[i]), 6) AS lo,
+           ROUND(MAX(embedding[i]), 6) AS hi
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    GROUP BY i
+    """,
+)
+def q147_embedding_dim_stats(spark, sf_dir):
+    """Dimension-wise embedding distribution audit (mean/std/min/max
+    per coordinate — the 'is dim 17 dead or exploding' check before
+    ANN indexing): posexplode + one hash agg keyed on the dimension,
+    map-side combinable, never a driver-side matrix."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("pos", "v"))
+    return (
+        ex.groupBy("pos")
+        .agg(
+            F.round(F.avg("v"), 6).alias("mean"),
+            F.round(F.stddev_pop("v"), 6).alias("std"),
+            F.round(F.min("v"), 6).alias("lo"),
+            F.round(F.max("v"), 6).alias("hi"),
+        )
+    )
+
+
+@register(
+    "q148_centroid_similarity",
+    """
+    WITH c AS (
+      SELECT label, i, AVG(embedding[i]) AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+      GROUP BY label, i
+    ),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(a.v * b.v) AS dot,
+             SQRT(SUM(a.v * a.v)) AS na, SQRT(SUM(b.v * b.v)) AS nb
+      FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b, ROUND(dot / (na * nb), 6) AS cosine
+    FROM pairs
+    """,
+)
+def q148_centroid_similarity(spark, sf_dir):
+    """Pairwise cosine similarity between per-label embedding
+    centroids (the cluster-overlap diagnostic on q95's output): the
+    k×k matrix comes from a dimension-keyed join of the tiny centroid
+    table with itself — the corpus is scanned ONCE for the centroids,
+    never for the pairs."""
+    e = _t(spark, sf_dir, "embeddings")
+    c = (
+        e.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.avg("v").alias("v"))
+    )
+    a = c.select(
+        F.col("label").alias("label_a"), "i", F.col("v").alias("va")
+    )
+    b = c.select(
+        F.col("label").alias("label_b"), "i", F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, ["i"])
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("va") * F.col("vb")).alias("dot"),
+            F.sqrt(F.sum(F.col("va") * F.col("va"))).alias("na"),
+            F.sqrt(F.sum(F.col("vb") * F.col("vb"))).alias("nb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+            "cosine"
+        ),
+    )
+
+
+@register(
+    "q149_bigram_topk",
+    r"""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         w -> w <> '') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT UNNEST(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i + 1])) AS bigram
+      FROM ws WHERE len(w) >= 2
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 25
+    """,
+)
+def q149_bigram_topk(spark, sf_dir):
+    """Corpus-wide top adjacent word pairs — ORDERED bigrams (q120's
+    co-occurrence is unordered within-doc): the bigram list is built
+    in-array with an index lambda (no self-join at all), then one
+    explode + hash agg + TakeOrdered."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), "\\s+"),
+        lambda x: x != "",
+    )
+    bg = d.select(w.alias("w")).filter(F.size("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.concat(
+                    F.element_at(F.col("w"), i),
+                    F.lit(" "),
+                    F.element_at(F.col("w"), i + 1),
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(25)
+    )
+
+
+@register(
+    "q150_activity_heatmap",
+    """
+    WITH e AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events
+    )
+    SELECT CAST(((es // 86400) + 4) % 7 AS BIGINT) AS dow,
+           CAST((es % 86400) // 3600 AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM e GROUP BY 1, 2
+    """,
+)
+def q150_activity_heatmap(spark, sf_dir):
+    """Day-of-week × hour activity heatmap over the event stream —
+    dow/hour derived ARITHMETICALLY from the epoch (1970-01-01 was a
+    Thursday, hence the +4), sidestepping the engines' incompatible
+    dayofweek conventions; one hash agg over 168 cells."""
+    e = _t(spark, sf_dir, "events")
+    es = F.col("ts").cast("long")
+    return (
+        e.select(
+            ((F.floor(es / 86400) + 4) % 7).cast("long").alias("dow"),
+            ((es % 86400) / 3600).cast("long").alias("hour"),
+            "value",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
