@@ -143,3 +143,78 @@ def test_retention_cohorts_triangle(spark):
     rows = {(r["cohort"], r["bucket_offset"]): r["n_users"]
             for r in retention_cohorts(df, "u", "ts", 86400).collect()}
     assert rows == {(0, 0): 2, (0, 1): 1, (86400, 0): 1}
+
+
+sizes_lists = st.lists(
+    st.integers(min_value=0, max_value=5000), min_size=1, max_size=60
+)
+
+
+@given(sizes=sizes_lists)
+@SLOW
+def test_packed_layout_matches_naive_cumsum(spark, sizes):
+    """Two-level cumsum property: for ANY size sequence, packed_layout
+    equals the naive global running sum (bin = offset div capacity)."""
+    from graphmapreduce_spark.operators.packing import packed_layout
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "doc_id long, n long"
+    )
+    got = {
+        r["doc_id"]: (r["bin"], r["offset"])
+        for r in packed_layout(
+            df, "doc_id", "n", capacity=7, range_size=4
+        ).collect()
+    }
+    off = 0
+    for i, n in enumerate(sizes):
+        assert got[i] == (off // 7, off), (i, sizes)
+        off += n
+
+
+@given(sizes=sizes_lists)
+@SLOW
+def test_shard_assignment_exhaustive_and_ordered(spark, sizes):
+    """Sharding property: shards are contiguous in id order,
+    non-decreasing, within [0, num_shards), and every doc is assigned."""
+    from graphmapreduce_spark.operators.packing import shard_assignment
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "doc_id long, n long"
+    )
+    rows = sorted(
+        shard_assignment(df, "doc_id", "n", num_shards=4,
+                         range_size=8).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert len(rows) == len(sizes)
+    shards = [r["shard"] for r in rows]
+    assert all(0 <= s < 4 for s in shards)
+    assert all(a <= b for a, b in zip(shards, shards[1:]))
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=4,
+        max_size=50,
+    )
+)
+@SLOW
+def test_winsorize_never_widens_range(spark, vals):
+    """Winsorize property: clipped values stay inside [group min, max]
+    and inside the computed bounds; clipping is idempotent."""
+    from graphmapreduce_spark.operators.quality import winsorize
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "g string, v double"
+    )
+    rows = winsorize(df, ["g"], "v", 0.1, 0.9).collect()
+    lo, hi = rows[0]["v_lo"], rows[0]["v_hi"]
+    assert all(lo - 1e-9 <= r["v_wins"] <= hi + 1e-9 for r in rows)
+    # idempotence: winsorizing already-clipped values changes nothing
+    clipped = spark.createDataFrame(
+        [("g", float(r["v_wins"])) for r in rows], "g string, v double"
+    )
+    again = winsorize(clipped, ["g"], "v", 0.0, 1.0).collect()
+    assert all(abs(r["v_wins"] - r["v"]) < 1e-9 for r in again)
