@@ -869,36 +869,119 @@ def k_truss(graph: PropertyGraph, k: int, max_iter: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    support = None
+    # full triangle enumeration exactly ONCE (the expensive wedge join);
+    # every later round only touches triangles adjacent to removals
+    tri = (
+        edges.alias("x")
+        .join(edges.alias("y"), F.col("x.b") == F.col("y.a"))
+        .join(
+            edges.alias("z"),
+            (F.col("z.a") == F.col("x.a")) & (F.col("z.b") == F.col("y.b")),
+        )
+        .select(
+            F.col("x.a").alias("a"),
+            F.col("x.b").alias("b"),
+            F.col("y.b").alias("c"),
+        )
+    )
+    support = (
+        tri.select("a", "b")
+        .unionAll(tri.select(F.col("b").alias("a"), F.col("c").alias("b")))
+        .unionAll(tri.select("a", F.col("c").alias("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    scored = edges.join(support, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+    ).localCheckpoint(eager=True)
+    n_edges = scored.count()
     for _ in range(max_iter):
-        tri = (
-            edges.alias("x")
-            .join(edges.alias("y"), F.col("x.b") == F.col("y.a"))
-            .join(
-                edges.alias("z"),
-                (F.col("z.a") == F.col("x.a")) & (F.col("z.b") == F.col("y.b")),
-            )
-            .select(
-                F.col("x.a").alias("a"),
-                F.col("x.b").alias("b"),
-                F.col("y.b").alias("c"),
-            )
-        )
-        support = (
-            tri.select("a", "b")
-            .unionAll(tri.select(F.col("b").alias("a"), F.col("c").alias("b")))
-            .unionAll(tri.select("a", F.col("c").alias("b")))
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("support"))
-        )
-        scored = edges.join(support, ["a", "b"], "left").select(
-            "a", "b", F.coalesce("support", F.lit(0)).alias("support")
-        ).localCheckpoint(eager=True)
-        if scored.filter(F.col("support") < need).isEmpty():
-            return scored
-        edges = (
-            scored.filter(F.col("support") >= need)
+        removed = (
+            scored.filter(F.col("support") < need)
             .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_removed = removed.count()
+        if n_removed == 0:
+            return scored
+        survivors = scored.filter(F.col("support") >= need).select("a", "b")
+        n_edges -= n_removed
+        if n_removed > 0.02 * n_edges:
+            # dense round (the peel's head): a removal-centric pass
+            # would touch most triangles anyway — recount on the
+            # smaller survivor graph instead
+            edges = survivors.localCheckpoint(eager=True)
+            tri = (
+                edges.alias("x")
+                .join(edges.alias("y"), F.col("x.b") == F.col("y.a"))
+                .join(
+                    edges.alias("z"),
+                    (F.col("z.a") == F.col("x.a"))
+                    & (F.col("z.b") == F.col("y.b")),
+                )
+                .select(
+                    F.col("x.a").alias("a"),
+                    F.col("x.b").alias("b"),
+                    F.col("y.b").alias("c"),
+                )
+            )
+            support = (
+                tri.select("a", "b")
+                .unionAll(
+                    tri.select(F.col("b").alias("a"), F.col("c").alias("b"))
+                )
+                .unionAll(tri.select("a", F.col("c").alias("b")))
+                .groupBy("a", "b")
+                .agg(F.count(F.lit(1)).alias("support"))
+            )
+            scored = edges.join(support, ["a", "b"], "left").select(
+                "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+            ).localCheckpoint(eager=True)
+            continue
+        # sparse round (the peel's tail): INCREMENTAL maintenance —
+        # enumerate only the current graph's triangles containing >=1
+        # removed edge (common neighbors of each removed pair), dedup
+        # on the triangle id so a triangle losing 2-3 edges at once
+        # still decrements its surviving edges exactly once, then
+        # subtract.  Cost O(removed x degree), not a full recount.
+        cur = scored.select("a", "b")
+        nbrs = cur.select(F.col("a").alias("id"), F.col("b").alias("nbr")).unionAll(
+            cur.select(F.col("b").alias("id"), F.col("a").alias("nbr"))
+        )
+        na = nbrs.select(F.col("id").alias("a"), F.col("nbr").alias("w"))
+        nb = nbrs.select(F.col("id").alias("b"), F.col("nbr").alias("w"))
+        tri_r = (
+            removed.join(na, "a")
+            .join(nb, ["b", "w"])
+            .select(F.array_sort(F.array("a", "b", "w")).alias("t"))
+            .distinct()
+            .select(
+                F.col("t")[0].alias("v1"),
+                F.col("t")[1].alias("v2"),
+                F.col("t")[2].alias("v3"),
+            )
+        )
+        dec = (
+            tri_r.select(F.col("v1").alias("a"), F.col("v2").alias("b"))
+            .unionAll(
+                tri_r.select(F.col("v1").alias("a"), F.col("v3").alias("b"))
+            )
+            .unionAll(
+                tri_r.select(F.col("v2").alias("a"), F.col("v3").alias("b"))
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("_dec"))
+        )
+        scored = (
+            scored.filter(F.col("support") >= need)
+            .join(dec, ["a", "b"], "left")
+            .select(
+                "a",
+                "b",
+                (F.col("support") - F.coalesce("_dec", F.lit(0))).alias(
+                    "support"
+                ),
+            )
             .localCheckpoint(eager=True)
         )
     # max_iter exhausted without reaching the fixpoint: the result would
