@@ -36,3 +36,21 @@ def test_cli_trianglecount_small_graph_golden():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "triangles: 1" in out.stdout
+
+
+def test_cli_pagerank_output_parquet(tmp_path):
+    """Launcher end-to-end with --output: ranks land in parquet, the
+    max-degree vertex of small.graph (vertex 1, degree 5) ranks first."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    out_dir = str(tmp_path / "pr")
+    r = subprocess.run(
+        [sys.executable, "-m", "graphmapreduce_spark",
+         "pagerank", f"{REF}/small.graph", "--max-iter", "20",
+         "--output", out_dir],
+        capture_output=True, text=True, timeout=300, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    first = r.stdout.splitlines()[1].split("\t")
+    assert first[0] == "1"  # highest-degree vertex tops the ranking
+    import glob
+    assert glob.glob(out_dir + "/*.parquet"), "parquet output missing"
