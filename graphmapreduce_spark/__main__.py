@@ -122,6 +122,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="pin pagerank damping to the reference's 0.5")
     p.add_argument("--max-iter", type=int, default=30)
     p.add_argument("--k", type=int, default=3, help="k for kcore/ktruss")
+    p.add_argument("--sources", default=None,
+                   help="comma-separated seed vertices for harmonic "
+                   "(default: the 8 smallest vertex ids)")
     p.add_argument("--output", default=None,
                    help="write the full result as parquet here")
     p.add_argument("--master", default=None)
@@ -166,13 +169,24 @@ def main(argv: list[str] | None = None) -> int:
     elif args.algorithm == "kcore":
         res = alg.k_core(g, args.k).orderBy("id")
     elif args.algorithm == "ktruss":
-        res = alg.k_truss(g, args.k).orderBy("src", "dst")
+        res = alg.k_truss(g, args.k).orderBy("a", "b")
     elif args.algorithm == "labelprop":
         res = alg.label_propagation(g, max_iter=args.max_iter).orderBy("id")
     elif args.algorithm == "mis":
         res = alg.maximal_independent_set(g).orderBy("id")
     elif args.algorithm == "harmonic":
-        res = alg.harmonic_centrality(g).orderBy("id")
+        if args.sources:
+            seeds = [int(s) for s in args.sources.split(",")]
+        else:
+            # deterministic default: the 8 smallest vertex ids (tiny
+            # collect — seed list only, never the data path)
+            seeds = [
+                r[0]
+                for r in g.vertices.select("id").orderBy("id").limit(8).collect()
+            ]
+        res = alg.harmonic_centrality(
+            g, seeds, max_iter=args.max_iter
+        ).orderBy("id")
     else:  # pragma: no cover - argparse enforces choices
         raise AssertionError(args.algorithm)
 

@@ -37,11 +37,16 @@ def normalize_ts(df: DataFrame, col: str) -> DataFrame:
 
 def epoch_seconds(df: DataFrame, col: str) -> Column:
     """Epoch seconds (truncating, BIGINT) for ``col`` regardless of its
-    physical timestamp type; numeric columns pass through unchanged."""
+    physical timestamp type.
+
+    BIGINT is epoch *nanoseconds* — the same nanosAsLong contract as
+    `normalize_ts` (the two helpers must agree, or a raw int64-nanos
+    column fed to sessionize/time_weighted_avg/retention_cohorts would
+    silently produce buckets wrong by 1e9)."""
     dt = dict(df.dtypes).get(col)
     c = F.col(col)
     if dt == "timestamp_ntz":
         c = c.cast("timestamp")
     elif dt == "bigint":
-        return c  # already integral epoch units — caller's contract
+        return F.expr(f"{col} div 1000000000")
     return c.cast("long")

@@ -149,7 +149,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     exact_buckets: bool = False,
-    max_bucket_size: int | None = 4096,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banding: split the signature into ``bands`` rows, bucket by
     (band index, band content); docs sharing any bucket become a
@@ -166,8 +166,12 @@ def lsh_candidate_pairs(
     with the bucket's min id only, O(df) pairs — which preserves the
     bucket's connected component exactly (transitive dedup clustering
     downstream recovers the same groups) while dropping the redundant
-    within-bucket cross pairs.  ``None`` disables the cap (exact
-    all-pairs semantics, e.g. for an oracle comparison)."""
+    within-bucket cross pairs.  The default ``None`` keeps exact
+    all-pairs semantics (the SQL-oracle-comparable contract); pass a
+    cap EXPLICITLY for corpus-scale runs — at 100 TB a single viral
+    boilerplate bucket is otherwise a quadratic straggler.  With a cap
+    set, oversized-bucket detection runs eagerly (one small job at
+    call time)."""
     rows_per_band = num_hashes // bands
     banded = df.select(
         F.col(id_col).alias("_id"),
@@ -195,32 +199,41 @@ def lsh_candidate_pairs(
             ),
         )
     if max_bucket_size is not None:
-        from pyspark.storagelevel import StorageLevel
-
-        # oversized buckets are RARE by construction (a bucket is a
-        # near-exact signature match), so find them with one partial
-        # agg and split via broadcast semi/anti joins — the common
-        # (no-degenerate-bucket) case costs one cheap agg and zero
-        # extra shuffles of the banded rows; a window count here would
-        # sort the whole banded set.  The banded projection feeds three
-        # plan branches (size agg, small split, big split) whose
-        # subtrees differ, so exchange reuse cannot dedup the expensive
-        # upstream signature computation — persist it (a few dozen
-        # bytes per doc per band; Spark LRU-evicts when pressured).
-        if banded.storageLevel == StorageLevel.NONE:
-            banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-        big_keys = (
+        # Oversized buckets are RARE by construction (a bucket is a
+        # near-exact signature match), so detect them EAGERLY with one
+        # partial agg + collect — bounded at one tiny row per
+        # degenerate bucket.  The common (no-degenerate-bucket) case
+        # then needs no cache and no split: the plan stays the same
+        # single-branch self-join as the uncapped path, whose two
+        # scans of `banded` collapse into one shuffle via
+        # ReusedExchange.
+        big_rows = (
             banded.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_bn"))
             .filter(F.col("_bn") > max_bucket_size)
             .select("band", "bucket")
+            .collect()
         )
-        small = banded.join(
-            F.broadcast(big_keys), ["band", "bucket"], "left_anti"
-        )
-        big = banded.join(
-            F.broadcast(big_keys), ["band", "bucket"], "left_semi"
-        )
+        if big_rows:
+            # Degenerate buckets exist: split via a broadcast of the
+            # collected key set.  localCheckpoint (eager) materializes
+            # `banded` once for the two split branches and, unlike
+            # persist(), is GC-scoped — the ContextCleaner releases
+            # its blocks when the returned plan is dropped, so
+            # repeated calls don't accumulate session-lifetime cache
+            # (round-3 advisor finding).
+            banded = banded.localCheckpoint(eager=True)
+            big_keys = banded.sparkSession.createDataFrame(
+                big_rows, schema=banded.select("band", "bucket").schema
+            )
+            small = banded.join(
+                F.broadcast(big_keys), ["band", "bucket"], "left_anti"
+            )
+            big = banded.join(
+                F.broadcast(big_keys), ["band", "bucket"], "left_semi"
+            )
+        else:
+            small, big = banded, None
     else:
         small, big = banded, None
     l, r = small.alias("l"), small.alias("r")
@@ -256,15 +269,17 @@ def minhash_lsh_near_dup_pairs(
     shingle_n: int = 3,
     seed: int = 42,
     hash_fn: str = "xxhash64",
-    max_bucket_size: int | None = 4096,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with exact-Jaccard verification of LSH
     candidates.  Returns (id_a, id_b, jaccard) with id_a < id_b.
 
-    ``max_bucket_size`` caps degenerate band buckets via star
-    expansion (see `lsh_candidate_pairs`); note that inside an
-    oversized bucket only hub pairs are verified, so pairwise recall
-    there is deliberately reduced to what transitive clustering needs.
+    ``max_bucket_size`` (opt-in; e.g. 4096 for corpus-scale runs) caps
+    degenerate band buckets via star expansion (see
+    `lsh_candidate_pairs`); note that inside an oversized bucket only
+    hub pairs are verified, so pairwise recall there is deliberately
+    reduced to what transitive clustering needs.  The ``None`` default
+    keeps exact all-pairs semantics (oracle-comparable).
 
     ``bands`` defaults to the largest b with (1/b)^(b/num_hashes) ≥
     threshold — i.e. the banding whose S-curve knee sits at the requested

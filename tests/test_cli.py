@@ -38,6 +38,39 @@ def test_cli_trianglecount_small_graph_golden():
     assert "triangles: 1" in out.stdout
 
 
+def test_cli_ktruss_small_graph_golden():
+    """ktruss launcher path (regression: it used to orderBy src/dst,
+    columns k_truss never emits).  small.graph's only triangle {1,2,3}
+    is exactly the 3-truss: 3 canonical edges, support 1 each."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, "-m", "graphmapreduce_spark",
+         "ktruss", f"{REF}/small.graph", "--k", "3"],
+        capture_output=True, text=True, timeout=300, cwd=REPO, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = out.stdout.splitlines()
+    assert lines[0].split("\t") == ["a", "b", "support"]
+    assert "# rows: 3" in out.stdout
+    assert lines[1].split("\t") == ["1", "2", "1"]
+
+
+def test_cli_harmonic_default_sources():
+    """harmonic launcher path (regression: it used to omit the required
+    `sources` argument and TypeError on every invocation).  Default
+    seeds = the 8 smallest vertex ids of small.graph's 10; every vertex
+    is reachable so all 10 score."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, "-m", "graphmapreduce_spark",
+         "harmonic", f"{REF}/small.graph"],
+        capture_output=True, text=True, timeout=300, cwd=REPO, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.splitlines()[0].split("\t")[0] == "id"
+    assert "# rows: 10" in out.stdout
+
+
 def test_cli_pagerank_output_parquet(tmp_path):
     """Launcher end-to-end with --output: ranks land in parquet, the
     max-degree vertex of small.graph (vertex 1, degree 5) ranks first."""

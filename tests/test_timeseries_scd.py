@@ -148,3 +148,20 @@ def test_ewma_weights_and_head_renormalization(spark):
     assert abs(rows[1] - 10.0) < 1e-9                       # head: itself
     assert abs(rows[2] - (20 + 0.5 * 10) / 1.5) < 1e-9      # two terms
     assert abs(rows[3] - (30 + 0.5 * 20 + 0.25 * 10) / 1.75) < 1e-9
+
+
+def test_epoch_seconds_bigint_is_nanos_matching_normalize_ts(spark):
+    """The two _time helpers must share the nanosAsLong contract: a raw
+    int64-nanos column gives the same epoch seconds whether the caller
+    normalizes first or extracts directly (regression: epoch_seconds
+    used to pass bigint through as if it were already seconds)."""
+    from graphmapreduce_spark.operators import _time
+
+    nanos = 1_600_000_123_000_000_000  # 2020-09-13T12:28:43Z in ns
+    raw = spark.createDataFrame([(nanos,)], "ts long")
+    direct = raw.select(_time.epoch_seconds(raw, "ts").alias("s")).first()["s"]
+    normed = _time.normalize_ts(raw, "ts")
+    via_norm = normed.select(
+        _time.epoch_seconds(normed, "ts").alias("s")
+    ).first()["s"]
+    assert direct == via_norm == 1_600_000_123
