@@ -5506,72 +5506,71 @@ def q150_activity_heatmap(spark, sf_dir):
 # Driver verification-window ordering
 # =====================================================================
 # The round driver oracle-checks the FIRST 50 registered queries; round 1
-# covered q01–q42, q57–q59, q70–q74; round 2 covered q43–q69, q75–q99
-# (CORRECTNESS_r01/r02.json).  Round 3 rotates the window to the 24
-# queries that have never received a driver row (q100–q123), then the
-# queries whose implementation changed this round (timestamp
-# normalization + packing fixes: re-verify), then breadth fillers from
-# round-1 green families that have not been re-checked since.  Every
-# query stays registered — ordering only decides which get driver rows
-# this round; over rounds the rotation covers all of them.
+# covered q01–q42, q57–q59, q70–q74; round 2 covered q43–q69, q75–q99;
+# round 3 covered q100–q143 plus re-verifies (CORRECTNESS_r01–r03.json).
+# Round 4 banks the only never-driver-checked names left (q144–q150,
+# written after the r03 window rotated), then re-verifies every query
+# whose implementation was touched this round (LSH cap restructure,
+# epoch_seconds bigint-nanos contract, degree-ordered triangle/k-truss
+# orientation, fuzzy-join short-string routing), then breadth fillers
+# from the round-1 window that have not been re-checked since r01.
+# Every query stays registered — ordering only decides which get driver
+# rows this round; over rounds the rotation covers all of them.
 _WINDOW_PRIORITY = [
-    # -- never driver-checked before round 3 (24) --
-    "q100_line_dedup",
-    "q101_stats_suite",
-    "q102_scd2",
-    "q103_resample_gapfill",
-    "q104_char_entropy",
+    # -- never driver-checked (written after the r03 rotation) (7) --
+    "q144_ordered_listagg",
+    "q145_mad_outliers",
+    "q146_salted_skew_join",
+    "q147_embedding_dim_stats",
+    "q148_centroid_similarity",
+    "q149_bigram_topk",
+    "q150_activity_heatmap",
+    # -- implementations touched in round 4: re-verify (10) --
+    "q45_ngram_jaccard",
+    "q46_minhash_lsh",
+    "q31_triangle_count",
     "q105_ktruss",
     "q106_fuzzy_join",
-    "q107_interval_join",
-    "q108_cms_freq",
-    "q109_bloom_filter",
-    "q110_stream_static_join",
-    "q111_quality_audit",
-    "q112_histogram",
-    "q113_cogroup_merge",
-    "q114_harmonic_centrality",
-    "q115_iqr_outliers",
-    "q116_zorder_key",
-    "q117_maximal_independent_set",
-    "q118_weighted_sample",
-    "q119_deterministic_walks",
-    "q120_cooccurrence",
-    "q121_recursive_cte",
-    "q122_variant_json",
-    "q123_incremental_agg",
-    # -- implementations touched this round: re-verify --
-    "q63_streaming_tumbling",
-    "q65_streaming_session",
-    "q66_stream_stream_join",
-    "q69_stream_dedup",
     "q89_sessionize",
-    "q92_sequence_packing",
-    # -- breadth fillers: round-1 green families not re-checked since
-    #    (trim from the END when adding new queries) --
-    "q141_corpus_pipeline",
-    "q142_asof_forward",
-    "q143_distribution_windows",
-    # q144-q146 overflow the 50-slot window this round (verified
-    # locally via tools/check_oracle.py); next rotation banks them
-    # -- new queries this round --
-    "q138_winsorize",
-    "q139_chi_squared",
-    "q140_retention_cohorts",
-    "q134_ewma",
-    "q135_degree_assortativity",
-    "q136_modularity",
-    "q137_flesch_readability",
+    "q103_resample_gapfill",
     "q131_time_weighted_avg",
-    "q132_table_diff",
-    "q124_clustering_coefficient",
-    "q125_vertex_jaccard",
-    "q126_shard_assignment",
-    "q127_gopher_quality",
-    "q128_merge_cdc",
-    "q129_stream_left_outer_join",
-    "q130_intradoc_line_dedup",
-    "q133_stratified_fixed_k",
+    "q134_ewma",
+    "q140_retention_cohorts",
+    # -- breadth fillers: round-1 window, not re-checked since r01
+    #    (trim from the END when adding new queries) (33) --
+    "q01_pricing_summary",
+    "q02_top_customers",
+    "q03_snowflake_agg",
+    "q04_semi_join",
+    "q05_anti_join",
+    "q06_outer_join_counts",
+    "q07_window_topk_per_group",
+    "q08_window_lag",
+    "q09_window_running_sum",
+    "q10_rollup",
+    "q11_cube",
+    "q12_distinct_agg",
+    "q13_set_ops",
+    "q14_sort_limit",
+    "q15_string_funcs",
+    "q16_date_funcs",
+    "q17_conditional",
+    "q18_json",
+    "q20_theta_join",
+    "q21_range_join",
+    "q22_asof_join",
+    "q23_grouping_sets",
+    "q26_higher_order_array",
+    "q27_map_funcs",
+    "q29_json_construct",
+    "q30_degrees",
+    "q32_pagerank",
+    "q33_sssp",
+    "q34_wcc",
+    "q35_bfs",
+    "q38_matmul",
+    "q42_text_stats",
+    "q44_lang_id",
 ]
 
 
