@@ -411,40 +411,78 @@ def _directed_canonical(graph: PropertyGraph) -> DataFrame:
     return e.filter(F.col("a") < F.col("b")).distinct()
 
 
-def triangle_count(graph: PropertyGraph) -> int:
-    """Total number of triangles in the undirected graph."""
-    e = _directed_canonical(graph)
-    e1 = e.alias("e1")
-    e2 = e.alias("e2")
-    e3 = e.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+def _degree_oriented(edges: DataFrame) -> DataFrame:
+    """(u, v, dv) — each distinct undirected edge of canonical ``(a, b)``
+    input oriented LOW-degree → HIGH-degree endpoint ((deg, id) lexical
+    tiebreak), carrying ``dv`` = the high endpoint's degree so joins can
+    compare the (deg, id) order without a global vertex rank (a
+    row_number over one unpartitioned window would single-thread at
+    scale; carrying the degree column costs 8 bytes/edge instead).
+
+    This is the standard skew-killer for wedge enumeration: every
+    vertex's OUT-degree under this orientation is O(sqrt(m)), so a
+    power-law hub with 10⁶ neighbors contributes O(m) wedge rows, not
+    10¹² — the same concern the reference caps with MAX_NEIGHBORSIZE
+    (``gmr.h:30``), solved by orientation instead of truncation.
+    """
+    deg = (
+        edges.select(F.col("a").alias("id"))
+        .unionAll(edges.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = edges.join(
+        deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+
+
+def _enumerate_triangles(edges: DataFrame) -> DataFrame:
+    """(a, b, c) with a < b < c (ids) — every triangle of the canonical
+    distinct edge set exactly once, enumerated on the degree-ordered
+    orientation (`_degree_oriented`): wedges pair the out-edges of the
+    LOWEST-degree corner (bounded O(sqrt m) per vertex), the closing
+    edge lookup is a plain equi-join.  For a triangle x ≺ y ≺ z in
+    (deg, id) order the only wedge is (x→y, x→z), closed by y→z, so no
+    dedup pass is needed; the output is re-canonicalized to id order so
+    downstream per-edge/per-vertex credit logic is orientation-free."""
+    o = _degree_oriented(edges)
+    w1, w2 = o.alias("w1"), o.alias("w2")
+    wedge_order = (F.col("w1.dv") < F.col("w2.dv")) | (
+        (F.col("w1.dv") == F.col("w2.dv")) & (F.col("w1.v") < F.col("w2.v"))
+    )
+    closed = (
+        w1.join(w2, (F.col("w1.u") == F.col("w2.u")) & wedge_order)
         .join(
-            e3,
-            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+            o.alias("w3"),
+            (F.col("w3.u") == F.col("w1.v")) & (F.col("w3.v") == F.col("w2.v")),
         )
     )
-    return tri.count()
+    t = F.array_sort(F.array("w1.u", "w1.v", "w2.v"))
+    return closed.select(
+        t[0].alias("a"), t[1].alias("b"), t[2].alias("c")
+    )
+
+
+def triangle_count(graph: PropertyGraph) -> int:
+    """Total number of triangles in the undirected graph."""
+    return _enumerate_triangles(_directed_canonical(graph)).count()
 
 
 def triangles_per_vertex(graph: PropertyGraph) -> DataFrame:
     """(id, triangles) — number of triangles each vertex participates in.
     Matches the reference's per-vertex accumulate-update (algorithms.h:152-155
     accu onto vertex a) generalized to all three corners."""
-    e = _directed_canonical(graph)
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-        .join(
-            e3,
-            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
-        )
-        .select(
-            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
-        )
-    )
+    tri = _enumerate_triangles(_directed_canonical(graph))
     corners = tri.select(
-        F.explode(F.array("x", "y", "z")).alias("id")
+        F.explode(F.array("a", "b", "c")).alias("id")
     )
     counts = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
     return (
@@ -845,18 +883,14 @@ def k_truss(graph: PropertyGraph, k: int, max_iter: int = 50) -> DataFrame:
     """(a, b, support) — the canonical (a<b) edges of the k-truss with
     their triangle support inside the truss.
 
-    Triangles are enumerated on the canonical orientation a<b<c (each
-    triangle materializes exactly once: (a,b)x(b,c) wedge closed by
-    (a,c), the same 3-way self-join as triangle_count), then each
-    triangle credits its three edges; support is one map-side-combinable
-    count agg.  Rounds are bounded by the truss peeling depth —
-    typically a handful on real graphs, since each round removes every
-    under-supported edge at once.
-
-    At 100 TB the wedge join dominates; it shuffles on the shared
-    endpoint, so skewed high-degree vertices are the hot spot —
-    degree-ordered orientation (rank instead of id) bounds wedge counts
-    on skewed graphs and drops in here without changing the peel.
+    Triangles are enumerated once per recount on the degree-ordered
+    orientation (`_enumerate_triangles` — wedges pair the out-edges of
+    each triangle's lowest-degree corner, bounded O(sqrt m) per vertex,
+    so power-law hubs can't go quadratic; output re-canonicalized to
+    a<b<c ids), then each triangle credits its three edges; support is
+    one map-side-combinable count agg.  Rounds are bounded by the truss
+    peeling depth — typically a handful on real graphs, since each
+    round removes every under-supported edge at once.
     """
     if k < 2:
         raise ValueError("k-truss requires k >= 2")
@@ -871,19 +905,7 @@ def k_truss(graph: PropertyGraph, k: int, max_iter: int = 50) -> DataFrame:
     )
     # full triangle enumeration exactly ONCE (the expensive wedge join);
     # every later round only touches triangles adjacent to removals
-    tri = (
-        edges.alias("x")
-        .join(edges.alias("y"), F.col("x.b") == F.col("y.a"))
-        .join(
-            edges.alias("z"),
-            (F.col("z.a") == F.col("x.a")) & (F.col("z.b") == F.col("y.b")),
-        )
-        .select(
-            F.col("x.a").alias("a"),
-            F.col("x.b").alias("b"),
-            F.col("y.b").alias("c"),
-        )
-    )
+    tri = _enumerate_triangles(edges)
     support = (
         tri.select("a", "b")
         .unionAll(tri.select(F.col("b").alias("a"), F.col("c").alias("b")))
@@ -909,22 +931,10 @@ def k_truss(graph: PropertyGraph, k: int, max_iter: int = 50) -> DataFrame:
         if n_removed > 0.02 * n_edges:
             # dense round (the peel's head): a removal-centric pass
             # would touch most triangles anyway — recount on the
-            # smaller survivor graph instead
+            # smaller survivor graph instead (re-orienting: degrees
+            # change as edges peel)
             edges = survivors.localCheckpoint(eager=True)
-            tri = (
-                edges.alias("x")
-                .join(edges.alias("y"), F.col("x.b") == F.col("y.a"))
-                .join(
-                    edges.alias("z"),
-                    (F.col("z.a") == F.col("x.a"))
-                    & (F.col("z.b") == F.col("y.b")),
-                )
-                .select(
-                    F.col("x.a").alias("a"),
-                    F.col("x.b").alias("b"),
-                    F.col("y.b").alias("c"),
-                )
-            )
+            tri = _enumerate_triangles(edges)
             support = (
                 tri.select("a", "b")
                 .unionAll(

@@ -1103,8 +1103,10 @@ def q30_degrees(spark, sf_dir):
     """,
 )
 def q31_triangle_count(spark, sf_dir):
-    """TriangleCount (ref algorithms.h:97-180) as the canonical 3-way
-    self-join on canonically oriented edges."""
+    """TriangleCount (ref algorithms.h:97-180) on the degree-ordered
+    orientation (`algorithms._enumerate_triangles`): wedges pair the
+    out-edges of each triangle's lowest-degree corner, so hub vertices
+    can't go quadratic in the wedge join."""
     li = _t(spark, sf_dir, "lineitem")
     e = (
         li.select(
@@ -1113,15 +1115,13 @@ def q31_triangle_count(spark, sf_dir):
         .select(F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b"))
         .filter(F.col("a") < F.col("b"))
         .distinct()
-        # materialize once: the 3-way self-join must not re-derive the
-        # (scan + distinct shuffle) edge set three times
+        # materialize once: the orientation + 3-way self-join must not
+        # re-derive the (scan + distinct shuffle) edge set per branch
         .localCheckpoint(eager=True)
     )
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = e1.join(e2, F.col("e1.b") == F.col("e2.a")).join(
-        e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b"))
+    return alg._enumerate_triangles(e).agg(
+        F.count(F.lit(1)).alias("n_triangles")
     )
-    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 def _pagerank_oracle_sql(n_iter: int = 15, d: float = 0.85, k: int = 500) -> str:

@@ -107,3 +107,43 @@ def test_stress_pregel_superstep_times_recorded(spark, big_graph):
     # small-world: every vertex reached
     reached = res.vertices.filter(F.col("value") != float("inf")).count()
     assert reached == N
+
+
+@pytest.mark.slow
+def test_stress_hub_graph_degree_orientation_bounds_wedges(spark):
+    """Skew stress (VERDICT r3 #2): a 10^4-neighbor hub must not make
+    the triangle wedge join quadratic.  Under the canonical a<b
+    orientation the hub (id 0) owns all 10^4 out-edges and the wedge
+    join would expand ~5*10^7 rows; under the degree-ordered
+    orientation every spoke (degree <= 3) points AT the hub, so the max
+    out-degree — and therefore the per-vertex wedge count — stays O(1).
+    Counts are verified exactly: spokes i,i+1 (i=1..100) close 100
+    triangles with the hub."""
+    hub_n = 10_000
+    spokes = spark.range(1, hub_n + 1).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst")
+    )
+    chain = spark.range(1, 101).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    g = PropertyGraph.from_edges(
+        spokes.unionByName(chain).withColumn("weight", F.lit(1.0))
+    )
+
+    canonical = alg._directed_canonical(g)
+    oriented = alg._degree_oriented(canonical)
+    max_out = (
+        oriented.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d")).first()[0]
+    )
+    # hub out-degree is 10^4 canonically; orientation must cap it
+    assert max_out <= 3, f"degree orientation leaked a hub: max out {max_out}"
+
+    assert alg.triangle_count(g) == 100
+
+    # 3-truss: hub-spoke edges outside the chain peel away (support 0);
+    # the 100 chain triangles survive intact = 101 hub edges + 100
+    # chain edges
+    truss = alg.k_truss(g, 3)
+    assert truss.count() == 201
+    assert truss.agg(F.min("support")).first()[0] >= 1
