@@ -235,15 +235,24 @@ def fuzzy_self_join(
     intersection size ``sum(least(c_a, c_b))`` prunes to pairs sharing
     at least ``max(|a|,|b|) - q + 1 - q*max_dist`` grams (the classical
     count-filter bound: one edit destroys at most q grams).  Only the
-    survivors pay the levenshtein verify.  The bound is conservative,
-    so no true pair is lost — PROVIDED every string has at least
-    ``q*(max_dist+1)`` chars; shorter strings can be inside the distance
-    while sharing zero grams, so route them to a (small) brute-force
-    pool upstream.  Degenerate case to know about: a corpus-wide shared
-    prefix (ids, URLs) makes every pair a candidate — strip the static
-    prefix before gramming.
+    survivors pay the levenshtein verify.
+
+    The bound is conservative whenever the LONGER string of a pair has
+    at least ``q*(max_dist+1)`` chars (then the bound is >= 1, so a
+    true pair is guaranteed to share a gram and surface in the join).
+    Pairs where BOTH strings are shorter can be inside the distance
+    while sharing zero grams, so short strings are routed to a
+    brute-force pool: short x short pairs are excluded from the gram
+    path and verified directly via a broadcast nested-loop join — the
+    pool is tiny by construction (strings under ``q*(max_dist+1)``
+    chars, e.g. <9 for the defaults), and short x long pairs stay on
+    the gram path, which is exact for them.  No true pair is lost.
+    Degenerate case to know about: a corpus-wide shared prefix (ids,
+    URLs) makes every pair a candidate — strip the static prefix
+    before gramming.
     """
     bound = lambda la, lb: F.greatest(la, lb) - q + 1 - q * max_dist  # noqa: E731
+    min_len = q * (max_dist + 1)
     base = df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
     ).withColumn("_len", F.length("_t"))
@@ -274,14 +283,30 @@ def fuzzy_self_join(
         )
         .agg(F.sum(F.least(F.col("a._c"), F.col("b._c"))).alias("_shared"))
         .filter(F.col("_shared") >= bound(F.col("_la"), F.col("_lb")))
+        # short x short pairs belong to the brute-force pool below —
+        # keeping them out here also keeps the union duplicate-free
+        .filter(~((F.col("_la") < min_len) & (F.col("_lb") < min_len)))
         .select("id_a", "id_b")
     )
     sa = base.select(F.col("_id").alias("id_a"), F.col("_t").alias("_ta"))
     sb = base.select(F.col("_id").alias("id_b"), F.col("_t").alias("_tb"))
-    return (
+    grammed = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("dist", F.levenshtein("_ta", "_tb"))
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+    short = base.filter(F.col("_len") < min_len)
+    brute = (
+        short.alias("sa")
+        .join(F.broadcast(short.alias("sb")), F.col("sa._id") < F.col("sb._id"))
+        .withColumn("dist", F.levenshtein(F.col("sa._t"), F.col("sb._t")))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("sa._id").alias("id_a"),
+            F.col("sb._id").alias("id_b"),
+            "dist",
+        )
+    )
+    return grammed.unionByName(brute)

@@ -133,3 +133,28 @@ def test_zorder_locality_and_roundtrip(spark):
     # cluster_by_zorder preserves rows and drops the key column
     out = cluster_by_zorder(grid, ["x", "y"], bits=4, num_partitions=4)
     assert out.columns == ["x", "y"] and out.count() == 256
+
+
+def test_fuzzy_self_join_short_strings_brute_forced(spark):
+    """Strings shorter than q*(max_dist+1) can be inside the distance
+    while sharing ZERO q-grams — the count-filter bound is vacuous for
+    them (regression: such pairs were silently dropped).  They must
+    come back via the brute-force short-pool, exactly once, alongside
+    gram-path pairs."""
+    df = spark.createDataFrame(
+        [
+            (1, "abc"), (2, "xyc"),          # dist 2, no shared 3-grams
+            (3, "ab"), (4, "cd"),            # sub-q-length, dist 2
+            (5, "11111"), (6, "22222"),      # short but far from all
+            (7, "abcdefghijkl"), (8, "abcdefghijkx"),  # long, gram path
+        ],
+        "id long, name string",
+    )
+    out = fuzzy_self_join(df, "id", "name", max_dist=2, q=3)
+    rows = [(r["id_a"], r["id_b"], r["dist"]) for r in out.collect()]
+    assert len(rows) == len(set(rows)), f"duplicate pairs: {rows}"
+    got = set(rows)
+    assert (1, 2, 2) in got     # short pair, zero shared grams
+    assert (3, 4, 2) in got     # sub-q-length pair
+    assert (7, 8, 1) in got     # gram path unaffected
+    assert not any(5 in (a, b) or 6 in (a, b) for a, b, _ in got)
