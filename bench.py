@@ -64,24 +64,35 @@ def main() -> int:
     except Exception as exc:  # warmup failure must not kill the run
         print(f"# warmup failed: {exc}", file=sys.stderr)
     times: dict[str, float | None] = {}
+    spread: dict[str, float | None] = {}
     for name in HEADLINE:
         fn = qs[name]
         # per-query isolation: one throwing query records null and the
         # run continues — the JSON line is ALWAYS emitted
-        # best of 2: pass 1 includes per-query codegen compilation and
-        # any ambient-load spike; the min is the repeatable warm number
-        best = None
+        # best of 3: pass 1 includes per-query codegen compilation and
+        # any ambient-load spike; the min is the repeatable warm number,
+        # and the stddev of the LAST TWO (warm) passes is the ambient
+        # noise band — a regression outside it is real, not load
+        runs: list[float] = []
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                t = time.perf_counter() - t0
-                best = t if best is None else min(best, t)
-            times[name] = round(best, 3)
-            print(f"# {name}: {times[name]:.2f}s", file=sys.stderr)
+                runs.append(time.perf_counter() - t0)
+            times[name] = round(min(runs), 3)
+            warm = runs[1:]
+            mean = sum(warm) / len(warm)
+            spread[name] = round(
+                (sum((t - mean) ** 2 for t in warm) / len(warm)) ** 0.5, 3
+            )
+            print(
+                f"# {name}: {times[name]:.2f}s ±{spread[name]:.2f}",
+                file=sys.stderr,
+            )
         except Exception as exc:
             times[name] = None
+            spread[name] = None
             print(f"# {name}: FAILED {type(exc).__name__}: {exc}",
                   file=sys.stderr)
     total = round(sum(t for t in times.values() if t is not None), 3)
@@ -92,6 +103,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "stddev": spread,
                 "failed": [k for k, v in times.items() if v is None],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -117,13 +117,77 @@ def shuffle_metrics(spark: SparkSession) -> dict[str, int]:
     return out
 
 
+def _max_stage_id(spark: SparkSession) -> int:
+    """Highest completed stage id in the AppStatusStore (-1 if none)."""
+    try:
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        store = sc._jsc.sc().statusStore()
+        empty = jvm.java.util.Collections.emptyList()
+        noq = sc._gateway.new_array(jvm.double, 0)
+        best = -1
+        it = store.stageList(empty, False, False, noq, empty).iterator()
+        while it.hasNext():
+            best = max(best, it.next().stageId())
+        return best
+    except Exception:  # pragma: no cover - JVM API drift safety net
+        return -1
+
+
+def max_task_shuffle_read(
+    spark: SparkSession, after_stage_id: int = -1
+) -> dict[str, int]:
+    """Maximum per-TASK shuffle-read ``{"bytes", "records"}`` over
+    completed stages with id > ``after_stage_id`` — the straggler
+    indicator.
+
+    Totals (`shuffle_metrics`) can look identical between a balanced
+    and a skewed plan; what kills wall-clock at scale is the single
+    hottest reducer.  This reads the task-level metric distribution
+    (quantile 1.0 = max) from the AppStatusStore, so a skew mitigation
+    (salting, AQE skew split) can be ASSERTED to have flattened the
+    hottest task, not just argued in a docstring.  Assert on RECORDS
+    for skew fixtures: a hot partition is all-identical key values, so
+    its shuffle blocks run-length-compress and the bytes metric can
+    understate the imbalance by orders of magnitude.  Returns zeros on
+    any JVM-API mismatch — metrics must never break the computation.
+    """
+    out = {"bytes": 0, "records": 0}
+    try:
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        store = sc._jsc.sc().statusStore()
+        empty = jvm.java.util.Collections.emptyList()
+        noq = sc._gateway.new_array(jvm.double, 0)
+        q = sc._gateway.new_array(jvm.double, 1)
+        q[0] = 1.0
+        it = store.stageList(empty, False, False, noq, empty).iterator()
+        while it.hasNext():
+            s = it.next()
+            if s.stageId() <= after_stage_id:
+                continue
+            opt = store.taskSummary(s.stageId(), s.attemptId(), q)
+            if opt.isDefined():
+                m = opt.get().shuffleReadMetrics()
+                out["bytes"] = max(out["bytes"], int(m.readBytes().apply(0)))
+                out["records"] = max(
+                    out["records"], int(m.readRecords().apply(0))
+                )
+        return out
+    except Exception:  # pragma: no cover - JVM API drift safety net
+        return out
+
+
 class ShuffleTracker:
     """Per-phase shuffle deltas for iterative drivers.
 
     ``delta()`` returns the shuffle traffic since the previous call (or
     construction) and advances the snapshot — one call per superstep
     chunk reproduces the reference's running ``totalRecvBytes`` log line
-    (``gmr.cpp:272-273``).
+    (``gmr.cpp:272-273``).  The delta also carries
+    ``max_task_shuffle_read_bytes`` / ``..._records`` — the hottest
+    single task among the stages completed inside the window (see
+    `max_task_shuffle_read`).
     """
 
     _KEYS = (
@@ -136,9 +200,18 @@ class ShuffleTracker:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._last = shuffle_metrics(spark)
+        self._stage_watermark = _max_stage_id(spark)
 
     def delta(self) -> dict[str, int]:
         cur = shuffle_metrics(self.spark)
         d = {k: max(0, cur[k] - self._last[k]) for k in self._KEYS}
         self._last = cur
+        # shuffle_metrics drained the listener bus above, so the store
+        # is as current as it gets for the task-level read too
+        hottest = max_task_shuffle_read(
+            self.spark, after_stage_id=self._stage_watermark
+        )
+        d["max_task_shuffle_read_bytes"] = hottest["bytes"]
+        d["max_task_shuffle_read_records"] = hottest["records"]
+        self._stage_watermark = _max_stage_id(self.spark)
         return d
