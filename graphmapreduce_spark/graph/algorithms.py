@@ -318,6 +318,17 @@ def strongly_connected_components(
     leftovers with component = -1 so callers can triage.
     ``return_rounds=True`` additionally returns the number of peel
     rounds executed (for convergence tests).
+
+    Round bound: each round additionally CUTS every edge whose
+    endpoints disagree on the (f, b) pair — an SCC never spans two
+    pair-classes, so the cut is safe — which decomposes the condensation
+    into independent class subgraphs that the next round's min-label
+    passes resolve in parallel.  A chain of K non-singleton SCCs
+    therefore peels in O(log K)-ish rounds (isolated classes satisfy
+    f == b immediately), not K: without the cut only the class holding
+    the chain's prefix+suffix minimum fired per round, which made long
+    condensation chains the scale-killer.  Adversarial nestings can
+    still recurse ``max_outer`` deep — hence the loud default.
     """
 
     def _min_label(vertices: DataFrame, edges: DataFrame) -> DataFrame:
@@ -354,7 +365,9 @@ def strongly_connected_components(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
         bwd = _min_label(remaining_v, rev).withColumnRenamed("value", "b")
-        both = fwd.join(bwd, "id")
+        # checkpointed: feeds BOTH the peel filter and the class-edge
+        # cut below — without this the two Pregel label runs recompute
+        both = fwd.join(bwd, "id").localCheckpoint(eager=True)
         pair_n = Window.partitionBy("f", "b")
         found = (
             both.withColumn("_n", F.count(F.lit(1)).over(pair_n))
@@ -372,11 +385,37 @@ def strongly_connected_components(
             remaining_v.join(found.select("id"), "id", "left_anti")
             .localCheckpoint(eager=True)
         )
+        # drop edges of peeled vertices AND cut cross-class edges: an
+        # SCC is always inside one (f, b) class, so an edge between
+        # classes is provably inter-SCC — cutting it decomposes the
+        # condensation and lets every isolated class resolve in
+        # parallel next round (see docstring round bound)
+        cls = both.select("id", "f", "b")
         remaining_e = (
             remaining_e.join(
                 found.select(F.col("id").alias("src")), "src", "left_anti"
             )
             .join(found.select(F.col("id").alias("dst")), "dst", "left_anti")
+            .join(
+                cls.select(
+                    F.col("id").alias("src"),
+                    F.col("f").alias("_fs"),
+                    F.col("b").alias("_bs"),
+                ),
+                "src",
+            )
+            .join(
+                cls.select(
+                    F.col("id").alias("dst"),
+                    F.col("f").alias("_fd"),
+                    F.col("b").alias("_bd"),
+                ),
+                "dst",
+            )
+            .filter(
+                (F.col("_fs") == F.col("_fd")) & (F.col("_bs") == F.col("_bd"))
+            )
+            .select("src", "dst")
             .localCheckpoint(eager=True)
         )
     leftover = remaining_v.limit(1).count() > 0

@@ -455,3 +455,27 @@ def test_modularity_two_cliques(spark):
     # everyone in one community -> Q = 0
     one = g.vertices.selectExpr("id", "0 AS community")
     assert abs(alg.modularity(g, one).first()[0]) < 1e-9
+
+
+def test_scc_chain_of_two_cycles_decomposes_logarithmically(spark):
+    """A condensation CHAIN of 30 non-singleton SCCs (2-cycles
+    A_i -> A_{i+1}) is the worst case for a pure min-label peel: only
+    the class holding the prefix+suffix minimum fires, one SCC per
+    round.  The cross-class edge cut must decompose the chain so it
+    resolves in a handful of rounds instead of 30."""
+    k = 30
+    rows = []
+    for i in range(k):
+        a, b = 2 * i + 1, 2 * i + 2
+        rows += [(a, b, 1.0), (b, a, 1.0)]          # the 2-cycle A_i
+        if i + 1 < k:
+            rows.append((b, 2 * i + 3, 1.0))        # A_i -> A_{i+1}
+    g = make_graph(spark, rows)
+    df, rounds = alg.strongly_connected_components(g, return_rounds=True)
+    c = {r["id"]: r["component"] for r in df.collect()}
+    for i in range(k):
+        a, b = 2 * i + 1, 2 * i + 2
+        assert c[a] == c[b] == a
+    # distinct SCCs stay distinct
+    assert len({c[2 * i + 1] for i in range(k)}) == k
+    assert rounds <= 6, f"chain of {k} SCCs took {rounds} rounds"
