@@ -6,12 +6,13 @@ Arrow-batched pandas UDFs ever look inside them, and metadata-only
 queries never deserialize payloads (column pruning drops the binary
 column at the parquet scan).
 
-The decode/feature steps are STUBBED: the real image/audio codecs are
-not in this environment.  ``decode_image`` raises NotImplementedError
-unless ``fake=True``, in which case a deterministic fake decoder
-produces stable pseudo-pixels from the bytes — so the Spark-side
-plumbing (schemas, batch iteration, partitioning) is fully real and
-testable; swapping in PIL/ffmpeg later changes one inner function.
+Decode is REAL for PNG and PCM WAV via the pure-stdlib codecs in
+``functions.codecs`` (zlib/struct/wave + numpy — no PIL/soundfile
+needed), and routes through PIL/soundfile automatically when those are
+installed for broader format coverage.  ``fake=True`` selects a
+deterministic stand-in decoder (stable pseudo-pixels from the payload
+digest) for plumbing tests and formats with no available codec; video
+frame extraction remains stubbed (no stdlib video codec exists).
 """
 
 from __future__ import annotations
@@ -33,6 +34,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from graphmapreduce_spark.functions import codecs
 
 MEDIA_SCHEMA = StructType(
     [
@@ -73,9 +76,12 @@ def extract_image_features(
     """Per-image feature vector via ``mapInPandas`` (Arrow-batched).
 
     Output: input columns minus the payload, plus ``features
-    array<double>``.  With ``fake=False`` this raises
-    NotImplementedError at execution time (codec libraries absent here);
-    ``fake=True`` uses the deterministic stand-in decoder.
+    array<double>``.  ``fake=False`` (default contract) decodes for
+    real: PIL when installed, else the stdlib PNG decoder in
+    ``functions.codecs`` — multi-channel images are averaged to a
+    grayscale float image in [0, 1] before pooling.  ``fake=True`` uses
+    the deterministic stand-in decoder (plumbing tests / formats with no
+    codec available).
     """
     out_fields = [f for f in df.schema.fields if f.name != payload_col]
     out_schema = StructType(
@@ -85,16 +91,17 @@ def extract_image_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decoding requires PIL/cv2 — not present in "
-                    "this environment; pass fake=True for the deterministic stub"
-                )
             feats = []
             for payload, w, h in zip(
                 pdf[payload_col], pdf.get("width", [4] * len(pdf)), pdf.get("height", [4] * len(pdf))
             ):
-                px = _fake_decode(payload, w or 4, h or 4)
+                if fake:
+                    px = _fake_decode(payload, w or 4, h or 4)
+                else:
+                    arr = codecs.decode_image(bytes(payload or b""))
+                    px = arr.astype(np.float64) / 255.0
+                    if px.ndim == 3:
+                        px = px.mean(axis=2)
                 # simple pooled stats as the 'features'
                 vec = [
                     float(px.mean()),
@@ -162,11 +169,12 @@ def extract_audio_features(
 
     Output: (media_id, n_samples, n_frames, rms_mean, rms_max,
     zcr_mean) — framed RMS energy and zero-crossing rate, the standard
-    first-pass audio quality/VAD signals.  Real PCM decode is stubbed
-    (no soundfile/ffmpeg here): ``fake=True`` synthesizes a
-    deterministic waveform from the payload digest with the same
-    shape contract (duration_ms × sample_rate samples in [-1, 1]);
-    ``fake=False`` raises NotImplementedError at execution time.
+    first-pass audio quality/VAD signals.  ``fake=False`` decodes for
+    real: soundfile when installed, else the stdlib PCM-WAV decoder in
+    ``functions.codecs``; the frame length follows the file's actual
+    sample rate and multi-channel clips are averaged to mono.
+    ``fake=True`` synthesizes a deterministic waveform from the payload
+    digest (duration_ms × sample_rate samples in [-1, 1]).
 
     Scale shape: one input row → one output row, payload dropped on
     output, so the expensive column never shuffles downstream; batches
@@ -186,38 +194,41 @@ def extract_audio_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real audio decoding requires soundfile/ffmpeg — not "
-                    "present in this environment; pass fake=True for the "
-                    "deterministic stub"
-                )
             rows = []
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf[payload_col], pdf["duration_ms"]
             ):
-                seed = int.from_bytes(
-                    hashlib.md5(payload or b"").digest()[:4], "big"
-                )
-                rng = np.random.RandomState(seed)
-                n = max(frame_len, int((dur or frame_ms) * sample_rate // 1000))
-                wave = rng.uniform(-1.0, 1.0, size=n)
-                n_frames = n // frame_len
-                frames = wave[: n_frames * frame_len].reshape(
-                    n_frames, frame_len
-                )
-                rms = np.sqrt((frames**2).mean(axis=1))
-                zcr = (np.diff(np.signbit(frames), axis=1) != 0).mean(axis=1)
-                rows.append(
-                    (
-                        int(mid),
-                        int(n),
-                        int(n_frames),
+                if fake:
+                    seed = int.from_bytes(
+                        hashlib.md5(payload or b"").digest()[:4], "big"
+                    )
+                    rng = np.random.RandomState(seed)
+                    n = max(
+                        frame_len, int((dur or frame_ms) * sample_rate // 1000)
+                    )
+                    wave = rng.uniform(-1.0, 1.0, size=n)
+                    flen = frame_len
+                else:
+                    wave, sr = codecs.decode_audio(bytes(payload or b""))
+                    if wave.ndim == 2:
+                        wave = wave.mean(axis=1)
+                    n = len(wave)
+                    flen = max(1, sr * frame_ms // 1000)
+                n_frames = n // flen
+                frames = wave[: n_frames * flen].reshape(n_frames, flen)
+                if n_frames:
+                    rms = np.sqrt((frames**2).mean(axis=1))
+                    zcr = (
+                        np.diff(np.signbit(frames), axis=1) != 0
+                    ).mean(axis=1)
+                    stats = (
                         float(rms.mean()),
                         float(rms.max()),
                         float(zcr.mean()),
                     )
-                )
+                else:  # clip shorter than one frame
+                    stats = (0.0, 0.0, 0.0)
+                rows.append((int(mid), int(n), int(n_frames)) + stats)
             yield pd.DataFrame(
                 rows,
                 columns=[

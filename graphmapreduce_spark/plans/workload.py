@@ -5502,6 +5502,91 @@ def q150_activity_heatmap(spark, sf_dir):
     )
 
 
+@register("q151_image_decode", None)  # binary codec — not SQL-expressible
+def q151_image_decode(spark, sf_dir):
+    """REAL image decode end-to-end: synthesize deterministic PNG
+    payloads (stdlib encoder) in one mapInPandas stage, then decode +
+    feature-extract them with ``extract_image_features(fake=False)`` —
+    the stdlib zlib/numpy PNG decoder in `functions/codecs.py`.  Unlike
+    q55 (stand-in decoder, plumbing only), every byte here moves through
+    a genuine codec.  Deterministic, so the driver's rows-only check is
+    stable; pixel-exact value checks live in
+    tests/test_multimodal_codecs.py."""
+    import numpy as np  # worker-side
+    import pandas as pd
+
+    from graphmapreduce_spark.functions import codecs as C
+    from graphmapreduce_spark.operators import multimodal as M
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+
+    def encode(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for i in ids:
+                # gradient image whose mean intensity encodes doc_id
+                arr = (
+                    (np.arange(8)[:, None] + np.arange(12)[None, :] + i * 3)
+                    % 256
+                ).astype(np.uint8)
+                payloads.append(C.encode_png(arr, filter_type=i % 5))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.select("doc_id").mapInPandas(
+        encode, schema="media_id long, payload binary"
+    )
+    feats = M.extract_image_features(media, n_features=4)
+    return feats.select(
+        "media_id",
+        F.round(F.col("features")[0], 6).alias("f_mean"),
+        F.round(F.col("features")[1], 6).alias("f_std"),
+    )
+
+
+@register("q152_audio_decode", None)  # binary codec — not SQL-expressible
+def q152_audio_decode(spark, sf_dir):
+    """REAL audio decode end-to-end: synthesize deterministic PCM-WAV
+    sine clips (stdlib wave encoder), then decode + frame-analyze with
+    ``extract_audio_features(fake=False)`` — RMS and zero-crossing rate
+    over genuinely decoded samples.  Analytic value checks (rms ≈
+    amp/√2, zcr ≈ 2f/sr) live in tests/test_multimodal_codecs.py."""
+    import numpy as np
+    import pandas as pd
+
+    from graphmapreduce_spark.functions import codecs as C
+    from graphmapreduce_spark.operators import multimodal as M
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 32)
+
+    def encode(batches):
+        sr = 8000
+        t = np.arange(sr // 4) / sr  # 250 ms clips
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            rows = []
+            for i in ids:
+                freq = 100 + 50 * (i % 8)
+                amp = 0.2 + 0.1 * (i % 5)
+                wav = C.encode_wav(amp * np.sin(2 * np.pi * freq * t), sr)
+                rows.append((i, wav, 250))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "duration_ms"]
+            )
+
+    media = d.select("doc_id").mapInPandas(
+        encode, schema="media_id long, payload binary, duration_ms long"
+    )
+    feats = M.extract_audio_features(media, frame_ms=25)
+    return feats.select(
+        "media_id",
+        "n_samples",
+        "n_frames",
+        F.round("rms_mean", 6).alias("rms_mean"),
+        F.round("zcr_mean", 6).alias("zcr_mean"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -5525,6 +5610,9 @@ _WINDOW_PRIORITY = [
     "q148_centroid_similarity",
     "q149_bigram_topk",
     "q150_activity_heatmap",
+    # -- new in round 4: real-codec decode queries (rows-only) (2) --
+    "q151_image_decode",
+    "q152_audio_decode",
     # -- implementations touched in round 4: re-verify (10) --
     "q45_ngram_jaccard",
     "q46_minhash_lsh",
@@ -5569,8 +5657,6 @@ _WINDOW_PRIORITY = [
     "q34_wcc",
     "q35_bfs",
     "q38_matmul",
-    "q42_text_stats",
-    "q44_lang_id",
 ]
 
 

@@ -33,6 +33,17 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    # Python workers must import this package no matter where the driver
+    # process was launched from (cloudpickle serializes closures over
+    # our modules BY NAME).  Locally that's a PYTHONPATH entry inherited
+    # by the worker processes; on a real cluster the equivalent is
+    # shipping the package via --py-files / a wheel on the image.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pp if pp else "")
+        )
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
 

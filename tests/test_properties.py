@@ -135,9 +135,17 @@ def test_chi_squared_independent_and_dependent(spark):
 def test_retention_cohorts_triangle(spark):
     from graphmapreduce_spark.operators.timeseries import retention_cohorts
 
-    # u1 active day0+day1, u2 day0 only, u3 day1 only
+    # u1 active day0+day1, u2 day0 only, u3 day1 only.  BIGINT ts is
+    # epoch NANOSECONDS by contract (operators/_time.py).
+    NS = 1_000_000_000
     df = spark.createDataFrame(
-        [(1, 10), (1, 86410), (2, 20), (3, 86420), (1, 15)],
+        [
+            (1, 10 * NS),
+            (1, 86410 * NS),
+            (2, 20 * NS),
+            (3, 86420 * NS),
+            (1, 15 * NS),
+        ],
         "u long, ts long",
     )
     rows = {(r["cohort"], r["bucket_offset"]): r["n_users"]

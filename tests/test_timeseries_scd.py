@@ -121,9 +121,12 @@ def test_time_weighted_avg_hand_computed(spark):
     from graphmapreduce_spark.operators.timeseries import time_weighted_avg
 
     # one key, bucket [0, 100): v=10 holds for 40s, v=20 for 40s,
-    # v=30 for the final 20s -> twap = (10*40 + 20*40 + 30*20)/100 = 18
+    # v=30 for the final 20s -> twap = (10*40 + 20*40 + 30*20)/100 = 18.
+    # BIGINT ts is epoch NANOSECONDS by contract (operators/_time.py) —
+    # the same nanosAsLong convention normalize_ts uses.
+    NS = 1_000_000_000
     df = spark.createDataFrame(
-        [(1, 0, 10.0), (1, 40, 20.0), (1, 80, 30.0)],
+        [(1, 0 * NS, 10.0), (1, 40 * NS, 20.0), (1, 80 * NS, 30.0)],
         "k long, ts long, v double",
     )
     rows = time_weighted_avg(df, "k", "ts", "v", 100).collect()
@@ -131,7 +134,9 @@ def test_time_weighted_avg_hand_computed(spark):
     assert rows[0]["bucket_start"] == 0
     assert abs(rows[0]["twap"] - 18.0) < 1e-9
     # a lone observation carries to the bucket end -> twap = its value
-    one = spark.createDataFrame([(2, 250, 7.0)], "k long, ts long, v double")
+    one = spark.createDataFrame(
+        [(2, 250 * NS, 7.0)], "k long, ts long, v double"
+    )
     r = time_weighted_avg(one, "k", "ts", "v", 100).collect()[0]
     assert r["bucket_start"] == 200 and r["twap"] == 7.0
 
