@@ -84,6 +84,27 @@ def test_minhash_lsh_finds_exact_and_near(docs):
     assert not any(4 in p for p in rows)
 
 
+def test_minhash_lsh_est_margin_prefilter_keeps_true_pairs(docs):
+    """The signature-estimate prefilter (scale knob) must keep every
+    clearly-above-threshold pair of the exact run: an exact dup (j=1)
+    always agrees on all signature positions, and the (1,3) near-dup's
+    agreement estimate concentrates far above threshold-margin."""
+    exact = D.minhash_lsh_near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=32, bands=16
+    )
+    pre = D.minhash_lsh_near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=32, bands=16,
+        est_margin=0.2,
+    )
+    e = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
+    p = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pre.collect()}
+    # prefilter can only drop pairs, never add or change scores
+    assert set(p) <= set(e)
+    assert all(e[k] == p[k] for k in p)
+    assert (1, 2) in p and p[(1, 2)] == 1.0
+    assert (1, 3) in p
+
+
 def test_dedup_by_pairs(docs):
     pairs = D.minhash_lsh_near_dup_pairs(
         docs, "doc_id", "text", threshold=0.95, num_hashes=32, bands=16
