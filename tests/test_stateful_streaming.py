@@ -115,8 +115,9 @@ def test_running_extremes_transform_with_state(spark):
     across micro-batches — min/max/sum/count accumulate.
 
     The TWS python worker speaks protobuf to the JVM state server;
-    skipped where protobuf is absent (same environment-gating as the
-    multimodal codec stubs — the operator plumbing is real)."""
+    conftest's _enable_tws_protobuf_shim supplies a pure-Python runtime
+    where none is installed, so this RUNS here.  Still importorskip-
+    gated for environments with neither an install nor the shim source."""
     pytest.importorskip("google.protobuf")
     import glob
     import os
