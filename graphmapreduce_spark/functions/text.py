@@ -325,3 +325,48 @@ def flesch_reading_ease(col: Column | str) -> Column:
         - F.lit(1.015) * (nw.cast("double") / sentences)
         - F.lit(84.6) * (syllables.cast("double") / nw),
     )
+
+
+def hashed_ngram_score(
+    col: Column | str, num_buckets: int = 4096, seed: int = 42
+) -> Column:
+    """Hashing-trick linear text classifier inference (the fastText /
+    Vowpal-Wabbit scoring shape): word unigrams + adjacent bigrams are
+    hashed into ``num_buckets`` feature buckets, each bucket carries a
+    weight, and the score is sigmoid(mean bucket weight).
+
+    The weight table here is a deterministic function of the bucket id
+    (``((b * 2654435761 + seed) mod 10007) / 10007 - 0.5``) rather than
+    a trained model — the POINT is the inference plan: tokenize →
+    n-gram → hash → weight-lookup → pool → squash, all as one codegen
+    expression with zero shuffles and zero UDFs.  Swapping in trained
+    weights means replacing the arithmetic lookup with a map literal or
+    broadcast-join against a weights table; the plan shape is identical.
+    md5-based bucket hashing keeps it SQL-oracle-replicable.
+    """
+    w = words(F.lower(F.col(col) if isinstance(col, str) else col))
+    bigrams = F.when(F.size(w) >= 2, F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat(
+            F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(w, bigrams)
+
+    def weight(g: Column) -> Column:
+        b = F.pmod(md5_hash60(g), F.lit(num_buckets))
+        return (
+            F.pmod(b * F.lit(2654435761) + F.lit(seed), F.lit(10007)).cast(
+                "double"
+            )
+            / F.lit(10007.0)
+            - F.lit(0.5)
+        )
+
+    total = F.aggregate(
+        grams, F.lit(0.0), lambda acc, g: acc + weight(g)
+    )
+    mean = F.when(F.size(grams) > 0, total / F.size(grams)).otherwise(
+        F.lit(0.0)
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-mean))

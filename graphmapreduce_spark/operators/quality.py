@@ -222,3 +222,44 @@ def chi_squared(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     )
     dof = (ra.count() - 1) * (rb.count() - 1)
     return stat.select("chi2", F.lit(int(dof)).alias("dof"))
+
+
+def unigram_surprisal(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document mean unigram-LM surprisal — the CCNet/RedPajama
+    perplexity-filter shape with the corpus itself as the language
+    model: score(d) = mean over tokens w of -ln(count(w) / N).
+
+    Low scores = stereotypical token distributions (boilerplate,
+    word-salad spam skews low too at the extreme); high scores = rare
+    vocabulary.  Used as a quality band-pass in pretraining pipelines.
+
+    Plan: one tokenize+explode, one vocabulary hash agg (Zipf-bounded:
+    vocabulary grows ~O(corpus^0.7), and AQE broadcasts it back onto
+    the token stream when it fits), the scalar N folded in as a
+    broadcast 1-row cross join, then one per-doc agg on the id key.
+    Two keyed shuffles total (vocab, doc) regardless of corpus size.
+
+    Returns (id_col, n_tokens, surprisal) — surprisal rounded to 6
+    decimals so float summation-order differences between engines
+    cannot leak into value comparisons.
+    """
+    from graphmapreduce_spark.functions.text import words
+
+    tok = df.select(
+        F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("_w")
+    )
+    vocab = tok.groupBy("_w").agg(F.count(F.lit(1)).alias("_cnt"))
+    total = vocab.agg(F.sum("_cnt").alias("_n"))
+    return (
+        tok.join(vocab, "_w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("_cnt").cast("double") / F.col("_n"))), 6
+            ).alias("surprisal"),
+        )
+    )

@@ -162,3 +162,47 @@ def stratified_fixed_k(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    alpha: float = 0.5,
+    base_rate: float = 1.0,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Temperature-scaled mixture resampling across groups (the
+    multilingual / multi-source rebalancing step of pretraining-corpus
+    assembly: sample group g proportionally to n_g^alpha instead of
+    n_g, so alpha < 1 flattens the mixture toward small groups).
+
+    Keep probability per group: ``p_g = min(1, base_rate *
+    (n_g / n_max)^(alpha - 1))`` — the LARGEST group keeps
+    ``base_rate``, smaller groups keep proportionally more, exactly the
+    n^alpha reweighting up to the global clamp.  The draw is the
+    content-deterministic hash uniform shared by every sampler here, so
+    re-runs, engines, and partition layouts agree row-for-row.
+
+    Plan: one tiny group-count agg (|groups| rows) broadcast back onto
+    the fact side; the filter itself is narrow.  No data-volume shuffle
+    at any scale.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_ng"))
+    nmax = counts.agg(F.max("_ng").alias("_nmax"))
+    rates = counts.crossJoin(F.broadcast(nmax)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(base_rate)
+            * F.pow(
+                F.col("_ng").cast("double") / F.col("_nmax"),
+                F.lit(alpha - 1.0),
+            ),
+        ).alias("_pg"),
+    )
+    u = _bucket(F.col(id_col), seed, hash_fn).cast("double") / _BUCKETS
+    return df.join(F.broadcast(rates), group_col).filter(u < F.col("_pg")).drop(
+        "_pg"
+    )

@@ -5587,6 +5587,109 @@ def q152_audio_decode(spark, sf_dir):
     )
 
 
+@register(
+    "q153_hashed_ngram_classifier",
+    r"""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         w -> w <> '') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             w || CASE WHEN len(w) >= 2
+                  THEN list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i + 1])
+                  ELSE [] END AS grams
+      FROM ws
+    ),
+    s AS (
+      SELECT doc_id, grams,
+             list_sum(list_transform(grams, x ->
+               ((('0x' || substr(md5(x), 1, 15))::BIGINT % 4096)
+                 * 2654435761 + 42) % 10007 / 10007.0 - 0.5)) AS total
+      FROM g
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + EXP(-(CASE WHEN len(grams) > 0
+                 THEN COALESCE(total, 0) / len(grams) ELSE 0 END))), 6)
+             AS score
+    FROM s
+    """,
+)
+def q153_hashed_ngram_classifier(spark, sf_dir):
+    """Hashing-trick linear classifier inference (fastText scoring
+    shape): unigram+bigram features hashed to 4096 buckets, arithmetic
+    weight lookup, mean-pool, sigmoid — one codegen expression, zero
+    shuffles, zero UDFs.  The seeded weight table is embedded in both
+    engines, so the whole inference path is value-oracled."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(T.hashed_ngram_score("text", num_buckets=4096, seed=42), 6)
+        .alias("score"),
+    )
+
+
+@register(
+    "q154_temperature_sample",
+    """
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS DOUBLE) AS ng
+      FROM documents GROUP BY lang
+    ),
+    m AS (SELECT MAX(ng) AS nmax FROM c),
+    r AS (
+      SELECT lang, LEAST(1.0, 0.5 * POW(ng / nmax, 0.5 - 1.0)) AS pg
+      FROM c, m
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r USING (lang)
+    WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':0'), 1, 15))
+             ::BIGINT % 1000000) / 1000000.0 < pg
+    """,
+)
+def q154_temperature_sample(spark, sf_dir):
+    """Temperature-scaled mixture resampling over the language column
+    (alpha=0.5 flattens the en-heavy mixture toward the tail languages;
+    the largest language keeps base_rate=0.5).  Draw-for-draw md5
+    oracle — every kept row matches."""
+    d = _t(spark, sf_dir, "documents")
+    out = SMP.temperature_sample(
+        d, "doc_id", "lang", alpha=0.5, base_rate=0.5, hash_fn="md5"
+    )
+    return out.select("doc_id", "lang")
+
+
+@register(
+    "q155_unigram_surprisal",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               w -> w <> '')) AS w
+      FROM documents
+    ),
+    v AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+    t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM v)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-LN(cnt / n)), 6) AS surprisal
+    FROM tok JOIN v USING (w), t
+    GROUP BY doc_id
+    """,
+)
+def q155_unigram_surprisal(spark, sf_dir):
+    """Corpus-unigram-LM surprisal per document — the CCNet-style
+    perplexity quality filter with the corpus as its own LM.  Vocab agg
+    + broadcast-scalar N + per-doc agg; fully value-oracled."""
+    from graphmapreduce_spark.operators import quality as Q
+
+    d = _t(spark, sf_dir, "documents")
+    return Q.unigram_surprisal(d, "doc_id", "text")
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -5610,9 +5713,13 @@ _WINDOW_PRIORITY = [
     "q148_centroid_similarity",
     "q149_bigram_topk",
     "q150_activity_heatmap",
-    # -- new in round 4: real-codec decode queries (rows-only) (2) --
+    # -- new in round 4: real-codec decode (rows-only) + LLM-pipeline
+    #    scoring/sampling additions (value-oracled) (5) --
     "q151_image_decode",
     "q152_audio_decode",
+    "q153_hashed_ngram_classifier",
+    "q154_temperature_sample",
+    "q155_unigram_surprisal",
     # -- implementations touched in round 4: re-verify (10) --
     "q45_ngram_jaccard",
     "q46_minhash_lsh",
@@ -5654,9 +5761,6 @@ _WINDOW_PRIORITY = [
     "q30_degrees",
     "q32_pagerank",
     "q33_sssp",
-    "q34_wcc",
-    "q35_bfs",
-    "q38_matmul",
 ]
 
 

@@ -226,3 +226,37 @@ def test_winsorize_never_widens_range(spark, vals):
     )
     again = winsorize(clipped, ["g"], "v", 0.0, 1.0).collect()
     assert all(abs(r["v_wins"] - r["v"]) < 1e-9 for r in again)
+
+
+def test_hashed_ngram_score_bounds_and_determinism(spark):
+    """Classifier scores are sigmoid-bounded, empty text scores exactly
+    0.5 (zero logit), and scoring is a pure function of the text."""
+    from graphmapreduce_spark.functions.text import hashed_ngram_score
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, ""), (3, "the quick brown fox"),
+         (4, "completely different words here")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r["s"] for r in df.select(
+        "id", hashed_ngram_score("text").alias("s")).collect()}
+    assert all(0.0 < s < 1.0 for s in rows.values())
+    assert rows[2] == 0.5
+    assert rows[1] == rows[3]
+    assert rows[1] != rows[4]
+
+
+def test_unigram_surprisal_rare_tokens_score_higher(spark):
+    """A doc of corpus-rare tokens must out-score a doc of the corpus's
+    dominant token; uniform corpora give -ln(1/V) exactly."""
+    from graphmapreduce_spark.operators.quality import unigram_surprisal
+    import math
+
+    # 9 docs of 'common', 1 doc of 'rare': counts common=9, rare=1, N=10
+    rows = [(i, "common") for i in range(9)] + [(9, "rare")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r["surprisal"] for r in
+           unigram_surprisal(df, "id", "text").collect()}
+    assert abs(out[0] - round(-math.log(9 / 10), 6)) < 1e-9
+    assert abs(out[9] - round(-math.log(1 / 10), 6)) < 1e-9
+    assert out[9] > out[0]

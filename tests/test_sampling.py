@@ -134,3 +134,49 @@ def test_stratified_fixed_k_exact_counts_and_determinism(spark):
     # small strata are taken whole
     tiny = spark.range(5).selectExpr("id", "0 AS g")
     assert stratified_fixed_k(tiny, ["g"], k=50, id_cols=["id"]).count() == 5
+
+
+def test_temperature_sample_flattens_mixture(spark, sf_dir):
+    """alpha<1 keeps the largest group at base_rate and boosts tail
+    groups; alpha=1 is plain rate-base_rate hash sampling."""
+    from graphmapreduce_spark.operators.sampling import (
+        hash_sample,
+        temperature_sample,
+    )
+
+    d = spark.read.parquet(sf_dir + "/documents.parquet")
+    counts = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    biggest = max(counts, key=counts.get)
+    out = temperature_sample(
+        d, "doc_id", "lang", alpha=0.5, base_rate=0.5, hash_fn="md5"
+    )
+    kept = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # largest group sampled at ~base_rate, tail groups at a HIGHER rate
+    for lang, n in counts.items():
+        rate = kept.get(lang, 0) / n
+        if lang != biggest:
+            expect = min(1.0, 0.5 * (n / counts[biggest]) ** -0.5)
+            assert rate >= 0.5 or n < 20  # boosted vs the base rate
+            assert abs(rate - expect) < 0.35  # Bernoulli noise on small n
+    # alpha=1 degenerates to the plain deterministic hash sample
+    t1 = temperature_sample(
+        d, "doc_id", "lang", alpha=1.0, base_rate=0.3, hash_fn="md5"
+    )
+    h = hash_sample(d, "doc_id", 0.3, seed=0, hash_fn="md5")
+    assert sorted(r["doc_id"] for r in t1.collect()) == sorted(
+        r["doc_id"] for r in h.collect()
+    )
+
+
+def test_temperature_sample_deterministic(spark, sf_dir):
+    from graphmapreduce_spark.operators.sampling import temperature_sample
+
+    d = spark.read.parquet(sf_dir + "/documents.parquet")
+    a = sorted(r["doc_id"] for r in temperature_sample(
+        d, "doc_id", "lang", alpha=0.5, base_rate=0.5).collect())
+    b = sorted(r["doc_id"] for r in temperature_sample(
+        d.repartition(7), "doc_id", "lang", alpha=0.5, base_rate=0.5
+    ).collect())
+    assert a == b and len(a) > 0
