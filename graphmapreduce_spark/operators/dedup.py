@@ -910,3 +910,73 @@ def dedup_lines(
             ),
         ).alias(text_col)
     ).select(F.col("_id").alias(id_col), text_col)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """n-gram CONTAINMENT join — the asymmetric complement of
+    `ngram_jaccard_pairs`: containment(A in B) = |A∩B| / |A|, the
+    statistic for quotation / excerpt / benchmark-contamination
+    detection where a small document is (near-)embedded in a large one
+    and symmetric Jaccard stays low because the union is dominated by
+    the large side.
+
+    Same inverted-index plan as the Jaccard join (shared-shingle counts
+    from one groupBy over the index self-join; only scalar set sizes
+    join onto the narrow pair table), same ``max_df`` hot-shingle
+    guard (here a hard cap: dropped shingles reduce counts — pass
+    ``None`` for the exact oracle-checked contract).
+
+    Returns (id_a, id_b, cont_a_in_b, cont_b_in_a) for pairs where
+    EITHER direction reaches ``threshold``; id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        T.char_shingles(text_col, n=n, distinct=True).alias("sh"),
+    )
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("sh").alias("g"))
+    if max_df is not None:
+        hot = (
+            inv.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("g")
+        )
+        inv = inv.join(F.broadcast(hot), "g", "left_anti")
+    a, b = inv.alias("a"), inv.alias("b")
+    pairs = (
+        a.join(
+            b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id"))
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    out = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "cont_a_in_b", F.col("inter").cast("double") / F.col("na")
+        )
+        .withColumn(
+            "cont_b_in_a", F.col("inter").cast("double") / F.col("nb")
+        )
+        .filter(
+            (F.col("cont_a_in_b") >= threshold)
+            | (F.col("cont_b_in_a") >= threshold)
+        )
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("cont_a_in_b", 6).alias("cont_a_in_b"),
+        F.round("cont_b_in_a", 6).alias("cont_b_in_a"),
+    )

@@ -193,3 +193,93 @@ def retention_cohorts(
         )
         .agg(F.count_distinct("_u").alias("n_users"))
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Resample each key's series onto a ``step_seconds`` grid with
+    LINEAR interpolation between the surrounding observations — the
+    sensor-fusion / feature-alignment complement of `resample_ffill`
+    (step-function semantics) : grid value = v_prev + (v_next − v_prev)
+    · (t − t_prev)/(t_next − t_prev); a grid point coinciding with an
+    observation returns that observation exactly; points before the
+    first or after the last observation stay NULL (no extrapolation).
+
+    Plan: observations collapse to one row per (key, second) (max value
+    — engine-independent tie winner), the per-key grid is generated
+    in-plan by sequence(), and ONE keyed shuffle carries both bracketing
+    windows (previous-observation via an obs-first ordering, next via
+    grid-first, so a coincident observation brackets from both sides).
+    No joins, no driver calendar.
+
+    Output: (key_col, bucket_start BIGINT epoch-seconds, val_col
+    DOUBLE rounded to 6dp — float ratio arithmetic must not leak
+    engine last-bit differences into value comparisons).
+    """
+    step = int(step_seconds)
+    tsec = _time.epoch_seconds(df, ts_col)
+    obs = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            tsec.alias("_t"),
+            F.col(val_col).cast("double").alias("_v"),
+        )
+        .groupBy("_k", "_t")
+        .agg(F.max("_v").alias("_v"))
+        .select("_k", "_t", "_v", F.lit(1).alias("_o"))
+    )
+    grid = (
+        obs.groupBy("_k")
+        .agg(
+            (F.floor(F.min("_t") / step) * step).cast("long").alias("_lo"),
+            (F.floor(F.max("_t") / step) * step).cast("long").alias("_hi"),
+        )
+        .select(
+            "_k",
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step))
+            ).alias("_t"),
+            F.lit(None).cast("double").alias("_v"),
+            F.lit(0).alias("_o"),
+        )
+    )
+    u = obs.unionByName(grid)
+    obs_first = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_o").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grid_first = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_o").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ot = F.when(F.col("_o") == 1, F.col("_t"))
+    ov = F.when(F.col("_o") == 1, F.col("_v"))
+    bracketed = u.select(
+        "_k",
+        "_t",
+        "_o",
+        F.last(ot, ignorenulls=True).over(obs_first).alias("_pt"),
+        F.last(ov, ignorenulls=True).over(obs_first).alias("_pv"),
+        F.first(ot, ignorenulls=True).over(grid_first).alias("_nt"),
+        F.first(ov, ignorenulls=True).over(grid_first).alias("_nv"),
+    ).filter(F.col("_o") == 0)
+    interp = F.when(
+        F.col("_pt").isNull() | F.col("_nt").isNull(), F.lit(None)
+    ).when(F.col("_nt") == F.col("_pt"), F.col("_pv")).otherwise(
+        F.col("_pv")
+        + (F.col("_nv") - F.col("_pv"))
+        * (F.col("_t") - F.col("_pt"))
+        / (F.col("_nt") - F.col("_pt"))
+    )
+    return bracketed.select(
+        F.col("_k").alias(key_col),
+        F.col("_t").alias("bucket_start"),
+        F.round(interp, 6).alias(val_col),
+    )

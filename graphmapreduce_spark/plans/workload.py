@@ -5690,6 +5690,188 @@ def q155_unigram_surprisal(spark, sf_dir):
     return Q.unigram_surprisal(d, "doc_id", "text")
 
 
+@register(
+    "q156_pmi",
+    r"""
+    WITH dw AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, UNNEST(list_filter(
+          string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+        FROM documents WHERE doc_id < 400)
+      WHERE length(term) >= 4
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM dw),
+    df AS (SELECT term, count(*) AS d FROM dw GROUP BY term),
+    keep AS (SELECT term, d FROM df WHERE d BETWEEN 5 AND 320),
+    dk AS (SELECT dw.doc_id, dw.term FROM dw JOIN keep USING (term)),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM dk a JOIN dk b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2 HAVING count(*) >= 8
+    )
+    SELECT term_a, term_b, support,
+           ROUND(LN(support * nd / (ka.d * kb.d)), 6) AS pmi
+    FROM pairs
+    JOIN keep ka ON ka.term = term_a
+    JOIN keep kb ON kb.term = term_b, n
+    ORDER BY pmi DESC, term_a, term_b LIMIT 25
+    """,
+)
+def q156_pmi(spark, sf_dir):
+    """Pointwise mutual information over within-document co-occurrence —
+    the association statistic behind embedding-era collocation mining
+    (word2vec's implicit factorization target).  Same scale hygiene as
+    q120 (document-frequency band before the within-doc self-join, so a
+    corpus-wide term cannot go quadratic), then PMI = ln(n_ab·N /
+    (n_a·n_b)) from one broadcast df-table join; TakeOrdered top-k."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    dw = (
+        d.select("doc_id", F.explode(T.words("text")).alias("term"))
+        .filter(F.length("term") >= 4)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nd = dw.agg(
+        F.countDistinct("doc_id").cast("double").alias("nd")
+    )
+    keep = (
+        dw.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter((F.col("d") >= 5) & (F.col("d") <= 320))
+    )
+    dk = dw.join(F.broadcast(keep.select("term")), "term").localCheckpoint(
+        eager=False
+    )
+    pairs = (
+        dk.alias("a")
+        .join(
+            dk.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 8)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(
+                keep.select(F.col("term").alias("term_a"), F.col("d").alias("da"))
+            ),
+            "term_a",
+        )
+        .join(
+            F.broadcast(
+                keep.select(F.col("term").alias("term_b"), F.col("d").alias("db"))
+            ),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term_a",
+            "term_b",
+            "support",
+            F.round(
+                F.log(
+                    F.col("support") * F.col("nd") / (F.col("da") * F.col("db"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("term_a"), F.asc("term_b")
+    ).limit(25)
+
+
+@register(
+    "q157_linear_interp",
+    """
+    WITH e AS (
+      SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+      FROM events WHERE user_id < 50
+    ),
+    obs AS (
+      SELECT k, t, MAX(value) AS v, 1 AS o FROM e GROUP BY k, t
+    ),
+    bounds AS (SELECT k, (MIN(t) // 3600) * 3600 AS lo,
+                      (MAX(t) // 3600) * 3600 AS hi
+               FROM obs GROUP BY k),
+    grid AS (SELECT k, g AS t, NULL::DOUBLE AS v, 0 AS o
+             FROM bounds, UNNEST(range(lo, hi + 1, 3600)) AS s(g)),
+    u AS (SELECT * FROM obs UNION ALL SELECT * FROM grid),
+    w AS (
+      SELECT k, t, o,
+        last_value(CASE WHEN o = 1 THEN t END IGNORE NULLS)
+          OVER (PARTITION BY k ORDER BY t, o DESC
+                ROWS UNBOUNDED PRECEDING) AS pt,
+        last_value(CASE WHEN o = 1 THEN v END IGNORE NULLS)
+          OVER (PARTITION BY k ORDER BY t, o DESC
+                ROWS UNBOUNDED PRECEDING) AS pv,
+        first_value(CASE WHEN o = 1 THEN t END IGNORE NULLS)
+          OVER (PARTITION BY k ORDER BY t, o ASC
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+        first_value(CASE WHEN o = 1 THEN v END IGNORE NULLS)
+          OVER (PARTITION BY k ORDER BY t, o ASC
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      FROM u
+    )
+    SELECT k AS user_id, t AS bucket_start,
+           ROUND(CASE WHEN pt IS NULL OR nt IS NULL THEN NULL
+                      WHEN nt = pt THEN pv
+                      ELSE pv + (nv - pv) * (t - pt) / (nt - pt)
+                 END, 6) AS value
+    FROM w WHERE o = 0
+    """,
+)
+def q157_linear_interp(spark, sf_dir):
+    """Hourly linear-interpolation resampling of the event series —
+    `resample_interpolate`: one keyed shuffle carries both bracketing
+    windows; the whole union+window+arithmetic pipeline is replicated
+    in the oracle."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return TS.resample_interpolate(e, "user_id", "ts", "value", 3600)
+
+
+@register(
+    "q158_containment_join",
+    """
+    WITH sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, GREATEST(length(text) - 2, 0) + 1),
+               i -> substr(text, i, 3))) AS grams
+      FROM documents WHERE doc_id < 100
+    ),
+    inv AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / len(sa.grams), 6) AS cont_a_in_b,
+           ROUND(CAST(i AS DOUBLE) / len(sb.grams), 6) AS cont_b_in_a
+    FROM inter
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / len(sa.grams) >= 0.8
+       OR CAST(i AS DOUBLE) / len(sb.grams) >= 0.8
+    """,
+)
+def q158_containment_join(spark, sf_dir):
+    """n-gram containment join (|A∩B|/|A|, both directions) — the
+    asymmetric quote/excerpt/contamination detector where symmetric
+    Jaccard under-fires because the union is dominated by the longer
+    document.  Same inverted-index plan as q45."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return D.ngram_containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8, max_df=None
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -5720,6 +5902,9 @@ _WINDOW_PRIORITY = [
     "q153_hashed_ngram_classifier",
     "q154_temperature_sample",
     "q155_unigram_surprisal",
+    "q156_pmi",
+    "q157_linear_interp",
+    "q158_containment_join",
     # -- implementations touched in round 4: re-verify (10) --
     "q45_ngram_jaccard",
     "q46_minhash_lsh",
@@ -5758,9 +5943,6 @@ _WINDOW_PRIORITY = [
     "q26_higher_order_array",
     "q27_map_funcs",
     "q29_json_construct",
-    "q30_degrees",
-    "q32_pagerank",
-    "q33_sssp",
 ]
 
 

@@ -499,3 +499,29 @@ def test_prepare_corpus_pipeline_stages(spark):
     assert rows[1]["offset"] == 0
     assert rows[2]["offset"] == rows[1]["n_tokens"]
     assert rows[2]["bin"] == rows[2]["offset"] // 64
+
+
+def test_containment_detects_embedded_quote(spark):
+    """A short doc fully contained in a long one: containment(A in B)=1
+    while symmetric Jaccard stays below the near-dup bar."""
+    quote = "the five boxing wizards jump quickly tonight"
+    long_doc = (
+        "completely unrelated opening material here and then "
+        + quote
+        + " followed by much more trailing body text that goes on"
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "nothing in common with either")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["cont_a_in_b"], r["cont_b_in_a"])
+        for r in D.ngram_containment_pairs(
+            df, "doc_id", "text", n=5, threshold=0.9
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    a_in_b, b_in_a = pairs[(1, 2)]
+    assert a_in_b == 1.0  # every 5-gram of the quote appears in the host
+    assert b_in_a < 0.6  # asymmetric: the host is NOT inside the quote
+    assert not any(3 in p for p in pairs)

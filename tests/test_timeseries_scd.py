@@ -170,3 +170,28 @@ def test_epoch_seconds_bigint_is_nanos_matching_normalize_ts(spark):
         _time.epoch_seconds(normed, "ts").alias("s")
     ).first()["s"]
     assert direct == via_norm == 1_600_000_123
+
+
+def test_resample_interpolate_hand_computed(spark):
+    """Grid at 0,100,200,300: obs (0,10),(150,40),(300,70) -> linear
+    values 10, 30, 50, 70; a grid point ON an observation is exact.
+    BIGINT ts is epoch nanoseconds by contract."""
+    from graphmapreduce_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    NS = 1_000_000_000
+    df = spark.createDataFrame(
+        [(1, 0 * NS, 10.0), (1, 150 * NS, 40.0), (1, 300 * NS, 70.0)],
+        "k long, ts long, v double",
+    )
+    got = {r["bucket_start"]: r["v"] for r in
+           resample_interpolate(df, "k", "ts", "v", 100).collect()}
+    assert got == {0: 10.0, 100: 30.0, 200: 50.0, 300: 70.0}
+    # before-first stays NULL: key 2 observed only at t=150
+    df2 = spark.createDataFrame(
+        [(2, 150 * NS, 5.0), (2, 250 * NS, 15.0)], "k long, ts long, v double"
+    )
+    got2 = {r["bucket_start"]: r["v"] for r in
+            resample_interpolate(df2, "k", "ts", "v", 100).collect()}
+    assert got2[100] is None and got2[200] == 10.0
