@@ -41,6 +41,9 @@ HEADLINE = [
     "q60_tumbling_window",
     "q62_session_window",
     "q63_streaming_tumbling",
+    # round-4 additions: LLM-pipeline scoring ops (scan-bound)
+    "q153_hashed_ngram_classifier",
+    "q155_unigram_surprisal",
 ]
 
 

@@ -177,7 +177,15 @@ def running_extremes(
     transformWithState only runs on the RocksDB state store — the
     provider conf is set here (session-wide; the HDFS-backed default
     works for every other stateful operator too, RocksDB is simply the
-    superset requirement)."""
+    superset requirement).
+
+    Runtime dependency: the TWS python worker speaks protobuf to the
+    JVM state server, so ``google.protobuf`` must be importable in the
+    worker environment.  Where it is not installed, see
+    ``tests/conftest.py::_enable_tws_protobuf_shim`` for the gated
+    pure-Python fallback (cloud-sdk runtime + ``tools/pb_compat``
+    version-check relaxation) that the test suite uses to verify this
+    operator end-to-end."""
     events.sparkSession.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."
