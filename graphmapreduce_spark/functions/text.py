@@ -141,14 +141,19 @@ def word_ngrams(col: Column | str, n: int = 8, distinct: bool = True) -> Column:
     (n-gram collision between a training doc and an eval benchmark).
     Docs with fewer than ``n`` words yield an empty array (same
     ``sequence`` guard as ``char_shingles``)."""
-    ws = words(col)
-    grams = F.when(
-        F.size(ws) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-            lambda i: F.array_join(F.slice(ws, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    def grams_of(ws: Column) -> Column:
+        return F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                lambda i: F.array_join(F.slice(ws, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # bind the token array once per row (lambda variable) — slicing the
+    # raw words() expression inside the per-index lambda re-evaluates
+    # the split per n-gram, quadratic per doc (see hashed_ngram_score)
+    grams = F.transform(F.array(words(col)), grams_of)[0]
     return F.array_distinct(grams) if distinct else grams
 
 
@@ -206,14 +211,17 @@ def winnowing_fingerprint(col: Column | str, n: int = 8, w: int = 4) -> Column:
     """Winnowing document fingerprint: min hash in each window of ``w``
     consecutive n-gram hashes, deduplicated, sorted.  Standard locality-
     sensitive document signature (Schleimer et al., SIGMOD'03)."""
-    hs = rolling_hashes(col, n)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(hs) - w, F.lit(0)))
-    mins = F.transform(
-        idx, lambda i: F.array_min(F.slice(hs, i + 1, w))
-    )
-    return F.when(
-        F.size(hs) > 0, F.array_sort(F.array_distinct(mins))
-    ).otherwise(F.array().cast("array<long>"))
+    def fp_of(hs: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(hs) - w, F.lit(0)))
+        mins = F.transform(idx, lambda i: F.array_min(F.slice(hs, i + 1, w)))
+        return F.when(
+            F.size(hs) > 0, F.array_sort(F.array_distinct(mins))
+        ).otherwise(F.array().cast("array<long>"))
+
+    # bind the rolling-hash array once per row — slicing the raw
+    # expression per window index would recompute every n-gram hash per
+    # window, quadratic per doc (see hashed_ngram_score)
+    return F.transform(F.array(rolling_hashes(col, n)), fp_of)[0]
 
 
 # ---------------------------------------------------------------------------
