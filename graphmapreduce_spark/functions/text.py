@@ -55,23 +55,32 @@ def punct_ratio(col: Column | str) -> Column:
 
 def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
     """Fraction of words that are stopwords of ``lang``."""
-    ws = words(col)
-    hits = F.size(
-        F.filter(
-            ws, lambda w: F.lower(w).isin(*STOPWORDS[lang])
+
+    def ratio(ws: Column) -> Column:
+        hits = F.size(
+            F.filter(ws, lambda w: F.lower(w).isin(*STOPWORDS[lang]))
         )
-    )
-    return F.when(F.size(ws) > 0, hits.cast("double") / F.size(ws)).otherwise(0.0)
+        return F.when(
+            F.size(ws) > 0, hits.cast("double") / F.size(ws)
+        ).otherwise(0.0)
+
+    # bind the token array once per row (three references otherwise each
+    # re-run the whitespace split — see hashed_ngram_score)
+    return F.transform(F.array(words(col)), ratio)[0]
 
 
 def avg_word_len(col: Column | str) -> Column:
-    ws = words(col)
-    total = F.aggregate(
-        F.transform(ws, lambda w: F.length(w)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return F.when(F.size(ws) > 0, total.cast("double") / F.size(ws)).otherwise(0.0)
+    def avg(ws: Column) -> Column:
+        total = F.aggregate(
+            F.transform(ws, lambda w: F.length(w)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(
+            F.size(ws) > 0, total.cast("double") / F.size(ws)
+        ).otherwise(0.0)
+
+    return F.transform(F.array(words(col)), avg)[0]
 
 
 def quality_score(col: Column | str) -> Column:
@@ -88,17 +97,23 @@ def quality_score(col: Column | str) -> Column:
 def language_id(col: Column | str) -> Column:
     """Heuristic language ID over STOPWORDS; ties → alphabetical, no
     hits → 'und'."""
-    ws = F.transform(words(col), lambda w: F.lower(w))
-    best = None
-    for lang in sorted(STOPWORDS):  # alphabetical: earlier wins ties via >
-        hits = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS[lang])))
-        cand = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
-        if best is None:
-            best = cand
-        else:
-            # strict > keeps the earlier (alphabetically smaller) on ties
-            best = F.when(cand["hits"] > best["hits"], cand).otherwise(best)
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    def pick(ws: Column) -> Column:
+        best = None
+        for lang in sorted(STOPWORDS):  # alphabetical: earlier wins ties
+            hits = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS[lang])))
+            cand = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
+            if best is None:
+                best = cand
+            else:
+                # strict > keeps the alphabetically smaller on ties
+                best = F.when(cand["hits"] > best["hits"], cand).otherwise(best)
+        return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    # bind the lowered token array once — each per-language filter would
+    # otherwise re-split + re-lower the text (|languages| re-evals/row)
+    return F.transform(
+        F.array(F.transform(words(col), lambda w: F.lower(w))), pick
+    )[0]
 
 
 def normalized_fingerprint(col: Column | str) -> Column:
@@ -263,12 +278,14 @@ def scrub_pii(col: Column | str) -> Column:
 def repetition_ratio(col: Column | str, n: int = 8) -> Column:
     """Intra-document repetition: 1 - distinct/total char n-grams
     (Gopher-style quality signal; high ratio = looped/spammy text)."""
-    total_grams = char_shingles(col, n, distinct=False)
-    t = F.size(total_grams)
-    u = F.size(F.array_distinct(total_grams))
-    return F.when(
-        t > 0, F.lit(1.0) - u.cast("double") / t.cast("double")
-    ).otherwise(F.lit(0.0))
+    def ratio(total_grams: Column) -> Column:
+        t = F.size(total_grams)
+        u = F.size(F.array_distinct(total_grams))
+        return F.when(
+            t > 0, F.lit(1.0) - u.cast("double") / t.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    return F.transform(F.array(char_shingles(col, n, distinct=False)), ratio)[0]
 
 
 def char_entropy(col: Column | str) -> Column:
@@ -283,18 +300,26 @@ def char_entropy(col: Column | str) -> Column:
     per row JVM-side, NO shuffle (the explode+groupBy formulation costs
     two shuffles over the full character set of the corpus)."""
     c = F.col(col) if isinstance(col, str) else col
-    chars = F.split(c, "")
-    n = F.size(chars).cast("double")
-    probs = F.transform(
-        F.array_distinct(chars),
-        lambda ch: F.size(F.filter(chars, lambda x: x == ch)).cast("double") / n,
-    )
-    ent = -F.aggregate(
-        probs,
-        F.lit(0.0),
-        lambda acc, p: acc + p * F.log2(p),
-    )
-    return F.when(n > 0, ent).otherwise(F.lit(0.0))
+
+    def entropy(chars: Column) -> Column:
+        n = F.size(chars).cast("double")
+        probs = F.transform(
+            F.array_distinct(chars),
+            lambda ch: F.size(F.filter(chars, lambda x: x == ch)).cast(
+                "double"
+            )
+            / n,
+        )
+        ent = -F.aggregate(
+            probs,
+            F.lit(0.0),
+            lambda acc, p: acc + p * F.log2(p),
+        )
+        return F.when(n > 0, ent).otherwise(F.lit(0.0))
+
+    # bind the char array once — the per-distinct-char filter would
+    # otherwise re-split the string per distinct char (~60 re-splits/row)
+    return F.transform(F.array(F.split(c, "")), entropy)[0]
 
 
 def dedup_lines(col: Column | str) -> Column:
