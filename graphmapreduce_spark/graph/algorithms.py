@@ -120,9 +120,18 @@ def pagerank(
     check_interval: int = 1,
     broadcast_ranks: bool = False,
     reference_compat: bool = False,
+    weighted: bool = False,
 ) -> DataFrame:
     """Returns (id, rank), ranks summing to ~1 (proper distribution,
     dangling mass redistributed uniformly unless disabled).
+
+    ``weighted=True`` distributes each vertex's rank over its out-edges
+    proportionally to edge weight (contrib = rank · w / Σw_out) instead
+    of uniformly — the natural mode for the reference's weighted graph
+    format (``graph.h`` adjwgt).  A vertex whose out-weight sums to 0 is
+    treated as dangling.  Plan shape is unchanged: ``out_degree``
+    becomes the out-STRENGTH (Σw), and the per-edge weight rides the
+    message join that already carries the edge row.
 
     ``reference_compat=True`` is the documented SURVEY §7.4 compat mode:
     it pins ``damping`` to the reference's hard-coded 0.5
@@ -165,7 +174,18 @@ def pagerank(
     # one job builds the (id, out_degree) state; the vertex count is then
     # a near-free count() on the checkpointed RDD instead of a separate
     # scan of the vertex-derivation pipeline
-    deg = graph.out_degrees().localCheckpoint(eager=True)
+    if weighted:
+        strength = edges.groupBy(F.col("src").alias("id")).agg(
+            F.sum("weight").alias("out_degree")
+        )
+        deg = (
+            graph.vertices.select("id")
+            .join(strength, "id", "left")
+            .withColumn("out_degree", F.coalesce("out_degree", F.lit(0.0)))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        deg = graph.out_degrees().localCheckpoint(eager=True)
     n = deg.count()
     # ranks carries its degree to avoid a second join per superstep
     ranks = deg.withColumn("rank", F.lit(1.0 / n))
@@ -177,13 +197,15 @@ def pagerank(
         new = ranks
         for _ in range(steps):
             src_side = F.broadcast(new) if broadcast_ranks else new
+            share = (
+                F.col("rank") * F.col("weight") / F.col("out_degree")
+                if weighted
+                else F.col("rank") / F.col("out_degree")
+            )
             contribs = (
                 src_side.filter(F.col("out_degree") > 0)
                 .join(edges, src_side["id"] == edges["src"])
-                .select(
-                    F.col("dst").alias("id"),
-                    (F.col("rank") / F.col("out_degree")).alias("contrib"),
-                )
+                .select(F.col("dst").alias("id"), share.alias("contrib"))
                 .groupBy("id")
                 .agg(F.sum("contrib").alias("in_sum"))
             )

@@ -123,10 +123,18 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the most recent right row with
     ``right_ts <= left_ts`` (direction='backward'; 'forward' = earliest
     ``>=``), matching on the equi key ``on``.
+
+    ``tolerance`` (pandas ``merge_asof`` parity): maximum allowed
+    |left_ts − matched right_ts|; a match farther away than that is
+    nulled out as if no right row existed.  Units follow the timestamp
+    columns (SECONDS for timestamp types — both sides are compared on
+    their double-epoch cast).  Costs one extra carried column in the
+    same window — no additional shuffle.
 
     Implementation: union both sides tagged, sort within each key by
     timestamp, and carry the last seen right value forward with
@@ -140,6 +148,7 @@ def asof_join(
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*lcols).alias("_lrow"),
+        F.lit(None).cast("double").alias("_mts"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
     )
     tag_r = right.select(
@@ -147,6 +156,7 @@ def asof_join(
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(tag_l.schema["_lrow"].dataType).alias("_lrow"),
+        F.col(right_ts).cast("double").alias("_mts"),
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
     )
     if direction == "backward":
@@ -170,11 +180,27 @@ def asof_join(
     filled = unioned.select(
         "_side",
         "_lrow",
+        F.col("_ts").cast("double").alias("_lts"),
+        F.last("_mts", ignorenulls=True).over(w).alias("_mts"),
         *[
             F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
             for c in value_cols
         ],
     ).filter(F.col("_side") == 1)
+    if tolerance is not None:
+        out_of_band = F.col("_mts").isNull() | (
+            F.abs(F.col("_lts") - F.col("_mts")) > F.lit(float(tolerance))
+        )
+        filled = filled.select(
+            "_side",
+            "_lrow",
+            *[
+                F.when(out_of_band, F.lit(None)).otherwise(
+                    F.col(f"_r_{c}")
+                ).alias(f"_r_{c}")
+                for c in value_cols
+            ],
+        )
     return filled.select(
         *[F.col("_lrow")[c].alias(c) for c in lcols],
         *[F.col(f"_r_{c}").alias(c) for c in value_cols],

@@ -5872,6 +5872,104 @@ def q158_containment_join(spark, sf_dir):
     )
 
 
+@register(
+    "q160_asof_tolerance",
+    """
+    SELECT p.event_id, p.user_id,
+           CASE WHEN c.ts IS NOT NULL
+                 AND epoch(p.ts) - epoch(c.ts) <= 600
+                THEN c.value END AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def q160_asof_tolerance(spark, sf_dir):
+    """As-of join with a match tolerance (pandas merge_asof parity):
+    the most recent click within 10 minutes of each purchase — stale
+    matches null out exactly as if absent.  Same single-shuffle
+    union+window plan as q22 with one extra carried column."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase")
+    c = e.filter(F.col("event_type") == "click").withColumnRenamed(
+        "value", "last_click_value"
+    )
+    out = asof_join(
+        p, c, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["last_click_value"], direction="backward", tolerance=600,
+    )
+    return out.select("event_id", "user_id", "last_click_value")
+
+
+def _weighted_pagerank_oracle_sql(
+    n_iter: int = 10, d: float = 0.85, k: int = 500
+) -> str:
+    """Unrolled WEIGHTED power iteration: contrib = rank·w/strength,
+    edge weight = pair multiplicity in lineitem (repeat interactions)."""
+    pre = f"""
+    WITH e AS MATERIALIZED (
+      SELECT l_orderkey % {k} AS src, l_partkey % {k} AS dst,
+             COUNT(*)::DOUBLE AS w
+      FROM lineitem WHERE l_orderkey % {k} <> l_partkey % {k}
+      GROUP BY 1, 2
+    ),
+    v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+    stg AS MATERIALIZED (
+      SELECT src AS id, SUM(w) AS s FROM e GROUP BY src),
+    nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM v),
+    r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM v)
+    """
+    its = []
+    for i in range(1, n_iter + 1):
+        p = f"r{i - 1}"
+        its.append(f"""
+    r{i} AS MATERIALIZED (
+      SELECT v.id,
+             (1-{d})/(SELECT n FROM nn)
+             + {d} * (SELECT COALESCE(SUM(r.rank),0) FROM {p} r
+                      LEFT JOIN stg dg ON dg.id = r.id WHERE dg.id IS NULL)
+                   / (SELECT n FROM nn)
+             + {d} * COALESCE(s.in_sum, 0) AS rank
+      FROM v
+      LEFT JOIN (SELECT e.dst AS id, SUM(r.rank * e.w / dg.s) AS in_sum
+                 FROM e JOIN {p} r ON r.id = e.src
+                        JOIN stg dg ON dg.id = e.src
+                 GROUP BY e.dst) s ON s.id = v.id
+    )""")
+    return (
+        pre + "," + ",".join(its)
+        + f"\n    SELECT id, ROUND(rank, 6) AS rank FROM r{n_iter}"
+    )
+
+
+@register("q159_weighted_pagerank", _weighted_pagerank_oracle_sql())
+def q159_weighted_pagerank(spark, sf_dir):
+    """WEIGHTED PageRank — rank distributed over out-edges proportional
+    to edge weight (pair multiplicity), the natural mode for the
+    reference's weighted-adjacency graph format (graph.h adjwgt).
+    Oracle: the same 10 weighted power iterations unrolled as SQL CTEs."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_orderkey") % 500).alias("src"),
+            (F.col("l_partkey") % 500).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    g = PropertyGraph.from_edges(e)
+    pr = alg.pagerank(
+        g,
+        damping=0.85,
+        max_iter=10,
+        threshold=1e-8,
+        check_interval=5,
+        weighted=True,
+    )
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -5905,6 +6003,8 @@ _WINDOW_PRIORITY = [
     "q156_pmi",
     "q157_linear_interp",
     "q158_containment_join",
+    "q159_weighted_pagerank",
+    "q160_asof_tolerance",
     # -- implementations touched in round 4: re-verify (10) --
     "q45_ngram_jaccard",
     "q46_minhash_lsh",
@@ -5941,8 +6041,6 @@ _WINDOW_PRIORITY = [
     "q22_asof_join",
     "q23_grouping_sets",
     "q26_higher_order_array",
-    "q27_map_funcs",
-    "q29_json_construct",
 ]
 
 

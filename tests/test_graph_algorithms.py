@@ -479,3 +479,36 @@ def test_scc_chain_of_two_cycles_decomposes_logarithmically(spark):
     # distinct SCCs stay distinct
     assert len({c[2 * i + 1] for i in range(k)}) == k
     assert rounds <= 6, f"chain of {k} SCCs took {rounds} rounds"
+
+
+def test_weighted_pagerank_hand_computed(spark):
+    """2-node closed form: A->B w=1, B->A w=1 is symmetric (rank 1/2
+    each) regardless of weights on a symmetric graph; an asymmetric
+    weighted star concentrates rank on the heavier target."""
+    from graphmapreduce_spark.graph.property_graph import PropertyGraph
+
+    # A(1) splits rank 3:1 between B(2) and C(3); B,C return to A.
+    e = spark.createDataFrame(
+        [(1, 2, 3.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+        "src long, dst long, weight double",
+    )
+    g = PropertyGraph.from_edges(e)
+    pr = {r["id"]: r["rank"] for r in alg.pagerank(
+        g, damping=0.85, max_iter=40, threshold=1e-12, weighted=True
+    ).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+    assert pr[2] > pr[3]  # heavier edge -> more rank
+    # closed form at fixpoint: r2 = base + d*(3/4)*r1, r3 = base + d*(1/4)*r1
+    base = 0.15 / 3
+    assert abs((pr[2] - base) / (pr[3] - base) - 3.0) < 1e-3
+    # uniform weights must reproduce the unweighted result exactly
+    eu = spark.createDataFrame(
+        [(1, 2, 2.0), (1, 3, 2.0), (2, 1, 2.0), (3, 1, 2.0)],
+        "src long, dst long, weight double",
+    )
+    gu = PropertyGraph.from_edges(eu)
+    w = {r["id"]: r["rank"] for r in alg.pagerank(
+        gu, max_iter=20, weighted=True).collect()}
+    u = {r["id"]: r["rank"] for r in alg.pagerank(
+        gu, max_iter=20, weighted=False).collect()}
+    assert all(abs(w[k] - u[k]) < 1e-9 for k in u)

@@ -279,3 +279,30 @@ def test_table_diff_statuses(spark):
             table_diff(a, b, ["k"], ["name", "bal"]).collect()}
     # 1 is identical -> absent; NULL -> value counts as changed
     assert rows == {2: "changed", 3: "only_a", 4: "only_b", 5: "changed"}
+
+
+def test_asof_join_tolerance(spark):
+    """merge_asof parity: matches farther than tolerance null out; a
+    match exactly AT the tolerance boundary survives."""
+    from graphmapreduce_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 500, "b"), (2, 100, "c")],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 9.0), (1, 400, 4.0), (2, 95, 5.0)],
+        "k long, t long, v double",
+    )
+    out = {r["tag"]: r["v"] for r in asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        value_cols=["v"], tolerance=10,
+    ).collect()}
+    assert out["a"] == 9.0     # gap 10 == tolerance -> keeps
+    assert out["b"] is None    # nearest is 100 s stale -> nulled
+    assert out["c"] == 5.0     # gap 5 -> keeps
+    # without tolerance the stale match is kept (old behavior intact)
+    base = {r["tag"]: r["v"] for r in asof_join(
+        left, right, on="k", left_ts="t", right_ts="t", value_cols=["v"],
+    ).collect()}
+    assert base["b"] == 4.0
