@@ -525,3 +525,28 @@ def test_containment_detects_embedded_quote(spark):
     assert a_in_b == 1.0  # every 5-gram of the quote appears in the host
     assert b_in_a < 0.6  # asymmetric: the host is NOT inside the quote
     assert not any(3 in p for p in pairs)
+
+
+def test_prefix_jaccard_equals_plain_inverted_index(spark):
+    """PPJoin losslessness: the prefix-filtered join must return the
+    EXACT pair set and scores of the full inverted-index join — on the
+    near-dup fixture and on a corpus with an all-docs boilerplate
+    shingle (worst case for prefix selectivity, not correctness)."""
+    rows = DOCS + [
+        (10, "ZZZZboiler plate everywhere " + "unique ten " * 3),
+        (11, "ZZZZboiler plate everywhere " + "unique eleven " * 3),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.4
+        ).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs_prefix(
+            docs, "doc_id", "text", n=3, threshold=0.4
+        ).collect()
+    }
+    assert pref == plain and len(pref) > 0
