@@ -14,10 +14,13 @@ from graphmapreduce_spark.operators.dedup import (  # noqa: F401
 from graphmapreduce_spark.operators.packing import packed_layout  # noqa: F401
 from graphmapreduce_spark.operators.relational import (  # noqa: F401
     asof_join,
+    gaps_islands,
+    group_mode,
     merge_upsert,
     range_join,
     salted_join,
     sessionize,
+    skyline_2d,
     theta_join,
     top_k,
     top_k_per_group,

@@ -1059,3 +1059,61 @@ def ngram_jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level duplication profile (the span-dedup signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): for every document, the fraction of its word ``n``-gram
+    POSITIONS whose gram occurs ≥ ``min_count`` times corpus-wide
+    (other documents or elsewhere in the same one).  Returns
+    ``(id, n_grams, n_dup, dup_ratio)`` — documents shorter than ``n``
+    words are excluded (they have no spans).
+
+    Unlike the distinct-shingle paths above, positions are kept:
+    ``posexplode`` over an in-array gram build (no self-join), a
+    map-side-combined count by gram, and one join back.  The join key
+    is the 60-bit md5 of the gram, so the shuffle carries fixed-width
+    longs, not text; gram frequency is Zipfian but the count agg
+    partial-combines and the join fans rows back per-position, so no
+    single key ever concentrates more than one document's positions.
+    """
+    # bind the token array ONCE via a lambda variable (the per-index
+    # slice lambda would otherwise re-evaluate the split per element —
+    # quadratic per document; same trick as hashed_ngram_score)
+    w0 = T.words(F.lower(F.col(text_col)))
+    grams = F.transform(
+        F.array(w0),
+        lambda w: F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - n + 1),
+                lambda i: T.md5_hash60(
+                    F.concat_ws(" ", F.slice(w, i, F.lit(n)))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )[0]
+    pos = df.select(F.col(id_col).alias("id"), grams.alias("_g")).select(
+        "id", F.explode("_g").alias("g")
+    )
+    counts = pos.groupBy("g").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        pos.join(counts, "g")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("_c") >= min_count).cast("long")).alias("n_dup"),
+            F.round(
+                F.sum((F.col("_c") >= min_count).cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )

@@ -454,3 +454,91 @@ def table_diff(
             *[F.col(f"{c}_b") for c in cols],
         )
     )
+
+
+def gaps_islands(
+    df: DataFrame,
+    key: str,
+    bucket_col: str | Column,
+) -> DataFrame:
+    """Gaps-and-islands: collapse each key's set of integer buckets into
+    maximal runs of consecutive values.  Returns
+    ``(key, island_start, island_end, n_buckets)``.
+
+    Classic anchor trick: within a key, ``bucket − row_number()`` is
+    constant exactly along a consecutive run, so one distinct + one
+    window + one hash agg does it — all three stages share the single
+    hash partitioning on ``key`` (the window's partitionBy), no global
+    sort anywhere.  Per-key bucket counts are bounded (days per user),
+    so the window partition can't skew-explode at scale.
+    """
+    b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    d = df.select(F.col(key), b.cast("long").alias("_b")).distinct()
+    w = Window.partitionBy(key).orderBy("_b")
+    return (
+        d.withColumn("_anchor", F.col("_b") - F.row_number().over(w))
+        .groupBy(key, "_anchor")
+        .agg(
+            F.min("_b").alias("island_start"),
+            F.max("_b").alias("island_end"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .drop("_anchor")
+    )
+
+
+def skyline_2d(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows not dominated by any other row
+    — dominated means another row is ≤ on ``minimize`` and ≥ on
+    ``maximize`` with at least one strict.  Returns the input rows that
+    survive.
+
+    NOT the quadratic NOT-EXISTS self-join: aggregate to one
+    ``(minimize, max(maximize))`` row per distinct minimize-value
+    (hash agg, map-side combined), run a strict-predecessor cummax over
+    that collapsed table, and semi-join survivors back.  The ordered
+    window sees only |distinct minimize| rows — at 100 TB the raw table
+    never sorts; only the collapsed per-value table does, and if even
+    that is huge the same agg can be re-bucketed coarser first.
+    """
+    mn, mx = F.col(minimize), F.col(maximize)
+    per_val = df.groupBy(minimize).agg(F.max(mx).alias("_mx"))
+    w = (
+        Window.orderBy(minimize)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        per_val.withColumn("_prev", F.max("_mx").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") < F.col("_mx")))
+        .select(minimize, F.col("_mx").alias(maximize))
+    )
+    return df.join(F.broadcast(frontier), [minimize, maximize], "left_semi")
+
+
+def group_mode(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group mode with a deterministic tiebreak (highest count wins,
+    then smallest value).  Returns ``(*group_cols, mode, n)``.
+
+    Count-then-rank: the count agg collapses to |groups × distinct
+    values| rows before the window, and the window partitions by the
+    group key — never a global sort, never a per-row window.
+    """
+    counts = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("n"), F.asc(value_col)
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*group_cols, F.col(value_col).alias("mode"), "n")
+    )

@@ -6005,6 +6005,301 @@ def q159_weighted_pagerank(spark, sf_dir):
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
+def _hits_oracle_sql(n_iter: int = 8, k: int = 500) -> str:
+    """Unrolled Kleinberg iterations: auth ← Σ in-hub, L2-normalize,
+    hub ← Σ out-auth, L2-normalize — norms as scalar subqueries over the
+    raw sums (zeros contribute nothing, so raw == padded norm)."""
+    pre = f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey % {k} AS src, l_partkey % {k} AS dst
+      FROM lineitem WHERE l_orderkey % {k} <> l_partkey % {k}
+    ),
+    v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+    h0 AS MATERIALIZED (SELECT id, 1.0 AS h FROM v)"""
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(f"""
+    a{i}r AS MATERIALIZED (
+      SELECT e.dst AS id, SUM(p.h) AS a
+      FROM e JOIN h{i - 1} p ON p.id = e.src GROUP BY e.dst),
+    a{i} AS MATERIALIZED (
+      SELECT v.id, COALESCE(r.a, 0) / (SELECT sqrt(SUM(a*a)) FROM a{i}r) AS a
+      FROM v LEFT JOIN a{i}r r ON r.id = v.id),
+    h{i}r AS MATERIALIZED (
+      SELECT e.src AS id, SUM(p.a) AS h
+      FROM e JOIN a{i} p ON p.id = e.dst GROUP BY e.src),
+    h{i} AS MATERIALIZED (
+      SELECT v.id, COALESCE(r.h, 0) / (SELECT sqrt(SUM(h*h)) FROM h{i}r) AS h
+      FROM v LEFT JOIN h{i}r r ON r.id = v.id)""")
+    return (
+        pre + "," + ",".join(its)
+        + f"""
+    SELECT a.id, ROUND(a.a, 6) AS auth, ROUND(h.h, 6) AS hub
+    FROM a{n_iter} a JOIN h{n_iter} h ON h.id = a.id"""
+    )
+
+
+@register("q162_hits", _hits_oracle_sql())
+def q162_hits(spark, sf_dir):
+    """HITS hubs & authorities — the reference's PageRank dataflow
+    (algorithms.h:4-37) with two message exchanges per superstep and an
+    in-plan broadcast L2 normalizer.  Oracle: the same 8 Kleinberg
+    iterations unrolled as SQL CTEs."""
+    g = _mod_graph(spark, sf_dir, 500)
+    out = alg.hits(g, max_iter=8)
+    return out.select(
+        "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+
+
+def _closeness_oracle_sql(
+    sources: tuple[int, ...] = (0, 1, 2), mod: int = 500, depth: int = 8
+) -> str:
+    """Per-source unrolled min-dist BFS (same frontier algebra as
+    _harmonic_oracle_sql), collapsed to reached-count / distance-sum."""
+    pre = f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey % {mod} AS src, l_partkey % {mod} AS dst
+      FROM lineitem WHERE l_orderkey % {mod} <> l_partkey % {mod})"""
+    blocks, finals = [], []
+    for s in sources:
+        blocks.append(f"""
+    s{s}d0 AS (SELECT CAST({s} AS BIGINT) AS id, 0 AS dist)""")
+        for i in range(1, depth + 1):
+            p = f"s{s}d{i - 1}"
+            blocks.append(f"""
+    s{s}d{i} AS MATERIALIZED (
+      SELECT id, min(dist) AS dist FROM (
+        SELECT id, dist FROM {p}
+        UNION ALL
+        SELECT e.dst AS id, p.dist + 1 AS dist
+        FROM e JOIN {p} p ON p.id = e.src
+      ) GROUP BY id)""")
+        finals.append(
+            f"SELECT id, dist FROM s{s}d{depth} WHERE dist > 0"
+        )
+    return (
+        pre
+        + ","
+        + ",".join(blocks)
+        + f"""
+    SELECT id, COUNT(*)::BIGINT AS n_reached, SUM(dist)::BIGINT AS total_dist,
+           ROUND(COUNT(*)::DOUBLE / SUM(dist), 6) AS closeness
+    FROM ({" UNION ALL ".join(finals)}) GROUP BY id"""
+    )
+
+
+@register("q163_closeness_centrality", _closeness_oracle_sql())
+def q163_closeness_centrality(spark, sf_dir):
+    """Sampled closeness centrality from 3 fixed seed sources — one
+    frontier-filtered BFS per source over the shared cached edge table
+    (harmonic_centrality's dataflow, distance-sum collapse)."""
+    g = _mod_graph(spark, sf_dir)
+    out = alg.closeness_centrality(g, [0, 1, 2])
+    return out.select(
+        "id",
+        "n_reached",
+        F.col("total_dist").cast("long").alias("total_dist"),
+        F.round("closeness", 6).alias("closeness"),
+    )
+
+
+@register(
+    "q164_gaps_islands",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS b
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, b,
+             b - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY b) AS a
+      FROM d
+    )
+    SELECT user_id, MIN(b) AS island_start, MAX(b) AS island_end,
+           COUNT(*)::BIGINT AS n_buckets
+    FROM r GROUP BY user_id, a
+    """,
+)
+def q164_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands: maximal runs of consecutive activity days per
+    user — distinct, anchor window, and hash agg all on the one user_id
+    partitioning (`relational.gaps_islands`)."""
+    e = _t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day"),
+    )
+    return R.gaps_islands(days, "user_id", "day")
+
+
+@register(
+    "q165_skyline",
+    """
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part s
+      WHERE s.p_retailprice <= r.p_retailprice AND s.p_size >= r.p_size
+        AND (s.p_retailprice < r.p_retailprice OR s.p_size > r.p_size))
+    """,
+)
+def q165_skyline(spark, sf_dir):
+    """2-D Pareto frontier (cheapest-price / largest-size parts).  The
+    oracle is the textbook quadratic NOT-EXISTS; the Spark plan is the
+    scale path — per-price hash agg, cummax over the collapsed distinct
+    values, broadcast semi-join back (`relational.skyline_2d`)."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return R.skyline_2d(p, "p_retailprice", "p_size")
+
+
+@register(
+    "q166_group_mode",
+    """
+    WITH c AS (
+      SELECT p_type, p_brand, COUNT(*)::BIGINT AS n
+      FROM part GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY p_type ORDER BY n DESC, p_brand ASC) AS rn
+      FROM c
+    )
+    SELECT p_type, p_brand AS mode, n FROM r WHERE rn = 1
+    """,
+)
+def q166_group_mode(spark, sf_dir):
+    """Per-group modal value with deterministic tiebreak (count desc,
+    value asc) — count-then-rank so the window sees the collapsed
+    group×value table, not the raw rows (`relational.group_mode`)."""
+    p = _t(spark, sf_dir, "part")
+    return R.group_mode(p, ["p_type"], "p_brand")
+
+
+@register(
+    "q167_dup_ngram_spans",
+    r"""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         w -> w <> '') AS w
+      FROM documents
+    ),
+    gp AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(w) - 8 + 2),
+               i -> ('0x' || substr(md5(
+                      array_to_string(list_slice(w, i, i + 7), ' ')),
+                      1, 15))::BIGINT)) AS g
+      FROM ws WHERE len(w) >= 8
+    ),
+    cnt AS (SELECT g, COUNT(*) AS c FROM gp GROUP BY g)
+    SELECT gp.doc_id AS id, COUNT(*)::BIGINT AS n_grams,
+           SUM(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+           ROUND(SUM(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS dup_ratio
+    FROM gp JOIN cnt USING (g)
+    GROUP BY gp.doc_id
+    """,
+)
+def q167_dup_ngram_spans(spark, sf_dir):
+    """Substring-level duplication profile (Lee et al. span-dedup
+    signal): per document, the fraction of word-8-gram positions whose
+    gram repeats corpus-wide.  Positions kept via posexplode-style
+    in-array build; md5-60bit gram keys so the count/join shuffles carry
+    longs (`dedup.duplicate_ngram_spans`)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.duplicate_ngram_spans(d, "doc_id", "text", n=8, min_count=2)
+
+
+def _betweenness_oracle_sql(
+    sources: tuple[int, ...] = (0, 1, 2), mod: int = 500, depth: int = 8
+) -> str:
+    """Unrolled Brandes per source: forward level/σ BFS (anti-join via
+    NOT IN over the accumulated visited set), then the backward
+    dependency sweep δ(v)=Σ σv/σw·(1+δw) as one LEFT-JOIN agg per
+    level, deepest first."""
+    pre = f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey % {mod} AS src, l_partkey % {mod} AS dst
+      FROM lineitem WHERE l_orderkey % {mod} <> l_partkey % {mod})"""
+    blocks, finals = [], []
+    for s in sources:
+        blocks.append(f"""
+    s{s}f0 AS (SELECT CAST({s} AS BIGINT) AS id, 1.0 AS sigma),
+    s{s}vis0 AS (SELECT id FROM s{s}f0)""")
+        for l in range(1, depth + 1):
+            blocks.append(f"""
+    s{s}f{l} AS MATERIALIZED (
+      SELECT e.dst AS id, SUM(p.sigma) AS sigma
+      FROM e JOIN s{s}f{l - 1} p ON p.id = e.src
+      WHERE e.dst NOT IN (SELECT id FROM s{s}vis{l - 1})
+      GROUP BY e.dst),
+    s{s}vis{l} AS MATERIALIZED (
+      SELECT id FROM s{s}vis{l - 1} UNION SELECT id FROM s{s}f{l})""")
+        blocks.append(f"""
+    s{s}d{depth} AS (SELECT id, sigma, 0.0 AS delta FROM s{s}f{depth})""")
+        for l in range(depth - 1, -1, -1):
+            blocks.append(f"""
+    s{s}d{l} AS MATERIALIZED (
+      SELECT p.id, p.sigma,
+             COALESCE(SUM(p.sigma / w.sigma * (1 + w.delta)), 0) AS delta
+      FROM s{s}f{l} p
+      LEFT JOIN e ON e.src = p.id
+      LEFT JOIN s{s}d{l + 1} w ON w.id = e.dst
+      GROUP BY p.id, p.sigma)""")
+        finals.extend(
+            f"SELECT id, delta FROM s{s}d{l}" for l in range(1, depth + 1)
+        )
+    return (
+        pre
+        + ","
+        + ",".join(blocks)
+        + f"""
+    SELECT id, ROUND(SUM(delta), 6) AS betweenness
+    FROM ({" UNION ALL ".join(finals)}) GROUP BY id"""
+    )
+
+
+@register("q168_betweenness", _betweenness_oracle_sql())
+def q168_betweenness(spark, sf_dir):
+    """Sampled Brandes betweenness from 3 fixed seed sources — forward
+    σ-carrying BFS + backward per-level dependency sweep, all joins and
+    hash aggs over the shared cached edge table.  Oracle: the same two
+    phases unrolled per source as SQL CTEs."""
+    g = _mod_graph(spark, sf_dir)
+    out = alg.betweenness_centrality(g, [0, 1, 2])
+    return out.select("id", F.round("betweenness", 6).alias("betweenness"))
+
+
+@register(
+    "q169_bipartite_projection",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    ok AS (SELECT p FROM e GROUP BY p HAVING COUNT(*) <= 1000),
+    pe AS (SELECT s, e.p FROM e JOIN ok USING (p))
+    SELECT a.s AS a, b.s AS b, COUNT(*)::BIGINT AS common
+    FROM pe a JOIN pe b ON a.p = b.p AND a.s < b.s
+    GROUP BY 1, 2
+    """,
+)
+def q169_bipartite_projection(spark, sf_dir):
+    """Bipartite supplier–part graph projected onto suppliers (pairs
+    weighted by shared parts) — inverted-index self-join on the part
+    key with the hub-part df cap exercised in-plan (1000 exceeds any
+    sf0.01 part df, so the oracle stays uncapped-equivalent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return alg.bipartite_project(e, max_df=1000)
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -6041,6 +6336,14 @@ _WINDOW_PRIORITY = [
     "q159_weighted_pagerank",
     "q160_asof_tolerance",
     "q161_prefix_jaccard",
+    "q162_hits",
+    "q163_closeness_centrality",
+    "q164_gaps_islands",
+    "q165_skyline",
+    "q166_group_mode",
+    "q167_dup_ngram_spans",
+    "q168_betweenness",
+    "q169_bipartite_projection",
     # -- implementations touched in round 4: re-verify (10) --
     "q45_ngram_jaccard",
     "q46_minhash_lsh",
@@ -6068,14 +6371,6 @@ _WINDOW_PRIORITY = [
     "q12_distinct_agg",
     "q13_set_ops",
     "q14_sort_limit",
-    "q15_string_funcs",
-    "q16_date_funcs",
-    "q17_conditional",
-    "q18_json",
-    "q20_theta_join",
-    "q21_range_join",
-    "q22_asof_join",
-    "q23_grouping_sets",
 ]
 
 

@@ -550,3 +550,32 @@ def test_prefix_jaccard_equals_plain_inverted_index(spark):
         ).collect()
     }
     assert pref == plain and len(pref) > 0
+
+
+def test_duplicate_ngram_spans(spark):
+    from graphmapreduce_spark.operators.dedup import duplicate_ngram_spans
+
+    # doc 1 and 2 share the exact 4-gram "a b c d"; doc 3 repeats its own
+    # 4-gram twice ("p q r s ... p q r s"); doc 4 is all-unique; doc 5 is
+    # shorter than n and must be absent from the output
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "z a b c d"),
+            (3, "p q r s x p q r s"),
+            (4, "one two three four five"),
+            (5, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: (r["n_grams"], r["n_dup"])
+        for r in duplicate_ngram_spans(
+            docs, "doc_id", "text", n=4, min_count=2
+        ).collect()
+    }
+    assert 5 not in out
+    assert out[1] == (2, 1)  # grams: "a b c d"(dup), "b c d e"
+    assert out[2] == (2, 1)  # grams: "z a b c", "a b c d"(dup)
+    assert out[3][0] == 6 and out[3][1] == 2  # the two "p q r s" positions
+    assert out[4] == (2, 0)

@@ -512,3 +512,72 @@ def test_weighted_pagerank_hand_computed(spark):
     u = {r["id"]: r["rank"] for r in alg.pagerank(
         gu, max_iter=20, weighted=False).collect()}
     assert all(abs(w[k] - u[k]) < 1e-9 for k in u)
+
+
+def test_hits_bipartite_golden(spark):
+    # 1→3, 2→3: vertex 3 is the sole authority, 1 and 2 equal hubs.
+    g = make_graph(spark, [(1, 3, 1.0), (2, 3, 1.0)])
+    out = {r["id"]: (r["auth"], r["hub"]) for r in alg.hits(g, max_iter=4).collect()}
+    assert out[3][0] == pytest.approx(1.0, abs=1e-9)
+    assert out[3][1] == pytest.approx(0.0, abs=1e-9)
+    s = 1.0 / math.sqrt(2.0)
+    assert out[1] == pytest.approx((0.0, s), abs=1e-9)
+    assert out[2] == pytest.approx((0.0, s), abs=1e-9)
+
+
+def test_hits_norms_are_unit(spark):
+    g = make_graph(
+        spark, [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (1, 3, 1.0)]
+    )
+    rows = alg.hits(g, max_iter=8).collect()
+    a2 = sum(r["auth"] ** 2 for r in rows)
+    h2 = sum(r["hub"] ** 2 for r in rows)
+    assert a2 == pytest.approx(1.0, rel=1e-9)
+    assert h2 == pytest.approx(1.0, rel=1e-9)
+
+
+def test_closeness_path_golden(spark):
+    # 1→2→3: from source 1, dist(2)=1 dist(3)=2; source never scores itself
+    g = make_graph(spark, [(1, 2, 1.0), (2, 3, 1.0)])
+    out = {
+        r["id"]: (r["n_reached"], r["total_dist"], r["closeness"])
+        for r in alg.closeness_centrality(g, [1]).collect()
+    }
+    assert 1 not in out
+    assert out[2] == (1, 1, pytest.approx(1.0))
+    assert out[3] == (1, 2, pytest.approx(0.5))
+
+
+def test_closeness_multi_source(spark):
+    # sources 1 and 2 both reach 3 (dists 2 and 1) -> closeness 2/3
+    g = make_graph(spark, [(1, 2, 1.0), (2, 3, 1.0)])
+    out = {
+        r["id"]: (r["n_reached"], r["total_dist"])
+        for r in alg.closeness_centrality(g, [1, 2]).collect()
+    }
+    assert out[3] == (2, 3)
+    assert out[2] == (1, 1)
+
+
+def test_betweenness_path_golden(spark):
+    # 1→2→3→4 from source 1: δ(2)=2, δ(3)=1, δ(4)=0 (Brandes dependency)
+    g = make_graph(spark, [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)])
+    out = {
+        r["id"]: r["betweenness"]
+        for r in alg.betweenness_centrality(g, [1]).collect()
+    }
+    assert out == {2: pytest.approx(2.0), 3: pytest.approx(1.0), 4: pytest.approx(0.0)}
+
+
+def test_betweenness_diamond_split_paths(spark):
+    # 1→{2,3}→4: two shortest paths to 4 -> δ(2)=δ(3)=1/2, δ(4)=0
+    g = make_graph(
+        spark, [(1, 2, 1.0), (1, 3, 1.0), (2, 4, 1.0), (3, 4, 1.0)]
+    )
+    out = {
+        r["id"]: r["betweenness"]
+        for r in alg.betweenness_centrality(g, [1]).collect()
+    }
+    assert out[2] == pytest.approx(0.5)
+    assert out[3] == pytest.approx(0.5)
+    assert out[4] == pytest.approx(0.0)

@@ -306,3 +306,44 @@ def test_asof_join_tolerance(spark):
         left, right, on="k", left_ts="t", right_ts="t", value_cols=["v"],
     ).collect()}
     assert base["b"] == 4.0
+
+
+def test_gaps_islands_basic(spark):
+    from graphmapreduce_spark.operators import gaps_islands
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (1, 14), (2, 5), (1, 11)],
+        "user_id long, day long",
+    )
+    out = {
+        (r["user_id"], r["island_start"], r["island_end"], r["n_buckets"])
+        for r in gaps_islands(df, "user_id", "day").collect()
+    }
+    assert out == {(1, 10, 12, 3), (1, 14, 14, 1), (2, 5, 5, 1)}
+
+
+def test_skyline_2d_dominance(spark):
+    from graphmapreduce_spark.operators import skyline_2d
+
+    # (price, size): (1,5) and (2,9) are the frontier; (2,5) dominated by
+    # (1,5) strictly on price; (3,9) dominated by (2,9); duplicates of a
+    # frontier point both survive (no strict inequality between them)
+    df = spark.createDataFrame(
+        [(1, 1.0, 5), (2, 2.0, 9), (3, 2.0, 5), (4, 3.0, 9), (5, 1.0, 5)],
+        "id long, price double, size int",
+    )
+    out = skyline_2d(df, "price", "size")
+    assert {r["id"] for r in out.collect()} == {1, 2, 5}
+
+
+def test_group_mode_tiebreak(spark):
+    from graphmapreduce_spark.operators import group_mode
+
+    df = spark.createDataFrame(
+        [("x", "b"), ("x", "b"), ("x", "a"), ("x", "a"), ("x", "c"),
+         ("y", "z")],
+        "g string, v string",
+    )
+    out = {(r["g"], r["mode"], r["n"]) for r in group_mode(df, ["g"], "v").collect()}
+    # x: a and b tie at 2 -> smallest value 'a' wins
+    assert out == {("x", "a", 2), ("y", "z", 1)}
