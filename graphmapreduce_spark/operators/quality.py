@@ -263,3 +263,73 @@ def unigram_surprisal(
             ).alias("surprisal"),
         )
     )
+
+
+def bigram_surprisal(
+    df: DataFrame, id_col: str, text_col: str, k: float = 1.0
+) -> DataFrame:
+    """Per-document mean bigram-LM surprisal with add-k smoothing — one
+    step up the n-gram ladder from `unigram_surprisal`, the closer match
+    to the KenLM-scored perplexity filters (CCNet, RedPajama-v2) that
+    gate pretraining corpora:
+
+        score(d) = mean over adjacent pairs (w1,w2) of
+                   -ln( (c(w1,w2) + k) / (c(w1,·) + k·V) )
+
+    with c from the corpus itself and V the corpus vocabulary size.
+    Swapping in an external LM means replacing the two count tables
+    with broadcast model tables — the plan shape is identical.
+
+    Plan: the bigram stream is built in-array (token array lambda-bound
+    once, struct pairs, no self-join) and exploded once; bigram and
+    left-context counts are two hash aggs over it (Zipf-bounded, AQE
+    broadcasts them back when small); V is a broadcast 1-row scalar.
+    Documents with fewer than 2 tokens carry no bigrams and are absent.
+
+    Returns (id_col, n_bigrams, surprisal), surprisal rounded to 6.
+    """
+    from graphmapreduce_spark.functions.text import words
+
+    w0 = words(F.lower(F.col(text_col)))
+    pairs = F.transform(
+        F.array(w0),
+        lambda w: F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.struct(
+                    F.element_at(w, i).alias("w1"),
+                    F.element_at(w, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string>>")
+        ),
+    )[0]
+    bg = df.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
+        id_col, F.col("_p.w1").alias("_w1"), F.col("_p.w2").alias("_w2")
+    )
+    vocab_n = (
+        df.select(F.explode(words(F.lower(F.col(text_col)))).alias("_t"))
+        .agg(F.countDistinct("_t").cast("double").alias("_v"))
+    )
+    cb = bg.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_cb"))
+    cl = bg.groupBy("_w1").agg(F.count(F.lit(1)).alias("_cl"))
+    return (
+        bg.join(cb, ["_w1", "_w2"])
+        .join(cl, "_w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("_cb") + F.lit(k))
+                        / (F.col("_cl") + F.lit(k) * F.col("_v"))
+                    )
+                ),
+                6,
+            ).alias("surprisal"),
+        )
+    )

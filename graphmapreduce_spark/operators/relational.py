@@ -542,3 +542,35 @@ def group_mode(
         .filter(F.col("_rn") == 1)
         .select(*group_cols, F.col(value_col).alias("mode"), "n")
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-group weighted median: the smallest value whose cumulative
+    weight reaches half the group's total (lower weighted median —
+    deterministic, no interpolation).  Returns ``(*group_cols, wmedian)``.
+
+    One pre-agg collapses duplicate values (so the window walks distinct
+    values, not raw rows), then a per-group cumulative-weight window and
+    a min-over-qualifying agg — all three on the same group-key hash
+    partitioning, no global sort."""
+    collapsed = df.groupBy(*group_cols, value_col).agg(
+        F.sum(weight_col).alias("_w")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*group_cols)
+    return (
+        collapsed.withColumn("_cum", F.sum("_w").over(w))
+        .withColumn("_tot", F.sum("_w").over(tot))
+        .filter(F.col("_cum") * 2 >= F.col("_tot"))
+        .groupBy(*group_cols)
+        .agg(F.min(value_col).alias("wmedian"))
+    )

@@ -51,3 +51,79 @@ def is_globally_sorted(df: DataFrame, col: str) -> bool:
             return False
         prev_hi = r["hi"]
     return True
+
+
+def global_rank(
+    df: DataFrame,
+    cols: list[Column | str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global 1-based row_number over a total order WITHOUT a
+    single-partition window: range-partition (ref samplesort's splitter
+    step), per-partition local row_number, then add each partition's
+    global offset.
+
+    The offsets are the per-partition counts cumulated in partition
+    order — p rows collected driver-side (cold-path tiny, one row per
+    partition) and folded back in as a broadcast join.  Every stage is
+    partition-parallel; the plan survives any N because no executor
+    ever sees more than its range slice.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import spark_partition_id
+
+    d = global_sort(df, cols, num_partitions).withColumn(
+        "_pid", spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    d = d.withColumn("_lrn", F.row_number().over(w))
+    counts = sorted(
+        d.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["_pid"], acc))
+        acc += r["n"]
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets, "_pid int, _off long")
+    return (
+        d.join(F.broadcast(off), "_pid")
+        .withColumn(rank_col, F.col("_off") + F.col("_lrn"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    buckets: int = 10,
+) -> DataFrame:
+    """Exact equal-frequency (NTILE) histogram: ``(bucket, n, lo, hi)``
+    with SQL NTILE semantics — the first ``N mod buckets`` buckets get
+    one extra row — computed from `global_rank`, so no single-partition
+    window anywhere.  ``tiebreak_cols`` must make the order total, or
+    bucket boundaries at ties become engine-dependent."""
+    order = [value_col, *tiebreak_cols]
+    ranked = global_rank(df.select(*order), order, rank_col="_r")
+    n = ranked.count()
+    q, m = divmod(n, buckets)
+    # NTILE: rank r (1-based) -> bucket; first m buckets hold q+1 rows
+    cut = m * (q + 1)
+    bucket = (
+        F.when(F.col("_r") <= cut, (F.col("_r") - 1) / (q + 1))
+        .otherwise(m + (F.col("_r") - cut - 1) / q)
+        .cast("long")
+        + 1
+    ) if q > 0 else F.col("_r")
+    return (
+        ranked.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+        )
+    )

@@ -6300,6 +6300,106 @@ def q169_bipartite_projection(spark, sf_dir):
     return alg.bipartite_project(e, max_df=1000)
 
 
+@register(
+    "q170_bigram_surprisal",
+    r"""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         w -> w <> '') AS w
+      FROM documents
+    ),
+    tok AS (SELECT UNNEST(w) AS t FROM ws),
+    v AS (SELECT COUNT(DISTINCT t)::DOUBLE AS v FROM tok),
+    bgp AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i + 1])) AS b
+      FROM ws WHERE len(w) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, split_part(b, ' ', 1) AS w1,
+             split_part(b, ' ', 2) AS w2
+      FROM bgp
+    ),
+    cb AS (SELECT w1, w2, COUNT(*)::DOUBLE AS cb FROM bg GROUP BY 1, 2),
+    cl AS (SELECT w1, COUNT(*)::DOUBLE AS cl FROM bg GROUP BY 1)
+    SELECT bg.doc_id, COUNT(*)::BIGINT AS n_bigrams,
+           ROUND(AVG(-ln((cb.cb + 1.0) / (cl.cl + (SELECT v FROM v)))), 6)
+             AS surprisal
+    FROM bg JOIN cb USING (w1, w2) JOIN cl USING (w1)
+    GROUP BY bg.doc_id
+    """,
+)
+def q170_bigram_surprisal(spark, sf_dir):
+    """Add-1-smoothed bigram-LM surprisal per document — the KenLM
+    perplexity-filter shape one n-gram up from q155; bigram stream
+    built in-array, two Zipf-bounded count aggs, scalar V broadcast
+    (`quality.bigram_surprisal`)."""
+    from graphmapreduce_spark.operators import quality as Q
+
+    d = _t(spark, sf_dir, "documents")
+    return Q.bigram_surprisal(d, "doc_id", "text", k=1.0)
+
+
+@register(
+    "q171_equi_depth_histogram",
+    """
+    WITH r AS (
+      SELECT l_extendedprice AS v,
+             NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                             l_linenumber) AS bucket
+      FROM lineitem)
+    SELECT bucket::BIGINT AS bucket, COUNT(*)::BIGINT AS n,
+           MIN(v) AS lo, MAX(v) AS hi
+    FROM r GROUP BY bucket
+    """,
+)
+def q171_equi_depth_histogram(spark, sf_dir):
+    """Exact equal-frequency histogram with NTILE semantics — computed
+    from `sort.global_rank` (range partition + per-partition row_number
+    + offset fold-in), so the complement of q112's equal-WIDTH histogram
+    never runs a single-partition window.  Tiebreak columns make the
+    order total, so bucket boundaries are engine-identical."""
+    from graphmapreduce_spark.operators import sort as GS
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = GS.equi_depth_histogram(
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        buckets=10,
+    )
+    return out.select("bucket", "n", "lo", "hi")
+
+
+@register(
+    "q172_weighted_median",
+    """
+    WITH c AS (
+      SELECT l_returnflag, l_quantity AS v, SUM(l_extendedprice) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT l_returnflag, v,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM c)
+    SELECT l_returnflag, MIN(v) AS wmedian
+    FROM r WHERE cum * 2 >= tot GROUP BY 1
+    """,
+)
+def q172_weighted_median(spark, sf_dir):
+    """Revenue-weighted median quantity per return flag — lower weighted
+    median via collapse-then-cumulate: the window walks distinct values
+    on the group-key partitioning (`relational.weighted_median`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return R.weighted_median(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -6344,6 +6444,9 @@ _WINDOW_PRIORITY = [
     "q167_dup_ngram_spans",
     "q168_betweenness",
     "q169_bipartite_projection",
+    "q170_bigram_surprisal",
+    "q171_equi_depth_histogram",
+    "q172_weighted_median",
     # -- implementations touched in round 4: re-verify (10) --
     "q45_ngram_jaccard",
     "q46_minhash_lsh",
@@ -6368,9 +6471,6 @@ _WINDOW_PRIORITY = [
     "q09_window_running_sum",
     "q10_rollup",
     "q11_cube",
-    "q12_distinct_agg",
-    "q13_set_ops",
-    "q14_sort_limit",
 ]
 
 

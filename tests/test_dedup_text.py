@@ -579,3 +579,24 @@ def test_duplicate_ngram_spans(spark):
     assert out[2] == (2, 1)  # grams: "z a b c", "a b c d"(dup)
     assert out[3][0] == 6 and out[3][1] == 2  # the two "p q r s" positions
     assert out[4] == (2, 0)
+
+
+def test_bigram_surprisal_hand_checked(spark):
+    import math
+
+    from graphmapreduce_spark.operators.quality import bigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["surprisal"])
+        for r in bigram_surprisal(docs, "doc_id", "text", k=1.0).collect()
+    }
+    # corpus: cb(a,b)=3, cb(b,a)=1, cl(a)=3, cl(b)=1, V=3 (a, b, solo)
+    s_ab = -math.log((3 + 1) / (3 + 3))
+    s_ba = -math.log((1 + 1) / (1 + 3))
+    assert out[1] == (3, round((2 * s_ab + s_ba) / 3, 6))
+    assert out[2] == (1, round(s_ab, 6))
+    assert 3 not in out  # single-token docs carry no bigrams

@@ -347,3 +347,39 @@ def test_group_mode_tiebreak(spark):
     out = {(r["g"], r["mode"], r["n"]) for r in group_mode(df, ["g"], "v").collect()}
     # x: a and b tie at 2 -> smallest value 'a' wins
     assert out == {("x", "a", 2), ("y", "z", 1)}
+
+
+def test_weighted_median(spark):
+    from graphmapreduce_spark.operators.relational import weighted_median
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 10.0),
+         ("h", 1.0, 1.0), ("h", 2.0, 1.0)],
+        "k string, v double, w double",
+    )
+    out = {r["k"]: r["wmedian"] for r in weighted_median(df, ["k"], "v", "w").collect()}
+    assert out["g"] == 3.0  # weight 10 at v=3 dominates
+    assert out["h"] == 1.0  # exact half reached at the lower value
+
+
+def test_equi_depth_histogram_ntile_sizes(spark):
+    from graphmapreduce_spark.operators.sort import equi_depth_histogram
+
+    df = spark.createDataFrame([(float(i), i) for i in range(1, 11)], "v double, id int")
+    out = {
+        r["bucket"]: (r["n"], r["lo"], r["hi"])
+        for r in equi_depth_histogram(df, "v", ["id"], buckets=3).collect()
+    }
+    # NTILE(3) over 10 rows: first bucket gets the extra row
+    assert out == {1: (4, 1.0, 4.0), 2: (3, 5.0, 7.0), 3: (3, 8.0, 10.0)}
+
+
+def test_global_rank_is_dense_and_ordered(spark):
+    from graphmapreduce_spark.operators.sort import global_rank
+
+    df = spark.createDataFrame(
+        [(v,) for v in [5, 3, 9, 1, 7, 2, 8, 4, 6, 0]], "v int"
+    ).repartition(4)
+    rows = global_rank(df, ["v"], rank_col="r").orderBy("r").collect()
+    assert [r["v"] for r in rows] == sorted(range(10))
+    assert [r["r"] for r in rows] == list(range(1, 11))
