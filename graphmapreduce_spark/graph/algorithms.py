@@ -1389,29 +1389,35 @@ def modularity(graph: PropertyGraph, communities: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # HITS (Kleinberg hubs & authorities) — same BSP family as the reference's
 # PageRank (algorithms.h:4-37): two message exchanges per iteration instead
-# of one, each a join + groupBy-sum, with the L2 norm folded into the plan
-# as a broadcast 1-row cross join (no driver round-trip per half-step).
+# of one, each a join + groupBy-sum.
 # ---------------------------------------------------------------------------
 def hits(
     graph: PropertyGraph,
     max_iter: int = 8,
-    check_interval: int = 1,
+    check_interval: int = 4,
 ) -> DataFrame:
-    """Returns (id, auth, hub) after ``max_iter`` full HITS iterations.
+    """Returns (id, auth, hub) after ``max_iter`` full HITS iterations
+    with L2-normalized output.
 
-    One iteration = auth(v) ← Σ_{u→v} hub(u), L2-normalize, then
-    hub(u) ← Σ_{u→v} auth(v), L2-normalize.  Each half-step is one
-    shuffle (join on the edge endpoint + hash agg); the normalizer is a
-    1-row broadcast so the whole iteration stays a single lazy plan.
-    Lineage is cut with an eager ``localCheckpoint`` every
-    ``check_interval`` iterations (default EVERY iteration: each
-    half-step's normalizer is a broadcast 1-row subplan that re-executes
-    its whole lineage when materialized, so un-checkpointed iterations
-    compound that re-execution multiplicatively — measured 30x at
-    interval 4 on the 500-vertex bench graph).  At 1000-executor scale
-    the per-step state is one row per vertex, far below the message
-    volume, so the checkpoint cost is bounded by the vertex count,
-    never the edges.
+    One iteration = auth(v) ← Σ_{u→v} hub(u), then
+    hub(u) ← Σ_{u→v} auth(v) — each half-step one shuffle (join on the
+    edge endpoint + hash agg).  The iteration runs UN-normalized and
+    the L2 norm is applied once at the end: both half-steps are linear
+    maps, so per-iteration norm scalars factor straight through and the
+    final normalized vectors are mathematically identical to
+    per-iteration-normalized HITS — but skipping the in-loop norm
+    removes one global agg + broadcast per half-step, letting
+    ``check_interval`` iterations chain as ONE lazy plan per eager
+    checkpoint (the pagerank batching).  First version normalized every
+    half-step in-plan; the norm broadcast re-executed its lineage on
+    materialization, compounding per iteration — measured 19x slower
+    at the same iteration count.
+
+    Un-normalized values grow like λ_max^iter (λ_max ≤ max degree), so
+    doubles (1e308) overflow only past ~150 iterations on even a
+    degree-1e6 graph; for longer runs lower ``check_interval`` and
+    renormalize at checkpoints.  Per-step state is one row per vertex,
+    far below message volume, at any cluster size.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -1422,20 +1428,9 @@ def hits(
         edges.count()
     v = graph.vertices.select("id").localCheckpoint(eager=True)
 
-    def _norm(df: DataFrame, col: str) -> DataFrame:
-        n1 = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n"))
-        return (
-            df.crossJoin(F.broadcast(n1))
-            .select(
-                "id",
-                F.when(F.col("_n") > 0, F.col(col) / F.col("_n"))
-                .otherwise(F.lit(0.0))
-                .alias(col),
-            )
-        )
-
     hub = v.select("id", F.lit(1.0).alias("hub"))
     auth = v.select("id", F.lit(0.0).alias("auth"))
+    interval = max(1, check_interval)
     for it in range(1, max_iter + 1):
         araw = (
             edges.join(hub, edges["src"] == hub["id"])
@@ -1443,28 +1438,42 @@ def hits(
             .groupBy("id")
             .agg(F.sum("_c").alias("_raw"))
         )
-        auth = _norm(
-            v.join(araw, "id", "left").select(
-                "id", F.coalesce("_raw", F.lit(0.0)).alias("auth")
-            ),
-            "auth",
+        auth = v.join(araw, "id", "left").select(
+            "id", F.coalesce("_raw", F.lit(0.0)).alias("auth")
         )
+        checkpoint_now = it % interval == 0 and it < max_iter
+        if checkpoint_now:
+            # cut auth BEFORE deriving hub from it — checkpointing after
+            # would leave hub's captured lineage pointing at the
+            # pre-checkpoint auth plan, re-executing the whole chunk
+            auth = auth.localCheckpoint(eager=True)
         hraw = (
             edges.join(auth, edges["dst"] == auth["id"])
             .select(F.col("src").alias("id"), F.col("auth").alias("_c"))
             .groupBy("id")
             .agg(F.sum("_c").alias("_raw"))
         )
-        hub = _norm(
-            v.join(hraw, "id", "left").select(
-                "id", F.coalesce("_raw", F.lit(0.0)).alias("hub")
-            ),
-            "hub",
+        hub = v.join(hraw, "id", "left").select(
+            "id", F.coalesce("_raw", F.lit(0.0)).alias("hub")
         )
-        if it % max(1, check_interval) == 0 and it < max_iter:
-            auth = auth.localCheckpoint(eager=True)
+        if checkpoint_now:
             hub = hub.localCheckpoint(eager=True)
-    out = auth.join(hub, "id")
+    # single final normalization: one joined pass, norms as one
+    # broadcast 1-row agg over the joined (auth, hub) state
+    joined = auth.join(hub, "id").localCheckpoint(eager=True)
+    norms = joined.agg(
+        F.sqrt(F.sum(F.col("auth") * F.col("auth"))).alias("_na"),
+        F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("_nh"),
+    )
+    out = joined.crossJoin(F.broadcast(norms)).select(
+        "id",
+        F.when(F.col("_na") > 0, F.col("auth") / F.col("_na"))
+        .otherwise(F.lit(0.0))
+        .alias("auth"),
+        F.when(F.col("_nh") > 0, F.col("hub") / F.col("_nh"))
+        .otherwise(F.lit(0.0))
+        .alias("hub"),
+    )
     if we_cached:
         out = out.localCheckpoint(eager=True)
         edges.unpersist()
@@ -1490,18 +1499,70 @@ def closeness_centrality(
     deterministic and oracle-checkable."""
     if not sources:
         raise ValueError("closeness_centrality needs at least one source")
-    parts = []
-    for s in sources:
-        lv = bfs(graph, s, max_iter=max_iter).filter(F.col("level") > 0)
-        parts.append(lv.select("id", F.col("level").alias("d")))
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.unionByName(p)
-    return allp.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_reached"),
-        F.sum("d").alias("total_dist"),
-        (F.count(F.lit(1)) / F.sum("d")).alias("closeness"),
+    levels = multi_source_levels(graph, sources, max_depth=max_iter)
+    return (
+        levels.filter(F.col("level") > 0)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum("level").alias("total_dist"),
+            (F.count(F.lit(1)) / F.sum("level")).alias("closeness"),
+        )
     )
+
+
+def multi_source_levels(
+    graph: PropertyGraph,
+    sources: Sequence[int],
+    max_depth: int = MAX_ITERATION,
+) -> DataFrame:
+    """(s, id, level): BFS level of ``id`` from each source ``s`` that
+    reaches it (level 0 = the source itself) — ALL sources advanced in
+    ONE tagged frontier, so the superstep count is the maximum depth,
+    not depth × |sources|.  The per-level state is (source, vertex)
+    pairs; with k sources that is ≤ k rows per vertex, and the
+    anti-join key (s, id) spreads every source's frontier across the
+    same hash partitioning — no per-source driver loop, |sources|×
+    fewer Spark jobs than sequential BFS runs."""
+    from pyspark.storagelevel import StorageLevel
+
+    we_cached = graph.edges.storageLevel == StorageLevel.NONE
+    edges = graph.edges.select("src", "dst")
+    if we_cached:
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        edges.count()
+    src_list = [int(s) for s in sources]
+    frontier = (
+        graph.vertices.filter(F.col("id").isin(src_list))
+        .select(F.col("id").alias("s"), "id", F.lit(0).alias("level"))
+        .localCheckpoint(eager=True)
+    )
+    out = [frontier]
+    seen = frontier.select("s", "id")
+    depth = 0
+    while depth < max_depth:
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select("s", F.col("dst").alias("id"))
+            .distinct()
+            .join(seen, ["s", "id"], "left_anti")
+            .withColumn("level", F.lit(depth + 1))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        out.append(nxt)
+        seen = seen.unionByName(nxt.select("s", "id")).localCheckpoint(
+            eager=True
+        )
+        frontier = nxt
+        depth += 1
+    if we_cached:
+        edges.unpersist()
+    allp = out[0]
+    for p in out[1:]:
+        allp = allp.unionByName(p)
+    return allp
 
 
 # ---------------------------------------------------------------------------
@@ -1522,15 +1583,21 @@ def betweenness_centrality(
     estimator at |sources|/|V| of the all-pairs cost; a fixed seed list
     is deterministic and oracle-checkable.
 
-    Per source: the forward phase is a frontier BFS whose messages carry
-    σ (shortest-path counts) — one join + anti-join + sum per level; the
-    backward phase walks levels deepest-first, each step one
-    edges⋈next-level join + sum computing
-    δ(v) = Σ_{v→w, lvl(w)=lvl(v)+1} σ(v)/σ(w) · (1+δ(w)).
-    Every per-level state is one row per touched vertex (≪ edges), cut
-    with eager localCheckpoints, so lineage stays flat and the 2·depth
-    supersteps per source are the whole cost — the shape that amortizes
-    on a real cluster exactly like pagerank's check_interval batching.
+    ALL sources advance in ONE tagged dataflow (state keyed (s, id), the
+    multi_source_levels trick), so both phases cost max-depth supersteps
+    total, not depth × |sources|.  The forward phase is a frontier BFS
+    whose messages carry σ (shortest-path counts) — one join + anti-join
+    + sum per level; the backward phase walks levels deepest-first, each
+    step one edges⋈next-level join + sum computing
+    δ(v) = Σ_{v→w, lvl(w)=lvl(v)+1} σ(v)/σ(w) · (1+δ(w)) per source tag.
+    A source whose BFS exhausted earlier than the global depth simply
+    has no rows at the deeper levels, so its own deepest level gets
+    δ = 0 from the empty join — per-source semantics preserved.
+    Every per-level state is ≤ |sources| rows per touched vertex
+    (≪ edges), cut with eager localCheckpoints, so lineage stays flat
+    and 2·max-depth supersteps are the whole cost — the shape that
+    amortizes on a real cluster exactly like pagerank's check_interval
+    batching.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -1542,86 +1609,87 @@ def betweenness_centrality(
         edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
         edges.count()
 
-    per_source = []
-    for s in sources:
-        frontier = (
-            graph.vertices.filter(F.col("id") == s)
-            .select("id", F.lit(1.0).alias("sigma"))
+    src_list = [int(s) for s in sources]
+    frontier = (
+        graph.vertices.filter(F.col("id").isin(src_list))
+        .select(F.col("id").alias("s"), "id", F.lit(1.0).alias("sigma"))
+        .localCheckpoint(eager=True)
+    )
+    level_tables = [frontier]
+    seen = frontier.select("s", "id")
+    depth = 0
+    while depth < max_depth:
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select("s", F.col("dst").alias("id"), "sigma")
+            .join(seen, ["s", "id"], "left_anti")
+            .groupBy("s", "id")
+            .agg(F.sum("sigma").alias("sigma"))
             .localCheckpoint(eager=True)
         )
-        level_tables = [frontier]
-        seen = frontier.select("id")
-        depth = 0
-        while depth < max_depth:
-            nxt = (
-                frontier.join(edges, frontier["id"] == edges["src"])
-                .select(F.col("dst").alias("id"), "sigma")
-                .join(seen, "id", "left_anti")
-                .groupBy("id")
-                .agg(F.sum("sigma").alias("sigma"))
-                .localCheckpoint(eager=True)
-            )
-            if nxt.isEmpty():
-                break
-            level_tables.append(nxt)
-            seen = seen.unionByName(nxt.select("id")).localCheckpoint(
-                eager=True
-            )
-            frontier = nxt
-            depth += 1
-        # backward sweep: δ at the deepest level is 0 — those vertices
-        # still belong in the output (they were reached; score 0)
-        deltas = level_tables[-1].select(
-            "id", "sigma", F.lit(0.0).alias("delta")
+        if nxt.isEmpty():
+            break
+        level_tables.append(nxt)
+        seen = seen.unionByName(nxt.select("s", "id")).localCheckpoint(
+            eager=True
         )
-        acc = []
-        if len(level_tables) > 1:
-            acc.append(deltas.select("id", "delta"))
-        for lvl in range(len(level_tables) - 2, -1, -1):
-            cur = level_tables[lvl]
-            w = deltas.select(
-                F.col("id").alias("_wid"),
-                F.col("sigma").alias("_wsigma"),
-                F.col("delta").alias("_wdelta"),
+        frontier = nxt
+        depth += 1
+    # backward sweep: δ at each source's deepest level is 0 — those
+    # vertices still belong in the output (reached; score 0)
+    deltas = level_tables[-1].select(
+        "s", "id", "sigma", F.lit(0.0).alias("delta")
+    )
+    acc = []
+    if len(level_tables) > 1:
+        acc.append(deltas.select("s", "id", "delta"))
+    for lvl in range(len(level_tables) - 2, -1, -1):
+        cur = level_tables[lvl]
+        w = deltas.select(
+            F.col("s").alias("_ws"),
+            F.col("id").alias("_wid"),
+            F.col("sigma").alias("_wsigma"),
+            F.col("delta").alias("_wdelta"),
+        )
+        contrib = (
+            cur.join(edges, cur["id"] == edges["src"])
+            .join(
+                w,
+                (F.col("dst") == F.col("_wid"))
+                & (cur["s"] == F.col("_ws")),
             )
-            contrib = (
-                cur.join(edges, cur["id"] == edges["src"])
-                .join(w, F.col("dst") == F.col("_wid"))
-                .select(
-                    cur["id"].alias("id"),
-                    (
-                        F.col("sigma")
-                        / F.col("_wsigma")
-                        * (F.lit(1.0) + F.col("_wdelta"))
-                    ).alias("_c"),
-                )
-                .groupBy("id")
-                .agg(F.sum("_c").alias("_d"))
+            .select(
+                cur["s"].alias("s"),
+                cur["id"].alias("id"),
+                (
+                    F.col("sigma")
+                    / F.col("_wsigma")
+                    * (F.lit(1.0) + F.col("_wdelta"))
+                ).alias("_c"),
             )
-            deltas = (
-                cur.join(contrib, "id", "left")
-                .select(
-                    "id",
-                    "sigma",
-                    F.coalesce("_d", F.lit(0.0)).alias("delta"),
-                )
-                .localCheckpoint(eager=True)
+            .groupBy("s", "id")
+            .agg(F.sum("_c").alias("_d"))
+        )
+        deltas = (
+            cur.join(contrib, ["s", "id"], "left")
+            .select(
+                "s",
+                "id",
+                "sigma",
+                F.coalesce("_d", F.lit(0.0)).alias("delta"),
             )
-            if lvl > 0:  # the source itself never scores
-                acc.append(deltas.select("id", "delta"))
-        if acc:
-            allp = acc[0]
-            for p in acc[1:]:
-                allp = allp.unionByName(p)
-            per_source.append(allp)
+            .localCheckpoint(eager=True)
+        )
+        if lvl > 0:  # the source itself never scores
+            acc.append(deltas.select("s", "id", "delta"))
     if we_cached:
         edges.unpersist()
-    if not per_source:
+    if not acc:
         return graph.vertices.select(
             "id", F.lit(0.0).alias("betweenness")
         ).limit(0)
-    out = per_source[0]
-    for p in per_source[1:]:
+    out = acc[0]
+    for p in acc[1:]:
         out = out.unionByName(p)
     return out.groupBy("id").agg(F.sum("delta").alias("betweenness"))
 
