@@ -1073,22 +1073,19 @@ def harmonic_centrality(
     all-pairs cost; with a fixed seed list it is deterministic and
     oracle-checkable.
 
-    One BFS fixpoint per source (frontier-filtered Pregel — each is
-    |sources| supersteps of one join + one min agg); the per-source
-    level tables union and collapse in a single final agg.  Sources
-    evaluate independently, so Spark schedules their jobs back-to-back
-    over the same cached edge table.
+    All sources advance in ONE tagged frontier (`multi_source_levels`,
+    state keyed (source, vertex)), so the superstep count is the max
+    BFS depth, not depth × |sources| — measured 3× fewer Spark jobs
+    than the original per-source loop at 3 sources.
     """
     if not sources:
         raise ValueError("harmonic_centrality needs at least one source")
-    parts = []
-    for s in sources:
-        lv = bfs(graph, s, max_iter=max_iter).filter(F.col("level") > 0)
-        parts.append(lv.select("id", (F.lit(1.0) / F.col("level")).alias("h")))
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.unionByName(p)
-    return allp.groupBy("id").agg(F.sum("h").alias("harmonic"))
+    levels = multi_source_levels(graph, sources, max_depth=max_iter)
+    return (
+        levels.filter(F.col("level") > 0)
+        .groupBy("id")
+        .agg(F.sum(F.lit(1.0) / F.col("level")).alias("harmonic"))
+    )
 
 
 def maximal_independent_set(graph: PropertyGraph, max_iter: int = 60) -> DataFrame:
@@ -1737,4 +1734,25 @@ def bipartite_project(
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("common"))
+    )
+
+
+def eccentricity(
+    graph: PropertyGraph,
+    sources: Sequence[int],
+    max_iter: int = MAX_ITERATION,
+) -> DataFrame:
+    """(id, eccentricity, n_reached) per SOURCE: the max BFS distance
+    from each seed source to any vertex it reaches, plus the reached
+    count — the sampled-landmark estimator of graph eccentricity whose
+    max over sources lower-bounds the diameter (the classic
+    double-sweep heuristic runs this twice, re-seeding with the first
+    sweep's farthest vertex).  One tagged multi-source BFS
+    (`multi_source_levels`), one per-source agg."""
+    if not sources:
+        raise ValueError("eccentricity needs at least one source")
+    levels = multi_source_levels(graph, sources, max_depth=max_iter)
+    return levels.groupBy(F.col("s").alias("id")).agg(
+        F.max("level").alias("eccentricity"),
+        (F.count(F.lit(1)) - 1).alias("n_reached"),
     )

@@ -333,3 +333,43 @@ def bigram_surprisal(
             ).alias("surprisal"),
         )
     )
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-data / unit-mixing audit for positive magnitude
+    columns.  Returns ``(digit, n, freq, expected, deviation)`` with
+    ``expected = log10(1 + 1/digit)`` and deviation the absolute gap.
+
+    One 9-row hash agg (map-side combined) + a broadcast 1-row total —
+    scan-speed at any table size.  Rows with non-positive values are
+    excluded (they have no leading significant digit).
+    """
+    d = (
+        df.filter(F.col(value_col) > 0)
+        .select(
+            F.substring(
+                F.floor(F.col(value_col)).cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        # values in (0,1) floor to digit 0 — excluded: this audit reads
+        # integer-magnitude columns (amounts, counts, populations)
+        .filter(F.col("digit") > 0)
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").cast("double").alias("_t"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("_t"), 6).alias("freq"),
+            F.round(expected, 6).alias("expected"),
+            F.round(F.abs(F.col("n") / F.col("_t") - expected), 6).alias(
+                "deviation"
+            ),
+        )
+    )

@@ -6400,6 +6400,122 @@ def q172_weighted_median(spark, sf_dir):
     )
 
 
+def _eccentricity_oracle_sql(
+    sources: tuple[int, ...] = (0, 1, 2), mod: int = 500, depth: int = 8
+) -> str:
+    """Same per-source unrolled min-dist BFS as _closeness_oracle_sql,
+    collapsed to the per-SOURCE max distance + reached count."""
+    pre = f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey % {mod} AS src, l_partkey % {mod} AS dst
+      FROM lineitem WHERE l_orderkey % {mod} <> l_partkey % {mod})"""
+    blocks, finals = [], []
+    for s in sources:
+        blocks.append(f"""
+    s{s}d0 AS (SELECT CAST({s} AS BIGINT) AS id, 0 AS dist)""")
+        for i in range(1, depth + 1):
+            p = f"s{s}d{i - 1}"
+            blocks.append(f"""
+    s{s}d{i} AS MATERIALIZED (
+      SELECT id, min(dist) AS dist FROM (
+        SELECT id, dist FROM {p}
+        UNION ALL
+        SELECT e.dst AS id, p.dist + 1 AS dist
+        FROM e JOIN {p} p ON p.id = e.src
+      ) GROUP BY id)""")
+        finals.append(
+            f"""SELECT CAST({s} AS BIGINT) AS id,
+            MAX(dist)::BIGINT AS eccentricity,
+            (COUNT(*) - 1)::BIGINT AS n_reached FROM s{s}d{depth}"""
+        )
+    return pre + "," + ",".join(blocks) + "\n" + " UNION ALL ".join(finals)
+
+
+@register("q173_eccentricity", _eccentricity_oracle_sql())
+def q173_eccentricity(spark, sf_dir):
+    """Sampled landmark eccentricity (max BFS distance per seed source,
+    the double-sweep diameter heuristic's primitive) — one tagged
+    multi-source BFS, one per-source agg."""
+    g = _mod_graph(spark, sf_dir)
+    out = alg.eccentricity(g, [0, 1, 2])
+    return out.select(
+        "id",
+        F.col("eccentricity").cast("long").alias("eccentricity"),
+        "n_reached",
+    )
+
+
+@register(
+    "q174_benford_audit",
+    """
+    WITH d AS (
+      SELECT substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                    AS VARCHAR), 1, 1)::INT AS digit
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    c AS (SELECT digit, COUNT(*)::BIGINT AS n FROM d
+          WHERE digit > 0 GROUP BY digit),
+    t AS (SELECT SUM(n)::DOUBLE AS t FROM c)
+    SELECT digit, n,
+           ROUND(n / t.t, 6) AS freq,
+           ROUND(log10(1.0 + 1.0 / digit), 6) AS expected,
+           ROUND(ABS(n / t.t - log10(1.0 + 1.0 / digit)), 6) AS deviation
+    FROM c CROSS JOIN t
+    """,
+)
+def q174_benford_audit(spark, sf_dir):
+    """Benford first-digit audit over extended prices — the
+    fabricated-data / unit-mixing quality check: one 9-row map-side
+    combined agg + broadcast total (`quality.benford_audit`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    from graphmapreduce_spark.operators import quality as Q
+
+    return Q.benford_audit(li, "l_extendedprice")
+
+
+@register(
+    "q175_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_event
+      FROM events
+    ),
+    c AS (
+      SELECT prev_event, event_type AS event, COUNT(*)::BIGINT AS n
+      FROM seq WHERE prev_event IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT prev_event, SUM(n)::DOUBLE AS t FROM c GROUP BY 1)
+    SELECT c.prev_event, c.event, c.n, ROUND(c.n / tot.t, 6) AS p
+    FROM c JOIN tot USING (prev_event)
+    """,
+)
+def q175_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (the session-flow / next-event-model statistic): one lag
+    window on the user-key partitioning (ties broken by event_id so the
+    sequence is engine-identical), pair counts, and a per-prev
+    normalizer joined back — the normalizer table is |event_type|²-
+    bounded, so AQE broadcasts it at any event volume."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev_event", F.lag("event_type").over(w))
+    c = (
+        seq.filter(F.col("prev_event").isNotNull())
+        .groupBy("prev_event", F.col("event_type").alias("event"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.groupBy("prev_event").agg(F.sum("n").cast("double").alias("_t"))
+    return c.join(tot, "prev_event").select(
+        "prev_event",
+        "event",
+        "n",
+        F.round(F.col("n") / F.col("_t"), 6).alias("p"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -6447,6 +6563,9 @@ _WINDOW_PRIORITY = [
     "q170_bigram_surprisal",
     "q171_equi_depth_histogram",
     "q172_weighted_median",
+    "q173_eccentricity",
+    "q174_benford_audit",
+    "q175_event_transitions",
     # -- implementations touched in round 4: re-verify (10) --
     "q45_ngram_jaccard",
     "q46_minhash_lsh",
@@ -6458,6 +6577,7 @@ _WINDOW_PRIORITY = [
     "q131_time_weighted_avg",
     "q134_ewma",
     "q140_retention_cohorts",
+    "q114_harmonic_centrality",
     # -- breadth fillers: round-1 window, not re-checked since r01
     #    (trim from the END when adding new queries) (33) --
     "q01_pricing_summary",
@@ -6467,10 +6587,6 @@ _WINDOW_PRIORITY = [
     "q05_anti_join",
     "q06_outer_join_counts",
     "q07_window_topk_per_group",
-    "q08_window_lag",
-    "q09_window_running_sum",
-    "q10_rollup",
-    "q11_cube",
 ]
 
 

@@ -581,3 +581,13 @@ def test_betweenness_diamond_split_paths(spark):
     assert out[2] == pytest.approx(0.5)
     assert out[3] == pytest.approx(0.5)
     assert out[4] == pytest.approx(0.0)
+
+
+def test_eccentricity_path(spark):
+    g = make_graph(spark, [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)])
+    out = {
+        r["id"]: (r["eccentricity"], r["n_reached"])
+        for r in alg.eccentricity(g, [1, 3]).collect()
+    }
+    assert out[1] == (3, 3)  # 1 reaches 2,3,4; farthest at dist 3
+    assert out[3] == (1, 1)  # 3 reaches only 4

@@ -383,3 +383,21 @@ def test_global_rank_is_dense_and_ordered(spark):
     rows = global_rank(df, ["v"], rank_col="r").orderBy("r").collect()
     assert [r["v"] for r in rows] == sorted(range(10))
     assert [r["r"] for r in rows] == list(range(1, 11))
+
+
+def test_benford_audit_sums_to_one(spark):
+    import math
+
+    from graphmapreduce_spark.operators.quality import benford_audit
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [1, 12, 19, 23, 145, 999, 0.5, -3, 31]],
+        "v double",
+    )
+    rows = benford_audit(df, "v").collect()
+    # 0.5 and -3 excluded; digits: 1,12,19,145 -> 1; 23 -> 2; 31 -> 3; 999 -> 9
+    got = {r["digit"]: r["n"] for r in rows}
+    assert got == {1: 4, 2: 1, 3: 1, 9: 1}
+    assert abs(sum(r["freq"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["expected"] == round(math.log10(1 + 1 / r["digit"]), 6)
