@@ -44,6 +44,10 @@ HEADLINE = [
     # round-4 additions: LLM-pipeline scoring ops (scan-bound)
     "q153_hashed_ngram_classifier",
     "q155_unigram_surprisal",
+    # round-4 additions: span-dedup (position-keyed shuffle) and the
+    # two-phase Brandes dataflow (iterative, multi-source-batched)
+    "q167_dup_ngram_spans",
+    "q168_betweenness",
 ]
 
 

@@ -1596,10 +1596,51 @@ def betweenness_centrality(
     amortizes on a real cluster exactly like pagerank's check_interval
     batching.
     """
+    out = _brandes_sweep(graph, sources, max_depth, want="vertex")
+    if out is None:
+        return graph.vertices.select(
+            "id", F.lit(0.0).alias("betweenness")
+        ).limit(0)
+    return out
+
+
+def edge_betweenness(
+    graph: PropertyGraph,
+    sources: Sequence[int],
+    max_depth: int = 32,
+) -> DataFrame:
+    """Sampled EDGE betweenness — the Girvan–Newman community-detection
+    primitive: (src, dst, betweenness) summing, over the seed sources,
+    each edge's shortest-path dependency σ(src)/σ(dst)·(1+δ(dst)) for
+    edges on the BFS shortest-path DAG.  Same two-phase tagged Brandes
+    dataflow as `betweenness_centrality` (the per-edge terms are exactly
+    the pre-aggregation rows of its backward sweep); edges off every
+    shortest-path DAG score no rows and are absent."""
+    out = _brandes_sweep(graph, sources, max_depth, want="edge")
+    if out is None:
+        return graph.edges.select(
+            "src", "dst", F.lit(0.0).alias("betweenness")
+        ).limit(0)
+    return out
+
+
+def _brandes_sweep(
+    graph: PropertyGraph,
+    sources: Sequence[int],
+    max_depth: int,
+    want: str = "vertex",
+):
+    """Shared tagged multi-source Brandes core.  ``want='vertex'``
+    returns (id, betweenness) summing δ per non-source vertex;
+    ``want='edge'`` returns (src, dst, betweenness) summing the
+    per-edge dependency terms (the pre-aggregation rows of the same
+    backward sweep).  Returns None for an empty sweep.  The final agg
+    is materialized (eager checkpoint) BEFORE the edge cache drops, so
+    callers never re-execute the sweep."""
     from pyspark.storagelevel import StorageLevel
 
     if not sources:
-        raise ValueError("betweenness_centrality needs at least one source")
+        raise ValueError("the Brandes sweep needs at least one source")
     we_cached = graph.edges.storageLevel == StorageLevel.NONE
     edges = graph.edges.select("src", "dst")
     if we_cached:
@@ -1637,7 +1678,7 @@ def betweenness_centrality(
     deltas = level_tables[-1].select(
         "s", "id", "sigma", F.lit(0.0).alias("delta")
     )
-    acc = []
+    acc, eacc = [], []
     if len(level_tables) > 1:
         acc.append(deltas.select("s", "id", "delta"))
     for lvl in range(len(level_tables) - 2, -1, -1):
@@ -1648,7 +1689,7 @@ def betweenness_centrality(
             F.col("sigma").alias("_wsigma"),
             F.col("delta").alias("_wdelta"),
         )
-        contrib = (
+        terms = (
             cur.join(edges, cur["id"] == edges["src"])
             .join(
                 w,
@@ -1658,15 +1699,21 @@ def betweenness_centrality(
             .select(
                 cur["s"].alias("s"),
                 cur["id"].alias("id"),
+                F.col("dst"),
                 (
                     F.col("sigma")
                     / F.col("_wsigma")
                     * (F.lit(1.0) + F.col("_wdelta"))
                 ).alias("_c"),
             )
-            .groupBy("s", "id")
-            .agg(F.sum("_c").alias("_d"))
         )
+        if want == "edge":
+            # the per-edge terms ARE the edge-betweenness contributions;
+            # lineage: checkpointed cur/deltas + cached edges only
+            eacc.append(
+                terms.select("s", F.col("id").alias("src"), "dst", "_c")
+            )
+        contrib = terms.groupBy("s", "id").agg(F.sum("_c").alias("_d"))
         deltas = (
             cur.join(contrib, ["s", "id"], "left")
             .select(
@@ -1679,16 +1726,24 @@ def betweenness_centrality(
         )
         if lvl > 0:  # the source itself never scores
             acc.append(deltas.select("s", "id", "delta"))
+    result = None
+    if want == "vertex" and acc:
+        u = acc[0]
+        for p in acc[1:]:
+            u = u.unionByName(p)
+        result = u.groupBy("id").agg(F.sum("delta").alias("betweenness"))
+    elif want == "edge" and eacc:
+        u = eacc[0]
+        for p in eacc[1:]:
+            u = u.unionByName(p)
+        result = u.groupBy("src", "dst").agg(
+            F.sum("_c").alias("betweenness")
+        )
+    if result is not None:
+        result = result.localCheckpoint(eager=True)
     if we_cached:
         edges.unpersist()
-    if not acc:
-        return graph.vertices.select(
-            "id", F.lit(0.0).alias("betweenness")
-        ).limit(0)
-    out = acc[0]
-    for p in acc[1:]:
-        out = out.unionByName(p)
-    return out.groupBy("id").agg(F.sum("delta").alias("betweenness"))
+    return result
 
 
 # ---------------------------------------------------------------------------

@@ -373,3 +373,31 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
             ),
         )
     )
+
+
+def skew_report(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """One-row key-skew diagnostic for a prospective join/agg key:
+    ``(n_rows, n_keys, max_n, top_share, entropy)`` — the decision
+    input for reaching for `relational.salted_join` / AQE skew
+    handling.  ``top_share`` is the hottest key's row fraction;
+    ``entropy`` the Shannon entropy (nats) of the key distribution
+    (ln n_keys = perfectly even).
+
+    One map-side-combined count agg to |keys| rows, then a single
+    1-row collapse — the per-key table never leaves the executors.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
+    # -Σ (n/N)·ln(n/N)  ==  ln N − (Σ n·ln n)/N — the right side is one
+    # algebraic aggregate, no second normalization pass over the keys
+    n_tot = F.sum("_n").cast("double")
+    return counts.agg(
+        F.sum("_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("_n").alias("max_n"),
+        F.round(F.max("_n") / n_tot, 6).alias("top_share"),
+        F.round(
+            F.log(n_tot)
+            - F.sum(F.col("_n") * F.log(F.col("_n"))) / n_tot,
+            6,
+        ).alias("entropy"),
+    )

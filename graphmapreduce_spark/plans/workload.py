@@ -6215,18 +6215,19 @@ def q167_dup_ngram_spans(spark, sf_dir):
     return D.duplicate_ngram_spans(d, "doc_id", "text", n=8, min_count=2)
 
 
-def _betweenness_oracle_sql(
-    sources: tuple[int, ...] = (0, 1, 2), mod: int = 500, depth: int = 8
-) -> str:
-    """Unrolled Brandes per source: forward level/σ BFS (anti-join via
-    NOT IN over the accumulated visited set), then the backward
-    dependency sweep δ(v)=Σ σv/σw·(1+δw) as one LEFT-JOIN agg per
-    level, deepest first."""
+def _brandes_oracle_blocks(
+    sources: tuple[int, ...], mod: int, depth: int
+) -> tuple[str, list]:
+    """Shared CTE scaffolding for the two Brandes oracles: per source
+    the forward level/σ BFS (anti-join via NOT IN over the accumulated
+    visited set) and the backward dependency sweep
+    δ(v)=Σ σv/σw·(1+δw) as one LEFT-JOIN agg per level, deepest
+    first."""
     pre = f"""
     WITH e AS MATERIALIZED (
       SELECT DISTINCT l_orderkey % {mod} AS src, l_partkey % {mod} AS dst
       FROM lineitem WHERE l_orderkey % {mod} <> l_partkey % {mod})"""
-    blocks, finals = [], []
+    blocks = []
     for s in sources:
         blocks.append(f"""
     s{s}f0 AS (SELECT CAST({s} AS BIGINT) AS id, 1.0 AS sigma),
@@ -6251,16 +6252,46 @@ def _betweenness_oracle_sql(
       LEFT JOIN e ON e.src = p.id
       LEFT JOIN s{s}d{l + 1} w ON w.id = e.dst
       GROUP BY p.id, p.sigma)""")
-        finals.extend(
-            f"SELECT id, delta FROM s{s}d{l}" for l in range(1, depth + 1)
-        )
+    return pre + "," + ",".join(blocks), list(sources)
+
+
+def _betweenness_oracle_sql(
+    sources: tuple[int, ...] = (0, 1, 2), mod: int = 500, depth: int = 8
+) -> str:
+    body, srcs = _brandes_oracle_blocks(sources, mod, depth)
+    finals = [
+        f"SELECT id, delta FROM s{s}d{l}"
+        for s in srcs
+        for l in range(1, depth + 1)
+    ]
     return (
-        pre
-        + ","
-        + ",".join(blocks)
+        body
         + f"""
     SELECT id, ROUND(SUM(delta), 6) AS betweenness
     FROM ({" UNION ALL ".join(finals)}) GROUP BY id"""
+    )
+
+
+def _edge_betweenness_oracle_sql(
+    sources: tuple[int, ...] = (0, 1, 2), mod: int = 500, depth: int = 8
+) -> str:
+    """Per-edge dependency terms σ(src)/σ(dst)·(1+δ(dst)) of the same
+    unrolled sweep, summed over sources and level transitions."""
+    body, srcs = _brandes_oracle_blocks(sources, mod, depth)
+    finals = [
+        f"""SELECT e.src, e.dst,
+            p.sigma / w.sigma * (1 + w.delta) AS c
+            FROM s{s}f{l} p
+            JOIN e ON e.src = p.id
+            JOIN s{s}d{l + 1} w ON w.id = e.dst"""
+        for s in srcs
+        for l in range(0, depth)
+    ]
+    return (
+        body
+        + f"""
+    SELECT src, dst, ROUND(SUM(c), 6) AS betweenness
+    FROM ({" UNION ALL ".join(finals)}) GROUP BY src, dst"""
     )
 
 
@@ -6516,6 +6547,79 @@ def q175_event_transitions(spark, sf_dir):
     )
 
 
+@register("q176_edge_betweenness", _edge_betweenness_oracle_sql())
+def q176_edge_betweenness(spark, sf_dir):
+    """Sampled EDGE betweenness (the Girvan–Newman cut primitive) from
+    the same tagged Brandes sweep as q168 — the per-edge dependency
+    terms are that sweep's pre-aggregation rows, summed per edge."""
+    g = _mod_graph(spark, sf_dir)
+    out = alg.edge_betweenness(g, [0, 1, 2])
+    return out.select(
+        "src", "dst", F.round("betweenness", 6).alias("betweenness")
+    )
+
+
+@register(
+    "q177_period_over_period",
+    """
+    WITH m AS (
+      SELECT date_part('year', l_shipdate)::BIGINT AS y,
+             date_part('month', l_shipdate)::BIGINT AS m,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT y, m, revenue,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY y, m))
+                 / LAG(revenue) OVER (ORDER BY y, m), 6) AS pct_change
+    FROM m
+    """,
+)
+def q177_period_over_period(spark, sf_dir):
+    """Month-over-month revenue change — the reporting staple: the lag
+    window runs over the COLLAPSED monthly table (tens of rows at any
+    fact volume), so the single-partition order is bounded by the
+    calendar, never the data."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        F.year("l_shipdate").cast("long").alias("y"),
+        F.month("l_shipdate").cast("long").alias("m"),
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    w = Window.orderBy("y", "m")
+    prev = F.lag("revenue").over(w)
+    return m.withColumn(
+        "pct_change", F.round((F.col("revenue") - prev) / prev, 6)
+    )
+
+
+@register(
+    "q178_skew_report",
+    """
+    WITH c AS (
+      SELECT l_partkey, COUNT(*)::BIGINT AS n FROM lineitem GROUP BY 1
+    )
+    SELECT SUM(n)::BIGINT AS n_rows, COUNT(*)::BIGINT AS n_keys,
+           MAX(n)::BIGINT AS max_n,
+           ROUND(MAX(n) / SUM(n)::DOUBLE, 6) AS top_share,
+           ROUND(ln(SUM(n)::DOUBLE)
+                 - SUM(n * ln(n::DOUBLE)) / SUM(n)::DOUBLE, 6) AS entropy
+    FROM c
+    """,
+)
+def q178_skew_report(spark, sf_dir):
+    """Join-key skew diagnostic over the part key — the decision input
+    for q146's salted join: hottest-key share + distribution entropy
+    from one count agg and a 1-row collapse
+    (`quality.skew_report`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    from graphmapreduce_spark.operators import quality as Q
+
+    return Q.skew_report(li, ["l_partkey"])
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -6566,6 +6670,9 @@ _WINDOW_PRIORITY = [
     "q173_eccentricity",
     "q174_benford_audit",
     "q175_event_transitions",
+    "q176_edge_betweenness",
+    "q177_period_over_period",
+    "q178_skew_report",
     # -- implementations touched in round 4: re-verify (10) --
     "q45_ngram_jaccard",
     "q46_minhash_lsh",
@@ -6584,9 +6691,6 @@ _WINDOW_PRIORITY = [
     "q02_top_customers",
     "q03_snowflake_agg",
     "q04_semi_join",
-    "q05_anti_join",
-    "q06_outer_join_counts",
-    "q07_window_topk_per_group",
 ]
 
 

@@ -591,3 +591,17 @@ def test_eccentricity_path(spark):
     }
     assert out[1] == (3, 3)  # 1 reaches 2,3,4; farthest at dist 3
     assert out[3] == (1, 1)  # 3 reaches only 4
+
+
+def test_edge_betweenness_path_golden(spark):
+    # 1→2→3→4 from source 1: edge deps (1,2)=3, (2,3)=2, (3,4)=1
+    g = make_graph(spark, [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)])
+    out = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in alg.edge_betweenness(g, [1]).collect()
+    }
+    assert out == {
+        (1, 2): pytest.approx(3.0),
+        (2, 3): pytest.approx(2.0),
+        (3, 4): pytest.approx(1.0),
+    }

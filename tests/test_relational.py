@@ -401,3 +401,18 @@ def test_benford_audit_sums_to_one(spark):
     assert abs(sum(r["freq"] for r in rows) - 1.0) < 1e-4
     for r in rows:
         assert r["expected"] == round(math.log10(1 + 1 / r["digit"]), 6)
+
+
+def test_skew_report_values(spark):
+    import math
+
+    from graphmapreduce_spark.operators.quality import skew_report
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 2, "k string"
+    )
+    r = skew_report(df, ["k"]).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_n"]) == (8, 2, 6)
+    assert r["top_share"] == 0.75
+    expected = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert r["entropy"] == round(expected, 6)
