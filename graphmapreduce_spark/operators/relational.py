@@ -574,3 +574,47 @@ def weighted_median(
         .groupBy(*group_cols)
         .agg(F.min(value_col).alias("wmedian"))
     )
+
+
+def interval_union(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping/touching [start, end] intervals per key and
+    report ``(*key_cols, n_intervals, covered)`` — merged-interval count
+    and total covered length (the union measure, overlaps counted
+    once).  The utilization/SLA primitive interval_join lacks.
+
+    Classic plane sweep as windows: a strict-predecessor running-max of
+    ``end`` marks interval starts that open a NEW merged group
+    (start > every earlier end), a running sum of those flags numbers
+    the groups, and two hash aggs collapse them — every stage on the
+    same key partitioning, no self-join, no explode of the time axis.
+    Per-key interval counts are data-bounded (events per user), so the
+    window partition cannot skew-explode at scale.
+    """
+    keys = list(key_cols)
+    s, e = F.col(start_col), F.col(end_col)
+    w = Window.partitionBy(*keys).orderBy(start_col, end_col)
+    prev_max = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = (prev_max.isNull() | (s > prev_max)).cast("long")
+    grouped = (
+        df.select(*keys, s.alias(start_col), e.alias(end_col))
+        .withColumn("_open", opens)
+        .withColumn(
+            "_grp",
+            F.sum("_open").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(*keys, "_grp")
+        .agg(F.min(start_col).alias("_s"), F.max(end_col).alias("_e"))
+    )
+    return grouped.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("_e") - F.col("_s")).alias("covered"),
+    )

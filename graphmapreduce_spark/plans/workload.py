@@ -6620,6 +6620,90 @@ def q178_skew_report(spark, sf_dir):
     return Q.skew_report(li, ["l_partkey"])
 
 
+@register(
+    "q179_interval_union",
+    """
+    WITH iv AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pm
+      FROM iv
+    ),
+    g AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS grp
+      FROM m
+    ),
+    c AS (
+      SELECT user_id, grp, MIN(s) AS ms, MAX(e) AS me
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id, COUNT(*)::BIGINT AS n_intervals,
+           SUM(me - ms)::BIGINT AS covered
+    FROM c GROUP BY user_id
+    """,
+)
+def q179_interval_union(spark, sf_dir):
+    """Per-user union measure of 5-minute activity windows (overlaps
+    counted once) — the utilization/SLA primitive: plane sweep as a
+    strict-predecessor running-max window + group numbering, all on one
+    user-key partitioning (`relational.interval_union`)."""
+    e = _t(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long") + 300).alias("e"),
+    )
+    return R.interval_union(iv, ["user_id"], "s", "e")
+
+
+@register(
+    "q180_cumulative_distinct",
+    """
+    WITH firstday AS (
+      SELECT user_id,
+             MIN(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT day, COUNT(*)::BIGINT AS new_users
+      FROM firstday GROUP BY day
+    )
+    SELECT day, new_users,
+           SUM(new_users) OVER (ORDER BY day
+                                ROWS UNBOUNDED PRECEDING)::BIGINT
+             AS cum_users
+    FROM daily
+    """,
+)
+def q180_cumulative_distinct(spark, sf_dir):
+    """Running distinct-user count by day — EXACT cumulative distinct
+    via the first-seen trick: distinct collapses to one row per user
+    (min day), the cumulative window then runs over the collapsed
+    per-day table (calendar-bounded), never the raw events."""
+    e = _t(spark, sf_dir, "events")
+    fd = e.groupBy("user_id").agg(
+        F.min(F.floor(F.col("ts").cast("long") / 86400).cast("long")).alias(
+            "day"
+        )
+    )
+    daily = fd.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.withColumn(
+        "cum_users", F.sum("new_users").over(w).cast("long")
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -6673,6 +6757,8 @@ _WINDOW_PRIORITY = [
     "q176_edge_betweenness",
     "q177_period_over_period",
     "q178_skew_report",
+    "q179_interval_union",
+    "q180_cumulative_distinct",
     # -- implementations touched in round 4: re-verify (10) --
     "q45_ngram_jaccard",
     "q46_minhash_lsh",
@@ -6689,8 +6775,6 @@ _WINDOW_PRIORITY = [
     #    (trim from the END when adding new queries) (33) --
     "q01_pricing_summary",
     "q02_top_customers",
-    "q03_snowflake_agg",
-    "q04_semi_join",
 ]
 
 

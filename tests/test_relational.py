@@ -416,3 +416,22 @@ def test_skew_report_values(spark):
     assert r["top_share"] == 0.75
     expected = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
     assert r["entropy"] == round(expected, 6)
+
+
+def test_interval_union_merges_overlaps(spark):
+    from graphmapreduce_spark.operators.relational import interval_union
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, 10), (1, 5, 15), (1, 15, 20),  # chain -> one [0,20]
+            (1, 30, 40),                           # separate island
+            (2, 0, 1),
+        ],
+        "u long, s long, e long",
+    )
+    out = {
+        r["u"]: (r["n_intervals"], r["covered"])
+        for r in interval_union(df, ["u"], "s", "e").collect()
+    }
+    assert out[1] == (2, 30)  # [0,20] (20) + [30,40] (10)
+    assert out[2] == (1, 1)
