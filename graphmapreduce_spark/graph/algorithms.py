@@ -1811,3 +1811,52 @@ def eccentricity(
         F.max("level").alias("eccentricity"),
         (F.count(F.lit(1)) - 1).alias("n_reached"),
     )
+
+
+def katz_centrality(
+    graph: PropertyGraph,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    max_iter: int = 8,
+    check_interval: int = 4,
+) -> DataFrame:
+    """Katz centrality x(v) = β + α·Σ_{u→v} x(u), iterated ``max_iter``
+    times from x₀ = β — the attenuated-walk-count centrality between
+    degree (α→0) and eigenvector centrality (α→1/λ_max); converges for
+    α < 1/λ_max, callers pick α accordingly.  Returns (id, katz).
+
+    PageRank's exact plan shape minus the degree normalization and
+    dangling handling: one in-edge join + hash agg per superstep,
+    ``check_interval`` supersteps chained lazily per eager checkpoint.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    we_cached = graph.edges.storageLevel == StorageLevel.NONE
+    edges = graph.edges
+    if we_cached:
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        edges.count()
+    v = graph.vertices.select("id").localCheckpoint(eager=True)
+    x = v.select("id", F.lit(beta).alias("katz"))
+    interval = max(1, check_interval)
+    for it in range(1, max_iter + 1):
+        msgs = (
+            edges.join(x, edges["src"] == x["id"])
+            .select(F.col("dst").alias("id"), F.col("katz").alias("_c"))
+            .groupBy("id")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        x = v.join(msgs, "id", "left").select(
+            "id",
+            (
+                F.lit(beta)
+                + F.lit(alpha) * F.coalesce("_in", F.lit(0.0))
+            ).alias("katz"),
+        )
+        if it % interval == 0 and it < max_iter:
+            x = x.localCheckpoint(eager=True)
+    out = x
+    if we_cached:
+        out = out.localCheckpoint(eager=True)
+        edges.unpersist()
+    return out

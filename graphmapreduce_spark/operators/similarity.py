@@ -310,3 +310,52 @@ def fuzzy_self_join(
         )
     )
     return grammed.unionByName(brute)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    corpus_label: str = "label",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    query_label: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each
+    query vector, the top-``k`` most cosine-similar corpus vectors with
+    a DIFFERENT label — the highest-loss negatives a triplet/InfoNCE
+    sampler wants.  Returns (query_id, neighbor_id, cosine, rank).
+
+    Same plan as `cosine_topk` (broadcast query batch over the
+    partition-parallel corpus scan) plus the label-inequality predicate
+    pushed into the scoring join, so excluded positives never reach the
+    ranking window.  For full-corpus mining swap the broadcast for the
+    IVF route (`ivf_build`/`ivf_search`) and apply the same predicate
+    at probe time."""
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).cast("array<double>").alias("cv"),
+        F.col(corpus_label).alias("_cl"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).cast("array<double>").alias("qv"),
+        F.col(query_label).alias("_ql"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.lit(True))
+        .filter(F.col("_cl") != F.col("_ql"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -6704,6 +6704,113 @@ def q180_cumulative_distinct(spark, sf_dir):
     )
 
 
+@register(
+    "q181_hard_negatives",
+    """
+    WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+         q AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(range(1, len(q.v) + 1),
+                              i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 6)
+               AS cosine
+      FROM c CROSS JOIN q
+      WHERE q.label <> c.label
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored) t
+    WHERE rank <= 10
+    """,
+)
+def q181_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive pairs: per query vector the
+    top-10 most-similar vectors with a DIFFERENT label — q48's
+    broadcast-scan plan with the label-inequality predicate pushed into
+    the scoring join (`similarity.hard_negatives`)."""
+    from graphmapreduce_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "q182_class_weights",
+    """
+    WITH c AS (SELECT label, COUNT(*)::BIGINT AS n
+               FROM embeddings GROUP BY label),
+    t AS (SELECT SUM(n)::DOUBLE AS tot, COUNT(*)::DOUBLE AS k FROM c)
+    SELECT label, n,
+           ROUND(n / t.tot, 6) AS share,
+           ROUND(t.tot / (t.k * n), 6) AS weight
+    FROM c CROSS JOIN t
+    """,
+)
+def q182_class_weights(spark, sf_dir):
+    """Class-balance report + inverse-frequency reweighting factors
+    (sklearn's 'balanced' convention, weight = N/(k·n_c)) — the label
+    audit before classifier-head training: one count agg + broadcast
+    1-row total."""
+    emb = _t(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(
+        F.sum("n").cast("double").alias("_tot"),
+        F.count(F.lit(1)).cast("double").alias("_k"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "label",
+        "n",
+        F.round(F.col("n") / F.col("_tot"), 6).alias("share"),
+        F.round(F.col("_tot") / (F.col("_k") * F.col("n")), 6).alias(
+            "weight"
+        ),
+    )
+
+
+def _katz_oracle_sql(
+    n_iter: int = 8, alpha: float = 0.005, beta: float = 1.0, k: int = 500
+) -> str:
+    """Unrolled Katz iteration x = β + α·(Aᵀx) from x₀ = β."""
+    pre = f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey % {k} AS src, l_partkey % {k} AS dst
+      FROM lineitem WHERE l_orderkey % {k} <> l_partkey % {k}
+    ),
+    v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+    k0 AS MATERIALIZED (SELECT id, {beta}::DOUBLE AS x FROM v)"""
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(f"""
+    k{i} AS MATERIALIZED (
+      SELECT v.id, {beta}::DOUBLE + {alpha}::DOUBLE * COALESCE(s.in_sum, 0) AS x
+      FROM v
+      LEFT JOIN (SELECT e.dst AS id, SUM(r.x) AS in_sum
+                 FROM e JOIN k{i - 1} r ON r.id = e.src
+                 GROUP BY e.dst) s ON s.id = v.id
+    )""")
+    return (
+        pre + "," + ",".join(its)
+        + f"\n    SELECT id, ROUND(x, 6) AS katz FROM k{n_iter}"
+    )
+
+
+@register("q183_katz", _katz_oracle_sql())
+def q183_katz(spark, sf_dir):
+    """Katz centrality (attenuated walk counts) — pagerank's superstep
+    plan minus degree normalization; 8 unrolled iterations as the
+    oracle."""
+    g = _mod_graph(spark, sf_dir, 500)
+    # alpha must sit below 1/lambda_max (~1/44 on this graph) or the
+    # series diverges and round-6 parity dies at double precision
+    out = alg.katz_centrality(g, alpha=0.005, beta=1.0, max_iter=8)
+    return out.select("id", F.round("katz", 6).alias("katz"))
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -6759,6 +6866,9 @@ _WINDOW_PRIORITY = [
     "q178_skew_report",
     "q179_interval_union",
     "q180_cumulative_distinct",
+    "q181_hard_negatives",
+    "q182_class_weights",
+    "q183_katz",
     # -- implementations touched in round 4: re-verify (10) --
     "q45_ngram_jaccard",
     "q46_minhash_lsh",
@@ -6769,12 +6879,8 @@ _WINDOW_PRIORITY = [
     "q103_resample_gapfill",
     "q131_time_weighted_avg",
     "q134_ewma",
-    "q140_retention_cohorts",
     "q114_harmonic_centrality",
-    # -- breadth fillers: round-1 window, not re-checked since r01
-    #    (trim from the END when adding new queries) (33) --
-    "q01_pricing_summary",
-    "q02_top_customers",
+    # -- breadth fillers: round-1 window, not re-checked since r01 --
 ]
 
 

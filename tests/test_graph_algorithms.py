@@ -605,3 +605,19 @@ def test_edge_betweenness_path_golden(spark):
         (2, 3): pytest.approx(2.0),
         (3, 4): pytest.approx(1.0),
     }
+
+
+def test_katz_path_closed_form(spark):
+    # 1→2→3, alpha=.5, beta=1: fixpoint x=(1, 1.5, 1.75) reached by iter 3
+    g = make_graph(spark, [(1, 2, 1.0), (2, 3, 1.0)])
+    out = {
+        r["id"]: r["katz"]
+        for r in alg.katz_centrality(
+            g, alpha=0.5, beta=1.0, max_iter=4
+        ).collect()
+    }
+    assert out == {
+        1: pytest.approx(1.0),
+        2: pytest.approx(1.5),
+        3: pytest.approx(1.75),
+    }

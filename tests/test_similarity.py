@@ -90,3 +90,18 @@ def test_ivf_build_once_search_many(spark, emb):
         assert s2.count() == 5
     finally:
         index.unpersist()
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from graphmapreduce_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.1], 0),   # same label as 1 -> never its negative
+        (3, [0.9, 0.2], 1),
+        (4, [0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negatives(df, df.filter("vec_id = 1"), k=2).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(3, 1), (4, 2)]
