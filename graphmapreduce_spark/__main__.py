@@ -96,6 +96,8 @@ def main(argv: list[str] | None = None) -> int:
             "pagerank", "trianglecount", "sssp",  # reference parity
             "wcc", "bfs", "scc", "kcore", "ktruss",
             "labelprop", "mis", "harmonic",
+            "closeness", "betweenness", "edgebetweenness", "eccentricity",
+            "hits", "katz", "eigenvector", "reciprocity",
         ],
     )
     p.add_argument(
@@ -174,7 +176,10 @@ def main(argv: list[str] | None = None) -> int:
         res = alg.label_propagation(g, max_iter=args.max_iter).orderBy("id")
     elif args.algorithm == "mis":
         res = alg.maximal_independent_set(g).orderBy("id")
-    elif args.algorithm == "harmonic":
+    elif args.algorithm in (
+        "harmonic", "closeness", "betweenness", "edgebetweenness",
+        "eccentricity",
+    ):
         if args.sources:
             seeds = [int(s) for s in args.sources.split(",")]
         else:
@@ -184,9 +189,34 @@ def main(argv: list[str] | None = None) -> int:
                 r[0]
                 for r in g.vertices.select("id").orderBy("id").limit(8).collect()
             ]
-        res = alg.harmonic_centrality(
-            g, seeds, max_iter=args.max_iter
-        ).orderBy("id")
+        if args.algorithm == "harmonic":
+            res = alg.harmonic_centrality(
+                g, seeds, max_iter=args.max_iter
+            ).orderBy("id")
+        elif args.algorithm == "closeness":
+            res = alg.closeness_centrality(
+                g, seeds, max_iter=args.max_iter
+            ).orderBy("id")
+        elif args.algorithm == "betweenness":
+            res = alg.betweenness_centrality(
+                g, seeds, max_depth=args.max_iter
+            ).orderBy("id")
+        elif args.algorithm == "edgebetweenness":
+            res = alg.edge_betweenness(
+                g, seeds, max_depth=args.max_iter
+            ).orderBy("src", "dst")
+        else:
+            res = alg.eccentricity(
+                g, seeds, max_iter=args.max_iter
+            ).orderBy("id")
+    elif args.algorithm == "hits":
+        res = alg.hits(g, max_iter=8).orderBy("id")
+    elif args.algorithm == "katz":
+        res = alg.katz_centrality(g, max_iter=8).orderBy("id")
+    elif args.algorithm == "eigenvector":
+        res = alg.eigenvector_centrality(g, max_iter=8).orderBy("id")
+    elif args.algorithm == "reciprocity":
+        res = alg.reciprocity(g)
     else:  # pragma: no cover - argparse enforces choices
         raise AssertionError(args.algorithm)
 

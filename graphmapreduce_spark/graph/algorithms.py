@@ -1860,3 +1860,74 @@ def katz_centrality(
         out = out.localCheckpoint(eager=True)
         edges.unpersist()
     return out
+
+
+def eigenvector_centrality(
+    graph: PropertyGraph,
+    max_iter: int = 8,
+    check_interval: int = 4,
+) -> DataFrame:
+    """Eigenvector centrality by power iteration on Aᵀ (in-edge sums)
+    from x₀ = 1, L2-normalized ONCE at the end — per-iteration norms
+    factor through the linear map exactly as in `hits`, so chunks of
+    ``check_interval`` supersteps chain as one lazy plan per eager
+    checkpoint.  Returns (id, eigenvector); vertices outside every
+    cycle's in-basin decay to 0, the standard directed-graph caveat.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    we_cached = graph.edges.storageLevel == StorageLevel.NONE
+    edges = graph.edges
+    if we_cached:
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        edges.count()
+    v = graph.vertices.select("id").localCheckpoint(eager=True)
+    x = v.select("id", F.lit(1.0).alias("x"))
+    interval = max(1, check_interval)
+    for it in range(1, max_iter + 1):
+        msgs = (
+            edges.join(x, edges["src"] == x["id"])
+            .select(F.col("dst").alias("id"), F.col("x").alias("_c"))
+            .groupBy("id")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        x = v.join(msgs, "id", "left").select(
+            "id", F.coalesce("_in", F.lit(0.0)).alias("x")
+        )
+        if it % interval == 0 and it < max_iter:
+            x = x.localCheckpoint(eager=True)
+    x = x.localCheckpoint(eager=True)
+    norm = x.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("_n"))
+    out = x.crossJoin(F.broadcast(norm)).select(
+        "id",
+        F.when(F.col("_n") > 0, F.col("x") / F.col("_n"))
+        .otherwise(F.lit(0.0))
+        .alias("eigenvector"),
+    )
+    if we_cached:
+        out = out.localCheckpoint(eager=True)
+        edges.unpersist()
+    return out
+
+
+def reciprocity(graph: PropertyGraph) -> DataFrame:
+    """One-row (n_edges, n_mutual, reciprocity): the fraction of
+    directed edges whose reverse also exists (self-loops excluded) —
+    the classic directed-graph symmetry statistic.  One distinct, one
+    self-semi-join on the flipped key, two counts."""
+    e = (
+        graph.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = e.join(rev, ["src", "dst"], "left_semi")
+    n = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    m = mutual.agg(F.count(F.lit(1)).alias("n_mutual"))
+    return n.crossJoin(m).select(
+        "n_edges",
+        "n_mutual",
+        F.round(F.col("n_mutual") / F.col("n_edges"), 6).alias(
+            "reciprocity"
+        ),
+    )

@@ -618,3 +618,40 @@ def interval_union(
         F.count(F.lit(1)).alias("n_intervals"),
         F.sum(F.col("_e") - F.col("_s")).alias("covered"),
     )
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    eps: float,
+    condition: Column | None = None,
+) -> DataFrame:
+    """Band join: pairs with ``|left_val − right_val| ≤ eps`` — the
+    numeric-proximity join (sensor alignment, price matching, fuzzy
+    numeric keys) that a naive theta join turns into a full cross
+    product.
+
+    Bucket blocking: each side keys on ``floor(val/eps)``; a pair
+    within ``eps`` differs by at most one bucket, so the LEFT side
+    explodes into its 3 adjacent bucket keys (3× row inflation — cheap,
+    fixed) and the join becomes an EQUI join on the bucket id with the
+    exact band predicate re-checked after.  Cost is Σ per-bucket
+    |L|·|R| instead of |L|·|R|; bucket population is data-bounded by
+    the value distribution within any eps-window.  ``condition``
+    optionally adds extra join predicates (applied post-join).
+    """
+    b_l = F.floor(F.col(left_val) / eps).cast("long")
+    b_r = F.floor(F.col(right_val) / eps).cast("long")
+    l = left.withColumn(
+        "_band",
+        F.explode(F.array(b_l - 1, b_l, b_l + 1)),
+    )
+    r = right.withColumn("_band", b_r)
+    out = l.join(r, "_band").filter(
+        F.abs(F.col(left_val) - F.col(right_val)) <= eps
+    )
+    if condition is not None:
+        out = out.filter(condition)
+    return out.drop("_band")

@@ -6811,6 +6811,107 @@ def q183_katz(spark, sf_dir):
     return out.select("id", F.round("katz", 6).alias("katz"))
 
 
+def _eigenvector_oracle_sql(n_iter: int = 8, k: int = 500) -> str:
+    """Unrolled power iteration x = Aᵀx from x₀ = 1, L2-normalized once
+    at the end (mirrors eigenvector_centrality exactly)."""
+    pre = f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey % {k} AS src, l_partkey % {k} AS dst
+      FROM lineitem WHERE l_orderkey % {k} <> l_partkey % {k}
+    ),
+    v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+    x0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS x FROM v)"""
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(f"""
+    x{i} AS MATERIALIZED (
+      SELECT v.id, COALESCE(s.in_sum, 0)::DOUBLE AS x
+      FROM v
+      LEFT JOIN (SELECT e.dst AS id, SUM(r.x) AS in_sum
+                 FROM e JOIN x{i - 1} r ON r.id = e.src
+                 GROUP BY e.dst) s ON s.id = v.id
+    )""")
+    return (
+        pre + "," + ",".join(its)
+        + f"""
+    SELECT id,
+           ROUND(x / (SELECT sqrt(SUM(x * x)) FROM x{n_iter}), 6)
+             AS eigenvector
+    FROM x{n_iter}"""
+    )
+
+
+@register("q184_eigenvector", _eigenvector_oracle_sql())
+def q184_eigenvector(spark, sf_dir):
+    """Eigenvector centrality by 8 power-iteration supersteps,
+    un-normalized chunks + one final L2 norm (the HITS trick on a
+    single vector)."""
+    g = _mod_graph(spark, sf_dir, 500)
+    out = alg.eigenvector_centrality(g, max_iter=8)
+    return out.select(
+        "id", F.round("eigenvector", 6).alias("eigenvector")
+    )
+
+
+@register(
+    "q185_reciprocity",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_orderkey % 500 AS src, l_partkey % 500 AS dst
+      FROM lineitem WHERE l_orderkey % 500 <> l_partkey % 500
+    )
+    SELECT (SELECT COUNT(*) FROM e)::BIGINT AS n_edges,
+           (SELECT COUNT(*) FROM e a
+            WHERE EXISTS (SELECT 1 FROM e b
+                          WHERE b.src = a.dst AND b.dst = a.src))::BIGINT
+             AS n_mutual,
+           ROUND((SELECT COUNT(*) FROM e a
+                  WHERE EXISTS (SELECT 1 FROM e b
+                                WHERE b.src = a.dst AND b.dst = a.src))
+                 / (SELECT COUNT(*) FROM e)::DOUBLE, 6) AS reciprocity
+    """,
+)
+def q185_reciprocity(spark, sf_dir):
+    """Directed-edge reciprocity (mutual-edge fraction) — one flipped
+    self-semi-join + two counts (`algorithms.reciprocity`)."""
+    g = _mod_graph(spark, sf_dir)
+    return alg.reciprocity(g)
+
+
+@register(
+    "q186_band_join",
+    """
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+           ROUND(ABS(a.p_retailprice - b.p_retailprice), 2) AS price_gap
+    FROM part a JOIN part b
+      ON ABS(a.p_retailprice - b.p_retailprice) <= 0.5
+     AND a.p_partkey < b.p_partkey
+    """,
+)
+def q186_band_join(spark, sf_dir):
+    """Numeric band join (|price gap| ≤ 0.5) via eps-bucket blocking —
+    equi join on floor(val/eps) with 3-bucket left expansion, exact
+    band re-checked post-join; the oracle is the quadratic theta join
+    (`relational.band_join`)."""
+    p = _t(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_retailprice").alias("pa"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_retailprice").alias("pb"),
+    )
+    out = R.band_join(
+        a, b, "pa", "pb", 0.5, condition=F.col("a_key") < F.col("b_key")
+    )
+    return out.select(
+        "a_key",
+        "b_key",
+        F.round(F.abs(F.col("pa") - F.col("pb")), 2).alias("price_gap"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -6869,6 +6970,9 @@ _WINDOW_PRIORITY = [
     "q181_hard_negatives",
     "q182_class_weights",
     "q183_katz",
+    "q184_eigenvector",
+    "q185_reciprocity",
+    "q186_band_join",
     # -- implementations touched in round 4: re-verify (10) --
     "q45_ngram_jaccard",
     "q46_minhash_lsh",
@@ -6876,9 +6980,6 @@ _WINDOW_PRIORITY = [
     "q105_ktruss",
     "q106_fuzzy_join",
     "q89_sessionize",
-    "q103_resample_gapfill",
-    "q131_time_weighted_avg",
-    "q134_ewma",
     "q114_harmonic_centrality",
     # -- breadth fillers: round-1 window, not re-checked since r01 --
 ]

@@ -87,3 +87,25 @@ def test_cli_pagerank_output_parquet(tmp_path):
     assert first[0] == "1"  # highest-degree vertex tops the ranking
     import glob
     assert glob.glob(out_dir + "/*.parquet"), "parquet output missing"
+
+
+def test_cli_new_centralities_run():
+    """Every round-4 centrality launches end-to-end on the reference's
+    small fixture (the ADVICE lesson: an advertised CLI branch without
+    a test can ship crashing)."""
+    import pytest
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    for algo in (
+        "closeness", "betweenness", "edgebetweenness", "eccentricity",
+        "hits", "katz", "eigenvector", "reciprocity",
+    ):
+        out = subprocess.run(
+            [sys.executable, "-m", "graphmapreduce_spark",
+             algo, f"{REF}/small.graph", "--sources", "1,2"],
+            capture_output=True, text=True, timeout=300, cwd=REPO, env=env,
+        )
+        assert out.returncode == 0, (algo, out.stderr[-2000:])
+        assert len(out.stdout.strip().splitlines()) >= 2, (
+            algo, out.stdout,
+        )

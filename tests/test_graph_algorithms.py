@@ -621,3 +621,24 @@ def test_katz_path_closed_form(spark):
         2: pytest.approx(1.5),
         3: pytest.approx(1.75),
     }
+
+
+def test_eigenvector_cycle_uniform(spark):
+    # directed 3-cycle: uniform eigenvector 1/sqrt(3) each
+    g = make_graph(spark, [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)])
+    out = {
+        r["id"]: r["eigenvector"]
+        for r in alg.eigenvector_centrality(g, max_iter=6).collect()
+    }
+    s = 1.0 / math.sqrt(3.0)
+    assert out == {
+        1: pytest.approx(s), 2: pytest.approx(s), 3: pytest.approx(s)
+    }
+
+
+def test_reciprocity_half_mutual(spark):
+    # edges: 1→2, 2→1 (mutual pair), 1→3 (one-way): 2 of 3 reciprocated
+    g = make_graph(spark, [(1, 2, 1.0), (2, 1, 1.0), (1, 3, 1.0)])
+    r = alg.reciprocity(g).collect()[0]
+    assert (r["n_edges"], r["n_mutual"]) == (3, 2)
+    assert r["reciprocity"] == round(2 / 3, 6)

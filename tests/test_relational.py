@@ -435,3 +435,19 @@ def test_interval_union_merges_overlaps(spark):
     }
     assert out[1] == (2, 30)  # [0,20] (20) + [30,40] (10)
     assert out[2] == (1, 1)
+
+
+def test_band_join_boundary_and_bucket_edges(spark):
+    from graphmapreduce_spark.operators.relational import band_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (2, 99.9)], "lid long, lv double"
+    )
+    right = spark.createDataFrame(
+        [(1, 10.5), (2, 10.6), (3, 100.4), (4, 9.5)],
+        "rid long, rv double",
+    )
+    out = band_join(left, right, "lv", "rv", 0.5)
+    got = {(r["lid"], r["rid"]) for r in out.collect()}
+    # 10.0 matches 10.5 (exactly eps) and 9.5; 99.9 matches 100.4
+    assert got == {(1, 1), (1, 4), (2, 3)}
