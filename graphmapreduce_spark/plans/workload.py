@@ -6912,6 +6912,60 @@ def q186_band_join(spark, sf_dir):
     )
 
 
+@register(
+    "q187_leakage_safe_split",
+    f"""
+    WITH RECURSIVE
+    {_PAIR_CLOSURE_CTES},
+    alld AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+    asg AS (
+      SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+      FROM alld d LEFT JOIN clusters c ON c.id = d.doc_id
+    ),
+    b AS (
+      SELECT doc_id, cluster,
+             {_MD5_BUCKET.format(col='cluster', seed=1)} AS bk
+      FROM asg
+    )
+    SELECT doc_id, cluster,
+           CASE WHEN bk < 800000 THEN 'train'
+                WHEN bk < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def q187_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: hash on the near-dup CLUSTER
+    id, not the doc id, so near-duplicates can never straddle a split
+    boundary and leak eval data into training — the q80 split's
+    correctness upgrade, composing the q76 closure with the md5 bucket
+    ranges.  Singleton docs are their own cluster."""
+    d, pairs = _pair_frame(spark, sf_dir)
+    clusters = D.dedup_clusters(pairs)
+    assigned = (
+        d.select("doc_id")
+        .join(clusters, d["doc_id"] == clusters["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
+        )
+    )
+    bk = F.pmod(
+        T.md5_hash60(
+            F.concat(F.col("cluster").cast("string"), F.lit(":1"))
+        ),
+        F.lit(1_000_000),
+    )
+    return assigned.select(
+        "doc_id",
+        "cluster",
+        F.when(bk < 800_000, "train")
+        .when(bk < 900_000, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -6973,9 +7027,9 @@ _WINDOW_PRIORITY = [
     "q184_eigenvector",
     "q185_reciprocity",
     "q186_band_join",
+    "q187_leakage_safe_split",
     # -- implementations touched in round 4: re-verify (10) --
     "q45_ngram_jaccard",
-    "q46_minhash_lsh",
     "q31_triangle_count",
     "q105_ktruss",
     "q106_fuzzy_join",

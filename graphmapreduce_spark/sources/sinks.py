@@ -107,3 +107,10 @@ def compact_parquet(
     shutil.rmtree(path)
     shutil.move(tmp, path)
     return n_files
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Columnar ORC sink — same predicate-pushdown/column-pruning class
+    as parquet on the read side; exists so the engine covers every
+    columnar format Spark ships natively."""
+    df.write.mode(mode).orc(path)

@@ -181,3 +181,14 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
         back.explain()
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "B" in plan.split("PartitionFilters")[1].split("]")[0], plan
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from graphmapreduce_spark.sources.sinks import write_orc
+
+    df = spark.range(50).selectExpr("id", "id % 7 AS g")
+    path = str(tmp_path / "orc_out")
+    write_orc(df, path)
+    back = spark.read.orc(path)
+    assert back.count() == 50
+    assert {r["g"] for r in back.select("g").distinct().collect()} == set(range(7))
