@@ -642,3 +642,40 @@ def test_reciprocity_half_mutual(spark):
     r = alg.reciprocity(g).collect()[0]
     assert (r["n_edges"], r["n_mutual"]) == (3, 2)
     assert r["reciprocity"] == round(2 / 3, 6)
+
+
+def test_multi_source_levels_equals_per_source_bfs(spark):
+    # tagged frontier must reproduce per-source BFS levels exactly
+    edges = [
+        (1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (1, 5, 1.0),
+        (5, 4, 1.0), (4, 6, 1.0), (7, 1, 1.0),
+    ]
+    g = make_graph(spark, edges)
+    tagged = {
+        (r["s"], r["id"]): r["level"]
+        for r in alg.multi_source_levels(g, [1, 7, 4]).collect()
+    }
+    for s in (1, 7, 4):
+        # bfs() reports unreachable vertices as level -1; the tagged
+        # frontier emits only reached (s, id) pairs
+        per = {
+            (s, r["id"]): r["level"]
+            for r in alg.bfs(g, s).collect()
+            if r["level"] >= 0
+        }
+        sub = {k: v for k, v in tagged.items() if k[0] == s}
+        assert sub == per, (s, sub, per)
+
+
+def test_bipartite_project_hub_cap(spark):
+    # right vertex 99 is a hub touching all 6 lefts; capping df at 3
+    # removes it, leaving only the pair sharing the non-hub vertex 7
+    rows = [(i, 99) for i in range(1, 7)] + [(1, 7), (2, 7)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    uncapped = alg.bipartite_project(e).collect()
+    assert len(uncapped) == 15  # C(6,2) through the hub
+    capped = {
+        (r["a"], r["b"], r["common"])
+        for r in alg.bipartite_project(e, max_df=3).collect()
+    }
+    assert capped == {(1, 2, 1)}
