@@ -147,3 +147,25 @@ def test_stress_hub_graph_degree_orientation_bounds_wedges(spark):
     truss = alg.k_truss(g, 3)
     assert truss.count() == 201
     assert truss.agg(F.min("support")).first()[0] >= 1
+
+
+@pytest.mark.slow
+def test_stress_tagged_centralities_converge_in_budget(spark, big_graph):
+    """The round-4 centrality family on the 120k-vertex graph: tagged
+    multi-source Brandes (vertex betweenness) and HITS complete within
+    budget, with sanity invariants (HITS norms ≈ 1, betweenness ≥ 0,
+    Brandes touches the whole component from any source on the ring)."""
+    g = big_graph
+    t0 = time.time()
+    bt = alg.betweenness_centrality(g, [1, 17, 4242])
+    n_bt = bt.count()
+    assert n_bt == N - 0 or n_bt >= N - 3  # sources don't score themselves
+    assert bt.agg(F.min("betweenness")).first()[0] >= 0.0
+    h = alg.hits(g, max_iter=4, check_interval=2)
+    norms = h.agg(
+        F.sum(F.col("auth") * F.col("auth")).alias("a2"),
+        F.sum(F.col("hub") * F.col("hub")).alias("h2"),
+    ).first()
+    assert abs(norms["a2"] - 1.0) < 1e-6
+    assert abs(norms["h2"] - 1.0) < 1e-6
+    assert time.time() - t0 < BUDGET_S
