@@ -6966,6 +6966,148 @@ def q187_leakage_safe_split(spark, sf_dir):
     )
 
 
+@register(
+    "q188_length_buckets",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             w -> w <> '')) AS n_tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tok,
+             CAST(POWER(2, CEIL(LOG2(GREATEST(n_tok, 1)))) AS BIGINT)
+               AS bucket
+      FROM t WHERE n_tok > 0
+    )
+    SELECT bucket, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tok)::BIGINT AS total_tokens,
+           (COUNT(*) * bucket)::BIGINT AS padded_tokens,
+           ROUND(1.0 - SUM(n_tok) / (COUNT(*) * bucket)::DOUBLE, 6)
+             AS waste_ratio
+    FROM b GROUP BY bucket
+    """,
+)
+def q188_length_buckets(spark, sf_dir):
+    """Power-of-two length bucketing with padding-waste accounting —
+    the batching-efficiency audit run before fixed-shape training
+    (docs padded to their bucket; waste = padding fraction).  One
+    tokenize + one 20-row hash agg."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(F.split(F.trim(F.col("text")), "\\s+"), lambda w: w != "")
+    )
+    b = (
+        d.select(n_tok.alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .withColumn(
+            "bucket",
+            F.pow(
+                F.lit(2.0),
+                F.ceil(F.log2(F.greatest(F.col("n_tok"), F.lit(1)))),
+            ).cast("long"),
+        )
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        (F.count(F.lit(1)) * F.col("bucket").cast("long"))
+        .alias("padded_tokens"),
+        F.round(
+            1.0
+            - F.sum("n_tok")
+            / (F.count(F.lit(1)) * F.col("bucket")).cast("double"),
+            6,
+        ).alias("waste_ratio"),
+    )
+
+
+@register(
+    "q189_encoding_audit",
+    r"""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           (length(text) - length(replace(text, chr(65533), '')))::BIGINT
+             AS n_replacement,
+           (length(text)
+            - length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]',
+                                    '', 'g')))::BIGINT AS n_control
+    FROM documents
+    """,
+)
+def q189_encoding_audit(spark, sf_dir):
+    """Mojibake / encoding-damage audit: per document the count of
+    U+FFFD replacement characters and C0 control characters (tab,
+    newline, CR excluded) — the ingest-corruption signal a crawl
+    pipeline thresholds on.  Pure scan-speed regexp-count expressions,
+    zero shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.regexp_count(F.col("text"), F.lit("�"))
+        .cast("long")
+        .alias("n_replacement"),
+        F.regexp_count(
+            F.col("text"),
+            F.lit("[\x00-\x08\x0B\x0C\x0E-\x1F]"),
+        )
+        .cast("long")
+        .alias("n_control"),
+    )
+
+
+@register(
+    "q190_powerlaw_alpha",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_orderkey % 500 AS src, l_partkey % 500 AS dst
+      FROM lineitem WHERE l_orderkey % 500 <> l_partkey % 500
+    ),
+    deg AS (SELECT src, COUNT(*)::DOUBLE AS d FROM e GROUP BY src)
+    SELECT COUNT(*)::BIGINT AS n_vertices,
+           MIN(d)::BIGINT AS d_min,
+           MAX(d)::BIGINT AS d_max,
+           ROUND(1.0 + COUNT(*)
+                 / SUM(ln(d / (SELECT MIN(d) FROM deg))), 6) AS alpha_mle
+    FROM deg
+    """,
+)
+def q190_powerlaw_alpha(spark, sf_dir):
+    """Degree-distribution power-law exponent by the Clauset–Shalizi–
+    Newman continuous MLE α = 1 + n/Σ ln(d/d_min) over out-degrees —
+    the one-row structure statistic deciding whether skew mitigation
+    (degree orientation, salting) is even needed.  One degree agg +
+    one collapse."""
+    li = _t(spark, sf_dir, "lineitem")
+    deg = (
+        li.select(
+            (F.col("l_orderkey") % 500).alias("src"),
+            (F.col("l_partkey") % 500).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    dmin = deg.agg(F.min("d").alias("_dm"))
+    return (
+        deg.crossJoin(F.broadcast(dmin))
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.min("d").cast("long").alias("d_min"),
+            F.max("d").cast("long").alias("d_max"),
+            F.round(
+                1.0
+                + F.count(F.lit(1))
+                / F.sum(F.log(F.col("d") / F.col("_dm"))),
+                6,
+            ).alias("alpha_mle"),
+        )
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -7028,12 +7170,12 @@ _WINDOW_PRIORITY = [
     "q185_reciprocity",
     "q186_band_join",
     "q187_leakage_safe_split",
+    "q188_length_buckets",
+    "q189_encoding_audit",
+    "q190_powerlaw_alpha",
     # -- implementations touched in round 4: re-verify (10) --
     "q45_ngram_jaccard",
-    "q31_triangle_count",
-    "q105_ktruss",
     "q106_fuzzy_join",
-    "q89_sessionize",
     "q114_harmonic_centrality",
     # -- breadth fillers: round-1 window, not re-checked since r01 --
 ]
