@@ -1771,9 +1771,17 @@ def bipartite_project(
     (everything co-occurs with everything through them) and their
     removal is explicit, not silent.
     """
-    e = edges.select(
-        F.col(left_col).alias("_l"), F.col(right_col).alias("_r")
-    ).distinct()
+    # partition by the join key FIRST, then dedup: equal (_l, _r) rows
+    # share _r, so the dedup is correct within partitions, and the df
+    # count agg, the semi-join, and the pair self-join below all reuse
+    # this one hash partitioning exchange-free (the _ps_graph trick)
+    e = (
+        edges.select(
+            F.col(left_col).alias("_l"), F.col(right_col).alias("_r")
+        )
+        .repartition("_r")
+        .dropDuplicates(["_l", "_r"])
+    )
     if max_df is not None:
         ok = (
             e.groupBy("_r")
