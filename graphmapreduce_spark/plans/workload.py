@@ -7108,6 +7108,85 @@ def q190_powerlaw_alpha(spark, sf_dir):
     )
 
 
+@register(
+    "q191_join_size",
+    """
+    WITH l AS (SELECT l_partkey AS k, COUNT(*)::BIGINT AS n
+               FROM lineitem GROUP BY 1),
+         r AS (SELECT p_partkey AS k, COUNT(*)::BIGINT AS n
+               FROM part GROUP BY 1)
+    SELECT SUM(l.n * r.n)::BIGINT AS join_rows,
+           MAX(l.n * r.n)::BIGINT AS max_key_rows,
+           COUNT(*)::BIGINT AS n_join_keys
+    FROM l JOIN r USING (k)
+    """,
+)
+def q191_join_size(spark, sf_dir):
+    """EXACT join-cardinality forecast without running the join:
+    |L ⋈ R| = Σ_k n_L(k)·n_R(k) from the two key histograms — the
+    planning diagnostic (with per-key max, the skew half of the
+    decision feeding q146's salted join and q178's skew report) at the
+    cost of two count aggs and a join over |keys|, not |rows|."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    l = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("nl")
+    )
+    r = p.groupBy(F.col("p_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("nr")
+    )
+    return l.join(r, "k").agg(
+        F.sum(F.col("nl") * F.col("nr")).alias("join_rows"),
+        F.max(F.col("nl") * F.col("nr")).alias("max_key_rows"),
+        F.count(F.lit(1)).alias("n_join_keys"),
+    )
+
+
+@register(
+    "q192_sliding_distinct",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      FROM events
+    ),
+    contrib AS (
+      SELECT a.user_id, a.day + o.offs AS win_end
+      FROM act a
+      JOIN (SELECT UNNEST(range(0, 7)) AS offs) o ON TRUE
+    ),
+    dedup AS (SELECT DISTINCT user_id, win_end FROM contrib),
+    days AS (SELECT DISTINCT day FROM act)
+    SELECT d.day, COUNT(DISTINCT c.user_id)::BIGINT AS users_7d
+    FROM days d JOIN dedup c ON c.win_end = d.day
+    GROUP BY d.day
+    """,
+)
+def q192_sliding_distinct(spark, sf_dir):
+    """EXACT trailing-7-day distinct users per active day — each
+    (user, day) activity contributes to the 7 windows ending on
+    day..day+6 (a FIXED 7× explode, never a range self-join), then one
+    distinct + count per window end, restricted to days that actually
+    occur.  The exact complement of an HLL-by-window rollup."""
+    e = _t(spark, sf_dir, "events")
+    act = e.select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day"),
+    ).distinct()
+    contrib = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + 6)
+        ).alias("win_end"),
+    ).distinct()
+    days = act.select("day").distinct()
+    return (
+        days.join(contrib, days["day"] == contrib["win_end"])
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -7175,9 +7254,9 @@ _WINDOW_PRIORITY = [
     "q188_length_buckets",
     "q189_encoding_audit",
     "q190_powerlaw_alpha",
-    # -- implementations touched in round 4: re-verify (3) --
-    "q45_ngram_jaccard",
-    "q106_fuzzy_join",
+    "q191_join_size",
+    "q192_sliding_distinct",
+    # -- implementations touched in round 4: re-verify --
     "q114_harmonic_centrality",
     # -- breadth fillers: round-1 window, not re-checked since r01 --
 ]
