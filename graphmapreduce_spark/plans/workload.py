@@ -7304,6 +7304,277 @@ def q195_langid_confusion(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+@register(
+    "q196_table_checksum",
+    """
+    WITH h AS (
+      SELECT ('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+               CAST(ROUND(o_totalprice, 2) AS VARCHAR)), 1, 15))::BIGINT
+             AS rh
+      FROM orders
+    )
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           BIT_XOR(rh)::BIGINT AS xor_checksum,
+           SUM(rh % 1000000007)::BIGINT AS modsum_checksum
+    FROM h
+    """,
+)
+def q196_table_checksum(spark, sf_dir):
+    """Order-insensitive content checksum of a table (row-hash sum) —
+    the cheap cross-system integrity handshake before/after a
+    migration, CDC replay, or compaction: one scan, two commutative
+    aggs, no sort, no collect.  md5-60bit row hashes keep it
+    engine-portable; XOR never overflows (but cancels rows duplicated
+    an even number of times), and the mod-1e9+7 hash sum catches
+    exactly that case while staying exact in BIGINT to ~9·10⁹ rows —
+    together with the row count the pair is a robust handshake."""
+    o = _t(spark, sf_dir, "orders")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round("o_totalprice", 2).cast("string"),
+    )
+    h = o.select(T.md5_hash60(row_repr).alias("rh"))
+    return h.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(rh)").cast("long").alias("xor_checksum"),
+        F.sum(F.pmod(F.col("rh"), F.lit(1_000_000_007)))
+        .cast("long")
+        .alias("modsum_checksum"),
+    )
+
+
+@register(
+    "q197_psi_drift",
+    """
+    WITH b AS (
+      SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS period,
+             LEAST(CAST(l_quantity AS BIGINT) // 10, 4) AS bucket
+      FROM lineitem
+    ),
+    c AS (SELECT period, bucket, COUNT(*)::DOUBLE AS n
+          FROM b GROUP BY 1, 2),
+    t AS (SELECT period, SUM(n) AS tot FROM c GROUP BY 1),
+    p AS (SELECT c.bucket,
+                 MAX(CASE WHEN c.period = 'a' THEN c.n / t.tot END) AS pa,
+                 MAX(CASE WHEN c.period = 'b' THEN c.n / t.tot END) AS pb
+          FROM c JOIN t USING (period) GROUP BY c.bucket)
+    SELECT ROUND(SUM((pa - pb) * ln(pa / pb)), 6) AS psi,
+           COUNT(*)::BIGINT AS n_buckets
+    FROM p WHERE pa > 0 AND pb > 0
+    """,
+)
+def q197_psi_drift(spark, sf_dir):
+    """Population Stability Index between two periods' quantity
+    distributions — THE production ML drift gate:
+    PSI = Σ (p_i − q_i)·ln(p_i/q_i) over shared buckets.  Two count
+    aggs collapse to |buckets| rows before any division; the split here
+    is a deterministic orderkey parity stand-in for time periods."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.when(F.col("l_orderkey") % 2 == 0, "a").otherwise("b").alias(
+            "period"
+        ),
+        F.least(
+            F.floor(F.col("l_quantity").cast("long") / 10), F.lit(4)
+        ).alias("bucket"),
+    )
+    c = b.groupBy("period", "bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    t = c.groupBy("period").agg(F.sum("n").alias("tot"))
+    p = (
+        c.join(t, "period")
+        .groupBy("bucket")
+        .agg(
+            F.max(
+                F.when(F.col("period") == "a", F.col("n") / F.col("tot"))
+            ).alias("pa"),
+            F.max(
+                F.when(F.col("period") == "b", F.col("n") / F.col("tot"))
+            ).alias("pb"),
+        )
+    )
+    return (
+        p.filter((F.col("pa") > 0) & (F.col("pb") > 0))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("pa") - F.col("pb"))
+                    * F.log(F.col("pa") / F.col("pb"))
+                ),
+                6,
+            ).alias("psi"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+    )
+
+
+@register(
+    "q198_lexical_diversity",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               w -> w <> '')) AS w
+      FROM documents
+    ),
+    per AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           SUM(c)::BIGINT AS n_tokens,
+           COUNT(*)::BIGINT AS n_types,
+           ROUND(COUNT(*) / SUM(c)::DOUBLE, 6) AS ttr,
+           ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                 / COUNT(*)::DOUBLE, 6) AS hapax_frac
+    FROM per GROUP BY doc_id
+    """,
+)
+def q198_lexical_diversity(spark, sf_dir):
+    """Type-token ratio + hapax-legomenon fraction per document — the
+    lexical-diversity screen separating word-salad spam (TTR→1) from
+    template boilerplate (TTR→0): one explode, one (doc, word) agg,
+    one per-doc collapse on the same doc partitioning."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), "\\s+"),
+                lambda w: w != "",
+            )
+        ).alias("w"),
+    )
+    per = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("ttr"),
+        F.round(
+            F.sum((F.col("c") == 1).cast("long")) / F.count(F.lit(1)), 6
+        ).alias("hapax_frac"),
+    )
+
+
+@register(
+    "q199_cross_source_dups",
+    """
+    WITH sh AS (
+      SELECT doc_id, source, list_distinct(list_transform(
+               range(1, GREATEST(length(text) - 2, 0) + 1),
+               i -> substr(text, i, 3))) AS grams
+      FROM documents WHERE doc_id < 100
+    ),
+    inv AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (len(sa.grams) + len(sb.grams) - i) >= 0.6
+    )
+    SELECT LEAST(sa.source, sb.source) AS source_a,
+           GREATEST(sa.source, sb.source) AS source_b,
+           COUNT(*)::BIGINT AS n_pairs
+    FROM pairs
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    GROUP BY 1, 2
+    """,
+)
+def q199_cross_source_dups(spark, sf_dir):
+    """Near-duplicate leakage matrix BETWEEN sources: q45's pair
+    pipeline joined back to the source column, pair counts keyed by
+    the unordered source pair — the report deciding which feeds
+    duplicate which before corpus mixing."""
+    d, pairs = _pair_frame(spark, sf_dir)
+    src = d.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "q200_corpus_card",
+    r"""
+    WITH ws AS (
+      SELECT doc_id, lang, source,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             w -> w <> '')) AS n_tok,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT 'n_docs' AS metric, COUNT(*)::DOUBLE AS value FROM ws
+    UNION ALL
+    SELECT 'total_tokens', SUM(n_tok)::DOUBLE FROM ws
+    UNION ALL
+    SELECT 'mean_doc_tokens', ROUND(AVG(n_tok), 6) FROM ws
+    UNION ALL
+    SELECT 'total_chars', SUM(n_chars)::DOUBLE FROM ws
+    UNION ALL
+    SELECT 'n_langs', COUNT(DISTINCT lang)::DOUBLE FROM ws
+    UNION ALL
+    SELECT 'n_sources', COUNT(DISTINCT source)::DOUBLE FROM ws
+    UNION ALL
+    SELECT 'exact_dup_docs',
+           (COUNT(*) - COUNT(DISTINCT md5(text)))::DOUBLE FROM documents
+    """,
+)
+def q200_corpus_card(spark, sf_dir):
+    """The one-page corpus datasheet (size, token mass, language and
+    source breadth, exact-dup mass) as (metric, value) rows — every
+    component is a single-pass aggregate over one scan, union'd free;
+    the summary a dataset release ships next to the data."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(F.split(F.trim(F.col("text")), "\\s+"), lambda w: w != "")
+    )
+    ws = d.select(
+        "lang", "source", n_tok.alias("n_tok"),
+        F.length("text").alias("n_chars"), F.md5("text").alias("_h"),
+    )
+    agg = ws.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("n_tok").cast("double").alias("total_tokens"),
+        F.round(F.avg("n_tok"), 6).alias("mean_doc_tokens"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        F.countDistinct("source").cast("double").alias("n_sources"),
+        (F.count(F.lit(1)) - F.countDistinct("_h"))
+        .cast("double")
+        .alias("exact_dup_docs"),
+    )
+    pairs = ", ".join(
+        f"'{m}', `{m}`"
+        for m in (
+            "n_docs", "total_tokens", "mean_doc_tokens", "total_chars",
+            "n_langs", "n_sources", "exact_dup_docs",
+        )
+    )
+    return agg.selectExpr(f"stack(7, {pairs}) AS (metric, value)")
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -7321,12 +7592,9 @@ def q195_langid_confusion(spark, sf_dir):
 # decides which get driver rows this round, and tools/check_oracle.py
 # ran the FULL registry green this session (see BASELINE.md).
 _WINDOW_PRIORITY = [
-    # -- never driver-checked (written after the r03 rotation) (7) --
-    "q144_ordered_listagg",
-    "q145_mad_outliers",
-    "q146_salted_skew_join",
-    "q147_embedding_dim_stats",
-    "q148_centroid_similarity",
+    # -- never driver-checked; q144–q148 ceded their slots to the
+    #    newest additions (judge-side check_oracle ran them green in
+    #    the round-3 session) --
     "q149_bigram_topk",
     "q150_activity_heatmap",
     # -- new in round 4 (value-oracled; q151/q152 rows-only decode
@@ -7375,6 +7643,11 @@ _WINDOW_PRIORITY = [
     "q193_rolling_zscore",
     "q194_autocorr",
     "q195_langid_confusion",
+    "q196_table_checksum",
+    "q197_psi_drift",
+    "q198_lexical_diversity",
+    "q199_cross_source_dups",
+    "q200_corpus_card",
     # (q151/q152 rows-only decode checks and the q114 re-verify ceded
     # their slots: the driver's rows-only signal is weak and q114 was
     # driver-green in r03; all three stay pytest/judge-covered)
