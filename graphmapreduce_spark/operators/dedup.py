@@ -1076,13 +1076,17 @@ def duplicate_ngram_spans(
     ``(id, n_grams, n_dup, dup_ratio)`` — documents shorter than ``n``
     words are excluded (they have no spans).
 
-    Unlike the distinct-shingle paths above, positions are kept:
-    ``posexplode`` over an in-array gram build (no self-join), a
-    map-side-combined count by gram, and one join back.  The join key
-    is the 60-bit md5 of the gram, so the shuffle carries fixed-width
-    longs, not text; gram frequency is Zipfian but the count agg
-    partial-combines and the join fans rows back per-position, so no
-    single key ever concentrates more than one document's positions.
+    Unlike the distinct-shingle paths above, positions are kept —
+    but they never SHUFFLE: ``n_grams`` is the gram-array length (a
+    narrow expression), the gram-count agg partial-combines down to
+    the vocabulary before its exchange, and only the (count ≥
+    min_count) DUP-GRAM SET flows back, as a semi join the optimizer
+    broadcasts whenever the dup vocabulary is small (it is, unless the
+    corpus is mostly duplicated — and then the join is the point).
+    Gram keys are 60-bit md5 longs, so every shuffled row is
+    fixed-width.  The position stream is computed twice (two narrow
+    explodes of one scan) — recomputation is deliberately cheaper than
+    exchanging it once.
     """
     # bind the token array ONCE via a lambda variable (the per-index
     # slice lambda would otherwise re-evaluate the split per element —
@@ -1100,20 +1104,30 @@ def duplicate_ngram_spans(
             ),
         ).otherwise(F.array().cast("array<bigint>")),
     )[0]
-    pos = df.select(F.col(id_col).alias("id"), grams.alias("_g")).select(
-        "id", F.explode("_g").alias("g")
+    docs = df.select(F.col(id_col).alias("id"), grams.alias("_g")).filter(
+        F.size("_g") > 0
     )
-    counts = pos.groupBy("g").agg(F.count(F.lit(1)).alias("_c"))
-    return (
-        pos.join(counts, "g")
+    pos = docs.select("id", F.explode("_g").alias("g"))
+    dup_set = (
+        pos.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("g")
+    )
+    dup_counts = (
+        pos.join(dup_set, "g", "left_semi")
         .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("_c") >= min_count).cast("long")).alias("n_dup"),
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        docs.select("id", F.size("_g").cast("long").alias("n_grams"))
+        .join(dup_counts, "id", "left")
+        .select(
+            "id",
+            "n_grams",
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
             F.round(
-                F.sum((F.col("_c") >= min_count).cast("long"))
-                / F.count(F.lit(1)),
-                6,
+                F.coalesce("n_dup", F.lit(0)) / F.col("n_grams"), 6
             ).alias("dup_ratio"),
         )
     )
