@@ -473,7 +473,14 @@ def gaps_islands(
     so the window partition can't skew-explode at scale.
     """
     b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
-    d = df.select(F.col(key), b.cast("long").alias("_b")).distinct()
+    # partition by the key FIRST, then dedup: equal (key, bucket) rows
+    # share the key, so the dedup is correct within partitions and the
+    # window + final agg reuse the same single exchange
+    d = (
+        df.select(F.col(key), b.cast("long").alias("_b"))
+        .repartition(key)
+        .dropDuplicates([key, "_b"])
+    )
     w = Window.partitionBy(key).orderBy("_b")
     return (
         d.withColumn("_anchor", F.col("_b") - F.row_number().over(w))
@@ -531,8 +538,13 @@ def group_mode(
     values| rows before the window, and the window partitions by the
     group key — never a global sort, never a per-row window.
     """
-    counts = df.groupBy(*group_cols, value_col).agg(
-        F.count(F.lit(1)).alias("n")
+    # pre-partition on the group key alone: hash(group) co-locates
+    # every (group, value) pair, so the count agg AND the ranking
+    # window share one exchange
+    counts = (
+        df.repartition(*group_cols)
+        .groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     w = Window.partitionBy(*group_cols).orderBy(
         F.desc("n"), F.asc(value_col)
@@ -558,8 +570,12 @@ def weighted_median(
     values, not raw rows), then a per-group cumulative-weight window and
     a min-over-qualifying agg — all three on the same group-key hash
     partitioning, no global sort."""
-    collapsed = df.groupBy(*group_cols, value_col).agg(
-        F.sum(weight_col).alias("_w")
+    # pre-partition on the group key alone so the collapse agg and
+    # both windows below share one exchange (see group_mode)
+    collapsed = (
+        df.repartition(*group_cols)
+        .groupBy(*group_cols, value_col)
+        .agg(F.sum(weight_col).alias("_w"))
     )
     w = (
         Window.partitionBy(*group_cols)
