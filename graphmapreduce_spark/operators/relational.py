@@ -523,7 +523,12 @@ def skyline_2d(
         .filter(F.col("_prev").isNull() | (F.col("_prev") < F.col("_mx")))
         .select(minimize, F.col("_mx").alias(maximize))
     )
-    return df.join(F.broadcast(frontier), [minimize, maximize], "left_semi")
+    # no forced broadcast: the frontier is usually tiny (AQE broadcasts
+    # it from runtime stats), but on adversarial anti-correlated data
+    # EVERY point is Pareto-optimal and the frontier is the whole
+    # table — a hint would OOM the driver where a shuffle join degrades
+    # gracefully
+    return df.join(frontier, [minimize, maximize], "left_semi")
 
 
 def group_mode(
