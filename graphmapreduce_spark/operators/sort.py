@@ -78,6 +78,11 @@ def global_rank(
     )
     w = Window.partitionBy("_pid").orderBy(*cols)
     d = d.withColumn("_lrn", F.row_number().over(w))
+    # materialize ONCE before reading it twice: RangePartitioner
+    # re-samples split boundaries per execution, so without this the
+    # offsets job and the output job could disagree on which partition
+    # a row landed in — silently corrupting ranks at scale
+    d = d.localCheckpoint(eager=True)
     counts = sorted(
         d.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect(),
         key=lambda r: r["_pid"],
