@@ -127,7 +127,9 @@ def asof_join(
 ) -> DataFrame:
     """As-of join: for each left row, the most recent right row with
     ``right_ts <= left_ts`` (direction='backward'; 'forward' = earliest
-    ``>=``), matching on the equi key ``on``.
+    ``>=``; 'nearest' = whichever of the two is closer, ties to
+    backward — full pandas ``merge_asof`` direction parity), matching
+    on the equi key ``on``.
 
     ``tolerance`` (pandas ``merge_asof`` parity): maximum allowed
     |left_ts − matched right_ts|; a match farther away than that is
@@ -175,6 +177,80 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         unioned = tag_l.unionByName(tag_r)
+    elif direction == "nearest":
+        # BOTH running fills over ONE keyed shuffle (same partitioning,
+        # two sort orders), then pick the closer match per left row —
+        # ties go backward, pandas merge_asof's convention
+        wb = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts").desc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        unioned = tag_l.unionByName(tag_r)
+        both = unioned.select(
+            "_side",
+            "_lrow",
+            F.col("_ts").cast("double").alias("_lts"),
+            F.last("_mts", ignorenulls=True).over(wb).alias("_bmts"),
+            F.last("_mts", ignorenulls=True).over(wf).alias("_fmts"),
+            *[
+                F.last(f"_r_{c}", ignorenulls=True)
+                .over(wb)
+                .alias(f"_b_{c}")
+                for c in value_cols
+            ],
+            *[
+                F.last(f"_r_{c}", ignorenulls=True)
+                .over(wf)
+                .alias(f"_f_{c}")
+                for c in value_cols
+            ],
+        ).filter(F.col("_side") == 1)
+        use_b = F.col("_bmts").isNotNull() & (
+            F.col("_fmts").isNull()
+            | (
+                (F.col("_lts") - F.col("_bmts"))
+                <= (F.col("_fmts") - F.col("_lts"))
+            )
+        )
+        filled = both.select(
+            "_side",
+            "_lrow",
+            "_lts",
+            F.when(use_b, F.col("_bmts"))
+            .otherwise(F.col("_fmts"))
+            .alias("_mts"),
+            *[
+                F.when(use_b, F.col(f"_b_{c}"))
+                .otherwise(F.col(f"_f_{c}"))
+                .alias(f"_r_{c}")
+                for c in value_cols
+            ],
+        )
+        if tolerance is not None:
+            oob = F.col("_mts").isNull() | (
+                F.abs(F.col("_lts") - F.col("_mts"))
+                > F.lit(float(tolerance))
+            )
+            filled = filled.select(
+                "_side",
+                "_lrow",
+                *[
+                    F.when(oob, F.lit(None))
+                    .otherwise(F.col(f"_r_{c}"))
+                    .alias(f"_r_{c}")
+                    for c in value_cols
+                ],
+            )
+        return filled.select(
+            *[F.col("_lrow")[c].alias(c) for c in lcols],
+            *[F.col(f"_r_{c}").alias(c) for c in value_cols],
+        )
     else:
         raise ValueError(f"unknown direction {direction!r}")
     filled = unioned.select(

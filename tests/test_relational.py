@@ -451,3 +451,39 @@ def test_band_join_boundary_and_bucket_edges(spark):
     got = {(r["lid"], r["rid"]) for r in out.collect()}
     # 10.0 matches 10.5 (exactly eps) and 9.5; 99.9 matches 100.4
     assert got == {(1, 1), (1, 4), (2, 3)}
+
+
+def test_asof_nearest_picks_closer_and_ties_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01T10:00:00")),   # back 09:59 (60s) vs fwd 10:02 (120s) -> back
+         (2, 1, ts("2024-01-01T10:01:00")),   # back 09:59 (120s) vs fwd 10:02 (60s) -> fwd
+         (3, 1, ts("2024-01-01T10:00:30"))],  # 90s vs 90s tie -> backward
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T09:59:00"), 1.0),
+         (1, ts("2024-01-01T10:02:00"), 2.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = {
+        r["event_id"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["v"], direction="nearest",
+        ).collect()
+    }
+    assert out == {1: 1.0, 2: 2.0, 3: 1.0}
+
+
+def test_asof_nearest_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01T12:00:00"))], "event_id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), 5.0)], "k long, ts timestamp, v double"
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_cols=["v"], direction="nearest", tolerance=600,
+    ).collect()
+    assert out[0]["v"] is None  # nearest match is 2h away, beyond 600s
