@@ -7693,6 +7693,127 @@ def q202_oov_rate(spark, sf_dir):
     )
 
 
+@register(
+    "q203_streaming_topk",
+    """
+    WITH c AS (
+      SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                 ORDER BY n DESC, event_type ASC) AS rank
+      FROM c
+    )
+    SELECT window_start, event_type, n, rank FROM r WHERE rank <= 3
+    """,
+)
+def q203_streaming_topk(spark, sf_dir):
+    """Streaming windowed top-k (the trending-items shape): the
+    UNBOUNDED part — per-window counts — runs as a true Structured
+    Streaming query (watermark + tumbling window, availableNow); the
+    rank-and-truncate runs as a batch post-pass on the materialized
+    sink table, the standard split since ranking needs the window
+    closed.  Sink table is window-bounded, so the post-pass is tiny."""
+    stream = _stream_events(spark, sf_dir)
+    counts = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n"
+        )
+    )
+    table = _run_stream_to_table(spark, counts, "topk")
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        table.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+_POISSON1_CDF = [
+    (0, 0.367879441), (1, 0.735758882), (2, 0.919698603),
+    (3, 0.981011843), (4, 0.996340153), (5, 0.999405815),
+    (6, 0.999916758), (7, 0.999989750),
+]
+
+
+def _bootstrap_oracle_sql(n_boot: int = 20) -> str:
+    """Deterministic Poisson bootstrap of mean(l_quantity): per (row,
+    replica) the md5-uniform drives a Poisson(1) inverse-CDF weight."""
+    case = " ".join(
+        f"WHEN u < {p} THEN {k}" for k, p in _POISSON1_CDF
+    )
+    return f"""
+    WITH r AS (
+      SELECT l_quantity AS x,
+             CAST(l_orderkey AS VARCHAR) || '-'
+               || CAST(l_linenumber AS VARCHAR) AS rid
+      FROM lineitem
+    ),
+    rep AS (
+      SELECT x, rid, UNNEST(range(1, {n_boot} + 1)) AS b FROM r
+    ),
+    wtd AS (
+      SELECT b, x,
+             (CASE {case} ELSE 8 END) AS w
+      FROM (SELECT b, x,
+              (('0x' || substr(md5(rid || ':' || CAST(b AS VARCHAR)),
+                 1, 15))::BIGINT % 1000000) / 1e6 AS u
+            FROM rep)
+    )
+    SELECT b, ROUND(SUM(w * x) / SUM(w), 6) AS est
+    FROM wtd GROUP BY b
+    """
+
+
+@register("q204_bootstrap_mean", _bootstrap_oracle_sql())
+def q204_bootstrap_mean(spark, sf_dir):
+    """Poisson bootstrap of mean(quantity), 20 replicas — THE
+    distributed resampling technique: true multinomial resampling
+    needs global coordination, but per-row independent Poisson(1)
+    weights approximate it exactly in expectation and partial-combine
+    like any aggregate.  Deterministic md5-uniform draws make every
+    replica value-checkable; the 20× replica explode collapses
+    map-side to 20 partial rows before the only shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    rid = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    rep = li.select(
+        F.col("l_quantity").alias("x"), rid.alias("rid")
+    ).select(
+        "x", "rid", F.explode(F.sequence(F.lit(1), F.lit(20))).alias("b")
+    )
+    u = (
+        F.pmod(
+            T.md5_hash60(
+                F.concat(F.col("rid"), F.lit(":"), F.col("b").cast("string"))
+            ),
+            F.lit(1_000_000),
+        )
+        / F.lit(1e6)
+    )
+    w = F.lit(8)
+    for k, p in reversed(_POISSON1_CDF):
+        w = F.when(u < p, k).otherwise(w)
+    return (
+        rep.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("x")) / F.sum("w"), 6
+            ).alias("est")
+        )
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -7715,9 +7836,9 @@ _WINDOW_PRIORITY = [
     #    the round-3 session; q149/q150 likewise) --
     # -- new in round 4 (value-oracled; q151/q152 rows-only decode
     #    checks ceded their slots — the driver rows-only signal is
-    #    weak and both carry pixel/waveform-exact pytests) --
-    "q153_hashed_ngram_classifier",
-    "q154_temperature_sample",
+    #    weak and both carry pixel/waveform-exact pytests; q153/q154
+    #    to the judge sweep) --
+
     "q155_unigram_surprisal",
     "q156_pmi",
     "q157_linear_interp",
@@ -7766,6 +7887,8 @@ _WINDOW_PRIORITY = [
     "q200_corpus_card",
     "q201_asof_nearest",
     "q202_oov_rate",
+    "q203_streaming_topk",
+    "q204_bootstrap_mean",
     # (q151/q152 rows-only decode checks and the q114 re-verify ceded
     # their slots: the driver's rows-only signal is weak and q114 was
     # driver-green in r03; all three stay pytest/judge-covered)
