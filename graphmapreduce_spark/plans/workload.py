@@ -7814,6 +7814,104 @@ def q204_bootstrap_mean(spark, sf_dir):
     )
 
 
+@register(
+    "q205_groupwise_regression",
+    """
+    SELECT user_id,
+           COUNT(*)::BIGINT AS n,
+           ROUND(REGR_SLOPE(value, epoch(ts)), 6) + 0.0 AS slope,
+           ROUND(REGR_INTERCEPT(value, epoch(ts)), 6) + 0.0 AS intercept,
+           ROUND(REGR_R2(value, epoch(ts)), 6) + 0.0 AS r2
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q205_groupwise_regression(spark, sf_dir):
+    """Per-key ordinary least squares (value ~ time) via the
+    sufficient-statistics aggregates — slope, intercept, and R² for
+    every user in ONE map-side-combined agg pass: regression at any
+    group count without per-group fitting loops."""
+    e = _t(spark, sf_dir, "events")
+    x = F.col("ts").cast("double")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        # + 0.0 canonicalizes IEEE negative zero — the engines round
+        # tiny negative slopes to -0.0 vs 0.0 inconsistently
+        (F.round(F.regr_slope(F.col("value"), x), 6) + 0.0).alias("slope"),
+        (F.round(F.regr_intercept(F.col("value"), x), 6) + 0.0).alias(
+            "intercept"
+        ),
+        (F.round(F.regr_r2(F.col("value"), x), 6) + 0.0).alias("r2"),
+    )
+
+
+@register(
+    "q206_token_apportionment",
+    r"""
+    WITH s AS (
+      SELECT source,
+             SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                 w -> w <> '')))::DOUBLE AS toks
+      FROM documents GROUP BY source
+    ),
+    q AS (
+      SELECT source, toks,
+             toks * 100000 / (SELECT SUM(toks) FROM s) AS quota
+      FROM s
+    ),
+    r AS (
+      SELECT source, toks, quota,
+             CAST(FLOOR(quota) AS BIGINT) AS base,
+             ROW_NUMBER() OVER (ORDER BY quota - FLOOR(quota) DESC,
+                                source ASC) AS rnk
+      FROM q
+    )
+    SELECT source, toks::BIGINT AS n_tokens,
+           (base + CASE WHEN rnk <= 100000 - (SELECT SUM(base) FROM r)
+                        THEN 1 ELSE 0 END)::BIGINT AS budget
+    FROM r
+    """,
+)
+def q206_token_apportionment(spark, sf_dir):
+    """Integer apportionment of a 100k-token training budget across
+    sources by largest-remainder (Hamilton) rounding — the sampling
+    budgets every corpus-mixing config needs to sum EXACTLY to the
+    total: floors + rank-the-remainders, all over the |sources|-row
+    collapsed table (the only window is source-count-bounded)."""
+    d = _t(spark, sf_dir, "documents")
+    total_budget = 100_000
+    n_tok = F.size(
+        F.filter(F.split(F.trim(F.col("text")), "\\s+"), lambda w: w != "")
+    )
+    s = d.groupBy("source").agg(
+        F.sum(n_tok).cast("double").alias("toks")
+    )
+    tot = s.agg(F.sum("toks").alias("_t"))
+    q = s.crossJoin(F.broadcast(tot)).withColumn(
+        "quota", F.col("toks") * total_budget / F.col("_t")
+    )
+    w = Window.orderBy(
+        F.desc(F.col("quota") - F.floor("quota")), F.asc("source")
+    )
+    r = q.withColumn("base", F.floor("quota").cast("long")).withColumn(
+        "rnk", F.row_number().over(w)
+    )
+    short = r.agg(
+        (F.lit(total_budget) - F.sum("base")).alias("_short")
+    )
+    return (
+        r.crossJoin(F.broadcast(short))
+        .select(
+            "source",
+            F.col("toks").cast("long").alias("n_tokens"),
+            (
+                F.col("base")
+                + (F.col("rnk") <= F.col("_short")).cast("long")
+            ).alias("budget"),
+        )
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -7836,11 +7934,9 @@ _WINDOW_PRIORITY = [
     #    the round-3 session; q149/q150 likewise) --
     # -- new in round 4 (value-oracled; q151/q152 rows-only decode
     #    checks ceded their slots — the driver rows-only signal is
-    #    weak and both carry pixel/waveform-exact pytests; q153/q154
+    #    weak and both carry pixel/waveform-exact pytests; q153-q156
     #    to the judge sweep) --
 
-    "q155_unigram_surprisal",
-    "q156_pmi",
     "q157_linear_interp",
     "q158_containment_join",
     "q159_weighted_pagerank",
@@ -7889,6 +7985,8 @@ _WINDOW_PRIORITY = [
     "q202_oov_rate",
     "q203_streaming_topk",
     "q204_bootstrap_mean",
+    "q205_groupwise_regression",
+    "q206_token_apportionment",
     # (q151/q152 rows-only decode checks and the q114 re-verify ceded
     # their slots: the driver's rows-only signal is weak and q114 was
     # driver-green in r03; all three stay pytest/judge-covered)
