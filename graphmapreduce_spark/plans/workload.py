@@ -7912,6 +7912,118 @@ def q206_token_apportionment(spark, sf_dir):
     )
 
 
+@register(
+    "q207_wilson_ci",
+    """
+    WITH d AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS purchased
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT day, COUNT(*)::DOUBLE AS n, SUM(purchased)::DOUBLE AS k
+      FROM d GROUP BY day
+    )
+    SELECT day, n::BIGINT AS n_users, k::BIGINT AS n_converted,
+           ROUND(k / n, 6) AS rate,
+           ROUND(((k/n) + 1.9207592/n
+                  - 1.959964 * sqrt((k/n)*(1-(k/n))/n
+                                    + 0.9603796/(n*n)))
+                 / (1 + 3.8415184/n), 6) AS wilson_lo,
+           ROUND(((k/n) + 1.9207592/n
+                  + 1.959964 * sqrt((k/n)*(1-(k/n))/n
+                                    + 0.9603796/(n*n)))
+                 / (1 + 3.8415184/n), 6) AS wilson_hi
+    FROM r
+    """,
+)
+def q207_wilson_ci(spark, sf_dir):
+    """Daily conversion rate with the Wilson 95% score interval — the
+    CI that stays sane at small n and extreme rates (unlike the normal
+    approximation): two hash aggs collapse to the calendar, the
+    interval is a closed-form scan expression (z = 1.959964,
+    z² = 3.8415184, z²/2 = 1.9207592, z⁴/4 = 0.9603796)."""
+    e = _t(spark, sf_dir, "events")
+    d = (
+        e.groupBy(
+            F.floor(F.col("ts").cast("long") / 86400)
+            .cast("long")
+            .alias("day"),
+            "user_id",
+        )
+        .agg(
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("purchased")
+        )
+    )
+    r = d.groupBy("day").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("purchased").cast("double").alias("k"),
+    )
+    p = F.col("k") / F.col("n")
+    z, z2, z2h, z4q = 1.959964, 3.8415184, 1.9207592, 0.9603796
+    rad = F.sqrt(p * (1 - p) / F.col("n") + z4q / (F.col("n") * F.col("n")))
+    return r.select(
+        "day",
+        F.col("n").cast("long").alias("n_users"),
+        F.col("k").cast("long").alias("n_converted"),
+        F.round(p, 6).alias("rate"),
+        F.round((p + z2h / F.col("n") - z * rad) / (1 + z2 / F.col("n")), 6)
+        .alias("wilson_lo"),
+        F.round((p + z2h / F.col("n") + z * rad) / (1 + z2 / F.col("n")), 6)
+        .alias("wilson_hi"),
+    )
+
+
+@register(
+    "q208_bounce_rate",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev IS NULL OR epoch(ts) - prev > 1800
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM (SELECT user_id, ts,
+                   LAG(epoch(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts) AS prev
+            FROM events)
+    ),
+    per AS (
+      SELECT user_id, session_seq, COUNT(*) AS n_events
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, COUNT(*)::BIGINT AS n_sessions,
+           SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT
+             AS n_bounces,
+           ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 / COUNT(*)::DOUBLE, 6) AS bounce_rate
+    FROM per GROUP BY user_id
+    """,
+)
+def q208_bounce_rate(spark, sf_dir):
+    """Single-event-session (bounce) fraction per user — q89's
+    sessionization collapsed twice on the same user partitioning: the
+    engagement-quality metric next to the session table itself."""
+    e = _t(spark, sf_dir, "events")
+    s = R.sessionize(e.select("user_id", "ts"), "user_id", "ts", 1800)
+    per = s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounces"),
+        F.round(
+            F.sum((F.col("n_events") == 1).cast("long"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -7934,11 +8046,9 @@ _WINDOW_PRIORITY = [
     #    the round-3 session; q149/q150 likewise) --
     # -- new in round 4 (value-oracled; q151/q152 rows-only decode
     #    checks ceded their slots — the driver rows-only signal is
-    #    weak and both carry pixel/waveform-exact pytests; q153-q156
+    #    weak and both carry pixel/waveform-exact pytests; q153-q158
     #    to the judge sweep) --
 
-    "q157_linear_interp",
-    "q158_containment_join",
     "q159_weighted_pagerank",
     "q160_asof_tolerance",
     "q161_prefix_jaccard",
@@ -7987,6 +8097,8 @@ _WINDOW_PRIORITY = [
     "q204_bootstrap_mean",
     "q205_groupwise_regression",
     "q206_token_apportionment",
+    "q207_wilson_ci",
+    "q208_bounce_rate",
     # (q151/q152 rows-only decode checks and the q114 re-verify ceded
     # their slots: the driver's rows-only signal is weak and q114 was
     # driver-green in r03; all three stay pytest/judge-covered)
