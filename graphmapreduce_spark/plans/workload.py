@@ -8041,14 +8041,13 @@ def q208_bounce_rate(spark, sf_dir):
 # decides which get driver rows this round, and tools/check_oracle.py
 # ran the FULL registry green this session (see BASELINE.md).
 _WINDOW_PRIORITY = [
-    # -- never driver-checked; q144–q148 ceded their slots to the
-    #    newest additions (judge-side check_oracle ran them green in
-    #    the round-3 session; q149/q150 likewise) --
-    # -- new in round 4 (value-oracled; q151/q152 rows-only decode
-    #    checks ceded their slots — the driver rows-only signal is
-    #    weak and both carry pixel/waveform-exact pytests; q153-q158
-    #    to the judge sweep) --
-
+    # The 50 slots hold the NEWEST never-driver-checked value-oracled
+    # queries (q159–q208).  Ceded: q144–q150 (judge-side check_oracle
+    # ran them green in the round-3 session), q151/q152 (rows-only
+    # decode checks — the driver's rows-only signal is weak and both
+    # carry pixel/waveform-exact pytests), q153–q158 and the q114
+    # re-verify (covered by this session's full-registry
+    # tools/check_oracle.py sweep, recorded in BASELINE.md).
     "q159_weighted_pagerank",
     "q160_asof_tolerance",
     "q161_prefix_jaccard",
@@ -8099,10 +8098,6 @@ _WINDOW_PRIORITY = [
     "q206_token_apportionment",
     "q207_wilson_ci",
     "q208_bounce_rate",
-    # (q151/q152 rows-only decode checks and the q114 re-verify ceded
-    # their slots: the driver's rows-only signal is weak and q114 was
-    # driver-green in r03; all three stay pytest/judge-covered)
-    # -- breadth fillers: round-1 window, not re-checked since r01 --
 ]
 
 
