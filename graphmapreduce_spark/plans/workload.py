@@ -8024,6 +8024,150 @@ def q208_bounce_rate(spark, sf_dir):
     )
 
 
+@register(
+    "q209_label_dim_stats",
+    """
+    WITH d AS (
+      SELECT label, UNNEST(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    )
+    SELECT label, dim, COUNT(*)::BIGINT AS n,
+           ROUND(AVG(v), 6) AS mean,
+           ROUND(STDDEV_SAMP(v), 6) AS std
+    FROM d GROUP BY label, dim
+    """,
+)
+def q209_label_dim_stats(spark, sf_dir):
+    """Per-LABEL dimension-wise embedding statistics — q147's global
+    audit keyed by class: the per-class mean/σ drift check before
+    classifier training (a class whose dimensions shifted is a
+    labeling or ingest bug).  posexplode + one (label, dim)-keyed hash
+    agg, never a driver-side matrix."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "_p", "v"
+        ),
+    ).select("label", (F.col("_p") + 1).alias("dim"), "v")
+    return d.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v"), 6).alias("mean"),
+        F.round(F.stddev_samp("v"), 6).alias("std"),
+    )
+
+
+@register(
+    "q210_degree_histogram",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_orderkey % 500 AS src, l_partkey % 500 AS dst
+      FROM lineitem WHERE l_orderkey % 500 <> l_partkey % 500
+    ),
+    deg AS (SELECT src, COUNT(*)::BIGINT AS d FROM e GROUP BY src)
+    SELECT CAST(FLOOR(LOG2(d)) AS BIGINT) AS log2_bucket,
+           COUNT(*)::BIGINT AS n_vertices,
+           MIN(d)::BIGINT AS d_min, MAX(d)::BIGINT AS d_max
+    FROM deg GROUP BY 1
+    """,
+)
+def q210_degree_histogram(spark, sf_dir):
+    """Log-binned out-degree histogram — the visual companion of
+    q190's power-law MLE (straight line in log-log ⇒ heavy tail):
+    degree agg + a ~log(d_max)-row bucket agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    deg = (
+        li.select(
+            (F.col("l_orderkey") % 500).alias("src"),
+            (F.col("l_partkey") % 500).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.groupBy(
+        F.floor(F.log2("d")).cast("long").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.min("d").alias("d_min"),
+        F.max("d").alias("d_max"),
+    )
+
+
+@register(
+    "q211_interarrival_median",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS gap
+      FROM events
+    )
+    SELECT user_id, COUNT(*)::BIGINT AS n_gaps,
+           ROUND(quantile_cont(gap, 0.5), 6) AS median_gap,
+           ROUND(quantile_cont(gap, 0.9), 6) AS p90_gap
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q211_interarrival_median(spark, sf_dir):
+    """Median and P90 inter-arrival gap per user (the traffic-cadence
+    profile behind session-gap and rate-limit tuning): one lag window
+    + one exact-percentile agg on the same user partitioning."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        (
+            F.col("ts").cast("double")
+            - F.lag(F.col("ts").cast("double")).over(w)
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.percentile("gap", F.lit(0.5)), 6).alias("median_gap"),
+        F.round(F.percentile("gap", F.lit(0.9)), 6).alias("p90_gap"),
+    )
+
+
+@register(
+    "q212_avg_neighbor_degree",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_orderkey % 500 AS src, l_partkey % 500 AS dst
+      FROM lineitem WHERE l_orderkey % 500 <> l_partkey % 500
+    ),
+    deg AS (SELECT src AS id, COUNT(*)::DOUBLE AS d FROM e GROUP BY src)
+    SELECT e.src AS id, COUNT(*)::BIGINT AS n_nbrs,
+           ROUND(AVG(nd.d), 6) AS avg_nbr_degree
+    FROM e JOIN deg nd ON nd.id = e.dst
+    GROUP BY e.src
+    """,
+)
+def q212_avg_neighbor_degree(spark, sf_dir):
+    """Average out-degree of each vertex's out-neighbors — the local
+    form of q135's assortativity (rich-club vs hub-and-spoke mixing,
+    per vertex): one degree agg broadcast onto the edge scan, one
+    per-vertex agg.  Neighbors with no out-edges contribute no rows,
+    matching the degree table's support."""
+    g = _mod_graph(spark, sf_dir)
+    e = g.edges.select("src", "dst")
+    deg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    nd = deg.select(F.col("id").alias("dst"), F.col("d").alias("_nd"))
+    return (
+        e.join(nd, "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nbrs"),
+            F.round(F.avg("_nd"), 6).alias("avg_nbr_degree"),
+        )
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -8042,16 +8186,12 @@ def q208_bounce_rate(spark, sf_dir):
 # ran the FULL registry green this session (see BASELINE.md).
 _WINDOW_PRIORITY = [
     # The 50 slots hold the NEWEST never-driver-checked value-oracled
-    # queries (q159–q208).  Ceded: q144–q150 (judge-side check_oracle
+    # queries (q163–q212).  Ceded: q144–q150 (judge-side check_oracle
     # ran them green in the round-3 session), q151/q152 (rows-only
     # decode checks — the driver's rows-only signal is weak and both
-    # carry pixel/waveform-exact pytests), q153–q158 and the q114
+    # carry pixel/waveform-exact pytests), q153–q162 and the q114
     # re-verify (covered by this session's full-registry
     # tools/check_oracle.py sweep, recorded in BASELINE.md).
-    "q159_weighted_pagerank",
-    "q160_asof_tolerance",
-    "q161_prefix_jaccard",
-    "q162_hits",
     "q163_closeness_centrality",
     "q164_gaps_islands",
     "q165_skyline",
@@ -8098,6 +8238,10 @@ _WINDOW_PRIORITY = [
     "q206_token_apportionment",
     "q207_wilson_ci",
     "q208_bounce_rate",
+    "q209_label_dim_stats",
+    "q210_degree_histogram",
+    "q211_interarrival_median",
+    "q212_avg_neighbor_degree",
 ]
 
 
