@@ -8168,6 +8168,122 @@ def q212_avg_neighbor_degree(spark, sf_dir):
     )
 
 
+@register(
+    "q213_trending_terms",
+    r"""
+    WITH tok AS (
+      SELECT doc_id % 2 AS half,
+             UNNEST(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               w -> w <> '')) AS w
+      FROM documents
+    ),
+    c AS (
+      SELECT w,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)::DOUBLE AS ca,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)::DOUBLE AS cb
+      FROM tok GROUP BY w
+    )
+    SELECT w AS term, ca::BIGINT AS n_a, cb::BIGINT AS n_b,
+           ROUND(ln((cb + 1) / (ca + 1)), 6) AS growth
+    FROM c
+    ORDER BY ln((cb + 1) / (ca + 1)) DESC, w ASC
+    LIMIT 20
+    """,
+)
+def q213_trending_terms(spark, sf_dir):
+    """Trending terms between two corpus halves (add-1 smoothed
+    log-growth — the burst/shift detector run between crawl
+    snapshots): one tokenize, one term-keyed pivot agg, TakeOrdered
+    top-20.  The doc-parity split stands in for time snapshots."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), "\\s+"),
+                lambda w: w != "",
+            )
+        ).alias("w"),
+    )
+    c = tok.groupBy("w").agg(
+        F.sum((F.col("half") == 0).cast("double")).alias("ca"),
+        F.sum((F.col("half") == 1).cast("double")).alias("cb"),
+    )
+    growth = F.log((F.col("cb") + 1) / (F.col("ca") + 1))
+    return (
+        c.select(
+            F.col("w").alias("term"),
+            F.col("ca").cast("long").alias("n_a"),
+            F.col("cb").cast("long").alias("n_b"),
+            F.round(growth, 6).alias("growth"),
+            growth.alias("_g"),
+        )
+        .orderBy(F.desc("_g"), F.asc("term"))
+        .limit(20)
+        .drop("_g")
+    )
+
+
+@register(
+    "q214_pareto_coverage",
+    """
+    WITH r AS (
+      SELECT l_returnflag,
+             SUM(l_extendedprice) AS rev,
+             l_partkey
+      FROM lineitem GROUP BY l_returnflag, l_partkey
+    ),
+    c AS (
+      SELECT l_returnflag, rev,
+             SUM(rev) OVER (PARTITION BY l_returnflag
+                            ORDER BY rev DESC, l_partkey ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(rev) OVER (PARTITION BY l_returnflag) AS tot,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY rev DESC, l_partkey ASC) AS rn
+      FROM r
+    )
+    SELECT l_returnflag, COUNT(*)::BIGINT AS n_parts,
+           MIN(CASE WHEN cum >= 0.8 * tot THEN rn END)::BIGINT
+             AS parts_for_80pct,
+           ROUND(MIN(CASE WHEN cum >= 0.8 * tot THEN rn END)
+                 / COUNT(*)::DOUBLE, 6) AS concentration
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def q214_pareto_coverage(spark, sf_dir):
+    """Pareto 80/20 concentration: per return flag, how many parts
+    cover 80% of revenue — the corpus/catalog concentration question
+    (a tiny answer ⇒ hub-heavy, plan for skew).  Collapse to (flag,
+    part) revenue first, then cumulative + rank windows on the
+    flag partitioning, one final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_returnflag", "l_partkey").agg(
+        F.sum("l_extendedprice").alias("rev")
+    )
+    order = [F.desc("rev"), F.asc("l_partkey")]
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    wr = Window.partitionBy("l_returnflag").orderBy(*order)
+    c = r.select(
+        "l_returnflag",
+        F.sum("rev").over(wc).alias("cum"),
+        F.sum("rev").over(wt).alias("tot"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    hit = F.when(F.col("cum") >= 0.8 * F.col("tot"), F.col("rn"))
+    return c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min(hit).alias("parts_for_80pct"),
+        F.round(F.min(hit) / F.count(F.lit(1)), 6).alias("concentration"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -8191,9 +8307,8 @@ _WINDOW_PRIORITY = [
     # decode checks — the driver's rows-only signal is weak and both
     # carry pixel/waveform-exact pytests), q153–q162 and the q114
     # re-verify (covered by this session's full-registry
-    # tools/check_oracle.py sweep, recorded in BASELINE.md).
-    "q163_closeness_centrality",
-    "q164_gaps_islands",
+    # tools/check_oracle.py sweep, recorded in BASELINE.md); q163/q164
+    # likewise when q213/q214 took their slots.
     "q165_skyline",
     "q166_group_mode",
     "q167_dup_ngram_spans",
@@ -8242,6 +8357,8 @@ _WINDOW_PRIORITY = [
     "q210_degree_histogram",
     "q211_interarrival_median",
     "q212_avg_neighbor_degree",
+    "q213_trending_terms",
+    "q214_pareto_coverage",
 ]
 
 
