@@ -8301,21 +8301,20 @@ def q214_pareto_coverage(spark, sf_dir):
 # decides which get driver rows this round, and tools/check_oracle.py
 # ran the FULL registry green this session (see BASELINE.md).
 _WINDOW_PRIORITY = [
-    # The 50 slots hold the NEWEST never-driver-checked value-oracled
-    # queries (q163–q212).  Ceded: q144–q150 (judge-side check_oracle
-    # ran them green in the round-3 session), q151/q152 (rows-only
-    # decode checks — the driver's rows-only signal is weak and both
-    # carry pixel/waveform-exact pytests), q153–q162 and the q114
-    # re-verify (covered by this session's full-registry
-    # tools/check_oracle.py sweep, recorded in BASELINE.md); q163/q164
-    # likewise when q213/q214 took their slots.
-    "q165_skyline",
-    "q166_group_mode",
-    "q167_dup_ngram_spans",
-    "q168_betweenness",
-    "q169_bipartite_projection",
-    "q170_bigram_surprisal",
-    "q171_equi_depth_histogram",
+    # VERDICT round-3 item 4 pins q144–q150 into this round's driver
+    # window (their first driver rows).  The remaining 43 slots hold
+    # the newest value-oracled additions (q172–q214); everything in
+    # between (q151–q171, plus the q114 re-verify) is covered by this
+    # session's full-registry tools/check_oracle.py sweeps recorded in
+    # BASELINE.md — q151/q152 are rows-only decode checks with
+    # pixel/waveform-exact pytests besides.
+    "q144_ordered_listagg",
+    "q145_mad_outliers",
+    "q146_salted_skew_join",
+    "q147_embedding_dim_stats",
+    "q148_centroid_similarity",
+    "q149_bigram_topk",
+    "q150_activity_heatmap",
     "q172_weighted_median",
     "q173_eccentricity",
     "q174_benford_audit",
