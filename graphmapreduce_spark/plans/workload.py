@@ -8284,6 +8284,84 @@ def q214_pareto_coverage(spark, sf_dir):
     )
 
 
+@register(
+    "q215_padding_curve",
+    r"""
+    WITH t AS (
+      SELECT len(list_filter(string_split_regex(trim(text), '\s+'),
+                             w -> w <> '')) AS n_tok
+      FROM documents
+    ),
+    sizes AS (SELECT UNNEST([256, 512, 1024, 2048]) AS win),
+    x AS (
+      SELECT win, n_tok,
+             CAST(CEIL(n_tok / win::DOUBLE) AS BIGINT) * win AS padded
+      FROM t CROSS JOIN sizes WHERE n_tok > 0
+    )
+    SELECT win, SUM(n_tok)::BIGINT AS total_tokens,
+           SUM(padded)::BIGINT AS padded_tokens,
+           ROUND(1.0 - SUM(n_tok) / SUM(padded)::DOUBLE, 6)
+             AS waste_ratio
+    FROM x GROUP BY win
+    """,
+)
+def q215_padding_curve(spark, sf_dir):
+    """Padding-waste curve across candidate context-window sizes (each
+    doc chunked to ⌈n/W⌉ windows and padded): the one-scan answer to
+    "which training window size wastes least" — the 4× size explode
+    collapses map-side to 4 rows.  Complements q188's power-of-two
+    bucketing with the chunked-document accounting."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(F.split(F.trim(F.col("text")), "\\s+"), lambda w: w != "")
+    )
+    x = (
+        d.select(n_tok.alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .select(
+            "n_tok",
+            F.explode(F.array(*[F.lit(w) for w in (256, 512, 1024, 2048)]))
+            .alias("win"),
+        )
+        .withColumn(
+            "padded",
+            F.ceil(F.col("n_tok") / F.col("win")).cast("long")
+            * F.col("win"),
+        )
+    )
+    return x.groupBy("win").agg(
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("padded").alias("padded_tokens"),
+        F.round(1.0 - F.sum("n_tok") / F.sum("padded"), 6).alias(
+            "waste_ratio"
+        ),
+    )
+
+
+@register(
+    "q216_source_length_deciles",
+    """
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.1), 6) AS p10,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+           ROUND(quantile_cont(n_chars, 0.9), 6) AS p90
+    FROM documents GROUP BY source
+    """,
+)
+def q216_source_length_deciles(spark, sf_dir):
+    """Per-source document-length distribution profile (P10/P50/P90 of
+    n_chars) — the at-a-glance shape comparison across feeds before
+    mixing; one exact-percentile agg per source."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_chars", F.lit(0.1)), 6).alias("p10"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -8315,9 +8393,7 @@ _WINDOW_PRIORITY = [
     "q148_centroid_similarity",
     "q149_bigram_topk",
     "q150_activity_heatmap",
-    "q172_weighted_median",
     "q173_eccentricity",
-    "q174_benford_audit",
     "q175_event_transitions",
     "q176_edge_betweenness",
     "q177_period_over_period",
@@ -8358,6 +8434,8 @@ _WINDOW_PRIORITY = [
     "q212_avg_neighbor_degree",
     "q213_trending_terms",
     "q214_pareto_coverage",
+    "q215_padding_curve",
+    "q216_source_length_deciles",
 ]
 
 
