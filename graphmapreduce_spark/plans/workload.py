@@ -8362,6 +8362,145 @@ def q216_source_length_deciles(spark, sf_dir):
     )
 
 
+@register(
+    "q217_user_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*)::DOUBLE AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, SUM(n)::BIGINT AS n_events,
+           COUNT(*)::BIGINT AS n_types,
+           ROUND(ln(SUM(n)) - SUM(n * ln(n)) / SUM(n), 6) AS entropy
+    FROM c GROUP BY user_id
+    """,
+)
+def q217_user_entropy(spark, sf_dir):
+    """Behavioral diversity per user: Shannon entropy of each user's
+    event-type distribution via the same ln N − (Σ n·ln n)/N identity
+    as q178 — two aggs on one user partitioning; 0 = single-action
+    bots, ln(n_types) = uniform explorers."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    n_tot = F.sum("n")
+    return c.groupBy("user_id").agg(
+        n_tot.cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.log(n_tot) - F.sum(F.col("n") * F.log("n")) / n_tot, 6
+        ).alias("entropy"),
+    )
+
+
+@register(
+    "q218_time_to_convert",
+    """
+    WITH m AS (
+      SELECT p.event_id, epoch(p.ts) - epoch(c.ts) AS latency
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+    )
+    SELECT COUNT(*)::BIGINT AS n_conversions,
+           ROUND(quantile_cont(latency, 0.5), 6) AS median_latency,
+           ROUND(quantile_cont(latency, 0.9), 6) AS p90_latency,
+           ROUND(AVG(latency), 6) AS mean_latency
+    FROM m
+    """,
+)
+def q218_time_to_convert(spark, sf_dir):
+    """Click-to-purchase latency distribution (median/P90/mean seconds
+    from each purchase back to its most recent click) — q22's as-of
+    machinery carrying the matched timestamp, collapsed to the
+    attribution-lag profile marketing models calibrate on."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").cast("double").alias("click_ts")
+    )
+    matched = R.asof_join(
+        p, c, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["click_ts"], direction="backward",
+    ).filter(F.col("click_ts").isNotNull())
+    lat = F.col("ts").cast("double") - F.col("click_ts")
+    return matched.select(lat.alias("latency")).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.percentile("latency", F.lit(0.5)), 6).alias(
+            "median_latency"
+        ),
+        F.round(F.percentile("latency", F.lit(0.9)), 6).alias(
+            "p90_latency"
+        ),
+        F.round(F.avg("latency"), 6).alias("mean_latency"),
+    )
+
+
+@register(
+    "q219_jaccard_threshold_curve",
+    """
+    WITH sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, GREATEST(length(text) - 2, 0) + 1),
+               i -> substr(text, i, 3))) AS grams
+      FROM documents WHERE doc_id < 100
+    ),
+    inv AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT CAST(i AS DOUBLE)
+               / (len(sa.grams) + len(sb.grams) - i) AS jac
+      FROM inter
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+    ),
+    t AS (SELECT UNNEST([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+    SELECT t.threshold, COUNT(CASE WHEN j.jac >= t.threshold THEN 1 END)
+             ::BIGINT AS n_pairs
+    FROM t LEFT JOIN j ON TRUE
+    GROUP BY t.threshold
+    """,
+)
+def q219_jaccard_threshold_curve(spark, sf_dir):
+    """Near-dup pair count at five Jaccard thresholds from ONE inverted
+    index pass — the dedup-threshold sensitivity curve that tells you
+    what a 0.1 threshold change costs before running the full
+    pipeline.  The pair table is computed once at the loosest
+    threshold; the curve is a 5-row conditional agg over it."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.0, max_df=1000
+    )
+    th = F.explode(
+        F.array(*[F.lit(t) for t in (0.5, 0.6, 0.7, 0.8, 0.9)])
+    ).alias("threshold")
+    crossed = pairs.select("jaccard").crossJoin(
+        spark.range(1).select(th)
+    )
+    return (
+        spark.range(1)
+        .select(th)
+        .join(
+            crossed.filter(
+                F.col("jaccard") >= F.col("threshold")
+            ).groupBy("threshold").agg(F.count(F.lit(1)).alias("_n")),
+            "threshold",
+            "left",
+        )
+        .select(
+            "threshold",
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_pairs"),
+        )
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -8393,9 +8532,6 @@ _WINDOW_PRIORITY = [
     "q148_centroid_similarity",
     "q149_bigram_topk",
     "q150_activity_heatmap",
-    "q173_eccentricity",
-    "q175_event_transitions",
-    "q176_edge_betweenness",
     "q177_period_over_period",
     "q178_skew_report",
     "q179_interval_union",
@@ -8436,6 +8572,9 @@ _WINDOW_PRIORITY = [
     "q214_pareto_coverage",
     "q215_padding_curve",
     "q216_source_length_deciles",
+    "q217_user_entropy",
+    "q218_time_to_convert",
+    "q219_jaccard_threshold_curve",
 ]
 
 
