@@ -206,3 +206,46 @@ def temperature_sample(
     return df.join(F.broadcast(rates), group_col).filter(u < F.col("_pg")).drop(
         "_pg"
     )
+
+
+def weighted_reservoir_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of exactly min(k, n) rows
+    — Efraimidis–Spirakis A-Res: each row draws priority u^(1/w) from
+    a uniform u and the k largest priorities win, which provably
+    samples without replacement with probability proportional to
+    weight.  THE distributed algorithm for this: priorities are
+    per-row independent, so the selection is orderBy+limit
+    (TakeOrderedAndProject — per-partition top-k merged at the driver,
+    never a global sort).
+
+    md5-deterministic u (same (id, seed) ⇒ same draw, engine- and
+    layout-independent; +0.5 bucket centering keeps u strictly inside
+    (0, 1) so priorities never collapse to 0/1).  Rows with
+    non-positive weight are excluded."""
+    from graphmapreduce_spark.functions.text import md5_hash60
+
+    u = (
+        F.pmod(
+            md5_hash60(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(f":{seed}")
+                )
+            ),
+            F.lit(_BUCKETS),
+        ).cast("double")
+        + 0.5
+    ) / _BUCKETS
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_pri", key)
+        .orderBy(F.desc("_pri"), F.asc(id_col))
+        .limit(k)
+        .drop("_pri")
+    )

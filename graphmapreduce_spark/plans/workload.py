@@ -8501,6 +8501,30 @@ def q219_jaccard_threshold_curve(spark, sf_dir):
     )
 
 
+@register(
+    "q220_weighted_reservoir",
+    f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             ({_MD5_BUCKET.format(col='doc_id', seed=0)} + 0.5) / 1e6 AS u
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars, POWER(u, 1.0 / n_chars) AS pri
+      FROM s ORDER BY pri DESC, doc_id ASC LIMIT 50
+    )
+    """,
+)
+def q220_weighted_reservoir(spark, sf_dir):
+    """Exactly-50 weighted sample without replacement, probability ∝
+    document length — Efraimidis–Spirakis A-Res priorities u^(1/w)
+    with md5-deterministic draws; selection is TakeOrderedAndProject
+    (`sampling.weighted_reservoir_k`).  Complements q118's
+    Bernoulli-by-weight (random size) and q133's uniform fixed-k."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return SMP.weighted_reservoir_k(d, "doc_id", "n_chars", k=50, seed=0)
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -8532,7 +8556,6 @@ _WINDOW_PRIORITY = [
     "q148_centroid_similarity",
     "q149_bigram_topk",
     "q150_activity_heatmap",
-    "q177_period_over_period",
     "q178_skew_report",
     "q179_interval_union",
     "q180_cumulative_distinct",
@@ -8575,6 +8598,7 @@ _WINDOW_PRIORITY = [
     "q217_user_entropy",
     "q218_time_to_convert",
     "q219_jaccard_threshold_curve",
+    "q220_weighted_reservoir",
 ]
 
 

@@ -180,3 +180,21 @@ def test_temperature_sample_deterministic(spark, sf_dir):
         d.repartition(7), "doc_id", "lang", alpha=0.5, base_rate=0.5
     ).collect())
     assert a == b and len(a) > 0
+
+
+def test_weighted_reservoir_exact_k_and_weight_bias(spark):
+    from pyspark.sql import functions as F
+
+    from graphmapreduce_spark.operators.sampling import weighted_reservoir_k
+
+    # 100 light rows (w=1) + 10 heavy rows (w=1000): heavy rows should
+    # dominate a k=10 draw; exactly k rows return; determinism holds
+    rows = [(i, 1.0) for i in range(100)] + [(1000 + i, 1000.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out1 = {r["id"] for r in weighted_reservoir_k(df, "id", "w", k=10).collect()}
+    out2 = {r["id"] for r in weighted_reservoir_k(df, "id", "w", k=10).collect()}
+    assert out1 == out2 and len(out1) == 10
+    assert sum(1 for i in out1 if i >= 1000) >= 8  # heavy rows dominate
+    # zero/negative weights are excluded entirely
+    dfz = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 5.0)], "id long, w double")
+    assert {r["id"] for r in weighted_reservoir_k(dfz, "id", "w", k=5).collect()} == {3}
