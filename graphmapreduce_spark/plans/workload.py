@@ -8525,6 +8525,105 @@ def q220_weighted_reservoir(spark, sf_dir):
     return SMP.weighted_reservoir_k(d, "doc_id", "n_chars", k=50, seed=0)
 
 
+@register(
+    "q221_whitened_norms",
+    """
+    WITH d AS (
+      SELECT vec_id, UNNEST(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim, AVG(v) AS mu, STDDEV_SAMP(v) AS sd
+      FROM d GROUP BY dim
+    )
+    SELECT d.vec_id,
+           ROUND(sqrt(SUM(POWER((d.v - s.mu) / s.sd, 2))), 6)
+             AS whitened_norm
+    FROM d JOIN stats s ON s.dim = d.dim
+    WHERE s.sd > 0
+    GROUP BY d.vec_id
+    """,
+)
+def q221_whitened_norms(spark, sf_dir):
+    """L2 norm of each embedding after per-dimension standardization
+    (z-score whitening) — the Mahalanobis-diagonal outlier score for
+    vector stores: a norm far above √dim flags an embedding generated
+    under a different model or preprocessing.  One posexplode, one
+    dim-keyed stats agg broadcast back, one per-vector agg — never a
+    driver-side matrix."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    stats = d.groupBy("dim").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
+    )
+    return (
+        d.join(F.broadcast(stats), "dim")
+        .filter(F.col("sd") > 0)
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.pow((F.col("v") - F.col("mu")) / F.col("sd"), 2)
+                    )
+                ),
+                6,
+            ).alias("whitened_norm")
+        )
+    )
+
+
+@register(
+    "q222_regression_outliers",
+    """
+    WITH fit AS (
+      SELECT user_id,
+             REGR_SLOPE(value, epoch(ts)) AS b,
+             REGR_INTERCEPT(value, epoch(ts)) AS a
+      FROM events GROUP BY user_id
+    ),
+    res AS (
+      SELECT e.event_id, e.user_id,
+             ABS(e.value - (f.a + f.b * epoch(e.ts))) AS abs_resid
+      FROM events e JOIN fit f USING (user_id)
+    )
+    SELECT event_id, user_id, ROUND(abs_resid, 6) AS abs_resid
+    FROM res ORDER BY abs_resid DESC, event_id ASC LIMIT 25
+    """,
+)
+def q222_regression_outliers(spark, sf_dir):
+    """Model-based anomaly detection: the 25 events farthest from
+    their user's own OLS trend line — q205's sufficient-statistics fit
+    broadcast back onto the scan, residuals ranked by TakeOrdered.
+    Flags the 'right value, wrong trajectory' anomalies a global
+    z-score misses."""
+    e = _t(spark, sf_dir, "events")
+    x = F.col("ts").cast("double")
+    fit = e.groupBy("user_id").agg(
+        F.regr_slope(F.col("value"), x).alias("b"),
+        F.regr_intercept(F.col("value"), x).alias("a"),
+    )
+    res = e.join(F.broadcast(fit), "user_id").select(
+        "event_id",
+        "user_id",
+        F.abs(
+            F.col("value")
+            - (F.col("a") + F.col("b") * F.col("ts").cast("double"))
+        ).alias("_r"),
+    )
+    return (
+        res.orderBy(F.desc("_r"), F.asc("event_id"))
+        .limit(25)
+        .select("event_id", "user_id", F.round("_r", 6).alias("abs_resid"))
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -8556,8 +8655,6 @@ _WINDOW_PRIORITY = [
     "q148_centroid_similarity",
     "q149_bigram_topk",
     "q150_activity_heatmap",
-    "q178_skew_report",
-    "q179_interval_union",
     "q180_cumulative_distinct",
     "q181_hard_negatives",
     "q182_class_weights",
@@ -8599,6 +8696,8 @@ _WINDOW_PRIORITY = [
     "q218_time_to_convert",
     "q219_jaccard_threshold_curve",
     "q220_weighted_reservoir",
+    "q221_whitened_norms",
+    "q222_regression_outliers",
 ]
 
 
