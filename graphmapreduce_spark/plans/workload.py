@@ -8624,6 +8624,263 @@ def q222_regression_outliers(spark, sf_dir):
     )
 
 
+@register(
+    "q223_rfm_segmentation",
+    """
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS md FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                       (SELECT md FROM mx)) AS r,
+             COUNT(*)::DOUBLE AS f,
+             ROUND(SUM(o_totalprice), 2) AS m
+      FROM orders GROUP BY o_custkey
+    ),
+    th AS (
+      SELECT quantile_cont(r * 1.0, 0.25) AS r1, quantile_cont(r * 1.0, 0.5) AS r2,
+             quantile_cont(r * 1.0, 0.75) AS r3,
+             quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.5) AS f2,
+             quantile_cont(f, 0.75) AS f3,
+             quantile_cont(m, 0.25) AS m1, quantile_cont(m, 0.5) AS m2,
+             quantile_cont(m, 0.75) AS m3
+      FROM rfm
+    )
+    SELECT (1 + (r > r1)::INT + (r > r2)::INT + (r > r3)::INT) AS r_band,
+           (1 + (f > f1)::INT + (f > f2)::INT + (f > f3)::INT) AS f_band,
+           (1 + (m > m1)::INT + (m > m2)::INT + (m > m3)::INT) AS m_band,
+           COUNT(*)::BIGINT AS n_customers,
+           ROUND(SUM(m), 2) AS total_monetary
+    FROM rfm CROSS JOIN th
+    GROUP BY 1, 2, 3
+    """,
+)
+def q223_rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation: recency/frequency/monetary per
+    customer, quartile-banded against exact global P25/P50/P75
+    thresholds (one 9-percentile agg broadcast back — never a global
+    NTILE sort), then segment counts.  Monetary is rounded to cents
+    BEFORE the thresholds are computed so the band comparison is
+    float-noise-proof on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    md = o.agg(F.max(F.to_date("o_orderdate")).alias("md"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_d"),
+            F.count(F.lit(1)).cast("double").alias("f"),
+            F.round(F.sum("o_totalprice"), 2).alias("m"),
+        )
+        .join(F.broadcast(md))
+        .withColumn("r", F.datediff(F.col("md"), F.col("last_d")).cast("double"))
+    )
+    th = rfm.agg(
+        *[
+            F.percentile(c, F.lit(q)).alias(f"{c}{i}")
+            for c in ("r", "f", "m")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def band(c):
+        return (
+            F.lit(1)
+            + (F.col(c) > F.col(f"{c}1")).cast("int")
+            + (F.col(c) > F.col(f"{c}2")).cast("int")
+            + (F.col(c) > F.col(f"{c}3")).cast("int")
+        )
+
+    return (
+        rfm.join(F.broadcast(th))
+        .groupBy(
+            band("r").alias("r_band"),
+            band("f").alias("f_band"),
+            band("m").alias("m_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("m"), 2).alias("total_monetary"),
+        )
+    )
+
+
+@register(
+    "q224_association_rules",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey)::DOUBLE AS n_orders FROM lineitem),
+    item AS (SELECT l_partkey, COUNT(*)::DOUBLE AS cnt FROM b GROUP BY 1),
+    pair AS (
+      SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+             COUNT(*)::BIGINT AS support_cnt
+      FROM b x JOIN b y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT part_a, part_b, support_cnt,
+           ROUND(support_cnt / n_orders, 6) AS support,
+           ROUND(support_cnt / ia.cnt, 6) AS confidence,
+           ROUND(support_cnt * n_orders / (ia.cnt * ib.cnt), 6) AS lift
+    FROM pair
+    JOIN item ia ON ia.l_partkey = part_a
+    JOIN item ib ON ib.l_partkey = part_b
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a, part_b LIMIT 30
+    """,
+)
+def q224_association_rules(spark, sf_dir):
+    """Market-basket association rules over order baskets: pairwise
+    support / confidence / lift, top-30 by lift.  Candidate pairs come
+    from a within-basket self-join — the fanout is C(basket_size, 2),
+    bounded by the max lines per order (a data-shape constant, ~7 for
+    TPC-H), so pair volume stays linear in order count at any scale;
+    item counts and the basket total fold back in as broadcast joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = b.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    item = b.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    pair = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support_cnt"))
+        .filter(F.col("support_cnt") >= 2)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "support_cnt",
+            F.round(F.col("support_cnt") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("support_cnt") / F.col("cnt_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("support_cnt")
+                * F.col("n_orders")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(30)
+    )
+
+
+@register(
+    "q225_js_divergence",
+    r"""
+    WITH w AS (
+      SELECT source, UNNEST(list_filter(
+        string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+      FROM documents
+    ),
+    c AS (SELECT source, term, COUNT(*)::DOUBLE AS cnt FROM w GROUP BY 1, 2),
+    tot AS (SELECT source, SUM(cnt) AS n FROM c GROUP BY 1),
+    p AS (
+      SELECT c.source, c.term, c.cnt / t.n AS p
+      FROM c JOIN tot t USING (source)
+    ),
+    grid AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM tot a JOIN tot b ON a.source < b.source
+    ),
+    hm AS (
+      SELECT g.src_a, g.src_b,
+             -SUM(m * ln(m)) AS h_mix
+      FROM (
+        SELECT g.src_a, g.src_b, p.term, SUM(p.p) / 2 AS m
+        FROM grid g JOIN p ON p.source IN (g.src_a, g.src_b)
+        GROUP BY 1, 2, 3
+      ) g GROUP BY 1, 2
+    ),
+    h AS (SELECT source, -SUM(p * ln(p)) AS ent FROM p GROUP BY 1)
+    SELECT hm.src_a, hm.src_b,
+           ROUND(hm.h_mix - (ha.ent + hb.ent) / 2, 6) AS js_nats
+    FROM hm
+    JOIN h ha ON ha.source = hm.src_a
+    JOIN h hb ON hb.source = hm.src_b
+    """,
+)
+def q225_js_divergence(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions via the entropy identity JS(P,Q) = H((P+Q)/2) −
+    (H(P)+H(Q))/2 — no per-pair full-outer join, and absent terms need
+    no zero-imputation because they simply don't appear in either
+    entropy sum.  The source-pair grid is k², broadcast against the
+    term-probability table; all heavy work is term-keyed aggregation,
+    so cost is O(sources · terms), never pairs × corpus."""
+    d = _t(spark, sf_dir, "documents")
+    c = (
+        d.select("source", F.explode(T.words("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    tot = c.groupBy("source").agg(F.sum("cnt").alias("n"))
+    p = c.join(F.broadcast(tot), "source").select(
+        "source", "term", (F.col("cnt") / F.col("n")).alias("p")
+    )
+    srcs = tot.select("source")
+    grid = (
+        srcs.alias("a")
+        .join(
+            srcs.alias("b"),
+            F.col("a.source") < F.col("b.source"),
+        )
+        .select(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+    )
+    mix = (
+        p.join(
+            F.broadcast(grid),
+            (F.col("source") == F.col("src_a"))
+            | (F.col("source") == F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b", "term")
+        .agg((F.sum("p") / 2).alias("m"))
+        .groupBy("src_a", "src_b")
+        .agg((-F.sum(F.col("m") * F.log("m"))).alias("h_mix"))
+    )
+    h = p.groupBy("source").agg(
+        (-F.sum(F.col("p") * F.log("p"))).alias("ent")
+    )
+    ha = h.select(F.col("source").alias("src_a"), F.col("ent").alias("ent_a"))
+    hb = h.select(F.col("source").alias("src_b"), F.col("ent").alias("ent_b"))
+    return (
+        mix.join(F.broadcast(ha), "src_a")
+        .join(F.broadcast(hb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                F.col("h_mix") - (F.col("ent_a") + F.col("ent_b")) / 2, 6
+            ).alias("js_nats"),
+        )
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
