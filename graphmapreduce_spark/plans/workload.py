@@ -8881,6 +8881,225 @@ def q225_js_divergence(spark, sf_dir):
     )
 
 
+@register(
+    "q226_zipf_fit",
+    r"""
+    WITH w AS (
+      SELECT UNNEST(list_filter(
+        string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT term, COUNT(*)::DOUBLE AS c FROM w GROUP BY term
+           HAVING COUNT(*) >= 2),
+    r AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS rnk
+      FROM tf
+    )
+    SELECT COUNT(*)::BIGINT AS n_terms,
+           ROUND(REGR_SLOPE(ln(c), ln(rnk)), 6) AS zipf_slope,
+           ROUND(REGR_INTERCEPT(ln(c), ln(rnk)), 6) AS zipf_intercept,
+           ROUND(REGR_R2(ln(c), ln(rnk)), 6) AS r2
+    FROM r
+    """,
+)
+def q226_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit of the corpus term-frequency distribution: OLS of
+    ln(freq) on ln(rank) (slope ≈ −1 on natural text; the synthetic
+    word-soup corpus is the flat counter-example the fit detects).  The
+    global frequency rank comes from `sort.global_rank` — range
+    partition + per-partition row_number + offset fold-in, never a
+    single-partition window over the vocabulary — and the fit itself is
+    one sufficient-statistics agg."""
+    from graphmapreduce_spark.operators import sort as GS
+
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(T.words("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    r = GS.global_rank(
+        tf, [F.col("c").desc(), F.col("term").asc()], rank_col="rnk"
+    )
+    lc, lr = F.log("c"), F.log(F.col("rnk").cast("double"))
+    return r.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(lc, lr), 6).alias("r2"),
+    )
+
+
+@register(
+    "q227_pmi_topk",
+    r"""
+    WITH dw AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, UNNEST(list_filter(
+          string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+        FROM documents)
+      WHERE length(term) >= 4
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n_docs FROM dw),
+    df AS (SELECT term, COUNT(*)::DOUBLE AS d FROM dw GROUP BY term),
+    keep AS (SELECT term, d FROM df WHERE d BETWEEN 5 AND 320),
+    dk AS (SELECT dw.doc_id, dw.term FROM dw JOIN keep USING (term)),
+    pair AS (
+      SELECT a.term AS term_a, b.term AS term_b,
+             COUNT(*)::DOUBLE AS support
+      FROM dk a JOIN dk b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    )
+    SELECT term_a, term_b, CAST(support AS BIGINT) AS support_cnt,
+           ROUND(ln(support * n_docs / (ka.d * kb.d)), 6) AS pmi
+    FROM pair
+    JOIN keep ka ON ka.term = term_a
+    JOIN keep kb ON kb.term = term_b
+    CROSS JOIN n
+    ORDER BY pmi DESC, term_a, term_b LIMIT 25
+    """,
+)
+def q227_pmi_topk(spark, sf_dir):
+    """Pointwise mutual information of document-level term pairs:
+    PMI = ln(P(a,b) / (P(a)·P(b))) over co-occurrence presence, top-25.
+    Same scale hygiene as q120: the document-frequency band caps
+    per-term fanout BEFORE the within-doc self-join (one corpus-wide
+    term can never go O(docs²)); df and n_docs fold back in as
+    broadcast joins and ranking is TakeOrdered on the rounded score."""
+    d = _t(spark, sf_dir, "documents")
+    dw = (
+        d.select("doc_id", F.explode(T.words("text")).alias("term"))
+        .filter(F.length("term") >= 4)
+        .distinct()
+    )
+    n_docs = dw.agg(
+        F.count_distinct("doc_id").cast("double").alias("n_docs")
+    )
+    keep = (
+        dw.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+        .filter((F.col("d") >= 5) & (F.col("d") <= 320))
+    )
+    dk = dw.join(
+        F.broadcast(keep.select("term")), "term"
+    ).localCheckpoint(eager=False)
+    pair = (
+        dk.alias("a")
+        .join(
+            dk.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("support"))
+        .filter(F.col("support") >= 5)
+    )
+    ka = keep.select(F.col("term").alias("term_a"), F.col("d").alias("d_a"))
+    kb = keep.select(F.col("term").alias("term_b"), F.col("d").alias("d_b"))
+    return (
+        pair.join(F.broadcast(ka), "term_a")
+        .join(F.broadcast(kb), "term_b")
+        .join(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("support").cast("long").alias("support_cnt"),
+            F.round(
+                F.log(
+                    F.col("support")
+                    * F.col("n_docs")
+                    / (F.col("d_a") * F.col("d_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b"))
+        .limit(25)
+    )
+
+
+@register(
+    "q228_kaplan_meier",
+    """
+    WITH u0 AS (
+      SELECT user_id, MIN(epoch(ts)) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch(ts) END) AS tp
+      FROM events GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(epoch(ts)) AS tmax FROM events),
+    u AS (
+      SELECT CASE WHEN tp IS NOT NULL
+                  THEN CAST(FLOOR((tp - t0) / 86400.0) AS BIGINT)
+                  ELSE CAST(FLOOR((tmax - t0) / 86400.0) AS BIGINT)
+             END AS dur,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS obs
+      FROM u0 CROSS JOIN mx
+    ),
+    ad AS (SELECT dur, COUNT(*)::DOUBLE AS c_all, SUM(obs)::DOUBLE AS d
+           FROM u GROUP BY dur),
+    r AS (
+      SELECT dur, d, SUM(c_all) OVER (ORDER BY dur DESC) AS n_risk
+      FROM ad
+    ),
+    km AS (
+      SELECT dur, d, n_risk,
+             SUM(CASE WHEN d < n_risk THEN ln(1 - d / n_risk)
+                      ELSE -1e308 END)
+               OVER (ORDER BY dur ASC) AS lsum
+      FROM r WHERE d > 0
+    )
+    SELECT dur AS day, CAST(d AS BIGINT) AS d_events,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           ROUND(exp(lsum), 6) AS survival
+    FROM km
+    """,
+)
+def q228_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve for days-from-first-event to first
+    purchase, non-purchasers right-censored at the corpus horizon:
+    S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ), computed as exp of a running sum of
+    ln terms.  All per-user work is one groupBy; the risk-set and
+    product windows run over the DAY-aggregated table, whose row count
+    is bounded by the calendar span — never by users — so the
+    single-partition windows are over a provably tiny frame.  A −1e308
+    sentinel (not ln 0, which Spark nulls) absorbs the d=n final day to
+    survival 0 identically on both engines."""
+    e = _t(spark, sf_dir, "events")
+    ep = F.col("ts").cast("long")
+    u0 = e.groupBy("user_id").agg(
+        F.min(ep).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", ep)).alias("tp"),
+    )
+    mx = e.agg(F.max(ep).alias("tmax"))
+    end = F.coalesce(F.col("tp"), F.col("tmax"))
+    u = u0.join(F.broadcast(mx)).select(
+        F.floor((end - F.col("t0")) / 86400.0).alias("dur"),
+        F.col("tp").isNotNull().cast("int").alias("obs"),
+    )
+    ad = u.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("double").alias("c_all"),
+        F.sum("obs").cast("double").alias("d"),
+    )
+    w_risk = Window.orderBy(F.desc("dur"))
+    w_km = Window.orderBy(F.asc("dur"))
+    r = ad.withColumn("n_risk", F.sum("c_all").over(w_risk)).filter(
+        F.col("d") > 0
+    )
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(F.lit(1) - F.col("d") / F.col("n_risk")),
+    ).otherwise(F.lit(-1e308))
+    return r.withColumn("lsum", F.sum(term).over(w_km)).select(
+        F.col("dur").alias("day"),
+        F.col("d").cast("long").alias("d_events"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.round(F.exp("lsum"), 6).alias("survival"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
