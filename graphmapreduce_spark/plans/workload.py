@@ -9100,6 +9100,198 @@ def q228_kaplan_meier(spark, sf_dir):
     )
 
 
+@register(
+    "q229_event_trigrams",
+    """
+    WITH s AS (
+      SELECT user_id, event_type AS e1,
+             LEAD(event_type, 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             LEAD(event_type, 2) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events
+    )
+    SELECT e1, e2, e3, COUNT(*)::BIGINT AS cnt
+    FROM s WHERE e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY cnt DESC, e1, e2, e3 LIMIT 20
+    """,
+)
+def q229_event_trigrams(spark, sf_dir):
+    """Behavioral path mining one step beyond q179's Markov bigrams:
+    the 20 most common event-type TRIGRAMS across user sessions.  LEAD
+    windows partitioned by user (total order by ts with event_id
+    tiebreak) keep the scan partition-parallel; top-k is TakeOrdered on
+    the counted result."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        s.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
+@register(
+    "q230_gini_engagement",
+    """
+    WITH x AS (
+      SELECT user_id, COUNT(*)::DOUBLE AS n FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n ASC, user_id ASC) AS i
+      FROM x
+    )
+    SELECT COUNT(*)::BIGINT AS n_users,
+           ROUND(2.0 * SUM(i * n) / (COUNT(*) * SUM(n))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM r
+    """,
+)
+def q230_gini_engagement(spark, sf_dir):
+    """Gini coefficient of per-user event-count concentration — the
+    single-number inequality complement to q214's Pareto coverage
+    curve, via the sorted-rank identity G = 2·Σ i·xᵢ/(n·Σx) − (n+1)/n.
+    The global rank over users comes from `sort.global_rank` (range
+    partition + offset fold-in), so no single-partition window ever
+    sees the full user table; the identity itself is one agg."""
+    from graphmapreduce_spark.operators import sort as GS
+
+    e = _t(spark, sf_dir, "events")
+    x = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    r = GS.global_rank(
+        x, [F.col("n").asc(), F.col("user_id").asc()], rank_col="i"
+    )
+    return r.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("i") * F.col("n"))
+            / (F.count(F.lit(1)) * F.sum("n"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "q231_dedup_inflation",
+    r"""
+    WITH t AS (
+      SELECT source, md5(text) AS k,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '')) AS n_tok
+      FROM documents
+    ),
+    g AS (
+      SELECT source, k, COUNT(*)::BIGINT AS c, MAX(n_tok) AS n_tok
+      FROM t GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(SUM(c - 1) AS BIGINT) AS dup_docs,
+           ROUND(SUM(c - 1) / CAST(SUM(c) AS DOUBLE), 6) AS dup_ratio,
+           CAST(SUM(n_tok * c) AS BIGINT) AS tokens_total,
+           CAST(SUM(n_tok * (c - 1)) AS BIGINT) AS tokens_redundant,
+           ROUND(SUM(n_tok * (c - 1)) /
+                 CAST(SUM(n_tok * c) AS DOUBLE), 6) AS waste_ratio
+    FROM g GROUP BY source
+    """,
+)
+def q231_dedup_inflation(spark, sf_dir):
+    """Per-source exact-duplicate inflation audit: how many docs and
+    how many TOKENS the q40 exact-dedup pass would remove, by feed —
+    the number that decides which source pays for a dedup stage at all.
+    One hash-groupBy per (source, text-md5) then a per-source rollup;
+    identical copies share one token count via MAX."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        F.md5("text").alias("k"),
+        F.size(T.words("text")).alias("n_tok"),
+    )
+    g = t.groupBy("source", "k").agg(
+        F.count(F.lit(1)).alias("c"), F.max("n_tok").alias("n_tok")
+    )
+    return g.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.sum(F.col("c") - 1).alias("dup_docs"),
+        F.round(
+            F.sum(F.col("c") - 1) / F.sum("c").cast("double"), 6
+        ).alias("dup_ratio"),
+        F.sum(F.col("n_tok") * F.col("c")).alias("tokens_total"),
+        F.sum(F.col("n_tok") * (F.col("c") - 1)).alias("tokens_redundant"),
+        F.round(
+            F.sum(F.col("n_tok") * (F.col("c") - 1))
+            / F.sum(F.col("n_tok") * F.col("c")).cast("double"),
+            6,
+        ).alias("waste_ratio"),
+    )
+
+
+@register(
+    "q232_shingle_df_profile",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '') AS ws
+      FROM documents
+    ),
+    s AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(ws, i, i + 4), ' ') AS sh
+      FROM t, UNNEST(generate_series(1, len(ws) - 4)) AS u(i)
+      WHERE len(ws) >= 5
+    ),
+    df AS (SELECT sh, COUNT(*)::BIGINT AS d FROM s GROUP BY sh),
+    tot AS (SELECT SUM(d)::DOUBLE AS postings_all FROM df)
+    SELECT CAST(LENGTH(BIN(d)) - 1 AS BIGINT) AS df_log2_bucket,
+           COUNT(*)::BIGINT AS n_shingles,
+           CAST(SUM(d) AS BIGINT) AS postings,
+           ROUND(SUM(d) / ANY_VALUE(postings_all), 6) AS postings_share
+    FROM df CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def q232_shingle_df_profile(spark, sf_dir):
+    """Shingle document-frequency histogram (log₂-binned): the direct
+    measurement behind every inverted-index pair-join knob in this repo
+    — Σ df² is the self-join cost, so the share of postings sitting in
+    high-df buckets IS the predicted blowup, and the profile says
+    whether a `max_df` cap will bite before the join goes quadratic.
+    Cost is one explode + two hash aggs; nothing pairwise.  The log₂
+    bucket is the exact integer `length(bin(d)) − 1`, not
+    `floor(ln d / ln 2)` — at exact powers of two the float form can
+    flip buckets on a last-ulp libm difference between engines."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id", F.explode(T.word_ngrams("text", n=5)).alias("sh")
+    ).distinct()
+    df = s.groupBy("sh").agg(F.count(F.lit(1)).alias("d"))
+    tot = df.agg(F.sum("d").cast("double").alias("postings_all"))
+    return (
+        df.join(F.broadcast(tot))
+        .groupBy(
+            (F.length(F.bin("d")) - 1).cast("long").alias("df_log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("d").alias("postings"),
+            F.round(F.sum("d") / F.first("postings_all"), 6).alias(
+                "postings_share"
+            ),
+        )
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
