@@ -9292,6 +9292,95 @@ def q232_shingle_df_profile(spark, sf_dir):
     )
 
 
+@register(
+    "q233_quantization_error",
+    """
+    WITH v AS (
+      SELECT vec_id, label, i AS dim, embedding[i]::DOUBLE AS x
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ),
+    s AS (SELECT dim, MAX(ABS(x)) AS m FROM v GROUP BY dim),
+    e AS (
+      SELECT v.label,
+             ABS(v.x - ROUND(127 * v.x / s.m) * s.m / 127) AS err,
+             ABS(v.x) AS mag
+      FROM v JOIN s USING (dim) WHERE s.m > 0
+    )
+    SELECT label,
+           ROUND(AVG(err), 9) AS mean_abs_err,
+           ROUND(MAX(err), 9) AS max_abs_err,
+           ROUND(AVG(err) / AVG(mag), 6) AS rel_err
+    FROM e GROUP BY label
+    """,
+)
+def q233_quantization_error(spark, sf_dir):
+    """Int8 vector-quantization audit: symmetric per-dimension scaling
+    (q = round(127·x/m), m = per-dim max-abs), reporting per-label
+    reconstruction error — the go/no-go number before shipping a
+    compressed ANN index.  One explode + a dim-keyed scale agg
+    broadcast back onto the scan; the quantize/dequantize round-trip is
+    pure codegen arithmetic, bit-identical across engines because both
+    round half-away-from-zero on IEEE doubles."""
+    em = _t(spark, sf_dir, "embeddings")
+    v = em.select(
+        "label",
+        F.posexplode("embedding").alias("dim0", "xf"),
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    s = v.groupBy("dim").agg(F.max(F.abs("x")).alias("m"))
+    q = F.round(F.lit(127) * F.col("x") / F.col("m"), 0)
+    e = (
+        v.join(F.broadcast(s), "dim")
+        .filter(F.col("m") > 0)
+        .select(
+            "label",
+            F.abs(F.col("x") - q * F.col("m") / 127).alias("err"),
+            F.abs("x").alias("mag"),
+        )
+    )
+    return e.groupBy("label").agg(
+        F.round(F.avg("err"), 9).alias("mean_abs_err"),
+        F.round(F.max("err"), 9).alias("max_abs_err"),
+        F.round(F.avg("err") / F.avg("mag"), 6).alias("rel_err"),
+    )
+
+
+@register(
+    "q234_fano_burstiness",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*)::DOUBLE AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n_days,
+           ROUND(AVG(n), 6) AS mean_daily,
+           ROUND(VAR_SAMP(n), 6) AS var_daily,
+           ROUND(VAR_SAMP(n) / AVG(n), 6) AS fano
+    FROM d GROUP BY event_type
+    """,
+)
+def q234_fano_burstiness(spark, sf_dir):
+    """Dispersion (Fano factor) of daily event volume per type:
+    var/mean of the day-count series — ≈1 is Poisson-like arrivals,
+    ≫1 flags bursty types that need burst-aware capacity or sampling
+    (the per-type complement of q213's term-burst detector).  Two hash
+    aggs, no window, no shuffle beyond the day rollup."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.avg("n"), 6).alias("mean_daily"),
+        F.round(F.var_samp("n"), 6).alias("var_daily"),
+        F.round(F.var_samp("n") / F.avg("n"), 6).alias("fano"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
