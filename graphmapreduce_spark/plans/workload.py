@@ -9400,8 +9400,8 @@ def q234_fano_burstiness(spark, sf_dir):
 _WINDOW_PRIORITY = [
     # VERDICT round-3 item 4 pins q144–q150 into this round's driver
     # window (their first driver rows).  The remaining 43 slots hold
-    # the newest value-oracled additions (q172–q214); everything in
-    # between (q151–q171, plus the q114 re-verify) is covered by this
+    # the newest value-oracled additions (q192–q234); everything in
+    # between (q151–q191, plus the q114 re-verify) is covered by this
     # session's full-registry tools/check_oracle.py sweeps recorded in
     # BASELINE.md — q151/q152 are rows-only decode checks with
     # pixel/waveform-exact pytests besides.
@@ -9412,18 +9412,6 @@ _WINDOW_PRIORITY = [
     "q148_centroid_similarity",
     "q149_bigram_topk",
     "q150_activity_heatmap",
-    "q180_cumulative_distinct",
-    "q181_hard_negatives",
-    "q182_class_weights",
-    "q183_katz",
-    "q184_eigenvector",
-    "q185_reciprocity",
-    "q186_band_join",
-    "q187_leakage_safe_split",
-    "q188_length_buckets",
-    "q189_encoding_audit",
-    "q190_powerlaw_alpha",
-    "q191_join_size",
     "q192_sliding_distinct",
     "q193_rolling_zscore",
     "q194_autocorr",
@@ -9455,6 +9443,18 @@ _WINDOW_PRIORITY = [
     "q220_weighted_reservoir",
     "q221_whitened_norms",
     "q222_regression_outliers",
+    "q223_rfm_segmentation",
+    "q224_association_rules",
+    "q225_js_divergence",
+    "q226_zipf_fit",
+    "q227_pmi_topk",
+    "q228_kaplan_meier",
+    "q229_event_trigrams",
+    "q230_gini_engagement",
+    "q231_dedup_inflation",
+    "q232_shingle_df_profile",
+    "q233_quantization_error",
+    "q234_fano_burstiness",
 ]
 
 
