@@ -9381,6 +9381,129 @@ def q234_fano_burstiness(spark, sf_dir):
     )
 
 
+@register(
+    "q235_k_anonymity",
+    """
+    WITH g AS (
+      SELECT lang, source, LENGTH(BIN(GREATEST(n_chars, 1))) - 1 AS len_b,
+             COUNT(*)::BIGINT AS k
+      FROM documents GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT COUNT(*)::DOUBLE AS n FROM documents)
+    SELECT CASE WHEN k = 1 THEN '1'
+                WHEN k < 5 THEN '2-4'
+                WHEN k < 20 THEN '5-19'
+                ELSE '20+' END AS k_band,
+           COUNT(*)::BIGINT AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           ROUND(SUM(k) / ANY_VALUE(tot.n), 6) AS row_share
+    FROM g CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def q235_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier tuple (lang, source,
+    log₂ length bucket): how many documents sit in singleton or
+    near-singleton equivalence classes — the re-identification-risk
+    companion to `scrub_pii` (a doc unique on its quasi-identifiers is
+    linkable even with PII scrubbed).  One hash-groupBy over the tuple,
+    then a banded rollup; the length bucket is the exact
+    `length(bin(n)) − 1` integer form."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy(
+        "lang",
+        "source",
+        (F.length(F.bin(F.greatest("n_chars", F.lit(1)))) - 1).alias(
+            "len_b"
+        ),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    tot = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    band = (
+        F.when(F.col("k") == 1, "1")
+        .when(F.col("k") < 5, "2-4")
+        .when(F.col("k") < 20, "5-19")
+        .otherwise("20+")
+    )
+    return (
+        g.join(F.broadcast(tot))
+        .groupBy(band.alias("k_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("k").alias("n_rows"),
+            F.round(F.sum("k") / F.first("n"), 6).alias("row_share"),
+        )
+    )
+
+
+@register(
+    "q236_mrr_eval",
+    """
+    WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT * FROM c WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT q.vec_id AS qid, q.label AS qlab,
+             c.vec_id AS nid, c.label AS nlab,
+             ROUND(list_sum(list_transform(range(1, len(q.v) + 1),
+                              i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 4)
+               AS cosine
+      FROM c CROSS JOIN q
+      WHERE q.vec_id <> c.vec_id
+    ),
+    r AS (
+      SELECT qid, qlab, nlab,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cosine DESC, nid ASC) AS rnk
+      FROM scored
+    )
+    SELECT qid AS query_id, CAST(MIN(rnk) AS BIGINT) AS first_hit_rank,
+           ROUND(1.0 / MIN(rnk), 6) AS reciprocal_rank
+    FROM r WHERE nlab = qlab GROUP BY qid
+    """,
+)
+def q236_mrr_eval(spark, sf_dir):
+    """Retrieval-quality evaluation: mean-reciprocal-rank inputs for a
+    label-match relevance model — for each held-out query vector, the
+    rank of the first same-label neighbor under exact cosine.  The
+    query sample (1/25 of vectors) is the broadcast side against the
+    partition-parallel corpus — the q48 brute-force shape, which is the
+    ground-truth harness any ANN variant (q49 IVF) is scored against;
+    ranking is on the ROUNDed cosine with an id tiebreak so both
+    engines agree on ties."""
+    emb = _t(spark, sf_dir, "embeddings")
+    c = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlab"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlab"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    scored = c.join(F.broadcast(q), F.col("qid") != F.col("nid")).select(
+        "qid",
+        "qlab",
+        "nid",
+        "nlab",
+        F.round(V.cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("nlab") == F.col("qlab"))
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.min("rnk").alias("first_hit_rank"),
+            F.round(F.lit(1.0) / F.min("rnk"), 6).alias("reciprocal_rank"),
+        )
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
