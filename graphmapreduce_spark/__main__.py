@@ -94,7 +94,7 @@ def main(argv: list[str] | None = None) -> int:
         "algorithm",
         choices=[
             "pagerank", "trianglecount", "sssp",  # reference parity
-            "wcc", "bfs", "scc", "kcore", "ktruss",
+            "wcc", "bfs", "scc", "kcore", "coreness", "ktruss",
             "labelprop", "mis", "harmonic",
             "closeness", "betweenness", "edgebetweenness", "eccentricity",
             "hits", "katz", "eigenvector", "reciprocity",
@@ -170,6 +170,8 @@ def main(argv: list[str] | None = None) -> int:
         ).orderBy("id")
     elif args.algorithm == "kcore":
         res = alg.k_core(g, args.k).orderBy("id")
+    elif args.algorithm == "coreness":
+        res = alg.coreness(g).orderBy("id")
     elif args.algorithm == "ktruss":
         res = alg.k_truss(g, args.k).orderBy("a", "b")
     elif args.algorithm == "labelprop":

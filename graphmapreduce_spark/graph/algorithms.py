@@ -791,6 +791,145 @@ def k_core(
     return deg.select(F.col("src").alias("id"), "core_degree")
 
 
+def coreness(
+    graph: PropertyGraph,
+    max_iter: int = 1000,
+    assume_simple: bool = False,
+    method: str = "hindex",
+) -> DataFrame:
+    """(id, coreness) for every vertex: the full k-core decomposition
+    (coreness(v) = largest k such that v survives in the k-core).
+
+    ``method="hindex"`` (default): h-index propagation (Lü, Zhou,
+    Zhang & Stanley, "The H-index of a network node and its relation
+    to degree and coreness", Nat. Commun. 2016) — initialize c(v) to
+    degree, then iterate c(v) ← H(c(u) : u ∈ N(v)); the sequence is
+    monotonically non-increasing and converges exactly to coreness.
+    Each superstep is ONE join + ONE aggregation (fixed shape, like
+    pagerank), supersteps = convergence depth — typically ≪ the number
+    of core levels, so this is the scale path.  The per-vertex h-index
+    runs over a degree-sized sorted array; on a graph with extreme
+    hubs, prefer ``method="peel"`` (no per-vertex array materialized).
+
+    ``method="peel"``: distributed peeling in increasing k, below.
+
+    Each peel round is the k_core() inner step — one degree agg + two
+    semi-joins on the SHRINKING edge set, lineage truncated by eager
+    localCheckpoints, one O(1) driver action (`isEmpty` on the peel
+    frontier).  When no vertex is below the current k, k advances to
+    the smallest surviving degree (skipping empty levels), so total
+    rounds are bounded by peel depth + number of occupied core levels —
+    both degeneracy-bounded, independent of |V|.  Vertices that appear
+    only as isolated ids in ``graph.vertices`` get coreness 0.
+
+    Parity: the full decomposition the reference's fixed-k neighbor
+    pruning (gmr.h:30 MAX_NEIGHBORSIZE) approximates from one side;
+    ``coreness(v) >= k  <=>  v in k_core(graph, k)`` is the pytest
+    cross-invariant.
+    """
+    spark = graph.edges.sparkSession
+    sym = graph.edges.select("src", "dst").unionByName(
+        graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    if not assume_simple:
+        sym = sym.distinct()
+    edges = sym.localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    if method == "hindex":
+        # h-index of a sorted-desc value array xs: #{i : xs[i] >= i}
+        # (1-based) — computed as a codegen expression, no UDF
+        est = deg.select(
+            "src", F.col("deg").cast("long").alias("c")
+        ).localCheckpoint(eager=True)
+        for _ in range(max_iter):
+            nbr = edges.join(
+                est.withColumnRenamed("src", "dst").withColumnRenamed(
+                    "c", "nc"
+                ),
+                "dst",
+            )
+            new = (
+                nbr.groupBy("src")
+                .agg(
+                    F.expr(
+                        "size(filter(transform("
+                        "  sort_array(collect_list(nc), false),"
+                        "  (x, i) -> x >= i + 1), b -> b))"
+                    )
+                    .cast("long")
+                    .alias("c")
+                )
+                .localCheckpoint(eager=True)
+            )
+            done = (
+                new.join(est.withColumnRenamed("c", "c_old"), "src")
+                .filter(F.col("c") != F.col("c_old"))
+                .limit(1)
+                .isEmpty()
+            )
+            est = new
+            if done:
+                break
+        return (
+            graph.vertices.select("id")
+            .join(
+                est.select(
+                    F.col("src").alias("id"), F.col("c").alias("coreness")
+                ),
+                "id",
+                "left",
+            )
+            .fillna(0, subset=["coreness"])
+        )
+
+    out_schema = "id long, coreness long"
+    peeled = spark.createDataFrame([], out_schema)
+    k = 1
+    for _ in range(max_iter):
+        # ONE driver action per round: emptiness check + the smallest
+        # surviving degree (for the empty-level jump) from one agg
+        n, mn = deg.agg(F.count(F.lit(1)), F.min("deg")).first()
+        if n == 0:
+            break
+        if mn >= k:
+            # level k is fully carved — jump past the empty levels; the
+            # min-degree vertices peel this very round at level mn+1
+            k = int(mn) + 1
+        # everything peeled while the k-core is being carved has
+        # coreness k-1.  The accumulator is a lazy union of tiny
+        # per-round frontiers over checkpointed sources — no job.
+        low = deg.filter(F.col("deg") < k)
+        peeled = peeled.unionByName(
+            low.select(
+                F.col("src").alias("id"),
+                F.lit(k - 1).cast("long").alias("coreness"),
+            )
+        )
+        keep = (
+            deg.filter(F.col("deg") >= k)
+            .select("src")
+            .localCheckpoint(eager=True)
+        )
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # survivors of the last completed carve (only when max_iter hit
+    # with edges remaining) plus isolated vertices
+    rest = deg.select(
+        F.col("src").alias("id"), F.lit(k - 1).cast("long").alias("coreness")
+    )
+    out = peeled.unionByName(rest)
+    return (
+        graph.vertices.select("id")
+        .join(out, "id", "left")
+        .fillna(0, subset=["coreness"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # Personalized PageRank — random walk with restart to a seed set.
 # Same superstep shape as pagerank() (one join + one agg per step, one

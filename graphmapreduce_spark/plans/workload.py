@@ -9504,6 +9504,30 @@ def q236_mrr_eval(spark, sf_dir):
     )
 
 
+@register("q237_coreness", None)  # run-to-fixpoint peel per level — no
+# fixed-depth SQL form; verified by the pytest golden + the
+# coreness(v)>=k <=> k_core membership cross-invariant against the
+# value-oracled q84 peel (tests/test_graph_algorithms.py)
+def q237_coreness(spark, sf_dir):
+    """Full k-core decomposition (coreness per vertex) of the
+    lineitem-derived graph — the degeneracy profile that tells you
+    which k the q84 fixed-k core is worth carving at.  Distributed
+    peeling in increasing k; rounds bounded by peel depth + occupied
+    core levels (degeneracy-bounded), never |V|."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_orderkey") % 5000).alias("s"),
+            (F.col("l_partkey") % 5000).alias("t"),
+        )
+        .filter(F.col("s") != F.col("t"))
+        .select(F.least("s", "t").alias("src"), F.greatest("s", "t").alias("dst"))
+        .distinct()
+    )
+    g = PropertyGraph.from_edges(e)
+    return alg.coreness(g, assume_simple=True)
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================

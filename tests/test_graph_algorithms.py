@@ -306,6 +306,39 @@ def test_k_core_golden(spark):
     assert k_core(path, k=2).count() == 0
 
 
+def test_coreness_golden_and_kcore_consistency(spark):
+    """Full decomposition on K5 + tail: clique vertices have coreness
+    4, the tail 1; and for every k the {coreness >= k} set equals the
+    k_core membership (the defining cross-invariant)."""
+    from graphmapreduce_spark.graph.algorithms import coreness, k_core
+    from graphmapreduce_spark.graph.property_graph import PropertyGraph
+
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    tail = [(4, 5), (5, 6)]
+    g = PropertyGraph.from_edges(
+        spark.createDataFrame(k5 + tail, "src long, dst long")
+    )
+    got = {r["id"]: r["coreness"] for r in coreness(g).collect()}
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4, 5: 1, 6: 1}
+
+    # both methods must agree (h-index propagation vs level peeling)
+    peel = {
+        r["id"]: r["coreness"] for r in coreness(g, method="peel").collect()
+    }
+    assert peel == got
+
+    for k in (1, 2, 3, 4):
+        members = {r["id"] for r in k_core(g, k=k).collect()}
+        assert members == {v for v, c in got.items() if c >= k}, k
+
+    # a path has max coreness 1; endpoints included
+    path = PropertyGraph.from_edges(
+        spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    )
+    pc = {r["id"]: r["coreness"] for r in coreness(path).collect()}
+    assert pc == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
 def test_personalized_pagerank_localizes_to_seed(spark):
     """Two disjoint triangles; restarting at vertex 1 puts ALL mass in
     its triangle and none in the other; rank sums to ~1."""
