@@ -791,6 +791,39 @@ def k_core(
     return deg.select(F.col("src").alias("id"), "core_degree")
 
 
+def diameter_double_sweep(
+    graph: PropertyGraph, start: int | None = None, max_iter: int = 1000
+) -> DataFrame:
+    """Double-sweep BFS diameter estimate: BFS from ``start`` (default:
+    smallest vertex id), take the farthest reachable vertex (max level,
+    min-id tiebreak), BFS again from there — the second eccentricity is
+    a lower bound on the true diameter, EXACT on trees and usually
+    tight on real graphs (Magnien, Latapy & Habib's classic heuristic;
+    the O(n·BFS) exact alternative is not a 100 TB plan).  Returns one
+    row (start_id, peripheral_id, diameter_lb).  Cost = exactly two
+    frontier-BFS runs; the two argmax reductions are 1-row aggs.
+    Edges are followed as given (the bfs/sssp contract) — pass a
+    symmetrized graph for undirected diameter."""
+    if start is None:
+        start = int(graph.vertices.agg(F.min("id")).first()[0])
+    lv1 = bfs(graph, start, max_iter=max_iter).filter(F.col("level") >= 0)
+    far = (
+        lv1.orderBy(F.desc("level"), F.asc("id")).limit(1).first()
+    )
+    peripheral = int(far["id"])
+    lv2 = bfs(graph, peripheral, max_iter=max_iter).filter(
+        F.col("level") >= 0
+    )
+    return (
+        lv2.agg(F.max("level").alias("diameter_lb"))
+        .select(
+            F.lit(start).cast("long").alias("start_id"),
+            F.lit(peripheral).cast("long").alias("peripheral_id"),
+            F.col("diameter_lb").cast("long"),
+        )
+    )
+
+
 def coreness(
     graph: PropertyGraph,
     max_iter: int = 1000,

@@ -9528,6 +9528,30 @@ def q237_coreness(spark, sf_dir):
     return alg.coreness(g, assume_simple=True)
 
 
+@register("q238_diameter_double_sweep", None)  # two chained data-dependent
+# BFS runs — no fixed-depth SQL form; verified by pytest goldens
+# (exact on trees; cycle/star fixtures) in tests/test_graph_algorithms.py
+def q238_diameter_double_sweep(spark, sf_dir):
+    """Double-sweep BFS diameter lower bound of the (symmetrized)
+    lineitem-derived graph — the two-BFS heuristic that replaces the
+    O(n·BFS) exact sweep nothing can afford at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_orderkey") % 5000).alias("s"),
+            (F.col("l_partkey") % 5000).alias("t"),
+        )
+        .filter(F.col("s") != F.col("t"))
+        .select(F.least("s", "t").alias("src"), F.greatest("s", "t").alias("dst"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).withColumn("weight", F.lit(1.0))
+    g = PropertyGraph.from_edges(sym)
+    return alg.diameter_double_sweep(g)
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================

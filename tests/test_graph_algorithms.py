@@ -339,6 +339,29 @@ def test_coreness_golden_and_kcore_consistency(spark):
     assert pc == {1: 1, 2: 1, 3: 1, 4: 1}
 
 
+def test_diameter_double_sweep_goldens(spark):
+    """Exact on trees (path P5 → 4, star → 2); tight on the C6 cycle
+    (→ 3, the true diameter).  Graphs are symmetrized per the
+    bfs/sssp directed-edge contract."""
+    from graphmapreduce_spark.graph.algorithms import diameter_double_sweep
+    from graphmapreduce_spark.graph.property_graph import PropertyGraph
+
+    def und(pairs):
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        sym = e.unionByName(e.selectExpr("dst as src", "src as dst"))
+        return PropertyGraph.from_edges(sym)
+
+    p5 = und([(1, 2), (2, 3), (3, 4), (4, 5)])
+    row = diameter_double_sweep(p5).first()
+    assert row["diameter_lb"] == 4
+
+    c6 = und([(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 1)])
+    assert diameter_double_sweep(c6).first()["diameter_lb"] == 3
+
+    star = und([(0, i) for i in range(1, 6)])
+    assert diameter_double_sweep(star).first()["diameter_lb"] == 2
+
+
 def test_personalized_pagerank_localizes_to_seed(spark):
     """Two disjoint triangles; restarting at vertex 1 puts ALL mass in
     its triangle and none in the other; rank sums to ~1."""
