@@ -9571,8 +9571,9 @@ def q238_diameter_double_sweep(spark, sf_dir):
 _WINDOW_PRIORITY = [
     # VERDICT round-3 item 4 pins q144–q150 into this round's driver
     # window (their first driver rows).  The remaining 43 slots hold
-    # the newest value-oracled additions (q192–q234); everything in
-    # between (q151–q191, plus the q114 re-verify) is covered by this
+    # the newest value-oracled additions (q194–q236, minus the
+    # rows-only q237/q238 which carry pytest goldens); everything in
+    # between (q151–q193, plus the q114 re-verify) is covered by this
     # session's full-registry tools/check_oracle.py sweeps recorded in
     # BASELINE.md — q151/q152 are rows-only decode checks with
     # pixel/waveform-exact pytests besides.
@@ -9583,8 +9584,6 @@ _WINDOW_PRIORITY = [
     "q148_centroid_similarity",
     "q149_bigram_topk",
     "q150_activity_heatmap",
-    "q192_sliding_distinct",
-    "q193_rolling_zscore",
     "q194_autocorr",
     "q195_langid_confusion",
     "q196_table_checksum",
@@ -9626,6 +9625,8 @@ _WINDOW_PRIORITY = [
     "q232_shingle_df_profile",
     "q233_quantization_error",
     "q234_fano_burstiness",
+    "q235_k_anonymity",
+    "q236_mrr_eval",
 ]
 
 
