@@ -9552,6 +9552,290 @@ def q238_diameter_double_sweep(spark, sf_dir):
     return alg.diameter_double_sweep(g)
 
 
+@register(
+    "q239_ndcg_eval",
+    """
+    WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT * FROM c WHERE vec_id % 25 = 0),
+    nrel AS (
+      SELECT q.vec_id AS qid,
+             COUNT(*)::BIGINT AS r
+      FROM q JOIN c ON c.label = q.label AND c.vec_id <> q.vec_id
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT q.vec_id AS qid, q.label AS qlab,
+             c.vec_id AS nid, c.label AS nlab,
+             ROUND(list_sum(list_transform(range(1, len(q.v) + 1),
+                              i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 4)
+               AS cosine
+      FROM c CROSS JOIN q
+      WHERE q.vec_id <> c.vec_id
+    ),
+    r AS (
+      SELECT qid, qlab, nlab,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cosine DESC, nid ASC) AS rnk
+      FROM scored
+    ),
+    dcg AS (
+      SELECT qid,
+             SUM(CASE WHEN nlab = qlab
+                      THEN 1.0 / log2(rnk + 1) ELSE 0 END) AS dcg
+      FROM r WHERE rnk <= 10 GROUP BY qid
+    )
+    SELECT d.qid AS query_id,
+           ROUND(d.dcg, 6) AS dcg_at_10,
+           ROUND(d.dcg / list_sum(list_transform(
+                   generate_series(1, LEAST(10, n.r)),
+                   i -> 1.0 / log2(i + 1))), 6) AS ndcg_at_10
+    FROM dcg d JOIN nrel n ON n.qid = d.qid
+    """,
+)
+def q239_ndcg_eval(spark, sf_dir):
+    """nDCG@10 under the label-match relevance model — the graded
+    companion to q236's MRR: DCG over the top-10 exact-cosine ranking,
+    normalized by the ideal DCG for the query's true relevant count.
+    The per-query ideal is a closed-form sum over sequence(1,
+    least(10, R)) — pure codegen, no second ranking pass; everything
+    heavy is the one broadcast-query × corpus scoring stage."""
+    emb = _t(spark, sf_dir, "embeddings")
+    c = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlab"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlab"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    nrel = (
+        c.join(
+            F.broadcast(q),
+            (F.col("nlab") == F.col("qlab")) & (F.col("qid") != F.col("nid")),
+        )
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    scored = c.join(F.broadcast(q), F.col("qid") != F.col("nid")).select(
+        "qid",
+        "qlab",
+        "nid",
+        "nlab",
+        F.round(V.cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("nid").asc()
+    )
+    dcg = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("nlab") == F.col("qlab"),
+                    F.lit(1.0) / F.log2(F.col("rnk") + 1),
+                ).otherwise(0.0)
+            ).alias("dcg")
+        )
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.lit(10), F.col("r"))),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1),
+    )
+    return (
+        dcg.join(F.broadcast(nrel), "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.round("dcg", 6).alias("dcg_at_10"),
+            F.round(F.col("dcg") / idcg, 6).alias("ndcg_at_10"),
+        )
+    )
+
+
+@register(
+    "q240_onenn_confusion",
+    """
+    WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT * FROM c WHERE vec_id % 5 = 0),
+    corpus AS (SELECT * FROM c WHERE vec_id % 5 <> 0),
+    scored AS (
+      SELECT q.vec_id AS qid, q.label AS true_label,
+             corpus.vec_id AS nid, corpus.label AS pred,
+             ROUND(list_sum(list_transform(range(1, len(q.v) + 1),
+                              i -> q.v[i] * corpus.v[i]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(corpus.v, x -> x * x)))), 4)
+               AS cosine
+      FROM corpus CROSS JOIN q
+    ),
+    top1 AS (
+      SELECT qid, true_label, pred FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cosine DESC, nid ASC) AS rnk
+        FROM scored) t
+      WHERE rnk = 1
+    )
+    SELECT true_label, pred AS pred_label, COUNT(*)::BIGINT AS n
+    FROM top1 GROUP BY 1, 2
+    """,
+)
+def q240_onenn_confusion(spark, sf_dir):
+    """1-nearest-neighbor classification confusion matrix on a 20%
+    holdout (vec_id % 5): predicted label = nearest corpus vector's
+    label under exact cosine.  The holdout is the broadcast side
+    against the partition-parallel corpus — the q48 brute-force
+    contract; at corpus×corpus scale the IVF path (q49) replaces the
+    scorer, the confusion rollup is unchanged."""
+    emb = _t(spark, sf_dir, "embeddings")
+    c = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = c.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+    )
+    corpus = c.filter(F.col("vec_id") % 5 != 0).select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("pred"),
+        F.col("v").alias("cv"),
+    )
+    scored = corpus.join(F.broadcast(q)).select(
+        "qid",
+        "true_label",
+        "nid",
+        "pred",
+        F.round(V.cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("nid").asc()
+    )
+    top1 = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") == 1
+    )
+    return top1.groupBy(
+        "true_label", F.col("pred").alias("pred_label")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q241_auc_roc",
+    """
+    WITH v AS (
+      SELECT vec_id, label, i AS dim, embedding[i]::DOUBLE AS x
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ),
+    cent AS (
+      SELECT dim, AVG(x) AS c FROM v WHERE label = 0 GROUP BY dim
+    ),
+    sc AS (
+      SELECT v.vec_id, MAX(v.label) AS label,
+             ROUND(SUM(v.x * cent.c)
+               / (sqrt(SUM(v.x * v.x))
+                * sqrt(SUM(cent.c * cent.c))), 4) AS score
+      FROM v JOIN cent USING (dim)
+      GROUP BY v.vec_id
+    ),
+    g AS (
+      SELECT score, COUNT(*)::DOUBLE AS cnt,
+             SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END)::DOUBLE AS pos
+      FROM sc GROUP BY score
+    ),
+    mid AS (
+      SELECT pos,
+             COALESCE(SUM(cnt) OVER (ORDER BY score ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (cnt + 1) / 2 AS r_mid
+      FROM g
+    ),
+    s AS (
+      SELECT SUM(pos * r_mid) AS rank_sum,
+             SUM(pos) AS n_pos,
+             (SELECT COUNT(*) FROM sc) - SUM(pos) AS n_neg
+      FROM mid
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND((rank_sum - n_pos * (n_pos + 1) / 2)
+                 / (n_pos * n_neg), 6) AS auc
+    FROM s
+    """,
+)
+def q241_auc_roc(spark, sf_dir):
+    """AUC-ROC of 'cosine to the label-0 centroid' as a detector for
+    label 0, via the Mann-Whitney rank-sum identity with midranks for
+    ties: AUC = (Σ_pos r_mid − n₊(n₊+1)/2)/(n₊·n₋).  Scores are
+    ROUNDed to 4 before ranking so tie groups are engine-identical;
+    the midrank window runs over the SCORE-DISTINCT aggregate (≤ 2·10⁴
+    rows by construction at 4 decimals), never the vector table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    cent = (
+        v.filter(F.col("label") == 0)
+        .groupBy("dim")
+        .agg(F.avg("x").alias("c"))
+    )
+    sc = (
+        v.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.max("label").alias("label"),
+            F.round(
+                F.sum(F.col("x") * F.col("c"))
+                / (
+                    F.sqrt(F.sum(F.col("x") * F.col("x")))
+                    * F.sqrt(F.sum(F.col("c") * F.col("c")))
+                ),
+                4,
+            ).alias("score"),
+        )
+    )
+    g = sc.groupBy("score").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.sum((F.col("label") == 0).cast("int")).cast("double").alias("pos"),
+    )
+    w = (
+        Window.orderBy(F.asc("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mid = g.withColumn(
+        "r_mid",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0.0))
+        + (F.col("cnt") + 1) / 2,
+    )
+    tot = sc.agg(F.count(F.lit(1)).cast("double").alias("n_all"))
+    s = mid.join(F.broadcast(tot)).agg(
+        F.sum(F.col("pos") * F.col("r_mid")).alias("rank_sum"),
+        F.sum("pos").alias("n_pos"),
+        (F.first("n_all") - F.sum("pos")).alias("n_neg"),
+    )
+    return s.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2)
+            / (F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
