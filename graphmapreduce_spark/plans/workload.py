@@ -9836,6 +9836,130 @@ def q241_auc_roc(spark, sf_dir):
     )
 
 
+@register(
+    "q242_ks_drift",
+    """
+    WITH s0 AS (SELECT MIN(source) AS s FROM documents),
+    d AS (
+      SELECT n_chars AS x,
+             CASE WHEN source = (SELECT s FROM s0) THEN 1 ELSE 0 END AS a
+      FROM documents
+    ),
+    g AS (
+      SELECT x, SUM(a)::DOUBLE AS ca, SUM(1 - a)::DOUBLE AS cb
+      FROM d GROUP BY x
+    ),
+    t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM g),
+    c AS (
+      SELECT SUM(ca) OVER (ORDER BY x ASC) / na AS fa,
+             SUM(cb) OVER (ORDER BY x ASC) / nb AS fb
+      FROM g CROSS JOIN t
+    )
+    SELECT (SELECT CAST(na AS BIGINT) FROM t) AS n_a,
+           (SELECT CAST(nb AS BIGINT) FROM t) AS n_b,
+           ROUND(MAX(ABS(fa - fb)), 6) AS ks_d
+    FROM c
+    """,
+)
+def q242_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between the
+    lexicographically-first source's document-length distribution and
+    everything else — the exact-distribution drift test next to q197's
+    binned PSI.  Both ECDFs come from one cumulative window over the
+    VALUE-DISTINCT aggregate (bounded by the length domain, never row
+    count); D = max gap is one agg on top."""
+    d = _t(spark, sf_dir, "documents")
+    s0 = d.agg(F.min("source").alias("s"))
+    dd = d.join(F.broadcast(s0)).select(
+        F.col("n_chars").alias("x"),
+        (F.col("source") == F.col("s")).cast("int").alias("a"),
+    )
+    g = dd.groupBy("x").agg(
+        F.sum("a").cast("double").alias("ca"),
+        F.sum(1 - F.col("a")).cast("double").alias("cb"),
+    )
+    t = g.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy(F.asc("x"))
+    c = g.join(F.broadcast(t)).select(
+        (F.sum("ca").over(w) / F.col("na")).alias("fa"),
+        (F.sum("cb").over(w) / F.col("nb")).alias("fb"),
+        "na",
+        "nb",
+    )
+    return c.agg(
+        F.first("na").cast("long").alias("n_a"),
+        F.first("nb").cast("long").alias("n_b"),
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_d"),
+    )
+
+
+@register(
+    "q243_mutual_information",
+    """
+    WITH j AS (
+      SELECT source, lang, COUNT(*)::DOUBLE AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n) AS nn FROM j),
+    ps AS (SELECT source, SUM(n) AS ns FROM j GROUP BY source),
+    pl AS (SELECT lang, SUM(n) AS nl FROM j GROUP BY lang),
+    mi AS (
+      SELECT SUM((j.n / nn) * ln(j.n * nn / (ps.ns * pl.nl))) AS mi
+      FROM j JOIN ps USING (source) JOIN pl USING (lang) CROSS JOIN tot
+    ),
+    hl AS (
+      SELECT -SUM((nl / nn) * ln(nl / nn)) AS h_lang
+      FROM pl CROSS JOIN tot
+    )
+    SELECT ROUND(mi.mi, 6) AS mi_nats,
+           ROUND(hl.h_lang, 6) AS h_lang_nats,
+           ROUND(mi.mi / hl.h_lang, 6) AS uncertainty_coef
+    FROM mi CROSS JOIN hl
+    """,
+)
+def q243_mutual_information(spark, sf_dir):
+    """Mutual information between source and language plus Theil's
+    uncertainty coefficient U(lang|source) = MI/H(lang) — 'how much
+    does knowing the feed tell you about the language', the
+    feature-selection audit before stratifying a mixture on metadata.
+    All probabilities come from one (source, lang) contingency agg with
+    its two broadcast marginals; no pairwise anything."""
+    d = _t(spark, sf_dir, "documents")
+    j = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tot = j.agg(F.sum("n").alias("nn"))
+    ps = j.groupBy("source").agg(F.sum("n").alias("ns"))
+    pl = j.groupBy("lang").agg(F.sum("n").alias("nl"))
+    mi = (
+        j.join(F.broadcast(ps), "source")
+        .join(F.broadcast(pl), "lang")
+        .join(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("n") / F.col("nn"))
+                * F.log(
+                    F.col("n") * F.col("nn") / (F.col("ns") * F.col("nl"))
+                )
+            ).alias("mi")
+        )
+    )
+    hl = pl.join(F.broadcast(tot)).agg(
+        (-F.sum((F.col("nl") / F.col("nn")) * F.log(F.col("nl") / F.col("nn"))))
+        .alias("h_lang")
+    )
+    return (
+        mi.join(hl)
+        .select(
+            F.round("mi", 6).alias("mi_nats"),
+            F.round("h_lang", 6).alias("h_lang_nats"),
+            F.round(F.col("mi") / F.col("h_lang"), 6).alias(
+                "uncertainty_coef"
+            ),
+        )
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
