@@ -9979,9 +9979,9 @@ def q243_mutual_information(spark, sf_dir):
 _WINDOW_PRIORITY = [
     # VERDICT round-3 item 4 pins q144–q150 into this round's driver
     # window (their first driver rows).  The remaining 43 slots hold
-    # the newest value-oracled additions (q194–q236, minus the
+    # the newest value-oracled additions (q199–q243, minus the
     # rows-only q237/q238 which carry pytest goldens); everything in
-    # between (q151–q193, plus the q114 re-verify) is covered by this
+    # between (q151–q198, plus the q114 re-verify) is covered by this
     # session's full-registry tools/check_oracle.py sweeps recorded in
     # BASELINE.md — q151/q152 are rows-only decode checks with
     # pixel/waveform-exact pytests besides.
@@ -9992,11 +9992,6 @@ _WINDOW_PRIORITY = [
     "q148_centroid_similarity",
     "q149_bigram_topk",
     "q150_activity_heatmap",
-    "q194_autocorr",
-    "q195_langid_confusion",
-    "q196_table_checksum",
-    "q197_psi_drift",
-    "q198_lexical_diversity",
     "q199_cross_source_dups",
     "q200_corpus_card",
     "q201_asof_nearest",
@@ -10035,6 +10030,11 @@ _WINDOW_PRIORITY = [
     "q234_fano_burstiness",
     "q235_k_anonymity",
     "q236_mrr_eval",
+    "q239_ndcg_eval",
+    "q240_onenn_confusion",
+    "q241_auc_roc",
+    "q242_ks_drift",
+    "q243_mutual_information",
 ]
 
 
