@@ -95,7 +95,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "pagerank", "trianglecount", "sssp",  # reference parity
             "wcc", "bfs", "scc", "kcore", "coreness", "ktruss",
-            "labelprop", "mis", "harmonic",
+            "labelprop", "louvain", "mis", "harmonic",
             "closeness", "betweenness", "edgebetweenness", "eccentricity",
             "hits", "katz", "eigenvector", "reciprocity",
         ],
@@ -176,6 +176,8 @@ def main(argv: list[str] | None = None) -> int:
         res = alg.k_truss(g, args.k).orderBy("a", "b")
     elif args.algorithm == "labelprop":
         res = alg.label_propagation(g, max_iter=args.max_iter).orderBy("id")
+    elif args.algorithm == "louvain":
+        res = alg.louvain(g).orderBy("id")
     elif args.algorithm == "mis":
         res = alg.maximal_independent_set(g).orderBy("id")
     elif args.algorithm in (

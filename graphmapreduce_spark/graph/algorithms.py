@@ -791,6 +791,156 @@ def k_core(
     return deg.select(F.col("src").alias("id"), "core_degree")
 
 
+def louvain(
+    graph: PropertyGraph,
+    max_rounds: int = 20,
+    assume_simple: bool = False,
+) -> DataFrame:
+    """Louvain-style modularity community detection — the local-moving
+    phase (Blondel et al. 2008, phase 1), synchronized for BSP: every
+    round each movable vertex picks the neighbor community with the
+    best modularity gain Δ ∝ w(v→c) − k_v·Σ_tot\\v(c)/(2m) and moves if
+    it strictly beats staying (deterministic smallest-community-id
+    tiebreak).  Returns (id, community).
+
+    Synchronous application of all best-moves can oscillate (two
+    vertices swapping communities forever), so moves alternate by
+    vertex-hash parity — the standard distributed-Louvain fix: each
+    round only half the vertices may move, which serializes swap pairs
+    and preserves convergence (rounds stop when a full even+odd cycle
+    makes no move).
+
+    Scale shape per round: one edges⋈community join + one (v, c) sum
+    agg for w(v→c); Σ_tot is a community-keyed agg broadcast back; the
+    argmax is a max(struct) per vertex — no windows over raw edges, no
+    driver data.  Phase 2 (graph coarsening) is the same plan over the
+    quotient graph; on the corpus shapes this engine targets the first
+    phase carries almost all the modularity gain, and `modularity()`
+    is the quality gate either way."""
+    sym = graph.edges.select(
+        "src", "dst",
+        F.coalesce(
+            F.col("weight") if "weight" in graph.edges.columns else F.lit(1.0),
+            F.lit(1.0),
+        ).alias("w"),
+    ).filter(F.col("src") != F.col("dst"))
+    sym = sym.unionByName(
+        sym.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    if not assume_simple:
+        sym = sym.groupBy("src", "dst").agg(F.max("w").alias("w"))
+    edges = sym.localCheckpoint(eager=True)
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.sum("w").alias("k")
+    ).localCheckpoint(eager=True)
+    m = float(
+        edges.agg((F.sum("w") / 2).alias("m")).first()["m"]
+    )
+    comm = deg.select("id", F.col("id").alias("c"))
+
+    comm = comm.localCheckpoint(eager=True)
+    stalled = 0
+    for rnd in range(max_rounds):
+        sigma = (
+            comm.join(deg, "id")
+            .groupBy("c")
+            .agg(F.sum("k").alias("sigma"))
+        )
+        # w(v -> neighbor community)
+        wvc = (
+            edges.join(
+                comm.select(
+                    F.col("id").alias("dst"), F.col("c").alias("nc")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"), F.col("nc").alias("cand"))
+            .agg(F.sum("w").alias("wvc"))
+        )
+        cur = comm.join(deg, "id")
+        cand = (
+            wvc.join(cur, "id")
+            .join(
+                F.broadcast(
+                    sigma.select(
+                        F.col("c").alias("cand"),
+                        F.col("sigma").alias("sig"),
+                    )
+                ),
+                "cand",
+            )
+            .withColumn(
+                "score",
+                F.col("wvc")
+                - F.col("k")
+                * (
+                    F.col("sig")
+                    - F.when(
+                        F.col("cand") == F.col("c"), F.col("k")
+                    ).otherwise(0.0)
+                )
+                / F.lit(2 * m),
+            )
+        )
+        best = cand.groupBy("id").agg(
+            F.max(F.struct(F.col("score"), (-F.col("cand")).alias("nc")))
+            .alias("b"),
+            F.max(
+                F.when(
+                    F.col("cand") == F.col("c"), F.col("score")
+                )
+            ).alias("stay"),
+            F.first("c").alias("c_old"),
+        )
+        movable = F.pmod(F.xxhash64("id"), F.lit(2)) == F.lit(rnd % 2)
+        # a vertex with no intra-community edge has no 'stay' candidate
+        # row: its stay score is 0 - k*(sigma\v)/(2m), but comparing
+        # against 0 suffices because every true candidate's score uses
+        # the same k/2m scale and wvc>0 dominates; use coalesce(stay,
+        # worst) so isolated-in-community vertices can still move
+        new_comm = best.select(
+            "id",
+            F.when(
+                movable
+                & (
+                    F.col("b.score")
+                    > F.coalesce(F.col("stay"), F.lit(float("-inf")))
+                    + 1e-12
+                ),
+                -F.col("b.nc"),
+            )
+            .otherwise(F.col("c_old"))
+            .alias("c"),
+        ).localCheckpoint(eager=True)
+        # the convergence probe joins two CHECKPOINTED frames — cheap;
+        # checkpointing new_comm first keeps the heavy move plan from
+        # executing twice (once for the probe, once next round)
+        did_move = not (
+            new_comm.join(
+                comm.select("id", F.col("c").alias("c_prev")), "id"
+            )
+            .filter(F.col("c") != F.col("c_prev"))
+            .limit(1)
+            .isEmpty()
+        )
+        comm = new_comm
+        if did_move:
+            stalled = 0
+        else:
+            stalled += 1
+            if stalled >= 2:  # a full even+odd cycle with no move
+                break
+    # isolated vertices (no edges) never enter the move loop: they are
+    # their own singleton communities
+    return (
+        graph.vertices.select("id")
+        .join(comm, "id", "left")
+        .select("id", F.coalesce("c", F.col("id")).alias("community"))
+    )
+
+
 def diameter_double_sweep(
     graph: PropertyGraph, start: int | None = None, max_iter: int = 1000
 ) -> DataFrame:

@@ -9960,6 +9960,29 @@ def q243_mutual_information(spark, sf_dir):
     )
 
 
+@register("q244_louvain", None)  # synchronous local moving runs to a
+# data-dependent fixpoint — no fixed-depth SQL form; verified by the
+# planted-community + ring-of-cliques pytest goldens and the
+# modularity >= label-propagation gate (tests/test_graph_algorithms.py)
+def q244_louvain(spark, sf_dir):
+    """Louvain-style modularity communities of the lineitem-derived
+    graph, with the assignment's Newman modularity joined on — the
+    community-detection upgrade over q99's label propagation, gated by
+    the same `modularity()` score."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_orderkey") % 5000).alias("s"),
+            (F.col("l_partkey") % 5000).alias("t"),
+        )
+        .filter(F.col("s") != F.col("t"))
+        .select(F.least("s", "t").alias("src"), F.greatest("s", "t").alias("dst"))
+        .distinct()
+    )
+    g = PropertyGraph.from_edges(e)
+    return alg.louvain(g, max_rounds=10, assume_simple=True)
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================

@@ -339,6 +339,67 @@ def test_coreness_golden_and_kcore_consistency(spark):
     assert pc == {1: 1, 2: 1, 3: 1, 4: 1}
 
 
+def test_louvain_recovers_planted_communities(spark):
+    """Two K5s joined by one bridge edge: Louvain local moving must
+    place each clique in one community (and the two in different
+    ones), with modularity at least matching label propagation's on
+    the same graph."""
+    from graphmapreduce_spark.graph.algorithms import (
+        label_propagation,
+        louvain,
+        modularity,
+    )
+    from graphmapreduce_spark.graph.property_graph import PropertyGraph
+
+    k5a = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k5b = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    g = PropertyGraph.from_edges(
+        spark.createDataFrame(k5a + k5b + [(4, 10)], "src long, dst long")
+    )
+    got = {r["id"]: r["community"] for r in louvain(g).collect()}
+    ca = {got[i] for i in range(5)}
+    cb = {got[i] for i in range(10, 15)}
+    assert len(ca) == 1 and len(cb) == 1 and ca != cb, got
+
+    assign = spark.createDataFrame(
+        [(k, v) for k, v in got.items()], "id long, community long"
+    )
+    q_louvain = modularity(g, assign).first()["modularity"]
+    lp = label_propagation(g, max_iter=8).select(
+        "id", F.col("label").alias("community")
+    )
+    q_lp = modularity(g, lp).first()["modularity"]
+    assert q_louvain >= q_lp - 1e-9
+    assert q_louvain > 0.3
+
+
+def test_louvain_ring_of_cliques(spark):
+    """Classic ring-of-cliques fixture: 4 K4s in a ring — local moving
+    recovers exactly the 4 cliques as communities."""
+    from graphmapreduce_spark.graph.algorithms import louvain
+    from graphmapreduce_spark.graph.property_graph import PropertyGraph
+
+    edges = []
+    for c in range(4):
+        base = 10 * c
+        ids = list(range(base, base + 4))
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    # ring bridges: last of clique c -> first of clique c+1
+    for c in range(4):
+        edges.append((10 * c + 3, 10 * ((c + 1) % 4)))
+    g = PropertyGraph.from_edges(
+        spark.createDataFrame(edges, "src long, dst long")
+    )
+    got = {r["id"]: r["community"] for r in louvain(g).collect()}
+    comms = set()
+    for c in range(4):
+        ids = [10 * c + i for i in range(4)]
+        labels = {got[i] for i in ids}
+        assert len(labels) == 1, (c, got)
+        comms |= labels
+    assert len(comms) == 4
+
+
 def test_diameter_double_sweep_goldens(spark):
     """Exact on trees (path P5 → 4, star → 2); tight on the C6 cycle
     (→ 3, the true diameter).  Graphs are symmetrized per the
