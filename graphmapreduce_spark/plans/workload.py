@@ -9983,6 +9983,100 @@ def q244_louvain(spark, sf_dir):
     return alg.louvain(g, max_rounds=10, assume_simple=True)
 
 
+@register(
+    "q245_growth_accounting",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1),
+    cur AS (
+      SELECT ud.day, ud.user_id,
+             (ud.day = f.first_day) AS is_new,
+             EXISTS (SELECT 1 FROM ud p
+                     WHERE p.user_id = ud.user_id
+                       AND p.day = ud.day - 1) AS was_active
+      FROM ud JOIN firsts f USING (user_id)
+    ),
+    act AS (
+      SELECT day,
+             COUNT(*)::BIGINT AS dau,
+             SUM(CASE WHEN is_new THEN 1 ELSE 0 END)::BIGINT AS new_users,
+             SUM(CASE WHEN NOT is_new AND was_active
+                      THEN 1 ELSE 0 END)::BIGINT AS retained,
+             SUM(CASE WHEN NOT is_new AND NOT was_active
+                      THEN 1 ELSE 0 END)::BIGINT AS resurrected
+      FROM cur GROUP BY day
+    ),
+    churn AS (
+      SELECT a.day + 1 AS day, COUNT(*)::BIGINT AS churned
+      FROM ud a
+      WHERE NOT EXISTS (SELECT 1 FROM ud n
+                        WHERE n.user_id = a.user_id
+                          AND n.day = a.day + 1)
+      GROUP BY 1
+    )
+    SELECT CAST(act.day AS DATE) AS day, dau, new_users, retained,
+           resurrected, COALESCE(churn.churned, 0) AS churned
+    FROM act LEFT JOIN churn ON churn.day = act.day
+    """,
+)
+def q245_growth_accounting(spark, sf_dir):
+    """Daily growth accounting — DAU split into new / retained /
+    resurrected, plus yesterday's churn: the standard activity ledger
+    (new + retained + resurrected = DAU; churned from day d−1 balances
+    the running count).  One (user, day) distinct, a broadcastable
+    first-day table, and two self-joins on the (user, day±1) key —
+    all hash joins on user-day, no windows over the raw event scan."""
+    e = _t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct().localCheckpoint(eager=False)
+    firsts = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    prev = ud.select(
+        "user_id", F.date_add("day", 1).alias("day"), F.lit(1).alias("_p")
+    )
+    cur = (
+        ud.join(firsts, "user_id")
+        .join(prev, ["user_id", "day"], "left")
+        .select(
+            "day",
+            (F.col("day") == F.col("first_day")).alias("is_new"),
+            F.col("_p").isNotNull().alias("was_active"),
+        )
+    )
+    act = cur.groupBy("day").agg(
+        F.count(F.lit(1)).alias("dau"),
+        F.sum(F.col("is_new").cast("int")).alias("new_users"),
+        F.sum((~F.col("is_new") & F.col("was_active")).cast("int")).alias(
+            "retained"
+        ),
+        F.sum(
+            (~F.col("is_new") & ~F.col("was_active")).cast("int")
+        ).alias("resurrected"),
+    )
+    nxt = ud.select(
+        "user_id", F.date_sub("day", 1).alias("day"), F.lit(1).alias("_n")
+    )
+    churn = (
+        ud.join(nxt, ["user_id", "day"], "left")
+        .filter(F.col("_n").isNull())
+        .groupBy(F.date_add("day", 1).alias("day"))
+        .agg(F.count(F.lit(1)).alias("churned"))
+    )
+    return (
+        act.join(churn, "day", "left")
+        .select(
+            "day",
+            "dau",
+            "new_users",
+            "retained",
+            "resurrected",
+            F.coalesce("churned", F.lit(0)).alias("churned"),
+        )
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
