@@ -766,6 +766,11 @@ def k_core(
     the input edges are already a simple canonical (a<b) orientation —
     at 100 TB that is one full shuffle saved.
     """
+    from graphmapreduce_spark.graph.sever import (
+        SEVER_INTERVAL,
+        LineageSeverer,
+    )
+
     sym = graph.edges.select("src", "dst").unionByName(
         graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -773,7 +778,8 @@ def k_core(
         sym = sym.distinct()
     edges = sym.localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("core_degree"))
-    for _ in range(max_iter):
+    severer = None
+    for rnd in range(max_iter):
         low = deg.filter(F.col("core_degree") < k).select("src")
         if low.isEmpty():
             break
@@ -787,70 +793,49 @@ def k_core(
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
+        if (rnd + 1) % SEVER_INTERVAL == 0:
+            # deep peels chain one checkpoint per round; past ~16 the
+            # chain degrades exponentially (measured; graph/sever.py)
+            if severer is None:
+                severer = LineageSeverer(edges.sparkSession, tag="kcore")
+            edges = severer.sever(edges)
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("core_degree"))
     return deg.select(F.col("src").alias("id"), "core_degree")
 
 
-def louvain(
-    graph: PropertyGraph,
-    max_rounds: int = 20,
-    assume_simple: bool = False,
-) -> DataFrame:
-    """Louvain-style modularity community detection — the local-moving
-    phase (Blondel et al. 2008, phase 1), synchronized for BSP: every
-    round each movable vertex picks the neighbor community with the
-    best modularity gain Δ ∝ w(v→c) − k_v·Σ_tot\\v(c)/(2m) and moves if
-    it strictly beats staying (deterministic smallest-community-id
-    tiebreak).  Returns (id, community).
+def _louvain_local_moving(edges: DataFrame, max_rounds: int) -> DataFrame:
+    """Phase-1 local moving over a symmetric weighted edge list (may
+    contain self-loops from coarsening).  Returns (id, c).
 
-    Synchronous application of all best-moves can oscillate (two
-    vertices swapping communities forever), so moves alternate by
-    vertex-hash parity — the standard distributed-Louvain fix: each
-    round only half the vertices may move, which serializes swap pairs
-    and preserves convergence (rounds stop when a full even+odd cycle
-    makes no move).
-
-    Scale shape per round: one edges⋈community join + one (v, c) sum
-    agg for w(v→c); Σ_tot is a community-keyed agg broadcast back; the
-    argmax is a max(struct) per vertex — no windows over raw edges, no
-    driver data.  Phase 2 (graph coarsening) is the same plan over the
-    quotient graph; on the corpus shapes this engine targets the first
-    phase carries almost all the modularity gain, and `modularity()`
-    is the quality gate either way."""
-    sym = graph.edges.select(
-        "src", "dst",
-        F.coalesce(
-            F.col("weight") if "weight" in graph.edges.columns else F.lit(1.0),
-            F.lit(1.0),
-        ).alias("w"),
-    ).filter(F.col("src") != F.col("dst"))
-    sym = sym.unionByName(
-        sym.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-        )
+    Self-loop handling: a contracted community's internal weight rides
+    a (c, c, 2·w_intra) row.  It counts toward the vertex strength k
+    (the Louvain k_i = Σ_j w_ij + 2·w_ii convention falls out of the
+    symmetric-row representation for free) but is EXCLUDED from the
+    move messages — a self-loop moves with its vertex, contributing
+    equally to every candidate's score, so it cancels in the argmax."""
+    from graphmapreduce_spark.graph.sever import (
+        SEVER_INTERVAL,
+        LineageSeverer,
     )
-    if not assume_simple:
-        sym = sym.groupBy("src", "dst").agg(F.max("w").alias("w"))
-    edges = sym.localCheckpoint(eager=True)
+
+    edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.sum("w").alias("k")
     ).localCheckpoint(eager=True)
-    m = float(
-        edges.agg((F.sum("w") / 2).alias("m")).first()["m"]
+    m = float(edges.agg((F.sum("w") / 2).alias("m")).first()["m"])
+    msg_edges = edges.filter(F.col("src") != F.col("dst"))
+    comm = deg.select("id", F.col("id").alias("c")).localCheckpoint(
+        eager=True
     )
-    comm = deg.select("id", F.col("id").alias("c"))
-
-    comm = comm.localCheckpoint(eager=True)
+    severer = None
     stalled = 0
     for rnd in range(max_rounds):
         sigma = (
-            comm.join(deg, "id")
-            .groupBy("c")
-            .agg(F.sum("k").alias("sigma"))
+            comm.join(deg, "id").groupBy("c").agg(F.sum("k").alias("sigma"))
         )
         # w(v -> neighbor community)
         wvc = (
-            edges.join(
+            msg_edges.join(
                 comm.select(
                     F.col("id").alias("dst"), F.col("c").alias("nc")
                 ),
@@ -888,27 +873,35 @@ def louvain(
             F.max(F.struct(F.col("score"), (-F.col("cand")).alias("nc")))
             .alias("b"),
             F.max(
-                F.when(
-                    F.col("cand") == F.col("c"), F.col("score")
-                )
-            ).alias("stay"),
+                F.when(F.col("cand") == F.col("c"), F.col("wvc"))
+            ).alias("stay_w"),
             F.first("c").alias("c_old"),
+            F.first("k").alias("k"),
+        ).join(
+            F.broadcast(
+                sigma.select(
+                    F.col("c").alias("c_old"),
+                    F.col("sigma").alias("sig_own"),
+                )
+            ),
+            "c_old",
         )
         movable = F.pmod(F.xxhash64("id"), F.lit(2)) == F.lit(rnd % 2)
-        # a vertex with no intra-community edge has no 'stay' candidate
-        # row: its stay score is 0 - k*(sigma\v)/(2m), but comparing
-        # against 0 suffices because every true candidate's score uses
-        # the same k/2m scale and wvc>0 dominates; use coalesce(stay,
-        # worst) so isolated-in-community vertices can still move
+        # the stay baseline must be computed even when the vertex has
+        # NO edge into its own community (no cand==c row): it is
+        # 0 − k·(Σ_tot(c)−k)/(2m), NOT −inf — a singleton super-vertex
+        # (every coarsened vertex starts as one) must still reject
+        # negative-gain merges
+        stay = (
+            F.coalesce(F.col("stay_w"), F.lit(0.0))
+            - F.col("k")
+            * (F.col("sig_own") - F.col("k"))
+            / F.lit(2 * m)
+        )
         new_comm = best.select(
             "id",
             F.when(
-                movable
-                & (
-                    F.col("b.score")
-                    > F.coalesce(F.col("stay"), F.lit(float("-inf")))
-                    + 1e-12
-                ),
+                movable & (F.col("b.score") > stay + 1e-12),
                 -F.col("b.nc"),
             )
             .otherwise(F.col("c_old"))
@@ -932,11 +925,98 @@ def louvain(
             stalled += 1
             if stalled >= 2:  # a full even+odd cycle with no move
                 break
+        if (rnd + 1) % SEVER_INTERVAL == 0:
+            # see graph/sever.py: chained per-round checkpoints degrade
+            # exponentially past ~16 rounds — sever the community state
+            if severer is None:
+                severer = LineageSeverer(comm.sparkSession, tag="louvain")
+            comm = severer.sever(comm)
+    return comm
+
+
+def louvain(
+    graph: PropertyGraph,
+    max_rounds: int = 20,
+    levels: int = 2,
+    assume_simple: bool = False,
+) -> DataFrame:
+    """Louvain modularity community detection (Blondel et al. 2008):
+    synchronous local moving — every round each movable vertex picks
+    the neighbor community with the best modularity gain
+    Δ ∝ w(v→c) − k_v·Σ_tot\\v(c)/(2m) and moves if it strictly beats
+    staying (deterministic smallest-community-id tiebreak) — followed
+    by up to ``levels−1`` coarsening passes that contract communities
+    to super-vertices (intra-community weight becomes a self-loop) and
+    repeat the same moving plan on the quotient graph.  Returns
+    (id, community).
+
+    Synchronous application of all best-moves can oscillate (two
+    vertices swapping communities forever), so moves alternate by
+    vertex-hash parity — the standard distributed-Louvain fix: each
+    round only half the vertices may move, which serializes swap pairs
+    and preserves convergence (rounds stop when a full even+odd cycle
+    makes no move).  Coarsening stops early when a pass contracts
+    nothing.
+
+    Scale shape per round: one edges⋈community join + one (v, c) sum
+    agg for w(v→c); Σ_tot is a community-keyed agg broadcast back; the
+    argmax is a max(struct) per vertex — no windows over raw edges, no
+    driver data.  Each coarsening is one two-sided assignment join +
+    one (c_src, c_dst) sum — and the quotient graph only shrinks.
+    `modularity()` is the quality gate."""
+    sym = graph.edges.select(
+        "src", "dst",
+        F.coalesce(
+            F.col("weight") if "weight" in graph.edges.columns else F.lit(1.0),
+            F.lit(1.0),
+        ).alias("w"),
+    ).filter(F.col("src") != F.col("dst"))
+    sym = sym.unionByName(
+        sym.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    if not assume_simple:
+        sym = sym.groupBy("src", "dst").agg(F.max("w").alias("w"))
+
+    mapping = None  # original id -> current community
+    e_lvl = sym
+    for level in range(max(1, levels)):
+        comm = _louvain_local_moving(e_lvl, max_rounds)
+        if mapping is None:
+            mapping = comm
+        else:
+            mapping = (
+                mapping.join(
+                    comm.select(
+                        F.col("id").alias("c"), F.col("c").alias("c_new")
+                    ),
+                    "c",
+                )
+                .select("id", F.col("c_new").alias("c"))
+                .localCheckpoint(eager=True)
+            )
+        if level < levels - 1:
+            n_v, n_c = comm.agg(
+                F.count(F.lit(1)), F.count_distinct("c")
+            ).first()
+            if n_c == n_v:  # nothing contracted — fixpoint
+                break
+            a = comm.select(F.col("id").alias("src"), F.col("c").alias("cs"))
+            b = comm.select(F.col("id").alias("dst"), F.col("c").alias("cd"))
+            e_lvl = (
+                e_lvl.join(a, "src")
+                .join(b, "dst")
+                .groupBy(
+                    F.col("cs").alias("src"), F.col("cd").alias("dst")
+                )
+                .agg(F.sum("w").alias("w"))
+            )
     # isolated vertices (no edges) never enter the move loop: they are
     # their own singleton communities
     return (
         graph.vertices.select("id")
-        .join(comm, "id", "left")
+        .join(mapping, "id", "left")
         .select("id", F.coalesce("c", F.col("id")).alias("community"))
     )
 
@@ -1022,10 +1102,16 @@ def coreness(
     if method == "hindex":
         # h-index of a sorted-desc value array xs: #{i : xs[i] >= i}
         # (1-based) — computed as a codegen expression, no UDF
+        from graphmapreduce_spark.graph.sever import (
+            SEVER_INTERVAL,
+            LineageSeverer,
+        )
+
+        severer = None
         est = deg.select(
             "src", F.col("deg").cast("long").alias("c")
         ).localCheckpoint(eager=True)
-        for _ in range(max_iter):
+        for _hx_rnd in range(max_iter):
             nbr = edges.join(
                 est.withColumnRenamed("src", "dst").withColumnRenamed(
                     "c", "nc"
@@ -1054,6 +1140,14 @@ def coreness(
             est = new
             if done:
                 break
+            if (_hx_rnd + 1) % SEVER_INTERVAL == 0:
+                # see graph/sever.py: keep the checkpoint chain below
+                # the measured ~16-round degradation cliff
+                if severer is None:
+                    severer = LineageSeverer(
+                        est.sparkSession, tag="coreness"
+                    )
+                est = severer.sever(est)
         return (
             graph.vertices.select("id")
             .join(
@@ -1066,10 +1160,16 @@ def coreness(
             .fillna(0, subset=["coreness"])
         )
 
+    from graphmapreduce_spark.graph.sever import (
+        SEVER_INTERVAL,
+        LineageSeverer,
+    )
+
     out_schema = "id long, coreness long"
     peeled = spark.createDataFrame([], out_schema)
+    severer = None
     k = 1
-    for _ in range(max_iter):
+    for _peel_rnd in range(max_iter):
         # ONE driver action per round: emptiness check + the smallest
         # surviving degree (for the empty-level jump) from one agg
         n, mn = deg.agg(F.count(F.lit(1)), F.min("deg")).first()
@@ -1099,6 +1199,14 @@ def coreness(
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
+        if (_peel_rnd + 1) % SEVER_INTERVAL == 0:
+            # see graph/sever.py: keep checkpoint chains below the
+            # measured ~16-round cliff (peeled rides along so its lazy
+            # union over many rounds' frontiers stays shallow too)
+            if severer is None:
+                severer = LineageSeverer(spark, tag="peel")
+            edges = severer.sever(edges)
+            peeled = severer.sever(peeled)
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # survivors of the last completed carve (only when max_iter hit
     # with edges remaining) plus isolated vertices

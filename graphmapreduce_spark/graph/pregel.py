@@ -165,6 +165,13 @@ class Pregel:
             from graphmapreduce_spark.metrics import ShuffleTracker
 
             tracker = ShuffleTracker(vertices.sparkSession)
+        from graphmapreduce_spark.graph.sever import (
+            SEVER_INTERVAL,
+            LineageSeverer,
+        )
+
+        severer = None
+        last_sever = 0
         converged = False
         it = 0
         while it < self.max_iter and not converged:
@@ -211,6 +218,16 @@ class Pregel:
             v = new
             if max_delta is None or max_delta <= self.threshold:
                 converged = True
+            elif it - last_sever >= SEVER_INTERVAL:
+                # chained localCheckpoints degrade past ~16 supersteps
+                # (measured; see graph/sever.py) — give the state a
+                # zero-ancestry plan periodically.  The state was just
+                # materialized by the convergence action, so the write
+                # reads hot blocks.
+                if severer is None:
+                    severer = LineageSeverer(v.sparkSession, tag="pregel")
+                v = severer.sever(v)
+                last_sever = it
         if we_cached:
             edges.unpersist()
         return PregelResult(

@@ -1,0 +1,77 @@
+"""Hard lineage severing for long iterative loops.
+
+Measured pathology (PySpark 4.1.2, local mode; see BASELINE.md round-4
+continuation #3): a loop that derives each round's state from the
+previous round's ``localCheckpoint(eager=True)`` — referencing it more
+than once per round, the normal shape for message joins (state feeds
+both the message side and the old-value side) — stays flat for ~16
+chained rounds and then the per-round wall time DOUBLES every round
+(0.2 s → 160 s by round 24 on a 5 000-row state in the minimal repro).
+The logical plan stays truncated (constant analyzed-plan size), the
+Spark job count per round stays constant, holding Python references
+changes nothing, and ``Dataset.checkpoint(eager=True)`` to a reliable
+checkpoint dir does NOT stop it — the only thing that does is giving
+the state a plan with ZERO RDD ancestry.
+
+``LineageSeverer`` provides that: a parquet write + fresh re-scan (the
+new frame's plan is a plain file scan).  A sever every
+``SEVER_INTERVAL`` rounds keeps every checkpoint chain shorter than
+the ~16-round cliff, which the repro shows is sufficient (flat through
+25 rounds).  Cost: one small-table write per interval — the state
+tables in these loops (vertex values, community labels, core degrees)
+are the SMALL side of each superstep by design, so the write is noise
+next to one superstep's shuffle; on a cluster, point
+``spark.graphmapreduce.severDir`` at shared storage.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame
+
+# below the measured ~16-round cliff, with margin for the pre-loop
+# checkpoints (edge materialization etc.) that share the same session
+SEVER_INTERVAL = 10
+
+
+class LineageSeverer:
+    """Owns a scratch directory; ``sever(df)`` returns ``df`` reborn as
+    a parquet scan.  Keeps the last two sever files (the newest one is
+    live; its predecessor may still back a caller-held frame) and
+    deletes older ones best-effort."""
+
+    def __init__(self, spark, tag: str = "state"):
+        self.spark = spark
+        base = spark.conf.get("spark.graphmapreduce.severDir", None)
+        if base:
+            self.dir = os.path.join(base, f"sever_{tag}_{uuid.uuid4().hex}")
+            self._local = not any(
+                base.startswith(p) for p in ("hdfs:", "s3", "abfs", "gs:")
+            )
+        else:
+            self.dir = tempfile.mkdtemp(prefix=f"gmr_sever_{tag}_")
+            self._local = True
+        self._history: list[str] = []
+
+    def sever(self, df: DataFrame) -> DataFrame:
+        path = os.path.join(self.dir, uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        self._history.append(path)
+        while len(self._history) > 2:
+            self._rm(self._history.pop(0))
+        return out
+
+    def close(self) -> None:
+        """Best-effort removal of the scratch dir.  Only call once no
+        frame returned by ``sever`` will be used again."""
+        self._history.clear()
+        self._rm(self.dir)
+
+    def _rm(self, path: str) -> None:
+        if self._local:
+            shutil.rmtree(path, ignore_errors=True)

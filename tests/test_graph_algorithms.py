@@ -399,6 +399,18 @@ def test_louvain_ring_of_cliques(spark):
         comms |= labels
     assert len(comms) == 4
 
+    # coarsening must never lower modularity: a singleton super-vertex
+    # rejects negative-gain merges (the stay-baseline contract)
+    from graphmapreduce_spark.graph.algorithms import modularity
+
+    def q_of(levels):
+        assign = louvain(g, levels=levels).select(
+            "id", F.col("community")
+        )
+        return modularity(g, assign).first()["modularity"]
+
+    assert q_of(2) >= q_of(1) - 1e-9
+
 
 def test_diameter_double_sweep_goldens(spark):
     """Exact on trees (path P5 → 4, star → 2); tight on the C6 cycle
