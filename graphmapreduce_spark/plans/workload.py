@@ -10077,6 +10077,130 @@ def q245_growth_accounting(spark, sf_dir):
     )
 
 
+@register(
+    "q246_frequent_triples",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey)::DOUBLE AS n_orders FROM lineitem),
+    t AS (
+      SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+             z.l_partkey AS part_c, COUNT(*)::BIGINT AS support_cnt
+      FROM b x
+      JOIN b y ON x.l_orderkey = y.l_orderkey
+              AND x.l_partkey < y.l_partkey
+      JOIN b z ON y.l_orderkey = z.l_orderkey
+              AND y.l_partkey < z.l_partkey
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+    )
+    SELECT part_a, part_b, part_c, support_cnt,
+           ROUND(support_cnt / n_orders, 6) AS support
+    FROM t CROSS JOIN n
+    ORDER BY support_cnt DESC, part_a, part_b, part_c LIMIT 20
+    """,
+)
+def q246_frequent_triples(spark, sf_dir):
+    """Frequent 3-itemsets over order baskets — the A-priori level
+    above q224's pairs.  The within-basket double self-join fans out
+    C(basket_size, 3), still bounded by the max lines per order (a
+    data-shape constant), so triple volume stays linear in order count;
+    at larger basket bounds the candidate set would first be pruned by
+    the frequent-pair table (the A-priori antimonotonicity step)."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=False
+    )
+    n_orders = b.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    t = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .join(
+            b.alias("z"),
+            (F.col("y.l_orderkey") == F.col("z.l_orderkey"))
+            & (F.col("y.l_partkey") < F.col("z.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+            F.col("z.l_partkey").alias("part_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("support_cnt"))
+        .filter(F.col("support_cnt") >= 2)
+    )
+    return (
+        t.join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "part_c",
+            "support_cnt",
+            F.round(F.col("support_cnt") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+        )
+        .orderBy(
+            F.desc("support_cnt"), "part_a", "part_b", "part_c"
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "q247_percentile_disc",
+    """
+    WITH r AS (
+      SELECT l_returnflag,
+             quantile_disc(l_extendedprice, 0.25) AS p25,
+             quantile_disc(l_extendedprice, 0.5) AS p50,
+             quantile_disc(l_extendedprice, 0.75) AS p75,
+             quantile_disc(l_extendedprice, 0.99) AS p99
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, ROUND(p25, 2) AS p25, ROUND(p50, 2) AS p50,
+           ROUND(p75, 2) AS p75, ROUND(p99, 2) AS p99
+    FROM r
+    """,
+)
+def q247_percentile_disc(spark, sf_dir):
+    """Exact DISCRETE percentiles per group (an actual data value, not
+    an interpolation — the complement of q216's continuous
+    percentiles): lower-inverse-CDF semantics, computed per group with
+    a rank window against the group row count — both engines pick the
+    identical physical value so even un-rounded comparisons agree;
+    ROUND(2) applied for the money columns regardless."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    cnt = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cnt).alias("n"),
+    )
+
+    def disc(q):
+        # quantile_disc: smallest value whose cumulative rank fraction
+        # reaches q — rn = ceil(q * n)
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")),
+                F.col("l_extendedprice"),
+            )
+        )
+
+    return r.groupBy("l_returnflag").agg(
+        F.round(disc(0.25), 2).alias("p25"),
+        F.round(disc(0.5), 2).alias("p50"),
+        F.round(disc(0.75), 2).alias("p75"),
+        F.round(disc(0.99), 2).alias("p99"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
