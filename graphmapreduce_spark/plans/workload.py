@@ -10220,9 +10220,9 @@ def q247_percentile_disc(spark, sf_dir):
 _WINDOW_PRIORITY = [
     # VERDICT round-3 item 4 pins q144–q150 into this round's driver
     # window (their first driver rows).  The remaining 43 slots hold
-    # the newest value-oracled additions (q199–q243, minus the
-    # rows-only q237/q238 which carry pytest goldens); everything in
-    # between (q151–q198, plus the q114 re-verify) is covered by this
+    # the newest value-oracled additions (q202–q247, minus the
+    # rows-only q237/q238/q244 which carry pytest goldens); everything
+    # in between (q151–q201, plus the q114 re-verify) is covered by this
     # session's full-registry tools/check_oracle.py sweeps recorded in
     # BASELINE.md — q151/q152 are rows-only decode checks with
     # pixel/waveform-exact pytests besides.
@@ -10233,9 +10233,6 @@ _WINDOW_PRIORITY = [
     "q148_centroid_similarity",
     "q149_bigram_topk",
     "q150_activity_heatmap",
-    "q199_cross_source_dups",
-    "q200_corpus_card",
-    "q201_asof_nearest",
     "q202_oov_rate",
     "q203_streaming_topk",
     "q204_bootstrap_mean",
@@ -10276,6 +10273,9 @@ _WINDOW_PRIORITY = [
     "q241_auc_roc",
     "q242_ks_drift",
     "q243_mutual_information",
+    "q245_growth_accounting",
+    "q246_frequent_triples",
+    "q247_percentile_disc",
 ]
 
 
