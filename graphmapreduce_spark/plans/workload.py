@@ -10201,6 +10201,82 @@ def q247_percentile_disc(spark, sf_dir):
     )
 
 
+@register(
+    "q248_weighted_jaccard",
+    r"""
+    WITH dw AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, UNNEST(list_filter(
+          string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+        FROM documents WHERE doc_id < 200)
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n_docs FROM dw),
+    idf AS (
+      SELECT term, ln((SELECT n_docs FROM n) / COUNT(*)) AS w
+      FROM dw GROUP BY term HAVING COUNT(*) <= 150
+    ),
+    dk AS (SELECT dw.doc_id, dw.term, idf.w FROM dw JOIN idf USING (term)),
+    tot AS (SELECT doc_id, SUM(w) AS wt FROM dk GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w) AS wi
+      FROM dk a JOIN dk b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(wi / (ta.wt + tb.wt - wi), 6) AS weighted_jaccard
+    FROM inter
+    JOIN tot ta ON ta.doc_id = id_a
+    JOIN tot tb ON tb.doc_id = id_b
+    WHERE wi / (ta.wt + tb.wt - wi) >= 0.6
+    """,
+)
+def q248_weighted_jaccard(spark, sf_dir):
+    """IDF-weighted Jaccard near-dup pairs: shared boilerplate terms
+    contribute ~0 (idf → 0) so template-sharing docs stop looking like
+    duplicates — the robustness upgrade over q45's unweighted overlap.
+    Same scale hygiene: the df cap (≤150) bounds the inverted-index
+    fanout BEFORE the self-join, idf and per-doc weights fold in as
+    broadcast joins, and pair weight is one sum over the shared-term
+    postings — never an all-pairs comparison."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    dw = d.select(
+        "doc_id", F.explode(T.words("text")).alias("term")
+    ).distinct()
+    n_docs = dw.agg(
+        F.count_distinct("doc_id").cast("double").alias("n_docs")
+    )
+    idf = (
+        dw.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 150)
+        .join(F.broadcast(n_docs))
+        .select("term", F.log(F.col("n_docs") / F.col("df")).alias("w"))
+    )
+    dk = dw.join(F.broadcast(idf), "term").localCheckpoint(eager=False)
+    tot = dk.groupBy("doc_id").agg(F.sum("w").alias("wt"))
+    inter = (
+        dk.alias("a")
+        .join(
+            dk.alias("b"),
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.sum("a.w").alias("wi"))
+    )
+    ta = tot.select(F.col("doc_id").alias("id_a"), F.col("wt").alias("wa"))
+    tb = tot.select(F.col("doc_id").alias("id_b"), F.col("wt").alias("wb"))
+    wj = F.col("wi") / (F.col("wa") + F.col("wb") - F.col("wi"))
+    return (
+        inter.join(F.broadcast(ta), "id_a")
+        .join(F.broadcast(tb), "id_b")
+        .filter(wj >= 0.6)
+        .select("id_a", "id_b", F.round(wj, 6).alias("weighted_jaccard"))
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
