@@ -190,6 +190,12 @@ def pagerank(
     # ranks carries its degree to avoid a second join per superstep
     ranks = deg.withColumn("rank", F.lit(1.0 / n))
 
+    from graphmapreduce_spark.graph.sever import (
+        SEVER_INTERVAL as _SEVER_INTERVAL,
+        LineageSeverer as _LineageSeverer,
+    )
+
+    _severer, _last_sever = None, 0
     check_interval = max(1, check_interval)
     it = 0
     while it < max_iter:
@@ -244,6 +250,13 @@ def pagerank(
         ranks = new
         if max_delta <= threshold:
             break
+        if it - _last_sever >= _SEVER_INTERVAL:
+            # chained checkpoints degrade past ~16 supersteps (measured;
+            # graph/sever.py) — matters for max_iter > 16 runs
+            if _severer is None:
+                _severer = _LineageSeverer(ranks.sparkSession, tag="pagerank")
+            ranks = _severer.sever(ranks)
+            _last_sever = it
     if we_cached:
         edges.unpersist()
     return ranks.select("id", "rank")
@@ -378,7 +391,25 @@ def strongly_connected_components(
     assigned: DataFrame | None = None
     rounds = 0
 
-    for _ in range(max_outer):
+    from graphmapreduce_spark.graph.sever import (
+        SEVER_INTERVAL as _SEVER_INTERVAL,
+        LineageSeverer as _LineageSeverer,
+    )
+
+    _severer = None
+    for _scc_rnd in range(max_outer):
+        if _scc_rnd and _scc_rnd % _SEVER_INTERVAL == 0:
+            # see graph/sever.py — keep the per-round checkpoint chain
+            # below the measured ~16-round cliff (deep chain graphs can
+            # run many pivot rounds)
+            if _severer is None:
+                _severer = _LineageSeverer(
+                    remaining_v.sparkSession, tag="scc"
+                )
+            remaining_v = _severer.sever(remaining_v)
+            remaining_e = _severer.sever(remaining_e)
+            if assigned is not None:
+                assigned = _severer.sever(assigned)
         if remaining_v.limit(1).count() == 0:
             break
         rounds += 1
@@ -595,7 +626,22 @@ def boruvka_mst(graph: PropertyGraph, max_rounds: int = 64) -> DataFrame:
     ).localCheckpoint(eager=True)
     mst: DataFrame | None = None
 
-    for _ in range(max_rounds):
+    from graphmapreduce_spark.graph.sever import (
+        SEVER_INTERVAL as _SEVER_INTERVAL,
+        LineageSeverer as _LineageSeverer,
+    )
+
+    _severer = None
+    for _bv_rnd in range(max_rounds):
+        if _bv_rnd and _bv_rnd % _SEVER_INTERVAL == 0:
+            # see graph/sever.py — the per-round checkpoint chain (comp,
+            # mst, and the inner pointer-jump) must stay below the
+            # measured ~16-round cliff
+            if _severer is None:
+                _severer = _LineageSeverer(comp.sparkSession, tag="boruvka")
+            comp = _severer.sever(comp)
+            if mst is not None:
+                mst = _severer.sever(mst)
         ec = (
             e.join(comp.withColumnRenamed("id", "src").withColumnRenamed("comp", "cs"), "src")
             .join(comp.withColumnRenamed("id", "dst").withColumnRenamed("comp", "cd"), "dst")
@@ -1255,6 +1301,12 @@ def personalized_pagerank(
     restart = F.when(F.col("id").isin(srcs), F.lit(e_v)).otherwise(0.0)
     ranks = deg.withColumn("rank", restart)
 
+    from graphmapreduce_spark.graph.sever import (
+        SEVER_INTERVAL as _SEVER_INTERVAL,
+        LineageSeverer as _LineageSeverer,
+    )
+
+    _severer, _last_sever = None, 0
     check_interval = max(1, check_interval)
     it = 0
     while it < max_iter:
@@ -1299,6 +1351,13 @@ def personalized_pagerank(
         ranks = new
         if max_delta <= threshold:
             break
+        if it - _last_sever >= _SEVER_INTERVAL:
+            # see graph/sever.py — keep the chunk-checkpoint chain
+            # below the measured ~16-round cliff
+            if _severer is None:
+                _severer = _LineageSeverer(ranks.sparkSession, tag="ppr")
+            ranks = _severer.sever(ranks)
+            _last_sever = it
     if we_cached:
         edges.unpersist()
     return ranks.select("id", "rank")
@@ -1408,7 +1467,20 @@ def k_truss(graph: PropertyGraph, k: int, max_iter: int = 50) -> DataFrame:
         "a", "b", F.coalesce("support", F.lit(0)).alias("support")
     ).localCheckpoint(eager=True)
     n_edges = scored.count()
-    for _ in range(max_iter):
+
+    from graphmapreduce_spark.graph.sever import (
+        SEVER_INTERVAL as _SEVER_INTERVAL,
+        LineageSeverer as _LineageSeverer,
+    )
+
+    _severer = None
+    for _tr_rnd in range(max_iter):
+        if _tr_rnd and _tr_rnd % _SEVER_INTERVAL == 0:
+            # see graph/sever.py — deep peels chain checkpoints past
+            # the measured ~16-round cliff
+            if _severer is None:
+                _severer = _LineageSeverer(scored.sparkSession, tag="ktruss")
+            scored = _severer.sever(scored)
         removed = (
             scored.filter(F.col("support") < need)
             .select("a", "b")
@@ -1551,7 +1623,21 @@ def maximal_independent_set(graph: PropertyGraph, max_iter: int = 60) -> DataFra
     ).localCheckpoint(eager=True)
     edges = sym
     mis_parts = []
-    for _ in range(max_iter):
+
+    from graphmapreduce_spark.graph.sever import (
+        SEVER_INTERVAL as _SEVER_INTERVAL,
+        LineageSeverer as _LineageSeverer,
+    )
+
+    _severer = None
+    for _mis_rnd in range(max_iter):
+        if _mis_rnd and _mis_rnd % _SEVER_INTERVAL == 0:
+            # see graph/sever.py — keep the per-round checkpoint chain
+            # below the measured ~16-round cliff
+            if _severer is None:
+                _severer = _LineageSeverer(active.sparkSession, tag="mis")
+            active = _severer.sever(active)
+            edges = _severer.sever(edges)
         if active.isEmpty():
             if not mis_parts:  # empty graph
                 return graph.vertices.select("id").limit(0)

@@ -40,9 +40,13 @@ SEVER_INTERVAL = 10
 
 class LineageSeverer:
     """Owns a scratch directory; ``sever(df)`` returns ``df`` reborn as
-    a parquet scan.  Keeps the last two sever files (the newest one is
-    live; its predecessor may still back a caller-held frame) and
-    deletes older ones best-effort."""
+    a parquet scan.  Sever files are KEPT until ``close()`` (or process
+    exit for the tempdir default): with the truncation bug this class
+    works around, a later recompute may legitimately walk back to any
+    earlier sever scan, and callers may sever several frames through
+    one instance — deleting mid-run can break both.  The severed states
+    are the SMALL side of their loops by design, so the residue is a
+    few KB–MB per run."""
 
     def __init__(self, spark, tag: str = "state"):
         self.spark = spark
@@ -62,8 +66,6 @@ class LineageSeverer:
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
         self._history.append(path)
-        while len(self._history) > 2:
-            self._rm(self._history.pop(0))
         return out
 
     def close(self) -> None:
