@@ -10277,6 +10277,544 @@ def q248_weighted_jaccard(spark, sf_dir):
     )
 
 
+@register(
+    "q249_cusum_drift",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*)::DOUBLE AS x
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, AVG(x) AS mu, STDDEV_SAMP(x) AS sigma
+      FROM daily GROUP BY 1
+    ),
+    c AS (
+      SELECT daily.event_type, day, sigma,
+             SUM(x - mu) OVER (PARTITION BY daily.event_type ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+      FROM daily JOIN m USING (event_type)
+    )
+    SELECT event_type, day,
+           ROUND(cum - LEAST(0.0,
+             MIN(cum) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)), 6) AS cusum,
+           ROUND(3 * sigma, 6) AS threshold
+    FROM c
+    """,
+)
+def q249_cusum_drift(spark, sf_dir):
+    """One-sided CUSUM change-point statistic per event-type daily
+    series.  The textbook recursion S_i = max(0, S_{i-1} + dev_i) is
+    NOT window-expressible directly, but its prefix identity is:
+    S_i = cum_i - min(0, min_{j<=i} cum_j) with cum the running sum of
+    deviations — two ordered windows over the tiny day-aggregated
+    table, so the engine-side work is one partial agg over raw events
+    and the windows never touch row-level data.  Both engines sum the
+    same values in the same day order, so no float divergence; the 3σ
+    alarm threshold is emitted as a column rather than a boolean so no
+    borderline comparison can flip between engines."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("DAY", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    m = daily.groupBy("event_type").agg(
+        F.avg("x").alias("mu"), F.stddev_samp("x").alias("sigma")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = daily.join(F.broadcast(m), "event_type").withColumn(
+        "cum", F.sum(F.col("x") - F.col("mu")).over(w)
+    )
+    return c.select(
+        "event_type",
+        "day",
+        F.round(
+            F.col("cum") - F.least(F.lit(0.0), F.min("cum").over(w)), 6
+        ).alias("cusum"),
+        F.round(3 * F.col("sigma"), 6).alias("threshold"),
+    )
+
+
+@register(
+    "q250_attribution",
+    """
+    WITH p AS (
+      SELECT user_id, event_id AS pid, ts AS pts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, event_id AS tid, ts AS tts, event_type AS channel
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    j AS (
+      SELECT pid, value, channel,
+             ROW_NUMBER() OVER (PARTITION BY pid
+                                ORDER BY tts ASC, tid ASC)  AS rn_first,
+             ROW_NUMBER() OVER (PARTITION BY pid
+                                ORDER BY tts DESC, tid DESC) AS rn_last
+      FROM p JOIN t ON p.user_id = t.user_id AND t.tts < p.pts
+    ),
+    f AS (
+      SELECT channel, ROUND(SUM(value), 2) AS first_touch_rev,
+             COUNT(*) AS first_touch_n
+      FROM j WHERE rn_first = 1 GROUP BY channel
+    ),
+    l AS (
+      SELECT channel, ROUND(SUM(value), 2) AS last_touch_rev,
+             COUNT(*) AS last_touch_n
+      FROM j WHERE rn_last = 1 GROUP BY channel
+    )
+    SELECT COALESCE(f.channel, l.channel) AS channel,
+           COALESCE(first_touch_rev, 0.0) AS first_touch_rev,
+           COALESCE(first_touch_n, 0)     AS first_touch_n,
+           COALESCE(last_touch_rev, 0.0)  AS last_touch_rev,
+           COALESCE(last_touch_n, 0)      AS last_touch_n
+    FROM f FULL OUTER JOIN l ON f.channel = l.channel
+    """,
+)
+def q250_attribution(spark, sf_dir):
+    """First-touch / last-touch revenue attribution: each purchase's
+    value credits the user's earliest and latest preceding non-purchase
+    event's channel.  The purchase x prior-touch join is keyed on
+    user_id — per-user fan-out only, bounded by session depth, never a
+    corpus cross join — and both ROW_NUMBER picks run over one
+    purchase-id partitioning so Spark plans a single sort.  (ts, id)
+    tiebreaks make the pick deterministic on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("tid"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(t, ["user_id"]).filter(F.col("tts") < F.col("pts"))
+    wf = Window.partitionBy("pid").orderBy(
+        F.col("tts").asc(), F.col("tid").asc()
+    )
+    wl = Window.partitionBy("pid").orderBy(
+        F.col("tts").desc(), F.col("tid").desc()
+    )
+    j = j.select(
+        "pid",
+        "value",
+        "channel",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+    )
+    f = (
+        j.filter(F.col("rn_first") == 1)
+        .groupBy("channel")
+        .agg(
+            F.round(F.sum("value"), 2).alias("first_touch_rev"),
+            F.count(F.lit(1)).alias("first_touch_n"),
+        )
+    )
+    l = (
+        j.filter(F.col("rn_last") == 1)
+        .groupBy("channel")
+        .agg(
+            F.round(F.sum("value"), 2).alias("last_touch_rev"),
+            F.count(F.lit(1)).alias("last_touch_n"),
+        )
+    )
+    return (
+        f.join(l, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce("first_touch_rev", F.lit(0.0)).alias(
+                "first_touch_rev"
+            ),
+            F.coalesce("first_touch_n", F.lit(0)).alias("first_touch_n"),
+            F.coalesce("last_touch_rev", F.lit(0.0)).alias(
+                "last_touch_rev"
+            ),
+            F.coalesce("last_touch_n", F.lit(0)).alias("last_touch_n"),
+        )
+    )
+
+
+@register(
+    "q251_cohort_ltv",
+    """
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    size AS (
+      SELECT cohort_week, COUNT(*)::DOUBLE AS n_users
+      FROM first_seen GROUP BY 1
+    ),
+    rev AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                  CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT)
+               AS age_wk,
+             SUM(e.value) AS wk_rev
+      FROM events e
+      JOIN first_seen f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort_week, r.age_wk,
+           ROUND(SUM(wk_rev) OVER (PARTITION BY r.cohort_week
+                                   ORDER BY r.age_wk
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) / s.n_users, 4)
+             AS cum_ltv_per_user
+    FROM rev r JOIN size s USING (cohort_week)
+    """,
+)
+def q251_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curve: users cohorted by first-seen week,
+    purchase revenue bucketed by cohort age in weeks, cumulated along
+    age and normalized by cohort size.  Weekly pre-aggregation happens
+    BEFORE the cumulative window, so the ordered window runs over a
+    (cohorts x weeks)-sized table, not raw events; the cohort-size
+    divisor arrives as a broadcast join."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    size = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("double").alias("n_users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(
+                    F.to_date(F.date_trunc("week", F.col("ts"))),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("age_wk"),
+        )
+        .agg(F.sum("value").alias("wk_rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.join(F.broadcast(size), "cohort_week").select(
+        "cohort_week",
+        "age_wk",
+        F.round(F.sum("wk_rev").over(w) / F.col("n_users"), 4).alias(
+            "cum_ltv_per_user"
+        ),
+    )
+
+
+@register(
+    "q252_corr_matrix",
+    """
+    WITH a AS (
+      SELECT corr(l_quantity, l_extendedprice) AS c_qty_price,
+             corr(l_quantity, l_discount)      AS c_qty_disc,
+             corr(l_quantity, l_tax)           AS c_qty_tax,
+             corr(l_extendedprice, l_discount) AS c_price_disc,
+             corr(l_extendedprice, l_tax)      AS c_price_tax,
+             corr(l_discount, l_tax)           AS c_disc_tax
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           ROUND(c_qty_price, 6) AS pearson FROM a
+    UNION ALL SELECT 'l_quantity', 'l_discount', ROUND(c_qty_disc, 6) FROM a
+    UNION ALL SELECT 'l_quantity', 'l_tax', ROUND(c_qty_tax, 6) FROM a
+    UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                     ROUND(c_price_disc, 6) FROM a
+    UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                     ROUND(c_price_tax, 6) FROM a
+    UNION ALL SELECT 'l_discount', 'l_tax', ROUND(c_disc_tax, 6) FROM a
+    """,
+)
+def q252_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix (upper triangle, long form)
+    over the lineitem numeric columns — all six coefficients in ONE
+    full scan (one partial-agg pass computes every sum/sum-of-squares/
+    cross-product), then a 1-row stack() melt.  The melt is driver-free:
+    stack runs on the single agg row inside the plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("c1"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("c2"),
+        F.round(F.corr("l_quantity", "l_tax"), 6).alias("c3"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("c4"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 6).alias("c5"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("c6"),
+    )
+    return a.select(
+        F.expr(
+            "stack(6, "
+            "'l_quantity', 'l_extendedprice', c1, "
+            "'l_quantity', 'l_discount', c2, "
+            "'l_quantity', 'l_tax', c3, "
+            "'l_extendedprice', 'l_discount', c4, "
+            "'l_extendedprice', 'l_tax', c5, "
+            "'l_discount', 'l_tax', c6) AS (col_a, col_b, pearson)"
+        )
+    )
+
+
+@register(
+    "q253_kn_bigram",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, w, ord,
+             LEAD(w) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+      FROM (
+        SELECT doc_id, UNNEST(tok) AS w,
+               generate_subscripts(tok, 1) AS ord
+        FROM (
+          SELECT doc_id, list_filter(
+            string_split_regex(trim(text), '\s+'), x -> x <> '') AS tok
+          FROM documents WHERE doc_id < 500)
+      )
+    ),
+    big AS (
+      SELECT w AS w1, w2, COUNT(*)::DOUBLE AS c12
+      FROM toks WHERE w2 IS NOT NULL GROUP BY 1, 2
+    ),
+    fw AS (
+      SELECT w1, SUM(c12) AS c1, COUNT(*)::DOUBLE AS n1p_fw
+      FROM big GROUP BY w1
+    ),
+    bw AS (SELECT w2, COUNT(*)::DOUBLE AS n1p_bw FROM big GROUP BY w2),
+    tot AS (SELECT SUM(n1p_bw) AS types FROM bw),
+    top20 AS (
+      SELECT w1, c1, n1p_fw FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY c1 DESC, w1 ASC) AS rk
+        FROM fw) WHERE rk <= 20
+    ),
+    p AS (
+      SELECT b.w1, b.w2,
+             ROUND(GREATEST(b.c12 - 0.75, 0.0) / t.c1
+                   + 0.75 * t.n1p_fw / t.c1 * (bw.n1p_bw / tot.types), 6)
+               AS p_kn
+      FROM big b
+      JOIN top20 t ON b.w1 = t.w1
+      JOIN bw ON b.w2 = bw.w2
+      CROSS JOIN tot
+    )
+    SELECT w1, w2, p_kn FROM (
+      SELECT w1, w2, p_kn,
+             ROW_NUMBER() OVER (PARTITION BY w1
+                                ORDER BY p_kn DESC, w2 ASC) AS rk
+      FROM p) WHERE rk <= 5
+    """,
+)
+def q253_kn_bigram(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram language model (discount 0.75):
+    P(w2|w1) = max(c12-d,0)/c1 + d*N1+(w1,.)/c1 * N1+(.,w2)/N1+(.,.),
+    reported as top-5 continuations for the 20 most frequent contexts.
+    Everything is count aggregation over the bigram table — the
+    continuation counts N1+ are DISTINCT-predecessor counts, which fall
+    out of the same grouped bigram-type table for free (no second scan
+    of raw text).  The scalar type total folds in as a 1-row broadcast
+    cross join; ranking happens on the ROUNDed probability with a word
+    tiebreak so both engines pick identical top-5 sets."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    toks = d.select(
+        "doc_id", F.posexplode(T.words("text")).alias("ord", "w")
+    )
+    nxt = Window.partitionBy("doc_id").orderBy("ord")
+    big = (
+        toks.withColumn("w2", F.lead("w").over(nxt))
+        .filter(F.col("w2").isNotNull())
+        .groupBy(F.col("w").alias("w1"), "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("c12"))
+    )
+    big = big.localCheckpoint(eager=False)
+    fw = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).cast("double").alias("n1p_fw"),
+    )
+    bw = big.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("n1p_bw")
+    )
+    tot = bw.agg(F.sum("n1p_bw").alias("types"))
+    # global top-20 contexts via TakeOrderedAndProject (partition-local
+    # top-k + driver merge of 20-row heads) — no single-partition window
+    top20 = fw.orderBy(F.col("c1").desc(), F.col("w1").asc()).limit(20)
+    p = (
+        big.join(F.broadcast(top20), "w1")
+        .join(F.broadcast(bw), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.greatest(F.col("c12") - 0.75, F.lit(0.0)) / F.col("c1")
+                + 0.75
+                * F.col("n1p_fw")
+                / F.col("c1")
+                * (F.col("n1p_bw") / F.col("types")),
+                6,
+            ).alias("p_kn"),
+        )
+    )
+    w5 = Window.partitionBy("w1").orderBy(
+        F.col("p_kn").desc(), F.col("w2").asc()
+    )
+    return (
+        p.withColumn("rk", F.row_number().over(w5))
+        .filter(F.col("rk") <= 5)
+        .select("w1", "w2", "p_kn")
+    )
+
+
+@register(
+    "q254_dow_seasonality",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             dayofweek(CAST(date_trunc('day', ts) AS DATE)) AS dow,
+             COUNT(*)::DOUBLE AS x
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (SELECT AVG(x) AS overall FROM daily)
+    SELECT dow,
+           COUNT(*)                          AS n_days,
+           ROUND(AVG(x), 6)                  AS avg_count,
+           ROUND(AVG(x) / overall, 6)        AS seasonal_index,
+           ROUND(STDDEV_SAMP(x), 6)          AS day_std
+    FROM daily CROSS JOIN base
+    GROUP BY dow, overall
+    """,
+)
+def q254_dow_seasonality(spark, sf_dir):
+    """Day-of-week seasonal index: per-DOW mean daily event volume over
+    the overall daily mean (index 1.0 = no weekly seasonality), plus
+    the within-DOW spread.  The window never sees raw events — one
+    partial agg to days, then a 7-group agg with the overall mean as a
+    1-row broadcast.  DOW is numbered 0=Sunday on both engines (Spark's
+    1-based dayofweek is shifted by one)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("DAY", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    daily = daily.withColumn(
+        "dow", (F.dayofweek("day") - F.lit(1)).cast("bigint")
+    )
+    base = daily.agg(F.avg("x").alias("overall"))
+    return (
+        daily.crossJoin(F.broadcast(base))
+        .groupBy("dow", "overall")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("x"), 6).alias("avg_count"),
+            F.round(F.avg("x") / F.col("overall"), 6).alias(
+                "seasonal_index"
+            ),
+            F.round(F.stddev_samp("x"), 6).alias("day_std"),
+        )
+        .select("dow", "n_days", "avg_count", "seasonal_index", "day_std")
+    )
+
+
+@register(
+    "q255_tfidf_cosine",
+    r"""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM (
+        SELECT doc_id, UNNEST(list_filter(
+          string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+        FROM documents WHERE doc_id < 200)
+      GROUP BY 1, 2
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n_docs FROM tf),
+    idf AS (
+      SELECT term, ln((SELECT n_docs FROM n) / COUNT(*)) AS idf
+      FROM tf GROUP BY term HAVING COUNT(*) <= 150
+    ),
+    w AS (
+      SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS w
+      FROM tf JOIN idf USING (term)
+    ),
+    nrm AS (SELECT doc_id, SQRT(SUM(w * w)) AS nn FROM w GROUP BY doc_id),
+    dot AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS d
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(d / (na.nn * nb.nn), 6) AS cosine
+    FROM dot
+    JOIN nrm na ON na.doc_id = id_a
+    JOIN nrm nb ON nb.doc_id = id_b
+    WHERE d / (na.nn * nb.nn) >= 0.5
+    """,
+)
+def q255_tfidf_cosine(spark, sf_dir):
+    """Sparse TF-IDF cosine document-similarity join via the inverted
+    index: weights live per (doc, term) posting, the dot product is one
+    grouped sum over shared-term postings, and the norms fold in as
+    broadcast joins — never a dense-vector cross join.  The df cap
+    (<= 150) bounds posting-list fanout before the self-join, the same
+    sum-of-df-squared contract as the q45/q248 n-gram index family."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tf = (
+        d.select("doc_id", F.explode(T.words("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    n_docs = tf.agg(
+        F.count_distinct("doc_id").cast("double").alias("n_docs")
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 150)
+        .join(F.broadcast(n_docs))
+        .select("term", F.log(F.col("n_docs") / F.col("df")).alias("idf"))
+    )
+    w = (
+        tf.join(F.broadcast(idf), "term")
+        .select("doc_id", "term", (F.col("tf") * F.col("idf")).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn")
+    )
+    dot = (
+        w.alias("a")
+        .join(
+            w.alias("b"),
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("d"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nn").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nn").alias("nb"))
+    cos = F.col("d") / (F.col("na") * F.col("nb"))
+    return (
+        dot.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .filter(cos >= 0.5)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
