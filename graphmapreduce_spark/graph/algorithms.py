@@ -1826,6 +1826,68 @@ def vertex_jaccard(
     )
 
 
+def adamic_adar(
+    graph: PropertyGraph,
+    min_common: int = 1,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, common, score) Adamic-Adar link-prediction scores
+    for NON-adjacent vertex pairs: score = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z)
+    — rare shared neighbors count more than hubs.  Pairs with id_a <
+    id_b and ≥ ``min_common`` shared neighbors; already-connected pairs
+    are removed (that is the link-prediction contract).
+
+    Same wedge-join blocking as `vertex_jaccard`: pairs are generated
+    only through shared neighbors, the center's 1/ln(deg) weight rides
+    the wedge row (one broadcast join onto the centers table, summed in
+    the same agg that counts the pair), and the adjacency exclusion is
+    a left_anti against the canonical edge set.  ``max_degree`` drops
+    hub centers from pair generation (their edges still count toward
+    degrees) — degree-1 centers contribute nothing (ln 1 = 0 would
+    divide by zero) and are excluded by definition of the measure."""
+    und = _directed_canonical(graph)
+    sym = und.select(
+        F.col("a").alias("id"), F.col("b").alias("nbr")
+    ).unionByName(
+        und.select(F.col("b").alias("id"), F.col("a").alias("nbr"))
+    )
+    deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    centers = sym.select(F.col("nbr").alias("c"), F.col("id").alias("leaf"))
+    cw = deg.filter(F.col("deg") >= 2).select(
+        F.col("id").alias("c"),
+        (F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("w"),
+    )
+    if max_degree is not None:
+        cw = cw.join(
+            deg.filter(F.col("deg") <= max_degree).select(
+                F.col("id").alias("c")
+            ),
+            "c",
+            "left_semi",
+        )
+    centers = centers.join(cw, "c")
+    l, r = centers.alias("l"), centers.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.c") == F.col("r.c"))
+            & (F.col("l.leaf") < F.col("r.leaf")),
+        )
+        .groupBy(
+            F.col("l.leaf").alias("id_a"), F.col("r.leaf").alias("id_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(F.col("l.w")).alias("score"),
+        )
+        .filter(F.col("common") >= min_common)
+    )
+    adj = und.select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    return pairs.join(adj, ["id_a", "id_b"], "left_anti").select(
+        "id_a", "id_b", "common", "score"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Whole-graph structure statistics — degree assortativity and partition
 # modularity, the two standard "is this graph healthy / well-clustered"

@@ -10815,6 +10815,162 @@ def q255_tfidf_cosine(spark, sf_dir):
     )
 
 
+@register(
+    "q256_adamic_adar",
+    """
+    WITH und AS (
+      SELECT DISTINCT LEAST(l_orderkey % 2000, l_partkey % 2000) AS a,
+                      GREATEST(l_orderkey % 2000, l_partkey % 2000) AS b
+      FROM lineitem
+      WHERE l_orderkey % 2000 <> l_partkey % 2000 AND l_quantity <= 5
+    ),
+    sym AS (SELECT a AS id, b AS nbr FROM und
+            UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT id, COUNT(*) AS deg FROM sym GROUP BY id),
+    cw AS (SELECT id AS c, 1.0 / ln(deg) AS w FROM deg WHERE deg >= 2),
+    centers AS (
+      SELECT sym.nbr AS c, sym.id AS leaf, cw.w
+      FROM sym JOIN cw ON sym.nbr = cw.c
+    ),
+    pairs AS (
+      SELECT l.leaf AS id_a, r.leaf AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS common, SUM(l.w) AS score
+      FROM centers l JOIN centers r
+        ON l.c = r.c AND l.leaf < r.leaf
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT id_a, id_b, common, ROUND(score, 6) AS score
+    FROM pairs p
+    WHERE NOT EXISTS (SELECT 1 FROM und
+                      WHERE und.a = p.id_a AND und.b = p.id_b)
+    """,
+)
+def q256_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction on the sparse lineitem graph:
+    candidate (non-adjacent) pairs scored by Σ 1/ln(deg) over shared
+    neighbors.  Pairs generate only through the wedge join (`graph/
+    algorithms.py::adamic_adar`), the 1/ln(deg) weight rides the wedge
+    row, and adjacency exclusion is one left_anti on the canonical edge
+    set — never an all-pairs scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.filter(F.col("l_quantity") <= 5)
+        .select(
+            (F.col("l_orderkey") % 2000).alias("src"),
+            (F.col("l_partkey") % 2000).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .withColumn("weight", F.lit(1.0))
+    )
+    g = PropertyGraph.from_edges(e, prepartition=False)
+    out = alg.adamic_adar(g, min_common=2)
+    return out.withColumn("score", F.round("score", 6))
+
+
+@register(
+    "q257_ngram_novelty",
+    r"""
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '') AS w
+      FROM documents WHERE doc_id < 500
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+                    range(1, len(w) - 3 + 2),
+                    i -> array_to_string(w[i:i+2], ' ')))
+                  ELSE [] END AS grams
+      FROM ws
+    ),
+    e AS (SELECT doc_id, UNNEST(grams) AS gram FROM g),
+    firsts AS (SELECT gram, MIN(doc_id) AS first_doc FROM e GROUP BY gram)
+    SELECT e.doc_id,
+           COUNT(*) AS n_grams,
+           ROUND(SUM(CASE WHEN first_doc = e.doc_id THEN 1 ELSE 0
+                     END)::DOUBLE / COUNT(*), 6) AS novel_frac
+    FROM e JOIN firsts USING (gram)
+    GROUP BY e.doc_id
+    """,
+)
+def q257_ngram_novelty(spark, sf_dir):
+    """Marginal-novelty curve: per document (in doc_id ingest order),
+    the fraction of its distinct word 3-grams never seen in any earlier
+    document — the signal behind dedup-aware data valuation ('how much
+    NEW text does each incremental source add').  One grouped MIN over
+    the exploded gram postings finds each gram's first holder; the
+    per-doc share is a second agg over the same postings — both shuffle
+    on the gram key, the inverted-index shape, with no window over raw
+    text and no pairwise comparison."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    e = d.select(
+        "doc_id",
+        F.explode(T.word_ngrams("text", 3, distinct=True)).alias("gram"),
+    )
+    e = e.localCheckpoint(eager=False)
+    firsts = e.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        e.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("first_doc") == F.col("doc_id"), 1
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novel_frac"),
+        )
+    )
+
+
+@register(
+    "q258_token_fertility",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS toks,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> ''))::BIGINT AS words,
+             length(text)::BIGINT AS chars
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*)                                   AS n_docs,
+           ROUND(SUM(toks)::DOUBLE / SUM(words), 6)   AS fertility,
+           ROUND(SUM(chars)::DOUBLE / SUM(toks), 6)   AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def q258_token_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word (high fertility = the tokenizer fragments that language,
+    inflating training cost per useful word) plus characters per token.
+    Pure scan-speed expressions (the shared TOKEN_REGEX) into one
+    partial-aggregated groupBy — zero joins, zero windows."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        T.token_count("text").cast("bigint").alias("toks"),
+        T.n_words("text").cast("bigint").alias("words"),
+        F.length("text").cast("bigint").alias("chars"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("toks").cast("double") / F.sum("words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("chars").cast("double") / F.sum("toks"), 6
+        ).alias("chars_per_token"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================

@@ -563,6 +563,29 @@ def test_vertex_jaccard_shared_neighbors(spark):
     assert alg.vertex_jaccard(g, max_degree=1).count() == 0
 
 
+def test_adamic_adar_golden(spark):
+    import math
+
+    # square 1-3-2-4-1: pairs (1,2) and (3,4) are non-adjacent and
+    # share two deg-2 neighbors each -> score = 2/ln(2); adjacent
+    # pairs must NOT appear (link-prediction contract)
+    edges = [(1, 3, 1.0), (1, 4, 1.0), (2, 3, 1.0), (2, 4, 1.0)]
+    g = make_graph(spark, edges)
+    rows = {(r["id_a"], r["id_b"]): r for r in alg.adamic_adar(g).collect()}
+    assert set(rows) == {(1, 2), (3, 4)}
+    for key in rows:
+        assert rows[key]["common"] == 2
+        assert abs(rows[key]["score"] - 2.0 / math.log(2.0)) < 1e-9
+    # path 5-6-7: (5,7) shares only the deg-2 center 6 -> 1/ln(2);
+    # degree-1 leaves can never be centers (ln 1 = 0 excluded)
+    path = make_graph(spark, [(5, 6, 1.0), (6, 7, 1.0)])
+    out = alg.adamic_adar(path).collect()
+    assert len(out) == 1 and (out[0]["id_a"], out[0]["id_b"]) == (5, 7)
+    assert abs(out[0]["score"] - 1.0 / math.log(2.0)) < 1e-9
+    # min_common above anything present -> empty
+    assert alg.adamic_adar(path, min_common=2).count() == 0
+
+
 def test_degree_assortativity_star_is_negative(spark):
     # star K1,4: every edge links the deg-4 hub to a deg-1 leaf ->
     # perfectly disassortative (corr = -1)
