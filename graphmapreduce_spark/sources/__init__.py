@@ -8,3 +8,4 @@ from graphmapreduce_spark.sources.graph_readers import (  # noqa: F401
     read_metis,
     read_subgraph_files,
 )
+from graphmapreduce_spark.sources.media import read_media_dir  # noqa: F401
