@@ -10971,6 +10971,164 @@ def q258_token_fertility(spark, sf_dir):
     )
 
 
+@register(
+    "q259_windowed_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id
+      FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    lv AS (
+      SELECT s1.user_id,
+             CASE WHEN s3.user_id IS NOT NULL THEN 3
+                  WHEN s2.user_id IS NOT NULL THEN 2
+                  ELSE 1 END AS funnel_level
+      FROM s1
+      LEFT JOIN s2 ON s1.user_id = s2.user_id
+      LEFT JOIN s3 ON s1.user_id = s3.user_id
+    )
+    SELECT funnel_level, COUNT(*) AS users,
+           ROUND(COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM s1), 6)
+             AS share_of_entered
+    FROM lv GROUP BY funnel_level
+    """,
+)
+def q259_windowed_funnel(spark, sf_dir):
+    """Strict ordered windowed funnel (the windowFunnel shape):
+    view → click → purchase, each step strictly after the previous and
+    all within 24 h of the FIRST step.  Each stage is one filtered
+    groupBy-min joined on user_id — per-user work only, no window over
+    raw events, no self-join wider than the user key — and the final
+    level histogram is a 3-row aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 24 HOURS")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + day)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + day)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    lv = (
+        s1.join(s2.select("user_id", F.lit(1).alias("_s2")), "user_id", "left")
+        .join(s3.select("user_id", F.lit(1).alias("_s3")), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("_s3").isNotNull(), 3)
+            .when(F.col("_s2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("funnel_level"),
+        )
+    )
+    entered = s1.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        lv.groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .crossJoin(F.broadcast(entered))
+        .select(
+            "funnel_level",
+            "users",
+            F.round(F.col("users").cast("double") / F.col("_n"), 6).alias(
+                "share_of_entered"
+            ),
+        )
+    )
+
+
+@register(
+    "q260_calibration_bins",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    pairs AS (
+      SELECT a.label = b.label AS same,
+             ROUND(list_sum(list_transform(range(1, len(a.v) + 1),
+                              i -> a.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4)
+               AS cosine
+      FROM e a JOIN e b
+        ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
+    )
+    SELECT CAST(LEAST(FLOOR((cosine + 1.0) / 0.2), 9) AS BIGINT) AS bin,
+           COUNT(*) AS n_pairs,
+           ROUND(AVG(cosine), 6) AS avg_cosine,
+           ROUND(AVG(CASE WHEN same THEN 1.0 ELSE 0.0 END), 6)
+             AS same_label_rate
+    FROM pairs GROUP BY 1
+    """,
+)
+def q260_calibration_bins(spark, sf_dir):
+    """Reliability curve for embedding similarity as a same-class
+    predictor: banded local pairs (id distance ≤ 50 — a deterministic
+    O(n·band) sample, never all-pairs), cosine binned into ten
+    fixed-width bins over [-1, 1], and the empirical same-label rate
+    per bin.  Binning happens on the ROUNDed cosine so both engines
+    place borderline pairs identically; the band condition is a range
+    join AQE can turn into a broadcast range join at this width."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.as_double("embedding").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.vec_id") > F.col("a.vec_id"))
+        & (F.col("b.vec_id") <= F.col("a.vec_id") + 50),
+    ).select(
+        (F.col("a.label") == F.col("b.label")).alias("same"),
+        F.round(V.cosine(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
+    )
+    return (
+        pairs.groupBy(
+            F.least(F.floor((F.col("cosine") + 1.0) / 0.2), F.lit(9))
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("cosine"), 6).alias("avg_cosine"),
+            F.round(
+                F.avg(F.when(F.col("same"), 1.0).otherwise(0.0)), 6
+            ).alias("same_label_rate"),
+        )
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
