@@ -1826,6 +1826,76 @@ def vertex_jaccard(
     )
 
 
+def greedy_coloring(graph: PropertyGraph, max_colors: int = 64) -> DataFrame:
+    """(id, color) proper vertex coloring via iterative MIS peeling
+    (Jones-Plassmann by rounds): color c is a maximal independent set
+    of the still-uncolored subgraph, then those vertices and their
+    incident edges leave.  Uses ≤ Δ+1 colors on any graph (each round's
+    MIS is maximal, so every uncolored vertex loses at least one
+    uncolored neighbor per round) and is deterministic — the underlying
+    `maximal_independent_set` runs on md5 hash priorities, so the
+    coloring is a pure function of the graph.
+
+    Per color: one MIS (itself O(log n) supersteps), one anti-join to
+    shrink vertices, two semi-joins to shrink edges — all on the
+    SHRINKING remainder, eagerly checkpointed, with `LineageSeverer`
+    keeping the per-round chain below the measured ~16-checkpoint
+    cliff.  Raises if ``max_colors`` rounds leave vertices uncolored
+    (a silently partial coloring is not a coloring)."""
+    from graphmapreduce_spark.graph.sever import (
+        SEVER_INTERVAL,
+        LineageSeverer,
+    )
+
+    verts = graph.vertices.select("id").distinct().localCheckpoint(
+        eager=True
+    )
+    edges = (
+        graph.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    parts = []
+    severer = None
+    for color in range(max_colors):
+        if verts.isEmpty():
+            break
+        if color and color % SEVER_INTERVAL == 0:
+            if severer is None:
+                severer = LineageSeverer(verts.sparkSession, tag="coloring")
+            verts = severer.sever(verts)
+            edges = severer.sever(edges)
+        sub = PropertyGraph(verts, edges, prepartition=False)
+        mis = maximal_independent_set(sub).localCheckpoint(eager=True)
+        parts.append(mis.withColumn("color", F.lit(color)))
+        verts = verts.join(mis, "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        edges = (
+            edges.join(
+                verts.select(F.col("id").alias("src")), "src", "left_semi"
+            )
+            .join(
+                verts.select(F.col("id").alias("dst")), "dst", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if not verts.isEmpty():
+            raise RuntimeError(
+                f"greedy_coloring: vertices remain after {max_colors} colors"
+            )
+    if not parts:
+        return graph.vertices.select(
+            "id", F.lit(0).alias("color")
+        ).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def adamic_adar(
     graph: PropertyGraph,
     min_common: int = 1,

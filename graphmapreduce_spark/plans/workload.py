@@ -10971,6 +10971,34 @@ def q258_token_fertility(spark, sf_dir):
     )
 
 
+@register("q261_graph_coloring", None)  # MIS peeling runs to a
+# data-dependent fixpoint per color — no fixed-depth SQL form; verified
+# by the properness/Δ+1/determinism pytest goldens
+# (tests/test_graph_algorithms.py::test_greedy_coloring_proper_and_bounded)
+def q261_graph_coloring(spark, sf_dir):
+    """Distributed greedy vertex coloring (iterative deterministic-MIS
+    peeling) of the sparse lineitem graph, reported as a color
+    histogram — the conflict-free scheduling primitive (a color class
+    is a set of vertices safe to update concurrently)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # mod-4000 keeps the fixture graph SPARSE at every sf (a dense
+    # remainder graph approaches a clique, where Δ+1 coloring is the
+    # answer, not a test of the peel)
+    e = (
+        li.filter(F.col("l_quantity") <= 2)
+        .select(
+            (F.col("l_orderkey") % 4000).alias("src"),
+            (F.col("l_partkey") % 4000).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .withColumn("weight", F.lit(1.0))
+    )
+    g = PropertyGraph.from_edges(e, prepartition=False)
+    col = alg.greedy_coloring(g)
+    return col.groupBy("color").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
 @register(
     "q259_windowed_funnel",
     """

@@ -563,6 +563,28 @@ def test_vertex_jaccard_shared_neighbors(spark):
     assert alg.vertex_jaccard(g, max_degree=1).count() == 0
 
 
+def test_greedy_coloring_proper_and_bounded(spark):
+    # C5 odd cycle: chromatic number 3, max degree 2 -> needs exactly
+    # 3 colors and must never exceed Δ+1 = 3
+    c5 = [(i, (i + 1) % 5, 1.0) for i in range(5)]
+    g = make_graph(spark, c5)
+    col = {r["id"]: r["color"] for r in alg.greedy_coloring(g).collect()}
+    assert set(col) == {0, 1, 2, 3, 4}
+    for a, b, _ in c5:
+        assert col[a] != col[b]
+    assert len(set(col.values())) == 3
+    # K3,3 bipartite: proper, and the MIS peel finds the 2-coloring
+    k33 = [(a, b, 1.0) for a in (1, 2, 3) for b in (4, 5, 6)]
+    g2 = make_graph(spark, k33)
+    col2 = {r["id"]: r["color"] for r in alg.greedy_coloring(g2).collect()}
+    for a, b, _ in k33:
+        assert col2[a] != col2[b]
+    assert len(set(col2.values())) == 2
+    # determinism: same graph -> same coloring
+    col2b = {r["id"]: r["color"] for r in alg.greedy_coloring(g2).collect()}
+    assert col2 == col2b
+
+
 def test_adamic_adar_golden(spark):
     import math
 
