@@ -10359,23 +10359,16 @@ def q249_cusum_drift(spark, sf_dir):
              ROW_NUMBER() OVER (PARTITION BY pid
                                 ORDER BY tts DESC, tid DESC) AS rn_last
       FROM p JOIN t ON p.user_id = t.user_id AND t.tts < p.pts
-    ),
-    f AS (
-      SELECT channel, ROUND(SUM(value), 2) AS first_touch_rev,
-             COUNT(*) AS first_touch_n
-      FROM j WHERE rn_first = 1 GROUP BY channel
-    ),
-    l AS (
-      SELECT channel, ROUND(SUM(value), 2) AS last_touch_rev,
-             COUNT(*) AS last_touch_n
-      FROM j WHERE rn_last = 1 GROUP BY channel
     )
-    SELECT COALESCE(f.channel, l.channel) AS channel,
-           COALESCE(first_touch_rev, 0.0) AS first_touch_rev,
-           COALESCE(first_touch_n, 0)     AS first_touch_n,
-           COALESCE(last_touch_rev, 0.0)  AS last_touch_rev,
-           COALESCE(last_touch_n, 0)      AS last_touch_n
-    FROM f FULL OUTER JOIN l ON f.channel = l.channel
+    SELECT channel,
+           ROUND(COALESCE(SUM(CASE WHEN rn_first = 1 THEN value END),
+                          0.0), 2) AS first_touch_rev,
+           COUNT(CASE WHEN rn_first = 1 THEN 1 END) AS first_touch_n,
+           ROUND(COALESCE(SUM(CASE WHEN rn_last = 1 THEN value END),
+                          0.0), 2) AS last_touch_rev,
+           COUNT(CASE WHEN rn_last = 1 THEN 1 END) AS last_touch_n
+    FROM j WHERE rn_first = 1 OR rn_last = 1
+    GROUP BY channel
     """,
 )
 def q250_attribution(spark, sf_dir):
@@ -10413,34 +10406,32 @@ def q250_attribution(spark, sf_dir):
         F.row_number().over(wf).alias("rn_first"),
         F.row_number().over(wl).alias("rn_last"),
     )
-    f = (
-        j.filter(F.col("rn_first") == 1)
-        .groupBy("channel")
-        .agg(
-            F.round(F.sum("value"), 2).alias("first_touch_rev"),
-            F.count(F.lit(1)).alias("first_touch_n"),
-        )
-    )
-    l = (
-        j.filter(F.col("rn_last") == 1)
-        .groupBy("channel")
-        .agg(
-            F.round(F.sum("value"), 2).alias("last_touch_rev"),
-            F.count(F.lit(1)).alias("last_touch_n"),
-        )
-    )
+    # ONE pass: a row is a first/last pick or filtered out; conditional
+    # sums split the two models without re-deriving the join per branch
     return (
-        f.join(l, "channel", "full_outer")
-        .select(
-            "channel",
-            F.coalesce("first_touch_rev", F.lit(0.0)).alias(
-                "first_touch_rev"
+        j.filter((F.col("rn_first") == 1) | (F.col("rn_last") == 1))
+        .groupBy("channel")
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("rn_first") == 1, F.col("value"))),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("first_touch_rev"),
+            F.count(F.when(F.col("rn_first") == 1, 1)).alias(
+                "first_touch_n"
             ),
-            F.coalesce("first_touch_n", F.lit(0)).alias("first_touch_n"),
-            F.coalesce("last_touch_rev", F.lit(0.0)).alias(
-                "last_touch_rev"
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("rn_last") == 1, F.col("value"))),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("last_touch_rev"),
+            F.count(F.when(F.col("rn_last") == 1, 1)).alias(
+                "last_touch_n"
             ),
-            F.coalesce("last_touch_n", F.lit(0)).alias("last_touch_n"),
         )
     )
 
