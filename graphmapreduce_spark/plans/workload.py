@@ -11148,6 +11148,177 @@ def q260_calibration_bins(spark, sf_dir):
     )
 
 
+@register(
+    "q262_matryoshka_audit",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT ROUND(list_sum(list_transform(range(1, len(a.v) + 1),
+                              i -> a.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4)
+               AS cos_full,
+             ROUND(list_sum(list_transform(range(1, 33),
+                              i -> a.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(a.v[1:32], x -> x * x)))
+                * sqrt(list_sum(list_transform(b.v[1:32], x -> x * x)))),
+               4) AS cos_half
+      FROM e a JOIN e b
+        ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 25
+    )
+    SELECT CAST(LEAST(FLOOR((cos_full + 1.0) / 0.2), 9) AS BIGINT) AS bin,
+           COUNT(*) AS n_pairs,
+           ROUND(AVG(cos_half - cos_full), 6) AS mean_shift,
+           ROUND(AVG(ABS(cos_half - cos_full)), 6) AS mean_abs_err
+    FROM pairs GROUP BY 1
+    """,
+)
+def q262_matryoshka_audit(spark, sf_dir):
+    """Matryoshka-truncation audit: how well does cosine on the FIRST
+    HALF of each embedding (dim 64 → 32) preserve full-dim cosine —
+    the measurement behind serving truncated vectors for cheap ANN
+    pre-filtering.  Banded local pairs (never all-pairs); both cosines
+    are computed in one pass over each pair and binned by the rounded
+    full-dim score, so the report reads 'truncation error as a function
+    of true similarity'."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double("embedding").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    half = lambda c: F.slice(c, 1, 32)  # noqa: E731
+    pairs = a.join(
+        b,
+        (F.col("b.vec_id") > F.col("a.vec_id"))
+        & (F.col("b.vec_id") <= F.col("a.vec_id") + 25),
+    ).select(
+        F.round(V.cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_full"),
+        F.round(
+            V.cosine(half(F.col("a.v")), half(F.col("b.v"))), 4
+        ).alias("cos_half"),
+    )
+    diff = F.col("cos_half") - F.col("cos_full")
+    return (
+        pairs.groupBy(
+            F.least(F.floor((F.col("cos_full") + 1.0) / 0.2), F.lit(9))
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(diff), 6).alias("mean_shift"),
+            F.round(F.avg(F.abs(diff)), 6).alias("mean_abs_err"),
+        )
+    )
+
+
+@register(
+    "q263_rich_club",
+    """
+    WITH und AS (
+      SELECT DISTINCT LEAST(l_orderkey % 2000, l_partkey % 2000) AS a,
+                      GREATEST(l_orderkey % 2000, l_partkey % 2000) AS b
+      FROM lineitem
+      WHERE l_orderkey % 2000 <> l_partkey % 2000 AND l_quantity <= 5
+    ),
+    sym AS (SELECT a AS id, b AS nbr FROM und
+            UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT id, COUNT(*) AS deg FROM sym GROUP BY id),
+    dh AS (SELECT deg AS d, COUNT(*) AS nd FROM deg GROUP BY deg),
+    em AS (
+      SELECT LEAST(da.deg, db.deg) AS m, COUNT(*) AS ne
+      FROM und JOIN deg da ON und.a = da.id
+               JOIN deg db ON und.b = db.id
+      GROUP BY 1
+    ),
+    grid AS (SELECT UNNEST(generate_series(1, (SELECT MAX(deg) - 1
+                                               FROM deg))) AS k),
+    nk AS (SELECT k, SUM(CASE WHEN d > k THEN nd ELSE 0 END) AS n_nodes
+           FROM grid CROSS JOIN dh GROUP BY k),
+    ek AS (SELECT k, SUM(CASE WHEN m > k THEN ne ELSE 0 END) AS n_edges
+           FROM grid CROSS JOIN em GROUP BY k)
+    SELECT nk.k, nk.n_nodes, COALESCE(ek.n_edges, 0) AS n_edges,
+           ROUND(2.0 * COALESCE(ek.n_edges, 0)
+                 / (nk.n_nodes * (nk.n_nodes - 1)), 6) AS phi
+    FROM nk LEFT JOIN ek ON nk.k = ek.k
+    WHERE nk.n_nodes >= 2
+    """,
+)
+def q263_rich_club(spark, sf_dir):
+    """Rich-club coefficient curve φ(k): the edge density among
+    vertices of degree > k, for every k — do high-degree vertices
+    preferentially interconnect?  The edge table collapses to a
+    min-endpoint-degree histogram and the vertex table to a degree
+    histogram BEFORE the k-grid expands (grid × histogram is
+    max_degree² tiny rows), so no per-k pass over real edges ever
+    happens."""
+    li = _t(spark, sf_dir, "lineitem")
+    und = (
+        li.filter(F.col("l_quantity") <= 5)
+        .select(
+            F.least(
+                F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000
+            ).alias("a"),
+            F.greatest(
+                F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000
+            ).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("id")).unionByName(
+        und.select(F.col("b").alias("id"))
+    )
+    deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    dh = deg.groupBy(F.col("deg").alias("d")).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    em = (
+        und.join(deg.select(F.col("id").alias("a"),
+                            F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"),
+                         F.col("deg").alias("db")), "b")
+        .groupBy(F.least("da", "db").alias("m"))
+        .agg(F.count(F.lit(1)).alias("ne"))
+    )
+    max_deg = deg.agg(F.max("deg").alias("mx"))
+    grid = max_deg.select(
+        F.explode(F.sequence(F.lit(1), F.col("mx") - 1)).alias("k")
+    )
+    nk = (
+        grid.crossJoin(F.broadcast(dh))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("d") > F.col("k"), F.col("nd")).otherwise(0)
+            ).alias("n_nodes")
+        )
+    )
+    ek = (
+        grid.crossJoin(F.broadcast(em))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("m") > F.col("k"), F.col("ne")).otherwise(0)
+            ).alias("n_edges")
+        )
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .filter(F.col("n_nodes") >= 2)
+        .select(
+            "k",
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.round(
+                2.0
+                * F.coalesce("n_edges", F.lit(0))
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+                6,
+            ).alias("phi"),
+        )
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
