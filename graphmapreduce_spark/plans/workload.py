@@ -11319,6 +11319,118 @@ def q263_rich_club(spark, sf_dir):
     )
 
 
+@register(
+    "q264_simpson_audit",
+    """
+    WITH per AS (
+      SELECT l_returnflag AS grp,
+             COUNT(*) AS n,
+             ROUND(corr(l_discount, l_quantity), 6) AS group_corr
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    overall AS (
+      SELECT ROUND(corr(l_discount, l_quantity), 6) AS c
+      FROM lineitem
+    )
+    SELECT grp, n, group_corr,
+           (SELECT c FROM overall) AS overall_corr,
+           CASE WHEN group_corr * (SELECT c FROM overall) < 0
+                THEN 1 ELSE 0 END AS sign_flips
+    FROM per
+    """,
+)
+def q264_simpson_audit(spark, sf_dir):
+    """Simpson's-paradox audit: the discount↔quantity correlation
+    overall vs within each return-flag stratum, flagging strata whose
+    sign disagrees with the pooled sign — the canonical 'your
+    aggregate-level conclusion reverses under stratification' data
+    check.  Two scans (pooled + grouped partial-agg corr), the pooled
+    scalar folded in as a 1-row broadcast; the flip flag compares
+    ROUNDed values so both engines agree at the boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_discount", "l_quantity"), 6).alias("group_corr"),
+    )
+    overall = li.agg(
+        F.round(F.corr("l_discount", "l_quantity"), 6).alias(
+            "overall_corr"
+        )
+    )
+    return per.crossJoin(F.broadcast(overall)).select(
+        "grp",
+        "n",
+        "group_corr",
+        "overall_corr",
+        F.when(
+            F.col("group_corr") * F.col("overall_corr") < 0, 1
+        )
+        .otherwise(0)
+        .alias("sign_flips"),
+    )
+
+
+@register(
+    "q265_transition_entropy",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_event
+      FROM events
+    ),
+    c AS (
+      SELECT prev_event, event_type AS event, COUNT(*)::DOUBLE AS n
+      FROM seq WHERE prev_event IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT prev_event, SUM(n) AS t FROM c GROUP BY 1),
+    grand AS (SELECT SUM(t) AS g FROM tot)
+    SELECT c.prev_event,
+           CAST(tot.t AS BIGINT) AS n_from,
+           ROUND(-SUM((c.n / tot.t) * ln(c.n / tot.t) / ln(2)), 6)
+             AS h_next_bits,
+           ROUND(tot.t / (SELECT g FROM grand), 6) AS weight
+    FROM c JOIN tot USING (prev_event)
+    GROUP BY c.prev_event, tot.t
+    """,
+)
+def q265_transition_entropy(spark, sf_dir):
+    """Markov entropy rate inputs: per-state conditional next-event
+    entropy H(next | current) in bits, plus each state's stationary
+    weight — Σ weight·h is the sequence entropy rate (how predictable
+    user behavior is one step ahead).  All computation happens on the
+    |event_type|²-row transition-count table; raw events are touched
+    once by the lag window on the user partitioning."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev_event", F.lag("event_type").over(w))
+    c = (
+        seq.filter(F.col("prev_event").isNotNull())
+        .groupBy("prev_event", F.col("event_type").alias("event"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    tot = c.groupBy("prev_event").agg(F.sum("n").alias("t"))
+    grand = tot.agg(F.sum("t").alias("g"))
+    p = F.col("n") / F.col("t")
+    return (
+        c.join(F.broadcast(tot), "prev_event")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("prev_event", "t", "g")
+        .agg(
+            F.round(
+                -F.sum(p * F.log(p) / F.log(F.lit(2.0))), 6
+            ).alias("h_next_bits")
+        )
+        .select(
+            "prev_event",
+            F.col("t").cast("bigint").alias("n_from"),
+            "h_next_bits",
+            F.round(F.col("t") / F.col("g"), 6).alias("weight"),
+        )
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
