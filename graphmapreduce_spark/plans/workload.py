@@ -11123,14 +11123,33 @@ def q260_calibration_bins(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", V.as_double("embedding").alias("v")
     )
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("b.vec_id") > F.col("a.vec_id"))
-        & (F.col("b.vec_id") <= F.col("a.vec_id") + 50),
-    ).select(
-        (F.col("a.label") == F.col("b.label")).alias("same"),
-        F.round(V.cosine(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
+    # bucket blocking turns the band predicate into an EQUI join (the
+    # band_join technique): b in (a, a+50] implies floor(b/50) is
+    # floor(a/50) or +1, so a 2× explode on one side replaces the
+    # nested-loop theta join with a hash join + residual filter
+    bk = F.floor(F.col("vec_id") / 50).cast("long")
+    a = e.select(
+        F.col("vec_id").alias("ida"),
+        F.col("label").alias("la"),
+        F.col("v").alias("va"),
+        F.explode(F.array(bk, bk + 1)).alias("_bk"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("idb"),
+        F.col("label").alias("lb"),
+        F.col("v").alias("vb"),
+        bk.alias("_bk"),
+    )
+    pairs = (
+        a.join(b, "_bk")
+        .filter(
+            (F.col("idb") > F.col("ida"))
+            & (F.col("idb") <= F.col("ida") + 50)
+        )
+        .select(
+            (F.col("la") == F.col("lb")).alias("same"),
+            F.round(V.cosine(F.col("va"), F.col("vb")), 4).alias("cosine"),
+        )
     )
     return (
         pairs.groupBy(
@@ -11184,17 +11203,33 @@ def q262_matryoshka_audit(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", V.as_double("embedding").alias("v")
     )
-    a, b = e.alias("a"), e.alias("b")
     half = lambda c: F.slice(c, 1, 32)  # noqa: E731
-    pairs = a.join(
-        b,
-        (F.col("b.vec_id") > F.col("a.vec_id"))
-        & (F.col("b.vec_id") <= F.col("a.vec_id") + 25),
-    ).select(
-        F.round(V.cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_full"),
-        F.round(
-            V.cosine(half(F.col("a.v")), half(F.col("b.v"))), 4
-        ).alias("cos_half"),
+    # same bucket-blocking equi-join as q260 (band 25)
+    bk = F.floor(F.col("vec_id") / 25).cast("long")
+    a = e.select(
+        F.col("vec_id").alias("ida"),
+        F.col("v").alias("va"),
+        F.explode(F.array(bk, bk + 1)).alias("_bk"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"),
+        bk.alias("_bk"),
+    )
+    pairs = (
+        a.join(b, "_bk")
+        .filter(
+            (F.col("idb") > F.col("ida"))
+            & (F.col("idb") <= F.col("ida") + 25)
+        )
+        .select(
+            F.round(V.cosine(F.col("va"), F.col("vb")), 4).alias(
+                "cos_full"
+            ),
+            F.round(
+                V.cosine(half(F.col("va")), half(F.col("vb"))), 4
+            ).alias("cos_half"),
+        )
     )
     diff = F.col("cos_half") - F.col("cos_full")
     return (
