@@ -215,3 +215,28 @@ class ShuffleTracker:
         d["max_task_shuffle_read_records"] = hottest["records"]
         self._stage_watermark = _max_stage_id(self.spark)
         return d
+
+
+def observed(df, name: str, **metrics):
+    """In-plan pipeline metrics via ``df.observe`` — aggregates computed
+    DURING the caller's normal action, zero extra job (unlike a separate
+    ``df.agg(...).collect()``, which re-scans).  The reference has no
+    analog (its counters are per-phase wall/bytes only); this is the
+    Spark-native row-level audit hook for ETL pipelines: row counts,
+    null counts, domain violations, all piggybacked on the write.
+
+    ``metrics`` maps output name -> aggregate Column.  Returns
+    ``(df_with_observation, observation)``; read
+    ``observation.get`` AFTER the first action on the returned frame.
+
+        out, obs = observed(df, "stage1",
+                            rows=F.count(F.lit(1)),
+                            null_keys=F.count(F.when(F.col("k").isNull(), 1)))
+        out.write.parquet(path)
+        obs.get  # {'rows': ..., 'null_keys': ...}
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    cols = [m.alias(a) for a, m in metrics.items()]
+    return df.observe(obs, *cols), obs

@@ -172,3 +172,30 @@ def test_salted_join_flattens_hottest_task(spark):
     # hot key over the 16 reducers, so the hottest task must come down
     # by well over 40%
     assert hot_salted < 0.6 * hot_plain, (hot_plain, hot_salted)
+
+
+def test_observed_piggybacks_on_single_action(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from graphmapreduce_spark.metrics import observed
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("k"),
+    )
+    out, obs = observed(
+        df,
+        "audit",
+        rows=F.count(F.lit(1)),
+        null_keys=F.count(F.when(F.col("k").isNull(), 1)),
+        id_sum=F.sum("id"),
+    )
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    out.write.mode("overwrite").parquet(str(tmp_path / "obs"))
+    got = obs.get
+    assert got["rows"] == 100
+    assert got["null_keys"] == 10
+    assert got["id_sum"] == sum(range(100))
+    # the metrics rode the write job - no separate aggregation job ran
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(after) - len(before) <= 1
