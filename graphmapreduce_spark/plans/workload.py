@@ -11466,6 +11466,158 @@ def q265_transition_entropy(spark, sf_dir):
     )
 
 
+@register(
+    "q266_replay_stream_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q266_replay_stream_agg(spark, sf_dir):
+    """End-to-end custom STREAMING source execution: lineitem replayed
+    through the `parquet_replay` Python data source (column-projected
+    at the arrow read), aggregated in complete mode into a memory
+    sink — the converged table equals the batch aggregate, which is the
+    oracle.  Python streaming sources don't support availableNow, so
+    the drain is processAllAvailable on row-position offsets."""
+    import os as _os
+    import tempfile
+    import uuid
+
+    from graphmapreduce_spark.sources.replay_stream import (
+        ParquetReplayStreamSource,
+    )
+
+    spark.dataSource.register(ParquetReplayStreamSource)
+    src = (
+        spark.readStream.format("parquet_replay")
+        .option("path", _os.path.join(sf_dir, "lineitem.parquet"))
+        .option("columns", "l_returnflag,l_quantity")
+        .option("rows_per_batch", "25000")
+        .load()
+    )
+    agg = src.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+    qname = f"replay_agg_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="gmr_ckpt_rp_")
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    return spark.table(qname)
+
+
+@register(
+    "q267_fk_integrity",
+    """
+    SELECT 'lineitem->orders' AS fk,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+             AS n_orphans,
+           (SELECT COUNT(*) FROM lineitem) AS n_rows
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey)),
+           (SELECT COUNT(*) FROM lineitem)
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey)),
+           (SELECT COUNT(*) FROM lineitem)
+    """,
+)
+def q267_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit: orphan counts for every declared
+    foreign key in the star schema, as left_anti joins.  The dimension
+    side of each anti-join broadcasts (orders/customer/part/supplier
+    key sets are dimension-sized), so each audit is one scan of the
+    fact table — the shape that still works when lineitem is the
+    100 TB table."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    pa = _t(spark, sf_dir, "part")
+    su = _t(spark, sf_dir, "supplier")
+
+    def one(fact, fact_key, dim, dim_key, label):
+        keys = dim.select(F.col(dim_key).alias("_k")).distinct()
+        n_orph = (
+            fact.join(
+                F.broadcast(keys),
+                fact[fact_key] == F.col("_k"),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        n_rows = fact.agg(F.count(F.lit(1)).alias("n_rows"))
+        return (
+            n_orph.crossJoin(n_rows)
+            .select(
+                F.lit(label).alias("fk"), "n_orphans", "n_rows"
+            )
+        )
+
+    out = one(li, "l_orderkey", od, "o_orderkey", "lineitem->orders")
+    for args in [
+        (od, "o_custkey", cu, "c_custkey", "orders->customer"),
+        (li, "l_partkey", pa, "p_partkey", "lineitem->part"),
+        (li, "l_suppkey", su, "s_suppkey", "lineitem->supplier"),
+    ]:
+        out = out.unionByName(one(*args))
+    return out
+
+
+@register(
+    "q268_dup_size_histogram",
+    """
+    WITH keys AS (
+      SELECT md5(text) AS fp, COUNT(*) AS copies
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT copies, COUNT(*) AS n_groups,
+           CAST(copies * COUNT(*) AS BIGINT) AS n_docs
+    FROM keys GROUP BY copies
+    """,
+)
+def q268_dup_size_histogram(spark, sf_dir):
+    """Exact-duplicate multiplicity histogram: how many fingerprint
+    groups have exactly k copies, and how many documents that accounts
+    for — the 'is duplication a few huge clusters or many pairs'
+    diagnostic that decides dedup strategy.  Two cascaded hash aggs on
+    the md5 key; nothing else."""
+    d = _t(spark, sf_dir, "documents")
+    keys = d.groupBy(F.md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).alias("copies")
+    )
+    return keys.groupBy("copies").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        (F.col("copies") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_docs"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================

@@ -50,10 +50,24 @@ class ParquetReplayStreamSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("parquet_replay requires option 'path'")
-        return from_arrow_schema(pq.read_schema(path))
+        schema = pq.read_schema(path)
+        cols = _columns_option(self.options)
+        if cols is not None:
+            schema = pq.read_schema(path)
+            import pyarrow as pa
+
+            schema = pa.schema([schema.field(c) for c in cols])
+        return from_arrow_schema(schema)
 
     def simpleStreamReader(self, schema) -> "ParquetReplayStreamReader":
         return ParquetReplayStreamReader(self.options)
+
+
+def _columns_option(options: dict) -> list[str] | None:
+    cols = options.get("columns")
+    if not cols:
+        return None
+    return [c.strip() for c in cols.split(",") if c.strip()]
 
 
 class ParquetReplayStreamReader(SimpleDataSourceStreamReader):
@@ -62,13 +76,16 @@ class ParquetReplayStreamReader(SimpleDataSourceStreamReader):
         if not self.path:
             raise ValueError("parquet_replay requires option 'path'")
         self.rows_per_batch = int(options.get("rows_per_batch", "1000"))
+        self.columns = _columns_option(options)
         self._table = None
 
     # lazy: the reader object is pickled to the offset log; the table
     # must not ride along
     def _tbl(self):
         if self._table is None:
-            self._table = pq.read_table(self.path)
+            # column projection happens at the arrow read — payload
+            # columns the stream never uses are never materialized
+            self._table = pq.read_table(self.path, columns=self.columns)
         return self._table
 
     def __getstate__(self):
