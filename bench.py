@@ -48,6 +48,10 @@ HEADLINE = [
     # two-phase Brandes dataflow (iterative, multi-source-batched)
     "q167_dup_ngram_spans",
     "q168_betweenness",
+    # round-4c additions: inverted-index TF-IDF pair generation and the
+    # bucket-keyed banded cosine join (both pair-count-bound)
+    "q255_tfidf_cosine",
+    "q260_calibration_bins",
 ]
 
 
