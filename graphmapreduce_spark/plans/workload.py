@@ -11618,6 +11618,111 @@ def q268_dup_size_histogram(spark, sf_dir):
     )
 
 
+@register(
+    "q269_lsh_planner",
+    """
+    WITH bands AS (
+      SELECT UNNEST([4, 8, 16, 32]) AS b
+    ),
+    rows_ AS (SELECT UNNEST([2, 4, 8]) AS r),
+    sims AS (SELECT UNNEST([0.5, 0.7, 0.8, 0.9]) AS s)
+    SELECT b, r, s,
+           ROUND(1.0 - POWER(1.0 - POWER(s, r), b), 6) AS p_capture,
+           ROUND(POWER(1.0 / b, 1.0 / r), 6) AS s_threshold
+    FROM bands CROSS JOIN rows_ CROSS JOIN sims
+    """,
+)
+def q269_lsh_planner(spark, sf_dir):
+    """MinHash-LSH parameter planner: the S-curve capture probability
+    1-(1-s^r)^b and the threshold similarity (1/b)^(1/r) for every
+    (bands, rows-per-band, similarity) combination — the design table
+    behind q46's banding knobs.  Pure expression math over a literal
+    grid; sf-independent by construction (a planning query reads no
+    data)."""
+    # grid via explode on a single row — a crossJoin of three literal
+    # frames multiplies their default partitionings into hundreds of
+    # empty tasks
+    s, r, b = F.col("s"), F.col("r"), F.col("b")
+    grid = (
+        spark.range(1)
+        .select(
+            F.explode(F.array(*[F.lit(x) for x in (4, 8, 16, 32)])).alias(
+                "b"
+            )
+        )
+        .select(
+            "b",
+            F.explode(F.array(*[F.lit(x) for x in (2, 4, 8)])).alias("r"),
+        )
+        .select(
+            "b",
+            "r",
+            F.explode(
+                F.array(*[F.lit(x) for x in (0.5, 0.7, 0.8, 0.9)])
+            ).alias("s"),
+        )
+    )
+    return (
+        grid
+        .select(
+            "b",
+            "r",
+            "s",
+            F.round(
+                1.0 - F.pow(1.0 - F.pow(s, r), b), 6
+            ).alias("p_capture"),
+            F.round(F.pow(1.0 / b, 1.0 / r), 6).alias("s_threshold"),
+        )
+    )
+
+
+@register(
+    "q270_effective_corpus_size",
+    r"""
+    WITH t AS (
+      SELECT source, md5(text) AS fp,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> ''))::DOUBLE AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT source, fp, toks, COUNT(*) OVER (PARTITION BY fp) AS copies
+      FROM t
+    )
+    SELECT source,
+           CAST(SUM(toks) AS BIGINT) AS raw_tokens,
+           ROUND(SUM(toks / copies), 2) AS effective_tokens,
+           ROUND(SUM(toks / copies) / SUM(toks), 6) AS retention
+    FROM g GROUP BY source
+    """,
+)
+def q270_effective_corpus_size(spark, sf_dir):
+    """Duplication-weighted effective corpus size: each document's
+    tokens count 1/copies (copies = corpus-wide exact-duplicate
+    multiplicity of its fingerprint), so a source padded with clones
+    contributes its unique mass only — the 'how much data do we REALLY
+    have' number that precedes any token budget.  One md5-keyed window
+    for multiplicity (fingerprint-partitioned, no global sort), one
+    grouped sum."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        F.md5("text").alias("fp"),
+        T.n_words("text").cast("double").alias("toks"),
+    )
+    w = Window.partitionBy("fp")
+    g = t.withColumn("copies", F.count(F.lit(1)).over(w))
+    return g.groupBy("source").agg(
+        F.sum("toks").cast("bigint").alias("raw_tokens"),
+        F.round(F.sum(F.col("toks") / F.col("copies")), 2).alias(
+            "effective_tokens"
+        ),
+        F.round(
+            F.sum(F.col("toks") / F.col("copies")) / F.sum("toks"), 6
+        ).alias("retention"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
