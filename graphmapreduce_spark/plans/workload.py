@@ -11723,6 +11723,77 @@ def q270_effective_corpus_size(spark, sf_dir):
     )
 
 
+@register(
+    "q271_behavior_editdist",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             substr(string_agg(substr(event_type, 1, 1), ''
+                               ORDER BY ts, event_id), 1, 100) AS sig
+      FROM events WHERE user_id < 200
+      GROUP BY user_id
+    )
+    SELECT a.user_id AS id_a, b.user_id AS id_b,
+           levenshtein(a.sig, b.sig) AS dist,
+           ROUND(levenshtein(a.sig, b.sig)::DOUBLE
+                 / GREATEST(length(a.sig), length(b.sig), 1), 6)
+             AS norm_dist
+    FROM seq a JOIN seq b
+      ON b.user_id > a.user_id AND b.user_id <= a.user_id + 10
+    """,
+)
+def q271_behavior_editdist(spark, sf_dir):
+    """Behavioral-sequence similarity: each user's event history
+    becomes a compact signature string (first letter of each event
+    type, time-ordered, capped at 100 chars) and banded user pairs are
+    compared by edit distance — the sequence-level analog of q106's
+    string fuzzy join.  The signature build is one ordered
+    listagg per user (user-partitioned sort, no global window); the
+    band keeps pair count linear; levenshtein runs JVM-side."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.select(
+            "user_id",
+            F.substring("event_type", 1, 1).alias("ch"),
+            F.row_number().over(wseq).alias("rn"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.substring(
+                F.concat_ws(
+                    "",
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "ch"))
+                    ).getField("ch"),
+                ),
+                1,
+                100,
+            ).alias("sig")
+        )
+    )
+    a, b = seq.alias("a"), seq.alias("b")
+    dist = F.levenshtein(F.col("a.sig"), F.col("b.sig"))
+    return a.join(
+        b,
+        (F.col("b.user_id") > F.col("a.user_id"))
+        & (F.col("b.user_id") <= F.col("a.user_id") + 10),
+    ).select(
+        F.col("a.user_id").alias("id_a"),
+        F.col("b.user_id").alias("id_b"),
+        dist.alias("dist"),
+        F.round(
+            dist.cast("double")
+            / F.greatest(
+                F.length(F.col("a.sig")),
+                F.length(F.col("b.sig")),
+                F.lit(1),
+            ),
+            6,
+        ).alias("norm_dist"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
