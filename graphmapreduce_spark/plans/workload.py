@@ -11794,6 +11794,126 @@ def q271_behavior_editdist(spark, sf_dir):
     )
 
 
+@register(
+    "q272_hhi_concentration",
+    """
+    WITH rev AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             SUM(o.o_totalprice) AS cust_rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT segment, SUM(cust_rev) AS seg_rev FROM rev GROUP BY 1)
+    SELECT rev.segment,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(POWER(cust_rev / seg_rev, 2)), 6) AS hhi,
+           ROUND(1.0 / COUNT(*), 6) AS hhi_floor
+    FROM rev JOIN tot ON rev.segment = tot.segment
+    GROUP BY rev.segment
+    """,
+)
+def q272_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman revenue concentration per market segment:
+    Σ (customer share)² against its 1/n perfect-competition floor — the
+    antitrust-style complement of q230's Gini (HHI needs no sorting at
+    all, just two grouped sums and a broadcast of per-segment
+    totals)."""
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    rev = (
+        od.join(F.broadcast(cu.select("c_custkey", "c_mktsegment")),
+                od.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(F.sum("o_totalprice").alias("cust_rev"))
+    )
+    tot = rev.groupBy("segment").agg(F.sum("cust_rev").alias("seg_rev"))
+    return (
+        rev.join(F.broadcast(tot), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.pow(F.col("cust_rev") / F.col("seg_rev"), 2)), 6
+            ).alias("hhi"),
+            F.round(1.0 / F.count(F.lit(1)), 6).alias("hhi_floor"),
+        )
+    )
+
+
+@register(
+    "q273_open_triads",
+    """
+    WITH und AS (
+      SELECT DISTINCT LEAST(l_orderkey % 2000, l_partkey % 2000) AS a,
+                      GREATEST(l_orderkey % 2000, l_partkey % 2000) AS b
+      FROM lineitem
+      WHERE l_orderkey % 2000 <> l_partkey % 2000 AND l_quantity <= 5
+    ),
+    sym AS (SELECT a AS id, b AS nbr FROM und
+            UNION ALL SELECT b, a FROM und),
+    wedges AS (
+      SELECT l.id AS u, l.nbr AS center, r.nbr AS w
+      FROM sym l JOIN sym r ON l.nbr = r.id AND l.id < r.nbr
+    ),
+    closed AS (
+      SELECT COUNT(*)::BIGINT AS n FROM wedges
+      WHERE EXISTS (SELECT 1 FROM und
+                    WHERE und.a = wedges.u AND und.b = wedges.w)
+    ),
+    total AS (SELECT COUNT(*)::BIGINT AS n FROM wedges)
+    SELECT total.n AS wedges,
+           closed.n AS closed_wedges,
+           total.n - closed.n AS open_triads,
+           ROUND(closed.n::DOUBLE / total.n, 6) AS global_clustering
+    FROM total CROSS JOIN closed
+    """,
+)
+def q273_open_triads(spark, sf_dir):
+    """Triad census scalars: total wedges (2-paths), closed wedges, the
+    open-triad count, and the global clustering coefficient
+    closed/total — the 'how cliquish is this graph' one-rower.  Wedges
+    enumerate through the shared center (the q31 join shape, u < w
+    canonical so each wedge counts once); closure is one semi/anti
+    split against the canonical edge set, no second wedge pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    und = (
+        li.filter(F.col("l_quantity") <= 5)
+        .select(
+            F.least(
+                F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000
+            ).alias("a"),
+            F.greatest(
+                F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000
+            ).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = und.select(F.col("a").alias("id"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("id"), F.col("a").alias("nbr"))
+    )
+    l, r = sym.alias("l"), sym.alias("r")
+    wedges = l.join(
+        r,
+        (F.col("l.nbr") == F.col("r.id"))
+        & (F.col("l.id") < F.col("r.nbr")),
+    ).select(F.col("l.id").alias("a"), F.col("r.nbr").alias("b"))
+    wedges = wedges.localCheckpoint(eager=False)
+    total = wedges.agg(F.count(F.lit(1)).alias("wedges"))
+    closed = wedges.join(und, ["a", "b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("closed_wedges")
+    )
+    return total.crossJoin(closed).select(
+        "wedges",
+        "closed_wedges",
+        (F.col("wedges") - F.col("closed_wedges")).alias("open_triads"),
+        F.round(
+            F.col("closed_wedges").cast("double") / F.col("wedges"), 6
+        ).alias("global_clustering"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
