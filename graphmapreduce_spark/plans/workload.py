@@ -11914,6 +11914,61 @@ def q273_open_triads(spark, sf_dir):
     )
 
 
+@register(
+    "q274_expected_lsh_recall",
+    """
+    WITH sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, GREATEST(length(text) - 2, 0) + 1),
+               i -> substr(text, i, 3))) AS grams
+      FROM documents WHERE doc_id < 100
+    ),
+    inv AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT ROUND(CAST(i AS DOUBLE) /
+                   (len(sa.grams) + len(sb.grams) - i), 6) AS s
+      FROM inter
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (len(sa.grams) + len(sb.grams) - i)
+            >= 0.2
+    )
+    SELECT CAST(FLOOR(s * 10) AS BIGINT) AS s_decile,
+           COUNT(*) AS n_pairs,
+           ROUND(AVG(1.0 - POWER(1.0 - POWER(s, 4), 8)), 6)
+             AS expected_recall
+    FROM pairs GROUP BY 1
+    """,
+)
+def q274_expected_lsh_recall(spark, sf_dir):
+    """Expected MinHash-LSH recall on THIS corpus: the exact n-gram
+    Jaccard pair distribution (the q45 inverted-index join) pushed
+    through the banding S-curve 1-(1-s^r)^b at q46's (b=8, r=4)
+    configuration, bucketed by similarity decile — 'which of my real
+    near-dup pairs would the sketch pipeline catch', the planner
+    (q269) evaluated against measured data instead of a grid."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.2, max_df=1000
+    ).select(F.col("jaccard").alias("s"))
+    return (
+        pairs.groupBy(
+            F.floor(F.col("s") * 10).cast("bigint").alias("s_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.avg(1.0 - F.pow(1.0 - F.pow(F.col("s"), 4), 8)), 6
+            ).alias("expected_recall"),
+        )
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
