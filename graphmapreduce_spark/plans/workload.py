@@ -11969,6 +11969,165 @@ def q274_expected_lsh_recall(spark, sf_dir):
     )
 
 
+@register(
+    "q275_robust_trend",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             epoch(date_trunc('day', ts)) / 86400.0 AS x,
+             COUNT(*)::DOUBLE AS y
+      FROM events GROUP BY 1, 2, 3
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             (b.y - a.y) / (b.x - a.x) AS slope,
+             CASE WHEN b.y > a.y THEN 1
+                  WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.x > a.x
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope, sgn) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(sgn) OVER (PARTITION BY event_type) AS s
+      FROM pairs
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_pairs,
+           ROUND(MAX(CASE WHEN rn = (n + 1) // 2 THEN slope END), 6)
+             AS theil_sen_slope,
+           CAST(MAX(s) AS BIGINT) AS mann_kendall_s
+    FROM ranked GROUP BY event_type, n
+    """,
+)
+def q275_robust_trend(spark, sf_dir):
+    """Robust trend per event-type daily series: the Theil-Sen
+    estimator (lower-median of all pairwise slopes — outlier-immune
+    where OLS is not) and the Mann-Kendall S statistic (sum of
+    pairwise direction signs) from the SAME pairwise join.  The
+    pairwise grid is days², built per series over the 30-row
+    day-aggregated table — never over raw events; the median pick is
+    the q247 discrete-percentile rank trick, no sort beyond the
+    per-series window."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("DAY", "ts")).alias("day"),
+        (
+            F.unix_timestamp(F.date_trunc("DAY", "ts")) / 86400.0
+        ).alias("x"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.x") > F.col("a.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x")))
+        .alias("slope"),
+        F.when(F.col("b.y") > F.col("a.y"), 1)
+        .when(F.col("b.y") < F.col("a.y"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    w = Window.partitionBy("event_type")
+    wo = w.orderBy("slope", "sgn")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("sgn").over(w).alias("s"),
+    )
+    return ranked.groupBy("event_type", "n").agg(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("rn") == F.floor((F.col("n") + 1) / 2),
+                    F.col("slope"),
+                )
+            ),
+            6,
+        ).alias("theil_sen_slope"),
+        F.max("s").cast("bigint").alias("mann_kendall_s"),
+    ).select("event_type", "n_pairs", "theil_sen_slope", "mann_kendall_s")
+
+
+@register(
+    "q276_keyword_extraction",
+    r"""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM (
+        SELECT doc_id, UNNEST(list_filter(
+          string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+        FROM documents)
+      GROUP BY 1, 2
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n_docs FROM tf),
+    idf AS (
+      SELECT term, ln((SELECT n_docs FROM n) / COUNT(*)) AS idf
+      FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * idf.idf, 6) AS score
+      FROM tf JOIN idf USING (term)
+    )
+    SELECT doc_id, term, score FROM (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rk
+      FROM scored WHERE doc_id < 50) t
+    WHERE rk <= 5
+    """,
+)
+def q276_keyword_extraction(spark, sf_dir):
+    """Per-document keyword extraction: top-5 terms by TF-IDF — the
+    tagging/labeling primitive.  Document frequencies come from the
+    FULL corpus (idf must not depend on which docs you keyword);
+    only the reported doc slice pays the ranking window, partitioned
+    by doc so no global sort exists.  Ranking on the ROUNDed score
+    with a term tiebreak keeps top-5 membership engine-identical."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(T.words("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    n_docs = tf.agg(
+        F.count_distinct("doc_id").cast("double").alias("n_docs")
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(n_docs))
+        .select(
+            "term", F.log(F.col("n_docs") / F.col("df")).alias("idf")
+        )
+    )
+    scored = (
+        tf.filter(F.col("doc_id") < 50)
+        .join(idf, "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.col("idf"), 6).alias("score"),
+        )
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "term", "score")
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
