@@ -98,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
             "labelprop", "louvain", "mis", "harmonic",
             "closeness", "betweenness", "edgebetweenness", "eccentricity",
             "hits", "katz", "eigenvector", "reciprocity",
+            "coloring", "adamicadar",
         ],
     )
     p.add_argument(
@@ -180,6 +181,10 @@ def main(argv: list[str] | None = None) -> int:
         res = alg.louvain(g).orderBy("id")
     elif args.algorithm == "mis":
         res = alg.maximal_independent_set(g).orderBy("id")
+    elif args.algorithm == "coloring":
+        res = alg.greedy_coloring(g).orderBy("id")
+    elif args.algorithm == "adamicadar":
+        res = alg.adamic_adar(g).orderBy("id_a", "id_b")
     elif args.algorithm in (
         "harmonic", "closeness", "betweenness", "edgebetweenness",
         "eccentricity",

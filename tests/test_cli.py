@@ -99,6 +99,7 @@ def test_cli_new_centralities_run():
     for algo in (
         "closeness", "betweenness", "edgebetweenness", "eccentricity",
         "hits", "katz", "eigenvector", "reciprocity",
+        "coloring", "adamicadar",
     ):
         out = subprocess.run(
             [sys.executable, "-m", "graphmapreduce_spark",
