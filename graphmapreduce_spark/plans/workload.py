@@ -12128,6 +12128,69 @@ def q276_keyword_extraction(spark, sf_dir):
     )
 
 
+@register(
+    "q277_dynamic_session_window",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_type, value,
+             ts + CASE WHEN event_type = 'purchase'
+                       THEN INTERVAL 48 HOUR
+                       ELSE INTERVAL 24 HOUR END AS window_end,
+             event_id
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN MAX(window_end) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  OR ts >= MAX(window_end) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q277_dynamic_session_window(spark, sf_dir):
+    """Dynamic-gap session windows: the session timeout DEPENDS ON THE
+    EVENT (purchases hold the session open 48 h, everything else 24 h)
+    — Spark's `session_window` with a per-row gap column, the feature
+    fixed-gap sessionizers can't express.  The oracle replicates the
+    merge semantics with a running MAX of per-event window ends (an
+    early long-gap event can bridge past a later short-gap one, so
+    lag-against-previous-row alone is wrong)."""
+    ev = _t(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("48 hours")
+    ).otherwise(F.lit("24 hours"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
