@@ -260,3 +260,59 @@ def test_unigram_surprisal_rare_tokens_score_higher(spark):
     assert abs(out[0] - round(-math.log(9 / 10), 6)) < 1e-9
     assert abs(out[9] - round(-math.log(1 / 10), 6)) < 1e-9
     assert out[9] > out[0]
+
+
+@given(edges=edge_sets)
+@SLOW
+def test_greedy_coloring_always_proper(spark, edges):
+    g = _graph(spark, edges)
+    col = {r["id"]: r["color"] for r in alg.greedy_coloring(g).collect()}
+    und = {frozenset(e) for e in edges}
+    nodes = {v for e in edges for v in e}
+    assert set(col) == nodes, sorted(edges)
+    for pair in und:
+        a, b = sorted(pair)
+        assert col[a] != col[b], (sorted(edges), col)
+    # Delta+1 bound
+    deg = {
+        v: sum(1 for p in und if v in p) for v in nodes
+    }
+    assert len(set(col.values())) <= max(deg.values()) + 1, (
+        sorted(edges), col,
+    )
+
+
+@given(edges=edge_sets)
+@SLOW
+def test_adamic_adar_matches_bruteforce(spark, edges):
+    import math
+
+    und = {frozenset(e) for e in edges}
+    nodes = {v for e in edges for v in e}
+    nbrs = {
+        v: {next(iter(p - {v})) for p in und if v in p} for v in nodes
+    }
+    want = {}
+    for a in sorted(nodes):
+        for b in sorted(nodes):
+            if b <= a or frozenset((a, b)) in und:
+                continue
+            common = [
+                z
+                for z in nbrs[a] & nbrs[b]
+                if len(nbrs[z]) >= 2
+            ]
+            if common:
+                want[(a, b)] = (
+                    len(common),
+                    sum(1.0 / math.log(len(nbrs[z])) for z in common),
+                )
+    g = _graph(spark, edges)
+    got = {
+        (r["id_a"], r["id_b"]): (r["common"], r["score"])
+        for r in alg.adamic_adar(g).collect()
+    }
+    assert set(got) == set(want), (sorted(edges), got, want)
+    for k in want:
+        assert got[k][0] == want[k][0], (k, sorted(edges))
+        assert abs(got[k][1] - want[k][1]) < 1e-9, (k, sorted(edges))
