@@ -12191,6 +12191,137 @@ def q277_dynamic_session_window(spark, sf_dir):
     )
 
 
+@register(
+    "q278_welch_ttest",
+    """
+    WITH s AS (
+      SELECT source,
+             COUNT(*)::DOUBLE AS n,
+             AVG(n_chars) AS m,
+             VAR_SAMP(n_chars) AS v
+      FROM documents WHERE source IN ('src0', 'src1')
+      GROUP BY source
+    ),
+    w AS (
+      SELECT a.n AS na, a.m AS ma, a.v AS va,
+             b.n AS nb, b.m AS mb, b.v AS vb
+      FROM s a JOIN s b ON a.source = 'src0' AND b.source = 'src1'
+    )
+    SELECT ROUND(ma - mb, 6) AS mean_diff,
+           ROUND((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+           ROUND(POWER(va / na + vb / nb, 2)
+                 / (POWER(va / na, 2) / (na - 1)
+                  + POWER(vb / nb, 2) / (nb - 1)), 6) AS welch_df
+    FROM w
+    """,
+)
+def q278_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test between two sources' document
+    lengths: t statistic and Welch-Satterthwaite degrees of freedom
+    from one grouped (n, mean, variance) pass — the 'are these two
+    corpora actually different' check that precedes any mixing
+    decision.  Two partial-agg scans worth of work, a 1×1 join, zero
+    shuffles of row data."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("n_chars").alias("m"),
+        F.var_samp("n_chars").alias("v"),
+    )
+    a = s.filter(F.col("source") == "src0").select(
+        F.col("n").alias("na"), F.col("m").alias("ma"),
+        F.col("v").alias("va"),
+    )
+    b = s.filter(F.col("source") == "src1").select(
+        F.col("n").alias("nb"), F.col("m").alias("mb"),
+        F.col("v").alias("vb"),
+    )
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    return a.crossJoin(b).select(
+        F.round(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("va") / F.col("na"), 2) / (F.col("na") - 1)
+                + F.pow(F.col("vb") / F.col("nb"), 2) / (F.col("nb") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+@register(
+    "q279_anova_oneway",
+    """
+    WITH g AS (
+      SELECT lang, COUNT(*)::DOUBLE AS n, AVG(n_chars) AS m,
+             SUM(n_chars * n_chars) AS ss
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT SUM(n) AS nt, SUM(n * m) / SUM(n) AS gm,
+             COUNT(*)::DOUBLE AS k
+      FROM g
+    )
+    SELECT CAST(tot.k AS BIGINT) AS k_groups,
+           CAST(tot.nt AS BIGINT) AS n_total,
+           ROUND(SUM(g.n * POWER(g.m - tot.gm, 2)) / (tot.k - 1), 6)
+             AS ms_between,
+           ROUND(SUM(g.ss - g.n * g.m * g.m) / (tot.nt - tot.k), 6)
+             AS ms_within,
+           ROUND((SUM(g.n * POWER(g.m - tot.gm, 2)) / (tot.k - 1))
+                 / (SUM(g.ss - g.n * g.m * g.m) / (tot.nt - tot.k)), 6)
+             AS f_stat
+    FROM g CROSS JOIN tot
+    GROUP BY tot.k, tot.nt
+    """,
+)
+def q279_anova_oneway(spark, sf_dir):
+    """One-way ANOVA of document length across languages: between- and
+    within-group mean squares and the F statistic, from per-group
+    (n, mean, sum-of-squares) partials only — the sufficient-statistics
+    decomposition, so the grand mean and both mean squares come from
+    the k-row group table and raw rows are scanned once."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("n_chars").alias("m"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    msb = F.sum(
+        F.col("n") * F.pow(F.col("m") - F.col("gm"), 2)
+    ) / (F.col("k") - 1)
+    msw = F.sum(
+        F.col("ss") - F.col("n") * F.col("m") * F.col("m")
+    ) / (F.col("nt") - F.col("k"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("k", "nt")
+        .agg(
+            F.round(msb, 6).alias("ms_between"),
+            F.round(msw, 6).alias("ms_within"),
+            F.round(msb / msw, 6).alias("f_stat"),
+        )
+        .select(
+            F.col("k").cast("bigint").alias("k_groups"),
+            F.col("nt").cast("bigint").alias("n_total"),
+            "ms_between",
+            "ms_within",
+            "f_stat",
+        )
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
