@@ -12322,6 +12322,144 @@ def q279_anova_oneway(spark, sf_dir):
     )
 
 
+@register(
+    "q280_hyperplane_lsh",
+    """
+    WITH planes AS (
+      SELECT p, i,
+             CASE WHEN (ascii(substr(md5(p::VARCHAR || '_'
+                                         || i::VARCHAR), 1, 1)) % 2) = 0
+                  THEN 1.0 ELSE -1.0 END AS w
+      FROM (SELECT UNNEST(range(0, 4)) AS p),
+           (SELECT UNNEST(range(1, 65)) AS i)
+    ),
+    ev AS (
+      SELECT vec_id, i, v FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        LATERAL (SELECT UNNEST(range(1, 65)) AS i, UNNEST(emb) AS v)
+    ),
+    dots AS (
+      SELECT ev.vec_id, planes.p,
+             ROUND(SUM(ev.v * planes.w), 6) AS dot
+      FROM ev JOIN planes ON ev.i = planes.i
+      GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY p) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_sum(list_transform(range(1, 65),
+                              i -> ea.v[i] * eb.v[i]))
+               / (sqrt(list_sum(list_transform(ea.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(eb.v, x -> x * x)))), 4)
+               AS cosine
+      FROM sig a JOIN sig b ON a.bucket = b.bucket
+                           AND a.vec_id < b.vec_id
+      JOIN emb ea ON ea.vec_id = a.vec_id
+      JOIN emb eb ON eb.vec_id = b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
+    """,
+)
+def q280_hyperplane_lsh(spark, sf_dir):
+    """Cosine LSH via signed random projections (the SimHash idea
+    applied to dense embeddings): 4 deterministic ±1 hyperplanes
+    (md5-parity over (plane, dim) — engine-portable, data-independent)
+    hash each vector to a 4-bit bucket; exact cosine runs only WITHIN
+    buckets — candidate generation is a hash join on the signature,
+    never all-pairs, and expected collision probability follows
+    (1 - θ/π)^4.  Per-plane dots are ROUNDed before the sign so a
+    borderline projection can't land in different buckets on different
+    engines.  The in-bucket verify is the q48 exact-cosine shape."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double("embedding").alias("v")
+    )
+    # plane weights: md5 parity over (p, i) — 8×64 tiny grid
+    planes = (
+        spark.range(1)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("p")
+        )
+        .select(
+            "p",
+            F.explode(F.sequence(F.lit(1), F.lit(64))).alias("i"),
+        )
+        .select(
+            "p",
+            "i",
+            F.when(
+                F.ascii(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                F.col("p").cast("string"),
+                                F.col("i").cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    )
+                )
+                % 2
+                == 0,
+                1.0,
+            )
+            .otherwise(-1.0)
+            .alias("w"),
+        )
+    )
+    ev = e.select(
+        "vec_id", F.posexplode("v").alias("i0", "val")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "val")
+    sig = (
+        ev.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "p")
+        .agg(F.round(F.sum(F.col("val") * F.col("w")), 6).alias("dot"))
+        .groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "p",
+                            F.when(F.col("dot") >= 0, "1")
+                            .otherwise("0")
+                            .alias("b"),
+                        )
+                    )
+                ).getField("b"),
+            ).alias("bucket")
+        )
+    )
+    a = sig.select(
+        F.col("vec_id").alias("id_a"), F.col("bucket")
+    )
+    b = sig.select(
+        F.col("vec_id").alias("id_b"), F.col("bucket")
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(V.cosine("va", "vb"), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
