@@ -12578,6 +12578,135 @@ def q281_haversine_join(spark, sf_dir):
     )
 
 
+@register(
+    "q282_nearest_neighbor",
+    """
+    WITH pts AS (
+      SELECT user_id,
+             (('0x' || substr(md5('lat_' || user_id::VARCHAR), 1, 12))
+                ::BIGINT / 281474976710656.0) * 120.0 - 60.0 AS lat,
+             (('0x' || substr(md5('lon_' || user_id::VARCHAR), 1, 12))
+                ::BIGINT / 281474976710656.0) * 360.0 - 180.0 AS lon
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    cells AS (
+      SELECT user_id, lat, lon,
+             CAST(FLOOR(lat / 9.0) AS BIGINT) AS cla,
+             CAST(FLOOR(lon / 18.0) AS BIGINT) AS clo
+      FROM pts
+    ),
+    lhs AS (
+      SELECT c.user_id, c.lat, c.lon,
+             c.cla + da.d AS cla, c.clo + dl.d AS clo
+      FROM cells c,
+           (SELECT UNNEST([-1, 0, 1]) AS d) da,
+           (SELECT UNNEST([-1, 0, 1]) AS d) dl
+    ),
+    cand AS (
+      SELECT a.user_id, b.user_id AS nn_id,
+             ROUND(2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(b.lat - a.lat) / 2), 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * pow(sin(radians(b.lon - a.lon) / 2), 2))), 3)
+               AS dist_km
+      FROM lhs a JOIN cells b
+        ON a.cla = b.cla AND a.clo = b.clo
+       AND a.user_id <> b.user_id
+    )
+    SELECT user_id, nn_id, dist_km FROM (
+      SELECT user_id, nn_id, dist_km,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY dist_km, nn_id) AS rk
+      FROM cand WHERE dist_km <= 1000.0) t
+    WHERE rk = 1
+    """,
+)
+def q282_nearest_neighbor(spark, sf_dir):
+    """Nearest-neighbor-per-point over the same md5-coordinate fixture
+    as q281: blocked candidates (3×3 radius-sized cells), exact
+    haversine refine, then one rank window per point on the ROUNDed
+    distance with an id tiebreak.  Points whose nearest neighbor lies
+    beyond the radius drop out — the documented blocking contract, not
+    a bug (a second coarser pass is the standard escalation)."""
+    ev = _t(spark, sf_dir, "events")
+    frac = lambda tag: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), F.col("user_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 281474976710656.0
+    )
+    pts = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (frac("lat_") * 120.0 - 60.0).alias("lat"),
+            (frac("lon_") * 360.0 - 180.0).alias("lon"),
+        )
+    )
+    cells = pts.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / 9.0).cast("bigint").alias("cla"),
+        F.floor(F.col("lon") / 18.0).cast("bigint").alias("clo"),
+    )
+    d3 = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    lhs = (
+        cells.withColumn("da", F.explode(d3))
+        .withColumn("dl", F.explode(d3))
+        .select(
+            "user_id",
+            "lat",
+            "lon",
+            (F.col("cla") + F.col("da")).alias("cla"),
+            (F.col("clo") + F.col("dl")).alias("clo"),
+        )
+    )
+    a, b = lhs.alias("a"), cells.alias("b")
+    dlat = F.radians(F.col("b.lat") - F.col("a.lat")) / 2
+    dlon = F.radians(F.col("b.lon") - F.col("a.lon")) / 2
+    dist = F.round(
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(dlat), 2)
+                + F.cos(F.radians(F.col("a.lat")))
+                * F.cos(F.radians(F.col("b.lat")))
+                * F.pow(F.sin(dlon), 2)
+            )
+        ),
+        3,
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cla") == F.col("b.cla"))
+            & (F.col("a.clo") == F.col("b.clo"))
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("b.user_id").alias("nn_id"),
+            dist.alias("dist_km"),
+        )
+        .filter(F.col("dist_km") <= 1000.0)
+    )
+    rk = Window.partitionBy("user_id").orderBy("dist_km", "nn_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "nn_id", "dist_km")
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
