@@ -12707,6 +12707,86 @@ def q282_nearest_neighbor(spark, sf_dir):
     )
 
 
+@register(
+    "q283_stream_semi_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT user_id, COUNT(*) AS n_converting_clicks
+    FROM clicks c
+    WHERE EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        AND p.ts > c.click_ts
+        AND p.ts <= c.click_ts + INTERVAL 10 MINUTE)
+    GROUP BY user_id
+    """,
+)
+def q283_stream_semi_join(spark, sf_dir):
+    """Stream-stream LEFT SEMI interval join: clicks that converted to
+    a purchase within 10 minutes — matched left rows emit once their
+    match arrives; unmatched rows are GC'd silently at the watermark
+    (never emitted), which is exactly EXISTS semantics.  Same
+    flush-sentinel harness as q129 so state eviction really runs."""
+    import datetime as _dt
+    import os as _os
+    import shutil
+    import tempfile
+
+    src = _os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(src)
+    d = tempfile.mkdtemp(prefix="gmr_semi_src_")
+    shutil.copy(src, _os.path.join(d, "00_events.parquet"))
+    max_ts = static.agg(F.max("ts")).first()[0]
+    if dict(static.dtypes).get("ts") == "bigint":
+        f1 = int(max_ts) + 2 * 3600 * 1_000_000_000
+    else:
+        f1 = max_ts + _dt.timedelta(hours=2)
+    flush = spark.createDataFrame(
+        [
+            (-1, f1, -1, "click", 0.0, None),
+            (-2, f1, -1, "purchase", 0.0, None),
+        ],
+        static.schema,
+    )
+    flush.coalesce(1).write.mode("append").parquet(d)
+    stream = _normalize_ts(
+        spark.readStream.schema(static.schema).parquet(d), "ts"
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "30 minutes")
+    )
+    buys = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user_id"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("b_user_id"))
+        & (F.col("buy_ts") > F.col("click_ts"))
+        & (
+            F.col("buy_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")
+        ),
+        "left_semi",
+    ).select("user_id", "click_ts")
+    out = _run_stream_to_table(spark, joined, "semijoin", output_mode="append")
+    return (
+        out.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_converting_clicks"))
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
