@@ -12787,6 +12787,47 @@ def q283_stream_semi_join(spark, sf_dir):
     )
 
 
+@register(
+    "q284_rolling_percentile",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*)::DOUBLE AS x
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           ROUND(quantile_cont(x, 0.9) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS p90_7d,
+           ROUND(median(x) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med_7d
+    FROM daily
+    """,
+)
+def q284_rolling_percentile(spark, sf_dir):
+    """Rolling windowed percentiles: trailing-7-day p90 and median of
+    daily event volume per type — the moving-SLO-band primitive.
+    `percentile` runs as a true WINDOW aggregate over the bounded
+    7-row frame (no self-join re-aggregation), and the window only
+    ever sees the day-aggregated table."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("DAY", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.round(F.expr("percentile(x, 0.9)").over(w), 6).alias("p90_7d"),
+        F.round(F.expr("percentile(x, 0.5)").over(w), 6).alias("med_7d"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
