@@ -12828,6 +12828,55 @@ def q284_rolling_percentile(spark, sf_dir):
     )
 
 
+@register(
+    "q285_lead_time",
+    """
+    WITH lt AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    )
+    SELECT priority,
+           COUNT(*) AS n,
+           ROUND(AVG(days), 6) AS avg_days,
+           ROUND(quantile_cont(days, 0.5), 6) AS p50_days,
+           ROUND(quantile_cont(days, 0.9), 6) AS p90_days,
+           MAX(days) AS max_days
+    FROM lt GROUP BY priority
+    """,
+)
+def q285_lead_time(spark, sf_dir):
+    """Order-to-ship lead time by priority: the fact-to-fact date
+    arithmetic classic.  orders joins as the dimension side per
+    orderkey (broadcast below the threshold, shuffle-hash above — AQE
+    decides), negative lead times are filtered as data errors, and the
+    continuous percentiles run per priority group."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    lt = (
+        li.join(
+            od.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.to_date("o_orderdate")
+            ).alias("days"),
+        )
+    )
+    return lt.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("days"), 6).alias("avg_days"),
+        F.round(F.expr("percentile(days, 0.5)"), 6).alias("p50_days"),
+        F.round(F.expr("percentile(days, 0.9)"), 6).alias("p90_days"),
+        F.max("days").alias("max_days"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
