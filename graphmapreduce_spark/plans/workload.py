@@ -12877,6 +12877,64 @@ def q285_lead_time(spark, sf_dir):
     )
 
 
+@register(
+    "q286_hourly_ohlc",
+    """
+    WITH ranked AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type,
+                                date_trunc('hour', ts)
+                                ORDER BY ts ASC, event_id ASC) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY event_type,
+                                date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM events
+    )
+    SELECT event_type, hour,
+           ROUND(MAX(CASE WHEN rf = 1 THEN value END), 4) AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND(MAX(CASE WHEN rl = 1 THEN value END), 4) AS close,
+           COUNT(*) AS n
+    FROM ranked GROUP BY event_type, hour
+    """,
+)
+def q286_hourly_ohlc(spark, sf_dir):
+    """Hourly OHLC bars (open/high/low/close) of event value per type —
+    the candlestick downsampling primitive.  Open/close come from ONE
+    shared (type, hour) partitioning: two row_numbers over the same
+    sort (ts, event_id tiebreak so both engines pick the identical
+    first/last event), folded into the same grouped aggregate as
+    high/low — min_by/arg_min are avoided because their tie rules are
+    engine-defined."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    wf = Window.partitionBy("event_type", hour).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wl = Window.partitionBy("event_type", hour).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "event_type",
+        hour.alias("hour"),
+        "value",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    return ranked.groupBy("event_type", "hour").agg(
+        F.round(
+            F.max(F.when(F.col("rf") == 1, F.col("value"))), 4
+        ).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(
+            F.max(F.when(F.col("rl") == 1, F.col("value"))), 4
+        ).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
