@@ -12935,6 +12935,127 @@ def q286_hourly_ohlc(spark, sf_dir):
     )
 
 
+@register(
+    "q287_max_drawdown",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, day,
+             SUM(v) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS c
+      FROM daily
+    ),
+    dd AS (
+      SELECT event_type, day, c,
+             MAX(c) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS peak
+      FROM cum
+    )
+    SELECT event_type,
+           ROUND(MAX(peak - c), 4) AS max_drawdown,
+           ROUND(MAX((peak - c) / peak), 6) AS max_drawdown_frac
+    FROM dd WHERE peak > 0
+    GROUP BY event_type
+    """,
+)
+def q287_max_drawdown(spark, sf_dir):
+    """Maximum drawdown of the cumulative daily value series per event
+    type: running peak minus current cumulative, maximized — the
+    risk-metric classic, two ordered windows over the day-aggregated
+    table (same engine-identical summation-order argument as q249's
+    CUSUM)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("DAY", "ts")).alias("day")
+    ).agg(F.sum("value").alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = daily.select(
+        "event_type",
+        "day",
+        F.sum("v").over(w).alias("c"),
+    ).withColumn("peak", F.max("c").over(w))
+    return (
+        dd.filter(F.col("peak") > 0)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max(F.col("peak") - F.col("c")), 4).alias(
+                "max_drawdown"
+            ),
+            F.round(
+                F.max((F.col("peak") - F.col("c")) / F.col("peak")), 6
+            ).alias("max_drawdown_frac"),
+        )
+    )
+
+
+@register(
+    "q288_lead_lag_corr",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*)::DOUBLE AS x
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    ),
+    lags AS (SELECT UNNEST([-3, -2, -1, 0, 1, 2, 3]) AS lag)
+    SELECT lags.lag,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(corr(c.x, p.x), 6) AS correlation
+    FROM lags
+    JOIN daily c ON c.event_type = 'click'
+    JOIN daily p ON p.event_type = 'purchase'
+               AND p.day = c.day + CAST(lags.lag AS INT)
+    GROUP BY lags.lag
+    """,
+)
+def q288_lead_lag_corr(spark, sf_dir):
+    """Lead-lag cross-correlation: corr(clicks_t, purchases_{t+k}) for
+    k in [-3, 3] — does click volume LEAD purchase volume, and by how
+    many days?  The lag grid joins two 30-row daily series (day
+    arithmetic keys), so the whole analysis after the one raw-event
+    partial agg is constant-size work."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("DAY", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    c = daily.filter(F.col("event_type") == "click").select(
+        F.col("day").alias("cday"), F.col("x").alias("cx")
+    )
+    p = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("pday"), F.col("x").alias("px")
+    )
+    lags = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x) for x in (-3, -2, -1, 0, 1, 2, 3)])
+        ).alias("lag")
+    )
+    return (
+        lags.crossJoin(F.broadcast(c))
+        .join(
+            F.broadcast(p),
+            F.col("pday")
+            == F.date_add(F.col("cday"), F.col("lag").cast("int")),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.corr("cx", "px"), 6).alias("correlation"),
+        )
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
