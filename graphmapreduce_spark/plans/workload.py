@@ -13056,6 +13056,152 @@ def q288_lead_lag_corr(spark, sf_dir):
     )
 
 
+@register(
+    "q289_position_attribution",
+    """
+    WITH p AS (
+      SELECT user_id, event_id AS pid, ts AS pts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, event_id AS tid, ts AS tts, event_type AS channel
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    j AS (
+      SELECT pid, value, channel,
+             ROW_NUMBER() OVER (PARTITION BY pid
+                                ORDER BY tts ASC, tid ASC)  AS rn,
+             COUNT(*) OVER (PARTITION BY pid) AS n
+      FROM p JOIN t ON p.user_id = t.user_id AND t.tts < p.pts
+    ),
+    credited AS (
+      SELECT channel, value,
+             CASE WHEN n = 1 THEN 1.0
+                  WHEN n = 2 THEN 0.5
+                  WHEN rn = 1 THEN 0.4
+                  WHEN rn = n THEN 0.4
+                  ELSE 0.2 / (n - 2) END AS credit
+      FROM j
+    )
+    SELECT channel,
+           ROUND(SUM(value * credit), 2) AS attributed_rev
+    FROM credited GROUP BY channel
+    """,
+)
+def q289_position_attribution(spark, sf_dir):
+    """Position-based (U-shaped) multi-touch attribution: 40% of each
+    purchase's value to the first touch, 40% to the last, 20% split
+    across the middles (degenerate paths: 1 touch takes all, 2 touches
+    split evenly).  Same single purchase-id sort as q250 — one
+    row_number and one count over one partitioning — then a credit
+    CASE and a grouped sum; credits per purchase always total 1.0 so
+    attributed revenue reconciles with raw revenue."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("tid"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(t, ["user_id"]).filter(F.col("tts") < F.col("pts"))
+    w = Window.partitionBy("pid").orderBy(
+        F.col("tts").asc(), F.col("tid").asc()
+    )
+    j = j.select(
+        "pid",
+        "value",
+        "channel",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("pid")).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2, 0.5)
+        .when(F.col("rn") == 1, 0.4)
+        .when(F.col("rn") == F.col("n"), 0.4)
+        .otherwise(0.2 / (F.col("n") - 2))
+    )
+    return (
+        j.select("channel", (F.col("value") * credit).alias("cv"))
+        .groupBy("channel")
+        .agg(F.round(F.sum("cv"), 2).alias("attributed_rev"))
+    )
+
+
+@register(
+    "q290_column_profile",
+    """
+    SELECT 'l_quantity' AS col,
+           COUNT(*) AS n_rows,
+           ROUND(AVG(CASE WHEN l_quantity IS NULL
+                     THEN 1.0 ELSE 0.0 END), 6) AS null_frac,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           ROUND(MIN(l_quantity), 4) AS min_val,
+           ROUND(MAX(l_quantity), 4) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*),
+           ROUND(AVG(CASE WHEN l_discount IS NULL THEN 1.0 ELSE 0.0 END),
+                 6),
+           COUNT(DISTINCT l_discount),
+           ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*),
+           ROUND(AVG(CASE WHEN l_extendedprice IS NULL
+                     THEN 1.0 ELSE 0.0 END), 6),
+           COUNT(DISTINCT l_extendedprice),
+           ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(*),
+           ROUND(AVG(CASE WHEN l_tax IS NULL THEN 1.0 ELSE 0.0 END), 6),
+           COUNT(DISTINCT l_tax),
+           ROUND(MIN(l_tax), 4), ROUND(MAX(l_tax), 4)
+    FROM lineitem
+    """,
+)
+def q290_column_profile(spark, sf_dir):
+    """Column profiler (long form): rows, null fraction, exact distinct
+    count, min, max per numeric column — the schema-audit table every
+    ingestion pipeline prints first.  ONE scan: all four columns'
+    statistics compute in a single aggregate (count_distinct per
+    column expands to Expand + partial aggs under the hood), then a
+    4-row melt via stack."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_extendedprice", "l_tax"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"n_{c}"),
+            F.round(
+                F.avg(
+                    F.when(F.col(c).isNull(), 1.0).otherwise(0.0)
+                ),
+                6,
+            ).alias(f"nf_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.round(F.min(c), 4).alias(f"mn_{c}"),
+            F.round(F.max(c), 4).alias(f"mx_{c}"),
+        ]
+    a = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', n_{c}, nf_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return a.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(col, n_rows, null_frac, n_distinct, min_val, max_val)"
+        )
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
