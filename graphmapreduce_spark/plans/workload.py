@@ -13202,6 +13202,102 @@ def q290_column_profile(spark, sf_dir):
     )
 
 
+@register(
+    "q291_format_masks",
+    """
+    WITH masked AS (
+      SELECT regexp_replace(regexp_replace(c_name,
+               '[A-Za-z]', 'A', 'g'), '[0-9]', '9', 'g') AS mask
+      FROM customer
+    )
+    SELECT mask, COUNT(*) AS n
+    FROM masked GROUP BY mask
+    """,
+)
+def q291_format_masks(spark, sf_dir):
+    """Format-mask profiling: every letter folds to 'A', every digit to
+    '9', punctuation stays — the value-pattern histogram that catches
+    mixed ID formats, stray whitespace, and malformed keys in one
+    groupBy.  Scan-speed regexp_replace chain; the result is
+    distinct-mask-sized, not data-sized."""
+    cu = _t(spark, sf_dir, "customer")
+    mask = F.regexp_replace(
+        F.regexp_replace(F.col("c_name"), "[A-Za-z]", "A"),
+        "[0-9]",
+        "9",
+    )
+    return (
+        cu.select(mask.alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q292_missing_days",
+    """
+    WITH bounds AS (
+      SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS lo,
+             CAST(MAX(date_trunc('day', ts)) AS DATE) AS hi
+      FROM events
+    ),
+    cal AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ),
+    present AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events GROUP BY 1, 2
+    ),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT t.event_type,
+           COUNT(*) AS days_in_range,
+           SUM(CASE WHEN p.day IS NULL THEN 0 ELSE 1 END)
+             AS days_present,
+           SUM(CASE WHEN p.day IS NULL THEN 1 ELSE 0 END)
+             AS n_missing_days
+    FROM types t CROSS JOIN cal
+    LEFT JOIN present p
+      ON p.event_type = t.event_type AND p.day = cal.day
+    GROUP BY t.event_type
+    """,
+)
+def q292_missing_days(spark, sf_dir):
+    """Series-completeness audit: for each event type, how many
+    calendar days inside the table's own [min, max] range have NO
+    events — the missing-partition detector that runs before any
+    gap-fill.  The calendar generates in-plan from the observed bounds
+    (sequence + explode), the type×day grid is types × days tiny, and
+    presence is one anti-join against the day-aggregated table."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.to_date(F.min(F.date_trunc("DAY", "ts"))).alias("lo"),
+        F.to_date(F.max(F.date_trunc("DAY", "ts"))).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    present = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("DAY", "ts")).alias("day"),
+    ).agg(F.lit(1).alias("_x"))
+    types = ev.select("event_type").distinct()
+    return (
+        types.crossJoin(F.broadcast(cal))
+        .join(F.broadcast(present), ["event_type", "day"], "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("days_in_range"),
+            F.sum(
+                F.when(F.col("_x").isNull(), 0).otherwise(1)
+            ).alias("days_present"),
+            F.sum(
+                F.when(F.col("_x").isNull(), 1).otherwise(0)
+            ).alias("n_missing_days"),
+        )
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
