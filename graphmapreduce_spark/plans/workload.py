@@ -13298,6 +13298,125 @@ def q292_missing_days(spark, sf_dir):
     )
 
 
+@register(
+    "q293_spearman_rank",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_filter(
+        string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+      FROM documents
+    ),
+    h1 AS (
+      SELECT term, COUNT(*) AS c FROM toks WHERE doc_id % 2 = 0
+      GROUP BY term
+    ),
+    h2 AS (
+      SELECT term, COUNT(*) AS c FROM toks WHERE doc_id % 2 = 1
+      GROUP BY term
+    ),
+    r1 AS (
+      SELECT term, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS r
+      FROM h1
+    ),
+    r2 AS (
+      SELECT term, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS r
+      FROM h2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_common_terms,
+           ROUND(corr(r1.r, r2.r), 6) AS spearman_rho
+    FROM r1 JOIN r2 USING (term)
+    """,
+)
+def q293_spearman_rank(spark, sf_dir):
+    """Vocabulary rank stability: Spearman's ρ between term frequency
+    ranks computed on the even-doc and odd-doc halves of the corpus —
+    near 1 means the term distribution is stable under resampling, the
+    cheap drift guard for tokenizer/vocab decisions.  Ranks are
+    (count desc, term) row_numbers per half over the vocab-sized
+    tables; ρ is Pearson on the joined ranks."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(T.words("text")).alias("term")
+    )
+    toks = toks.localCheckpoint(eager=False)
+
+    def half_ranks(parity):
+        h = (
+            toks.filter(F.col("doc_id") % 2 == parity)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+        return h.select(
+            "term", F.row_number().over(w).alias(f"r{parity}")
+        )
+
+    j = half_ranks(0).join(half_ranks(1), "term")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_common_terms"),
+        F.round(F.corr("r0", "r1"), 6).alias("spearman_rho"),
+    )
+
+
+@register(
+    "q294_capture_recapture",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_filter(
+        string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+      FROM documents
+    ),
+    v1 AS (SELECT DISTINCT term FROM toks WHERE doc_id % 2 = 0),
+    v2 AS (SELECT DISTINCT term FROM toks WHERE doc_id % 2 = 1),
+    m AS (SELECT COUNT(*)::DOUBLE AS m_both FROM v1 JOIN v2 USING (term)),
+    s AS (SELECT (SELECT COUNT(*)::DOUBLE FROM v1) AS n1,
+                 (SELECT COUNT(*)::DOUBLE FROM v2) AS n2,
+                 (SELECT m_both FROM m) AS m)
+    SELECT CAST(n1 AS BIGINT) AS vocab_half1,
+           CAST(n2 AS BIGINT) AS vocab_half2,
+           CAST(m AS BIGINT) AS vocab_both,
+           CAST(ROUND(n1 * n2 / m, 0) AS BIGINT)
+             AS lincoln_petersen_estimate
+    FROM s
+    """,
+)
+def q294_capture_recapture(spark, sf_dir):
+    """Capture-recapture vocabulary estimate: treat the even-doc and
+    odd-doc halves as two independent samples; Lincoln-Petersen
+    N ≈ n1·n2/m extrapolates the TOTAL vocabulary including unseen
+    terms — the 'how much tail vocabulary is left' estimator.  Three
+    distinct-counts and one semi-join-sized intersection, all on the
+    vocab-keyed tables."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(T.words("text")).alias("term")
+    )
+    toks = toks.localCheckpoint(eager=False)
+    v1 = (
+        toks.filter(F.col("doc_id") % 2 == 0).select("term").distinct()
+    )
+    v2 = (
+        toks.filter(F.col("doc_id") % 2 == 1).select("term").distinct()
+    )
+    n1 = v1.agg(F.count(F.lit(1)).cast("double").alias("n1"))
+    n2 = v2.agg(F.count(F.lit(1)).cast("double").alias("n2"))
+    m = v1.join(v2, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("m")
+    )
+    return (
+        n1.crossJoin(n2)
+        .crossJoin(m)
+        .select(
+            F.col("n1").cast("bigint").alias("vocab_half1"),
+            F.col("n2").cast("bigint").alias("vocab_half2"),
+            F.col("m").cast("bigint").alias("vocab_both"),
+            F.round(F.col("n1") * F.col("n2") / F.col("m"), 0)
+            .cast("bigint")
+            .alias("lincoln_petersen_estimate"),
+        )
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
