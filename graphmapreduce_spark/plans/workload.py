@@ -13417,6 +13417,114 @@ def q294_capture_recapture(spark, sf_dir):
     )
 
 
+@register(
+    "q295_hill_tail_index",
+    """
+    WITH topk AS (
+      SELECT n_chars::DOUBLE AS x FROM documents
+      ORDER BY n_chars DESC, doc_id ASC LIMIT 100
+    ),
+    kth AS (SELECT MIN(x) AS xk FROM topk)
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           ROUND((SELECT xk FROM kth), 4) AS x_k,
+           ROUND(1.0 / AVG(ln(x / (SELECT xk FROM kth))), 6)
+             AS hill_alpha
+    FROM topk WHERE x > (SELECT xk FROM kth)
+    """,
+)
+def q295_hill_tail_index(spark, sf_dir):
+    """Hill estimator of the tail index over the top-100 document
+    lengths: α = 1/mean(ln(x_i/x_k)) — the order-statistics complement
+    of q190's log-log OLS power-law fit (Hill is the MLE for the
+    Pareto tail; OLS on binned counts is biased).  Top-k comes from
+    TakeOrderedAndProject (partition-local heads, driver merge), the
+    k-th value folds back as a broadcast scalar."""
+    d = _t(spark, sf_dir, "documents")
+    topk = (
+        d.select(
+            F.col("n_chars").cast("double").alias("x"), "doc_id"
+        )
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .select("x")
+    )
+    topk = topk.localCheckpoint(eager=False)
+    kth = topk.agg(F.min("x").alias("xk"))
+    return (
+        topk.crossJoin(F.broadcast(kth))
+        .filter(F.col("x") > F.col("xk"))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.round(F.max("xk"), 4).alias("x_k"),
+            F.round(
+                1.0 / F.avg(F.log(F.col("x") / F.col("xk"))), 6
+            ).alias("hill_alpha"),
+        )
+    )
+
+
+_W1_PCTS = ", ".join(str(i / 100.0) for i in range(1, 100))
+
+
+@register(
+    "q296_wasserstein_drift",
+    f"""
+    WITH qa0 AS (
+      SELECT quantile_cont(n_chars, [{_W1_PCTS}]) AS qs
+      FROM documents WHERE source = 'src0'
+    ),
+    qb0 AS (
+      SELECT quantile_cont(n_chars, [{_W1_PCTS}]) AS qs
+      FROM documents WHERE source = 'src1'
+    ),
+    qa AS (SELECT UNNEST(qs) AS q, generate_subscripts(qs, 1) AS i
+           FROM qa0),
+    qb AS (SELECT UNNEST(qs) AS q, generate_subscripts(qs, 1) AS i
+           FROM qb0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_quantiles,
+           ROUND(AVG(ABS(qa.q - qb.q)), 6) AS wasserstein_1,
+           ROUND(MAX(ABS(qa.q - qb.q)), 6) AS max_quantile_gap
+    FROM qa JOIN qb USING (i)
+    """,
+)
+def q296_wasserstein_drift(spark, sf_dir):
+    """Wasserstein-1 (earth-mover) drift between two sources' document
+    length distributions via the quantile-function identity
+    W₁ = ∫|Qₐ(u) − Q_b(u)|du, discretized on a 99-point percentile
+    grid — the metric-space upgrade over PSI/KS (q197/q242): it reports
+    HOW FAR mass moved, not just that it moved.  One percentile-array
+    aggregate per source, then a 99-row zip."""
+    d = _t(spark, sf_dir, "documents")
+    qa = (
+        d.filter(F.col("source") == "src0")
+        .agg(
+            F.expr(
+                "percentile(n_chars, array("
+                + ",".join(str(i / 100.0) for i in range(1, 100))
+                + "))"
+            ).alias("qs")
+        )
+        .select(F.posexplode("qs").alias("i", "qa"))
+    )
+    qb = (
+        d.filter(F.col("source") == "src1")
+        .agg(
+            F.expr(
+                "percentile(n_chars, array("
+                + ",".join(str(i / 100.0) for i in range(1, 100))
+                + "))"
+            ).alias("qs")
+        )
+        .select(F.posexplode("qs").alias("i", "qb"))
+    )
+    gap = F.abs(F.col("qa") - F.col("qb"))
+    return qa.join(qb, "i").agg(
+        F.count(F.lit(1)).alias("n_quantiles"),
+        F.round(F.avg(gap), 6).alias("wasserstein_1"),
+        F.round(F.max(gap), 6).alias("max_quantile_gap"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
