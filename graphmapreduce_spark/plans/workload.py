@@ -13463,6 +13463,252 @@ def q295_hill_tail_index(spark, sf_dir):
     )
 
 
+@register(
+    "q297_cube_grouping_id",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+             AS grouping_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q297_cube_grouping_id(spark, sf_dir):
+    """CUBE with the GROUPING bitmask made explicit: every subtotal row
+    carries which dimensions were rolled away (grouping_id 0 = detail,
+    3 = grand total), and NULL group keys are disambiguated from real
+    NULLs via the COALESCE-on-grouping idiom — the part of cube output
+    BI layers actually key on.  One Expand + partial agg, as with
+    plain cube."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("grouping_id"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias(
+                "returnflag"
+            ),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias(
+                "linestatus"
+            ),
+            "grouping_id",
+            "n",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "q298_acf",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*)::DOUBLE AS x
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT UNNEST(range(1, 8)) AS lag)
+    SELECT lags.lag,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(corr(a.x, b.x), 6) AS acf
+    FROM lags
+    JOIN daily a ON TRUE
+    JOIN daily b ON b.day = a.day + CAST(lags.lag AS INT)
+    GROUP BY lags.lag
+    """,
+)
+def q298_acf(spark, sf_dir):
+    """Autocorrelation function of total daily volume at lags 1–7 (the
+    q194 single-lag statistic extended to the weekly window that
+    exposes day-of-week cycles).  The lag grid joins the 30-row daily
+    series against itself on date arithmetic — constant-size work
+    after the one raw partial agg."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("DAY", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    a = daily.select(F.col("day").alias("aday"), F.col("x").alias("ax"))
+    b = daily.select(F.col("day").alias("bday"), F.col("x").alias("bx"))
+    lags = spark.range(1).select(
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag")
+    )
+    return (
+        lags.crossJoin(F.broadcast(a))
+        .join(
+            F.broadcast(b),
+            F.col("bday")
+            == F.date_add(F.col("aday"), F.col("lag").cast("int")),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.corr("ax", "bx"), 6).alias("acf"),
+        )
+    )
+
+
+@register(
+    "q299_audience_overlap",
+    """
+    WITH ut AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sz AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both,
+           ROUND(n_both::DOUBLE / (sa.n + sb.n - n_both), 6)
+             AS audience_jaccard
+    FROM inter
+    JOIN sz sa ON sa.event_type = type_a
+    JOIN sz sb ON sb.event_type = type_b
+    """,
+)
+def q299_audience_overlap(spark, sf_dir):
+    """Audience-overlap matrix: Jaccard of user sets between every
+    event-type pair — the 'do clickers also purchase' table.  Pairs
+    generate through the shared user (the inverted-index wedge shape
+    on the distinct user×type table, |types|² output), set sizes fold
+    in as broadcast joins."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("event_type", "user_id").distinct()
+    ut = ut.localCheckpoint(eager=False)
+    sz = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"),
+                   F.col("n").alias("na"))
+    sb = sz.select(F.col("event_type").alias("type_b"),
+                   F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both")),
+                6,
+            ).alias("audience_jaccard"),
+        )
+    )
+
+
+@register(
+    "q300_concurrency_profile",
+    """
+    WITH e AS (
+      SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, tsec,
+             CASE WHEN lag(tsec) OVER w IS NULL
+                       OR tsec - lag(tsec) OVER w > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, tsec,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM s
+    ),
+    sess AS (
+      SELECT user_id, session_seq,
+             MIN(tsec) AS s0, MAX(tsec) AS s1
+      FROM numbered GROUP BY user_id, session_seq
+    ),
+    bounds AS (
+      SELECT s0 AS t, 1 AS delta FROM sess WHERE s1 > s0
+      UNION ALL
+      SELECT s1, -1 FROM sess WHERE s1 > s0
+    ),
+    merged AS (
+      SELECT t, SUM(delta) AS d FROM bounds GROUP BY t
+    ),
+    sweep AS (
+      SELECT t, SUM(d) OVER (ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS active,
+             LEAD(t) OVER (ORDER BY t) AS t_next
+      FROM merged
+    )
+    SELECT CAST(active AS BIGINT) AS concurrent_sessions,
+           CAST(SUM(t_next - t) AS BIGINT) AS total_seconds
+    FROM sweep WHERE t_next IS NOT NULL AND active > 0
+    GROUP BY active
+    """,
+)
+def q300_concurrency_profile(spark, sf_dir):
+    """Concurrency profile by sweep line: sessionize (30-min gap),
+    emit +1/−1 boundary deltas at session start/end seconds, COALESCE
+    same-instant deltas by grouping on the timestamp (so ordering
+    within an instant cannot differ between engines), one ordered
+    running sum, and durations to the next boundary — 'how many
+    seconds had exactly k concurrent sessions'.  The sweep window runs
+    over the boundary table (2 rows per session, not per event); at
+    cluster scale the same plan runs on a `global_rank`-style range
+    partitioning of the boundary timeline."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    s = R.sessionize(e, "user_id", "ts", gap_seconds=1800)
+    sess = s.groupBy("user_id", "session_seq").agg(
+        F.min(F.col("ts").cast("long")).alias("s0"),
+        F.max(F.col("ts").cast("long")).alias("s1"),
+    ).filter(F.col("s1") > F.col("s0"))
+    bounds = sess.select(
+        F.col("s0").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(F.col("s1").alias("t"), F.lit(-1).alias("delta"))
+    )
+    merged = bounds.groupBy("t").agg(F.sum("delta").alias("d"))
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = merged.select(
+        "t",
+        F.sum("d").over(w).alias("active"),
+        F.lead("t").over(Window.orderBy("t")).alias("t_next"),
+    )
+    return (
+        sweep.filter(
+            F.col("t_next").isNotNull() & (F.col("active") > 0)
+        )
+        .groupBy(F.col("active").cast("bigint").alias(
+            "concurrent_sessions"
+        ))
+        .agg(
+            F.sum(F.col("t_next") - F.col("t"))
+            .cast("bigint")
+            .alias("total_seconds")
+        )
+    )
+
+
 _W1_PCTS = ", ".join(str(i / 100.0) for i in range(1, 100))
 
 
