@@ -487,3 +487,52 @@ def test_asof_nearest_tolerance(spark):
         value_cols=["v"], direction="nearest", tolerance=600,
     ).collect()
     assert out[0]["v"] is None  # nearest match is 2h away, beyond 600s
+
+
+
+# ------------------------------------------------------------ geo joins
+
+def test_radius_join_golden(spark):
+    import math
+
+    from graphmapreduce_spark.operators.geo import haversine_km, radius_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.0, 1.0), (3, 1.0, 0.0), (4, 50.0, 50.0)],
+        "id long, lat double, lon double",
+    )
+    out = radius_join(pts, pts, 120.0, dist_col="dist_km")
+    pairs = {
+        (r["id_l"], r["id_r"]): r["dist_km"]
+        for r in out.filter("id_l < id_r").collect()
+    }
+    # 1 degree of lat/lon at the equator is ~111.19 km: (1,2) and (1,3)
+    # are inside 120 km; (2,3) is ~157 km diagonal, outside; 4 is far
+    assert set(pairs) == {(1, 2), (1, 3)}
+    expected = 2 * 6371.0 * math.asin(
+        math.sqrt(math.sin(math.radians(1.0) / 2) ** 2)
+    )
+    for d in pairs.values():
+        assert abs(d - round(expected, 3)) < 1e-9
+    # blocking must find pairs that straddle a cell boundary
+    edge = spark.createDataFrame(
+        [(10, 0.0, 1.079), (11, 0.0, 1.081)],
+        "id long, lat double, lon double",
+    )
+    hit = radius_join(edge, edge, 120.0).filter("id_l < id_r").count()
+    assert hit == 1
+
+
+def test_knn_join_tiebreak_and_radius_contract(spark):
+    from graphmapreduce_spark.operators.geo import knn_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.0, 1.0), (3, 1.0, 0.0), (4, 50.0, 50.0)],
+        "id long, lat double, lon double",
+    )
+    nn = knn_join(pts, pts, k=1, radius_km=120.0,
+                  id_left="id", id_right="id")
+    got = {r["id_l"]: r["id_r"] for r in nn.collect()}
+    # 2 and 3 are equidistant from 1 -> id tiebreak picks 2;
+    # 4 has no neighbor inside the radius -> absent (contract)
+    assert got == {1: 2, 2: 1, 3: 1}
