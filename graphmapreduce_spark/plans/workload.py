@@ -13709,6 +13709,149 @@ def q300_concurrency_profile(spark, sf_dir):
     )
 
 
+def _markov_stationary_oracle_sql(steps: int = 12) -> str:
+    """Unrolled power iteration π_{t+1} = π_t · P over the event-type
+    transition matrix (same unrolled-CTE technique as the q32 pagerank
+    oracle)."""
+    ctes = [
+        """
+    seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_event
+      FROM events
+    ),
+    c AS (
+      SELECT prev_event, event_type AS event, COUNT(*)::DOUBLE AS n
+      FROM seq WHERE prev_event IS NOT NULL GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT c.prev_event, c.event, c.n / t.tot AS p
+      FROM c JOIN (SELECT prev_event, SUM(n) AS tot FROM c
+                   GROUP BY prev_event) t USING (prev_event)
+    ),
+    states AS (SELECT DISTINCT prev_event AS s FROM c),
+    pi0 AS (SELECT s, 1.0 / (SELECT COUNT(*) FROM states) AS v
+            FROM states)
+        """
+    ]
+    prev = "pi0"
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"""
+    pi{i} AS (
+      SELECT p.event AS s, SUM({prev}.v * p.p) AS v
+      FROM {prev} JOIN p ON p.prev_event = {prev}.s
+      GROUP BY p.event
+    )
+            """
+        )
+        prev = f"pi{i}"
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT s AS event_type, ROUND(v, 6) AS stationary_p
+    FROM {prev}
+    """
+    )
+
+
+@register("q301_markov_stationary", _markov_stationary_oracle_sql())
+def q301_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain: 12
+    power-iteration steps π·P on the |types|²-row transition matrix —
+    the long-run 'where does user attention settle' vector.  After the
+    one raw-event lag pass, every iteration is a join-agg over ≤25
+    rows (broadcast both sides); the oracle unrolls the same 12 steps
+    as CTEs, the q32 pagerank technique."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_event", F.lag("event_type").over(w))
+    c = (
+        seq.filter(F.col("prev_event").isNotNull())
+        .groupBy("prev_event", F.col("event_type").alias("event"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    tot = c.groupBy("prev_event").agg(F.sum("n").alias("tot"))
+    p = (
+        c.join(tot, "prev_event")
+        .select(
+            "prev_event", "event", (F.col("n") / F.col("tot")).alias("p")
+        )
+        .localCheckpoint(eager=True)
+    )
+    states = p.select(F.col("prev_event").alias("s")).distinct()
+    n_states = states.count()
+    pi = states.withColumn("v", F.lit(1.0 / n_states))
+    for _ in range(12):
+        pi = (
+            pi.join(F.broadcast(p), pi.s == p.prev_event)
+            .groupBy(F.col("event").alias("s"))
+            .agg(F.sum(F.col("v") * F.col("p")).alias("v"))
+        )
+    return pi.select(
+        F.col("s").alias("event_type"),
+        F.round("v", 6).alias("stationary_p"),
+    )
+
+
+@register(
+    "q302_seasonal_naive_mape",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*)::DOUBLE AS x
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.event_type, a.day, a.x AS actual, b.x AS forecast
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.day = a.day - 7
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(ABS(actual - forecast) / actual), 6) AS mape,
+           ROUND(AVG(actual - forecast), 6) AS mean_bias
+    FROM j GROUP BY event_type
+    """,
+)
+def q302_seasonal_naive_mape(spark, sf_dir):
+    """Seasonal-naive forecast backtest: predict each day's volume
+    with the value 7 days earlier, report MAPE and bias per event
+    type — the baseline any real forecaster must beat, and the
+    cheapest continuous sanity check on volume stability.  One
+    self-join of the 30-row daily series on date arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("DAY", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    a = daily.select(
+        "event_type", F.col("day").alias("aday"), F.col("x").alias("actual")
+    )
+    b = daily.select(
+        "event_type",
+        F.col("day").alias("bday"),
+        F.col("x").alias("forecast"),
+    )
+    j = a.join(
+        b,
+        (a.event_type == b.event_type)
+        & (F.col("bday") == F.date_sub(F.col("aday"), 7)),
+    ).select(a.event_type, "actual", "forecast")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            F.avg(F.abs(F.col("actual") - F.col("forecast"))
+                  / F.col("actual")),
+            6,
+        ).alias("mape"),
+        F.round(F.avg(F.col("actual") - F.col("forecast")), 6).alias(
+            "mean_bias"
+        ),
+    )
+
+
 _W1_PCTS = ", ".join(str(i / 100.0) for i in range(1, 100))
 
 
