@@ -13709,6 +13709,146 @@ def q300_concurrency_profile(spark, sf_dir):
     )
 
 
+@register(
+    "q303_two_hop_reach",
+    """
+    WITH und AS (
+      SELECT DISTINCT LEAST(l_orderkey % 2000, l_partkey % 2000) AS a,
+                      GREATEST(l_orderkey % 2000, l_partkey % 2000) AS b
+      FROM lineitem
+      WHERE l_orderkey % 2000 <> l_partkey % 2000 AND l_quantity <= 5
+    ),
+    sym AS (SELECT a AS id, b AS nbr FROM und
+            UNION ALL SELECT b, a FROM und),
+    two_hop AS (
+      SELECT DISTINCT l.id, r.nbr AS hop2
+      FROM sym l JOIN sym r ON l.nbr = r.id
+      WHERE r.nbr <> l.id
+    ),
+    pure AS (
+      SELECT t.id, t.hop2 FROM two_hop t
+      WHERE NOT EXISTS (SELECT 1 FROM sym
+                        WHERE sym.id = t.id AND sym.nbr = t.hop2)
+    ),
+    deg AS (SELECT id, COUNT(*) AS deg FROM sym GROUP BY id)
+    SELECT p.id, deg.deg AS direct,
+           COUNT(*) AS two_hop_only,
+           ROUND(COUNT(*)::DOUBLE / deg.deg, 6) AS expansion
+    FROM pure p JOIN deg ON p.id = deg.id
+    GROUP BY p.id, deg.deg
+    """,
+)
+def q303_two_hop_reach(spark, sf_dir):
+    """Two-hop reach per vertex: distinct friends-of-friends that are
+    NOT direct neighbors (and not self), with the expansion ratio
+    2-hop/direct — the audience-growth / graph-expander statistic.
+    The hop-2 set builds through the shared-neighbor wedge join with
+    an early DISTINCT (each (id, hop2) pair once, however many wedges
+    connect them); directs are removed by one anti-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    und = (
+        li.filter(F.col("l_quantity") <= 5)
+        .select(
+            F.least(
+                F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000
+            ).alias("a"),
+            F.greatest(
+                F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000
+            ).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.select(
+        F.col("a").alias("id"), F.col("b").alias("nbr")
+    ).unionByName(
+        und.select(F.col("b").alias("id"), F.col("a").alias("nbr"))
+    )
+    sym = sym.localCheckpoint(eager=False)
+    l, r = sym.alias("l"), sym.alias("r")
+    two_hop = (
+        l.join(r, F.col("l.nbr") == F.col("r.id"))
+        .filter(F.col("r.nbr") != F.col("l.id"))
+        .select(F.col("l.id").alias("id"), F.col("r.nbr").alias("hop2"))
+        .distinct()
+    )
+    pure = two_hop.join(
+        sym.select(F.col("id"), F.col("nbr").alias("hop2")),
+        ["id", "hop2"],
+        "left_anti",
+    )
+    deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        pure.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("two_hop_only"))
+        .join(deg, "id")
+        .select(
+            "id",
+            F.col("deg").alias("direct"),
+            "two_hop_only",
+            F.round(
+                F.col("two_hop_only").cast("double") / F.col("deg"), 6
+            ).alias("expansion"),
+        )
+    )
+
+
+@register(
+    "q304_value_at_risk",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    var AS (
+      SELECT event_type, quantile_cont(v, 0.05) AS var5
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type,
+           ROUND(var.var5, 4) AS var_5pct,
+           ROUND(AVG(CASE WHEN d.v <= var.var5 THEN d.v END), 4)
+             AS cvar_5pct,
+           ROUND(AVG(d.v), 4) AS mean_daily
+    FROM daily d JOIN var ON d.event_type = var.event_type
+    GROUP BY d.event_type, var.var5
+    """,
+)
+def q304_value_at_risk(spark, sf_dir):
+    """Value-at-risk of daily value per event type: the 5th-percentile
+    daily total (VaR) and the conditional mean of days at or below it
+    (CVaR / expected shortfall) — 'how bad is a bad day'.  Percentile
+    per group over the 30-row daily table, then one conditional
+    average with the VaR folded back as a per-group join."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("DAY", "ts")).alias("day")
+    ).agg(F.sum("value").alias("v"))
+    daily = daily.localCheckpoint(eager=False)
+    var = daily.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.05)").alias("var5")
+    )
+    return (
+        daily.join(F.broadcast(var), "event_type")
+        .groupBy("event_type", "var5")
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(F.col("v") <= F.col("var5"), F.col("v"))
+                ),
+                4,
+            ).alias("cvar_5pct"),
+            F.round(F.avg("v"), 4).alias("mean_daily"),
+        )
+        .select(
+            "event_type",
+            F.round("var5", 4).alias("var_5pct"),
+            "cvar_5pct",
+            "mean_daily",
+        )
+    )
+
+
 def _markov_stationary_oracle_sql(steps: int = 12) -> str:
     """Unrolled power iteration π_{t+1} = π_t · P over the event-type
     transition matrix (same unrolled-CTE technique as the q32 pagerank
