@@ -13710,6 +13710,156 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q305_entry_channel_conversion",
+    """
+    WITH firsts AS (
+      SELECT user_id, event_type AS entry_channel, ts AS t0
+      FROM (
+        SELECT user_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) t
+      WHERE rn = 1
+    ),
+    conv AS (
+      SELECT f.user_id
+      FROM firsts f
+      WHERE f.entry_channel <> 'purchase'
+        AND EXISTS (SELECT 1 FROM events p
+                    WHERE p.user_id = f.user_id
+                      AND p.event_type = 'purchase'
+                      AND p.ts > f.t0
+                      AND p.ts <= f.t0 + INTERVAL 7 DAY)
+      GROUP BY f.user_id
+    )
+    SELECT f.entry_channel,
+           COUNT(*) AS n_users,
+           SUM(CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+             AS n_converted,
+           ROUND(SUM(CASE WHEN c.user_id IS NULL THEN 0.0 ELSE 1.0
+                     END) / COUNT(*), 6) AS conversion_rate
+    FROM firsts f LEFT JOIN conv c ON f.user_id = c.user_id
+    WHERE f.entry_channel <> 'purchase'
+    GROUP BY f.entry_channel
+    """,
+)
+def q305_entry_channel_conversion(spark, sf_dir):
+    """Conversion by ENTRY channel: cohort users by their very first
+    event's type, then measure who purchased within 7 days of that
+    first touch — the acquisition-quality table (which door people
+    come in through vs whether they buy).  One first-event pick per
+    user (single sort), one per-user semi join for the conversion
+    flag."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("entry_channel"),
+            F.col("ts").alias("t0"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("entry_channel") != "purchase"))
+        .drop("rn")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    conv = (
+        firsts.join(p, "user_id")
+        .filter(
+            (F.col("pts") > F.col("t0"))
+            & (F.col("pts") <= F.col("t0") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    return (
+        firsts.join(conv, "user_id", "left")
+        .groupBy("entry_channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(
+                F.when(F.col("_c").isNull(), 0).otherwise(1)
+            ).alias("n_converted"),
+            F.round(
+                F.sum(
+                    F.when(F.col("_c").isNull(), 0.0).otherwise(1.0)
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("conversion_rate"),
+        )
+    )
+
+
+@register(
+    "q306_burstiness_param",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_type,
+             epoch(ts) - epoch(LAG(ts) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id)) AS gap
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id, event_type,
+             COUNT(gap) AS n_gaps,
+             AVG(gap) AS mu,
+             STDDEV_SAMP(gap) AS sigma
+      FROM gaps WHERE gap IS NOT NULL
+      GROUP BY user_id, event_type
+      HAVING COUNT(gap) >= 4
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG((sigma - mu) / (sigma + mu)), 6) AS burstiness_b
+    FROM per_user GROUP BY event_type
+    """,
+)
+def q306_burstiness_param(spark, sf_dir):
+    """Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of inter-event gaps,
+    averaged over users with ≥5 events of a type: B→−1 periodic,
+    B≈0 Poisson, B→1 bursty — the inter-event-TIMING complement of
+    q234's count-based Fano factor.  One lag per (user, type)
+    partitioning, then two stacked aggs; raw events are touched
+    once."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = ev.select(
+        "user_id",
+        "event_type",
+        (
+            F.unix_micros("ts") / 1e6
+            - F.unix_micros(F.lag("ts").over(w)) / 1e6
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    per_user = (
+        gaps.groupBy("user_id", "event_type")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            F.avg("gap").alias("mu"),
+            F.stddev_samp("gap").alias("sigma"),
+        )
+        .filter(F.col("n_gaps") >= 4)
+    )
+    return per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(
+            F.avg(
+                (F.col("sigma") - F.col("mu"))
+                / (F.col("sigma") + F.col("mu"))
+            ),
+            6,
+        ).alias("burstiness_b"),
+    )
+
+
+@register(
     "q303_two_hop_reach",
     """
     WITH und AS (
