@@ -13710,6 +13710,161 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q307_segment_migration",
+    """
+    WITH mid AS (
+      SELECT CAST(MIN(date_trunc('day', ts)) AS DATE)
+             + CAST((date_diff('day',
+                 CAST(MIN(date_trunc('day', ts)) AS DATE),
+                 CAST(MAX(date_trunc('day', ts)) AS DATE)) // 2)
+               AS INT) AS cut
+      FROM events
+    ),
+    halves AS (
+      SELECT user_id,
+             CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                       < (SELECT cut FROM mid)
+                  THEN 'h1' ELSE 'h2' END AS half,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    spend AS (
+      SELECT user_id, half, SUM(value) AS s
+      FROM halves GROUP BY user_id, half
+    ),
+    med AS (
+      SELECT half, quantile_cont(s, 0.5) AS m FROM spend GROUP BY half
+    ),
+    seg AS (
+      SELECT spend.user_id, spend.half,
+             CASE WHEN spend.s >= med.m THEN 'high' ELSE 'low' END
+               AS segment
+      FROM spend JOIN med USING (half)
+    ),
+    j AS (
+      SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+             COALESCE(a.segment, 'none') AS seg_h1,
+             COALESCE(b.segment, 'none') AS seg_h2
+      FROM (SELECT * FROM seg WHERE half = 'h1') a
+      FULL OUTER JOIN (SELECT * FROM seg WHERE half = 'h2') b
+        ON a.user_id = b.user_id
+    )
+    SELECT seg_h1, seg_h2, COUNT(*) AS n_users
+    FROM j GROUP BY seg_h1, seg_h2
+    """,
+)
+def q307_segment_migration(spark, sf_dir):
+    """Spend-segment migration matrix: split the observation window at
+    its midpoint, classify each purchaser high/low against that half's
+    median spend, and cross-tabulate movements (including churn-in/out
+    as 'none') — the cohort-migration table behind retention
+    marketing.  Two grouped sums, per-half medians folded back as
+    broadcast joins, one full-outer self-alignment on user."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(
+        F.to_date(F.min(F.date_trunc("DAY", "ts"))).alias("lo"),
+        F.to_date(F.max(F.date_trunc("DAY", "ts"))).alias("hi"),
+    ).select(
+        F.date_add(
+            F.col("lo"),
+            F.floor(F.datediff(F.col("hi"), F.col("lo")) / 2).cast(
+                "int"
+            ),
+        ).alias("cut")
+    )
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(b))
+        .select(
+            "user_id",
+            F.when(
+                F.to_date(F.date_trunc("DAY", "ts")) < F.col("cut"),
+                "h1",
+            )
+            .otherwise("h2")
+            .alias("half"),
+            "value",
+        )
+        .groupBy("user_id", "half")
+        .agg(F.sum("value").alias("s"))
+    )
+    spend = spend.localCheckpoint(eager=False)
+    med = spend.groupBy("half").agg(
+        F.expr("percentile(s, 0.5)").alias("m")
+    )
+    seg = spend.join(F.broadcast(med), "half").select(
+        "user_id",
+        "half",
+        F.when(F.col("s") >= F.col("m"), "high")
+        .otherwise("low")
+        .alias("segment"),
+    )
+    h1 = seg.filter(F.col("half") == "h1").select(
+        "user_id", F.col("segment").alias("seg_h1")
+    )
+    h2 = seg.filter(F.col("half") == "h2").select(
+        "user_id", F.col("segment").alias("seg_h2")
+    )
+    return (
+        h1.join(h2, "user_id", "full_outer")
+        .select(
+            F.coalesce("seg_h1", F.lit("none")).alias("seg_h1"),
+            F.coalesce("seg_h2", F.lit("none")).alias("seg_h2"),
+        )
+        .groupBy("seg_h1", "seg_h2")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "q308_depth_vs_conversion",
+    """
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    tiled AS (
+      SELECT user_id, n_events, converted,
+             NTILE(4) OVER (ORDER BY n_events, user_id) AS quartile
+      FROM per_user
+    )
+    SELECT quartile,
+           COUNT(*) AS n_users,
+           MIN(n_events) AS min_events,
+           MAX(n_events) AS max_events,
+           ROUND(AVG(converted::DOUBLE), 6) AS conversion_rate
+    FROM tiled GROUP BY quartile
+    """,
+)
+def q308_depth_vs_conversion(spark, sf_dir):
+    """Engagement-depth vs conversion: users quartiled by total event
+    count (NTILE with a user_id tiebreak so bucket edges are
+    engine-identical), conversion rate per quartile — the
+    'does usage depth predict buying' curve.  The NTILE runs over the
+    users-sized table; at cluster scale the same statistic computes on
+    `global_rank` range partitioning (q171's equi-depth machinery)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    w = Window.orderBy("n_events", "user_id")
+    tiled = per_user.withColumn("quartile", F.ntile(4).over(w))
+    return tiled.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("n_events").alias("min_events"),
+        F.max("n_events").alias("max_events"),
+        F.round(F.avg(F.col("converted").cast("double")), 6).alias(
+            "conversion_rate"
+        ),
+    )
+
+
+@register(
     "q305_entry_channel_conversion",
     """
     WITH firsts AS (
