@@ -13710,6 +13710,111 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q309_heaps_curve",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_filter(
+        string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+      FROM documents
+    ),
+    firsts AS (
+      SELECT term, MIN(doc_id) AS first_doc FROM toks GROUP BY term
+    ),
+    n AS (SELECT MAX(doc_id) + 1 AS n_docs FROM toks),
+    grid AS (SELECT UNNEST([10, 25, 50, 75, 100]) AS pct)
+    SELECT grid.pct,
+           SUM(CASE WHEN firsts.first_doc
+                    < (SELECT n_docs FROM n) * grid.pct / 100.0
+                    THEN 1 ELSE 0 END) AS vocab_size
+    FROM grid CROSS JOIN firsts
+    GROUP BY grid.pct
+    """,
+)
+def q309_heaps_curve(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve: distinct vocabulary after
+    processing the first 10/25/50/75/100% of documents (ingest order =
+    doc_id) — sublinear growth says dedup/vocab budgets amortize;
+    linear growth says the corpus keeps bringing new language.  One
+    first-occurrence MIN per term (the q257 inverted-index shape),
+    then conditional sums against the cutoff grid — never a per-prefix
+    distinct-count pass."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(T.words("text")).alias("term")
+    )
+    firsts = toks.groupBy("term").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    n = toks.agg((F.max("doc_id") + 1).alias("n_docs"))
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x) for x in (10, 25, 50, 75, 100)])
+        ).alias("pct")
+    )
+    return (
+        grid.crossJoin(F.broadcast(n))
+        .crossJoin(firsts)
+        .groupBy("pct")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("first_doc")
+                    < F.col("n_docs") * F.col("pct") / 100.0,
+                    1,
+                ).otherwise(0)
+            ).alias("vocab_size")
+        )
+    )
+
+
+@register(
+    "q310_power_analysis",
+    """
+    WITH base AS (SELECT UNNEST([0.02, 0.05, 0.10, 0.20]::DOUBLE[]) AS p),
+    lift AS (SELECT UNNEST([0.10, 0.20, 0.50]::DOUBLE[]) AS rel)
+    SELECT p AS baseline_rate, rel AS relative_lift,
+           ROUND(p * (1 + rel), 6) AS treated_rate,
+           CAST(CEIL(
+             POWER(1.959964 * sqrt(2 * p * (1 - p))
+                   + 0.841621 * sqrt(p * (1 - p)
+                       + p * (1 + rel) * (1 - p * (1 + rel))), 2)
+             / POWER(p * rel, 2)) AS BIGINT) AS n_per_arm
+    FROM base CROSS JOIN lift
+    """,
+)
+def q310_power_analysis(spark, sf_dir):
+    """A/B sample-size planner: users per arm to detect a relative
+    conversion lift at α=0.05 (two-sided, z=1.959964) with 80% power
+    (z=0.841621), the standard two-proportion formula over a
+    baseline×lift grid — the q269-planner pattern applied to
+    experimentation instead of LSH.  Pure expression math; reads no
+    data by design."""
+    base = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x) for x in (0.02, 0.05, 0.10, 0.20)])
+        ).alias("p")
+    )
+    lift = F.array(*[F.lit(x) for x in (0.10, 0.20, 0.50)])
+    g = base.select("p", F.explode(lift).alias("rel"))
+    p, rel = F.col("p"), F.col("rel")
+    p2 = p * (1 + rel)
+    n = F.ceil(
+        F.pow(
+            1.959964 * F.sqrt(2 * p * (1 - p))
+            + 0.841621 * F.sqrt(p * (1 - p) + p2 * (1 - p2)),
+            2,
+        )
+        / F.pow(p * rel, 2)
+    )
+    return g.select(
+        p.alias("baseline_rate"),
+        rel.alias("relative_lift"),
+        F.round(p2, 6).alias("treated_rate"),
+        n.cast("bigint").alias("n_per_arm"),
+    )
+
+
+@register(
     "q307_segment_migration",
     """
     WITH mid AS (
