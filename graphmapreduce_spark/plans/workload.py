@@ -13710,6 +13710,153 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q311_retention_decay_fit",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS d0
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             date_diff('day', f.d0,
+                       CAST(date_trunc('day', e.ts) AS DATE)) AS age
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ),
+    cohort_n AS (SELECT COUNT(*)::DOUBLE AS n FROM firsts),
+    ret AS (
+      SELECT age, COUNT(*)::DOUBLE / (SELECT n FROM cohort_n) AS r
+      FROM activity WHERE age BETWEEN 1 AND 14
+      GROUP BY age
+    ),
+    fit AS (
+      SELECT COUNT(*)::DOUBLE AS k,
+             AVG(age) AS mx, AVG(ln(r)) AS my,
+             SUM((age - (SELECT AVG(age) FROM ret))
+                 * (ln(r) - (SELECT AVG(ln(r)) FROM ret))) AS sxy,
+             SUM(POWER(age - (SELECT AVG(age) FROM ret), 2)) AS sxx
+      FROM ret
+    )
+    SELECT CAST(k AS BIGINT) AS n_points,
+           ROUND(-sxy / sxx, 6) AS decay_lambda,
+           ROUND(EXP(my - (sxy / sxx) * mx), 6) AS r0,
+           ROUND(LN(2) / (-sxy / sxx), 4) AS half_life_days
+    FROM fit
+    """,
+)
+def q311_retention_decay_fit(spark, sf_dir):
+    """Exponential retention-decay fit: day-age retention r(t) for
+    t = 1..14, log-linear OLS ln r = ln r₀ − λt, reporting λ, r₀, and
+    the half-life in days — the parametric summary on top of q140's
+    raw cohort triangle.  The fit runs on 14 rows of sufficient
+    statistics; raw events are touched once for the distinct
+    (user, age) activity set."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.min(F.date_trunc("DAY", "ts"))).alias("d0")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.datediff(
+                F.to_date(F.date_trunc("DAY", "ts")), F.col("d0")
+            ).alias("age"),
+        )
+        .distinct()
+    )
+    n = firsts.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ret = (
+        activity.filter(F.col("age").between(1, 14))
+        .groupBy("age")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .select("age", (F.col("cnt") / F.col("n")).alias("r"))
+    )
+    ret = ret.localCheckpoint(eager=False)
+    means = ret.agg(
+        F.avg("age").alias("mx"), F.avg(F.log("r")).alias("my")
+    )
+    fit = (
+        ret.crossJoin(F.broadcast(means))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("k"),
+            F.max("mx").alias("mx"),
+            F.max("my").alias("my"),
+            F.sum(
+                (F.col("age") - F.col("mx"))
+                * (F.log("r") - F.col("my"))
+            ).alias("sxy"),
+            F.sum(F.pow(F.col("age") - F.col("mx"), 2)).alias("sxx"),
+        )
+    )
+    lam = F.col("sxy") / F.col("sxx")
+    return fit.select(
+        F.col("k").cast("bigint").alias("n_points"),
+        F.round(-lam, 6).alias("decay_lambda"),
+        F.round(
+            F.exp(F.col("my") - lam * F.col("mx")), 6
+        ).alias("r0"),
+        F.round(F.log(F.lit(2.0)) / (-lam), 4).alias("half_life_days"),
+    )
+
+
+@register(
+    "q312_lorenz_points",
+    """
+    WITH spend AS (
+      SELECT o_custkey, SUM(o_totalprice) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+      SELECT s, NTILE(10) OVER (ORDER BY s, o_custkey) AS decile
+      FROM spend
+    ),
+    per AS (
+      SELECT decile, SUM(s) AS ds, COUNT(*) AS n
+      FROM tiled GROUP BY decile
+    ),
+    tot AS (SELECT SUM(ds) AS t FROM per)
+    SELECT decile,
+           n AS n_customers,
+           ROUND(SUM(ds) OVER (ORDER BY decile
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)
+                 / (SELECT t FROM tot), 6) AS cum_revenue_share
+    FROM per
+    """,
+)
+def q312_lorenz_points(spark, sf_dir):
+    """Lorenz curve points: cumulative revenue share of customer
+    spend deciles (poorest first) — the curve whose area deficit IS
+    q230's Gini, reported as the 10 plottable points BI needs.  NTILE
+    with an id tiebreak over the customers-sized table; the cumsum
+    runs over 10 rows."""
+    od = _t(spark, sf_dir, "orders")
+    spend = od.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("s")
+    )
+    w = Window.orderBy("s", "o_custkey")
+    tiled = spend.withColumn("decile", F.ntile(10).over(w))
+    per = tiled.groupBy("decile").agg(
+        F.sum("s").alias("ds"), F.count(F.lit(1)).alias("n")
+    )
+    tot = per.agg(F.sum("ds").alias("t"))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.col("n").alias("n_customers"),
+            F.round(F.sum("ds").over(wc) / F.col("t"), 6).alias(
+                "cum_revenue_share"
+            ),
+        )
+    )
+
+
+@register(
     "q309_heaps_curve",
     r"""
     WITH toks AS (
