@@ -13710,6 +13710,163 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q313_user_feature_table",
+    """
+    WITH bounds AS (
+      SELECT MAX(epoch(ts)) AS t_end FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id))
+               AS gap
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id, AVG(gap) AS avg_gap_s
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    ),
+    base AS (
+      SELECT user_id,
+             COUNT(*) AS frequency,
+             ROUND(SUM(CASE WHEN event_type = 'purchase'
+                       THEN value ELSE 0 END), 2) AS monetary,
+             COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE))
+               AS active_days,
+             ROUND(((SELECT t_end FROM bounds) - MAX(epoch(ts)))
+                   / 86400.0, 4) AS recency_days,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    )
+    SELECT b.user_id, b.frequency, b.monetary, b.active_days,
+           b.recency_days,
+           ROUND(COALESCE(gaps.avg_gap_s, 0.0), 4) AS avg_gap_s,
+           b.converted
+    FROM base b LEFT JOIN gaps ON b.user_id = gaps.user_id
+    """,
+)
+def q313_user_feature_table(spark, sf_dir):
+    """ML feature materialization per user: recency (days before the
+    table's own end), frequency, monetary, active days, mean
+    inter-event gap, and the conversion label — the
+    one-row-per-entity training table every churn/propensity model
+    starts from.  One grouped pass plus one lag window, both on the
+    user partitioning; the corpus end-time folds in as a broadcast
+    scalar (no wall-clock dependence, so the feature set is
+    reproducible)."""
+    ev = _t(spark, sf_dir, "events")
+    t_end = ev.agg(
+        F.max(F.unix_micros("ts") / 1e6).alias("t_end")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") / 1e6
+            - F.unix_micros(F.lag("ts").over(w)) / 1e6
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    gaps = g.groupBy("user_id").agg(F.avg("gap").alias("avg_gap_s"))
+    base = (
+        ev.crossJoin(F.broadcast(t_end))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("monetary"),
+            F.count_distinct(
+                F.to_date(F.date_trunc("DAY", "ts"))
+            ).alias("active_days"),
+            F.round(
+                (
+                    F.max("t_end")
+                    - F.max(F.unix_micros("ts") / 1e6)
+                )
+                / 86400.0,
+                4,
+            ).alias("recency_days"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    return base.join(gaps, "user_id", "left").select(
+        "user_id",
+        "frequency",
+        "monetary",
+        "active_days",
+        "recency_days",
+        F.round(F.coalesce("avg_gap_s", F.lit(0.0)), 4).alias(
+            "avg_gap_s"
+        ),
+        "converted",
+    )
+
+
+@register(
+    "q314_dup_degree_profile",
+    """
+    WITH sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, GREATEST(length(text) - 2, 0) + 1),
+               i -> substr(text, i, 3))) AS grams
+      FROM documents WHERE doc_id < 100
+    ),
+    inv AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (len(sa.grams) + len(sb.grams) - i)
+            >= 0.3
+    ),
+    deg AS (
+      SELECT doc_id, COUNT(*) AS d FROM (
+        SELECT id_a AS doc_id FROM pairs
+        UNION ALL SELECT id_b FROM pairs) t
+      GROUP BY doc_id
+    )
+    SELECT d AS dup_degree, COUNT(*) AS n_docs
+    FROM deg GROUP BY d
+    """,
+)
+def q314_dup_degree_profile(spark, sf_dir):
+    """Near-duplicate degree profile: for each document, how many
+    ≥0.3-Jaccard partners it has, histogrammed — distinguishes
+    'one template with 50 clones' (a few huge degrees) from 'many
+    independent pairs' (degree 1s), which picks the dedup strategy
+    (canonical-per-cluster vs pairwise drop).  Reuses the q45
+    inverted-index pair join; the degree agg is one union + groupBy
+    over the pair list."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.3, max_df=1000
+    ).select("id_a", "id_b")
+    deg = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.groupBy(F.col("d").alias("dup_degree")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
     "q311_retention_decay_fit",
     """
     WITH firsts AS (
