@@ -13710,6 +13710,137 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q315_lognormal_fit",
+    """
+    WITH v AS (
+      SELECT ln(value) AS lv FROM events
+      WHERE event_type = 'purchase' AND value > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(lv), 6) AS mu_log,
+           ROUND(STDDEV_SAMP(lv), 6) AS sigma_log,
+           ROUND(EXP(AVG(lv)), 4) AS implied_median,
+           ROUND(EXP(AVG(lv) + VAR_SAMP(lv) / 2), 4) AS implied_mean
+    FROM v
+    """,
+)
+def q315_lognormal_fit(spark, sf_dir):
+    """Lognormal fit of purchase values by log-moment MLE: μ and σ of
+    ln(v), with the implied median e^μ and mean e^(μ+σ²/2) — the
+    parametric summary behind basket-size simulation and revenue
+    projections (heavy-tailed spend is lognormal-ish far more often
+    than normal).  One scan, sufficient statistics only."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    ).select(F.log("value").alias("lv"))
+    return v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("lv"), 6).alias("mu_log"),
+        F.round(F.stddev_samp("lv"), 6).alias("sigma_log"),
+        F.round(F.exp(F.avg("lv")), 4).alias("implied_median"),
+        F.round(
+            F.exp(F.avg("lv") + F.var_samp("lv") / 2), 4
+        ).alias("implied_mean"),
+    )
+
+
+@register(
+    "q316_ece",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    pairs AS (
+      SELECT a.label = b.label AS same,
+             ROUND(list_sum(list_transform(range(1, len(a.v) + 1),
+                              i -> a.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4)
+               AS cosine
+      FROM e a JOIN e b
+        ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
+    ),
+    bins AS (
+      SELECT CAST(LEAST(FLOOR((cosine + 1.0) / 0.2), 9) AS BIGINT)
+               AS bin,
+             COUNT(*)::DOUBLE AS n,
+             AVG((cosine + 1.0) / 2.0) AS conf,
+             AVG(CASE WHEN same THEN 1.0 ELSE 0.0 END) AS acc
+      FROM pairs GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS t FROM bins)
+    SELECT CAST((SELECT t FROM tot) AS BIGINT) AS n_pairs,
+           ROUND(SUM(n * ABS(acc - conf)) / (SELECT t FROM tot), 6)
+             AS ece,
+           ROUND(MAX(ABS(acc - conf)), 6) AS max_bin_gap
+    FROM bins
+    """,
+)
+def q316_ece(spark, sf_dir):
+    """Expected calibration error of embedding cosine as a same-label
+    predictor: per-bin |accuracy − confidence| weighted by bin mass
+    (confidence = cosine mapped to [0,1]) — the scalar that says
+    whether q260's reliability curve is USABLE as a probability.  Same
+    bucket-keyed banded pair join as q260; ECE folds the bin table to
+    one row."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.as_double("embedding").alias("v")
+    )
+    bk = F.floor(F.col("vec_id") / 50).cast("long")
+    a = e.select(
+        F.col("vec_id").alias("ida"),
+        F.col("label").alias("la"),
+        F.col("v").alias("va"),
+        F.explode(F.array(bk, bk + 1)).alias("_bk"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("idb"),
+        F.col("label").alias("lb"),
+        F.col("v").alias("vb"),
+        bk.alias("_bk"),
+    )
+    pairs = (
+        a.join(b, "_bk")
+        .filter(
+            (F.col("idb") > F.col("ida"))
+            & (F.col("idb") <= F.col("ida") + 50)
+        )
+        .select(
+            (F.col("la") == F.col("lb")).alias("same"),
+            F.round(V.cosine(F.col("va"), F.col("vb")), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    bins = pairs.groupBy(
+        F.least(F.floor((F.col("cosine") + 1.0) / 0.2), F.lit(9))
+        .cast("bigint")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg((F.col("cosine") + 1.0) / 2.0).alias("conf"),
+        F.avg(F.when(F.col("same"), 1.0).otherwise(0.0)).alias("acc"),
+    )
+    tot = bins.agg(F.sum("n").alias("t"))
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("t").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(
+                    F.col("n") * F.abs(F.col("acc") - F.col("conf"))
+                )
+                / F.max("t"),
+                6,
+            ).alias("ece"),
+            F.round(
+                F.max(F.abs(F.col("acc") - F.col("conf"))), 6
+            ).alias("max_bin_gap"),
+        )
+    )
+
+
+@register(
     "q313_user_feature_table",
     """
     WITH bounds AS (
