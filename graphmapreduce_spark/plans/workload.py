@@ -13710,6 +13710,125 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q317_quantile_transform",
+    """
+    WITH ranked AS (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
+               AS r,
+             COUNT(*) OVER () AS n
+      FROM orders
+    )
+    SELECT o_orderkey,
+           ROUND((r - 0.5) / n, 6) AS price_quantile
+    FROM ranked WHERE o_orderkey < 1000
+    """,
+)
+def q317_quantile_transform(spark, sf_dir):
+    """Quantile transformation (rank-to-uniform feature scaling):
+    each order's price maps to (rank − 0.5)/n — the outlier-immune
+    normalization ML pipelines use when min-max or z-scores break on
+    heavy tails.  Ranks come from `global_rank`'s range-partitioned
+    machinery (no single-partition window over the data — the output
+    filter keeps the check small, the TRANSFORM ranks everything)."""
+    from graphmapreduce_spark.operators.sort import global_rank
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ranked = global_rank(
+        od, ["o_totalprice", "o_orderkey"], rank_col="r"
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.round((F.col("r") - 0.5) / F.col("n"), 6).alias(
+                "price_quantile"
+            ),
+        )
+    )
+
+
+@register(
+    "q318_target_encoding",
+    """
+    WITH firsts AS (
+      SELECT user_id, event_type AS channel
+      FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) t
+      WHERE rn = 1
+    ),
+    labeled AS (
+      SELECT f.user_id, f.channel,
+             MAX(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0
+                 END) AS y
+      FROM firsts f JOIN events e ON f.user_id = e.user_id
+      GROUP BY f.user_id, f.channel
+    ),
+    prior AS (SELECT AVG(y::DOUBLE) AS p FROM labeled)
+    SELECT channel,
+           COUNT(*) AS n,
+           ROUND(AVG(y::DOUBLE), 6) AS raw_rate,
+           ROUND((SUM(y) + 20.0 * (SELECT p FROM prior))
+                 / (COUNT(*) + 20.0), 6) AS encoded
+    FROM labeled GROUP BY channel
+    """,
+)
+def q318_target_encoding(spark, sf_dir):
+    """Smoothed target encoding (m-estimate, m=20): each entry channel
+    encodes as (Σy + m·prior)/(n + m) — the categorical-feature
+    transform that shrinks rare categories toward the global rate
+    instead of memorizing them (the leakage-prone naive mean is shown
+    alongside).  Two grouped passes; the prior folds in as a broadcast
+    scalar."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("channel"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    labeled = (
+        firsts.join(ev, "user_id")
+        .groupBy("user_id", "channel")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y")
+        )
+    )
+    labeled = labeled.localCheckpoint(eager=False)
+    prior = labeled.agg(
+        F.avg(F.col("y").cast("double")).alias("p")
+    )
+    return (
+        labeled.crossJoin(F.broadcast(prior))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.col("y").cast("double")), 6).alias(
+                "raw_rate"
+            ),
+            F.round(
+                (F.sum("y") + 20.0 * F.max("p"))
+                / (F.count(F.lit(1)) + 20.0),
+                6,
+            ).alias("encoded"),
+        )
+    )
+
+
+@register(
     "q315_lognormal_fit",
     """
     WITH v AS (
