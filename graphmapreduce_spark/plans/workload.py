@@ -13710,6 +13710,149 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q319_temporal_split_audit",
+    """
+    WITH cut AS (
+      SELECT MIN(epoch(ts)) + (MAX(epoch(ts)) - MIN(epoch(ts))) * 0.8
+               AS t
+      FROM events
+    ),
+    tagged AS (
+      SELECT CASE WHEN epoch(ts) < (SELECT t FROM cut) THEN 'train'
+                  ELSE 'test' END AS split,
+             user_id, event_type, ts
+      FROM events
+    )
+    SELECT split,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(AVG(CASE WHEN event_type = 'purchase'
+                     THEN 1.0 ELSE 0.0 END), 6) AS purchase_rate,
+           MIN(ts) AS t_min, MAX(ts) AS t_max
+    FROM tagged GROUP BY split
+    """,
+)
+def q319_temporal_split_audit(spark, sf_dir):
+    """Temporal 80/20 split audit: the forecasting-correct alternative
+    to hash splits (q80/q187) — train strictly precedes test in time.
+    Reports sizes, user counts, label balance, and the time bounds per
+    side; t_max(train) < t_min(test) holding BY CONSTRUCTION is the
+    leakage guarantee the audit row makes visible.  The cut point is a
+    broadcast scalar from the table's own bounds."""
+    ev = _t(spark, sf_dir, "events")
+    cut = ev.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + (
+                F.max(F.unix_micros("ts"))
+                - F.min(F.unix_micros("ts"))
+            )
+            * 0.8
+        ).alias("t")
+    )
+    tagged = ev.crossJoin(F.broadcast(cut)).select(
+        F.when(F.unix_micros("ts") < F.col("t"), "train")
+        .otherwise("test")
+        .alias("split"),
+        "user_id",
+        "event_type",
+        "ts",
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("event_type") == "purchase", 1.0
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("purchase_rate"),
+        F.min("ts").alias("t_min"),
+        F.max("ts").alias("t_max"),
+    )
+
+
+@register(
+    "q320_feature_label_corr",
+    """
+    WITH feat0 AS (
+      SELECT user_id,
+             COUNT(*)::DOUBLE AS frequency,
+             COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE))::DOUBLE
+               AS active_days,
+             AVG(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0
+                 END) AS error_rate,
+             SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0
+                 END) AS spend
+      FROM events GROUP BY user_id
+    ),
+    med AS (SELECT quantile_cont(spend, 0.5) AS m FROM feat0),
+    feat AS (
+      SELECT frequency, active_days, error_rate,
+             CASE WHEN spend > (SELECT m FROM med) THEN 1.0 ELSE 0.0
+               END AS y
+      FROM feat0
+    ),
+    c AS (
+      SELECT corr(frequency, y) AS c_freq,
+             corr(active_days, y) AS c_days,
+             corr(error_rate, y) AS c_err
+      FROM feat
+    )
+    SELECT 'frequency' AS feature, ROUND(c_freq, 6) AS point_biserial
+    FROM c
+    UNION ALL SELECT 'active_days', ROUND(c_days, 6) FROM c
+    UNION ALL SELECT 'error_rate', ROUND(c_err, 6) FROM c
+    """,
+)
+def q320_feature_label_corr(spark, sf_dir):
+    """Feature-label screening: point-biserial correlation (Pearson
+    against a binary high-value label — spend above the median, which
+    guarantees label variance) for each candidate feature of the q313
+    table — the first filter any feature-selection pass runs.  One
+    grouped pass builds all features, one aggregate computes every
+    correlation, a 3-row stack melts them."""
+    ev = _t(spark, sf_dir, "events")
+    feat0 = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("frequency"),
+        F.count_distinct(F.to_date(F.date_trunc("DAY", "ts")))
+        .cast("double")
+        .alias("active_days"),
+        F.avg(
+            F.when(F.col("event_type") == "error", 1.0).otherwise(0.0)
+        ).alias("error_rate"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            ).otherwise(0.0)
+        ).alias("spend"),
+    )
+    feat0 = feat0.localCheckpoint(eager=False)
+    med = feat0.agg(F.expr("percentile(spend, 0.5)").alias("m"))
+    feat = feat0.crossJoin(F.broadcast(med)).select(
+        "frequency",
+        "active_days",
+        "error_rate",
+        F.when(F.col("spend") > F.col("m"), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    c = feat.agg(
+        F.round(F.corr("frequency", "y"), 6).alias("c_freq"),
+        F.round(F.corr("active_days", "y"), 6).alias("c_days"),
+        F.round(F.corr("error_rate", "y"), 6).alias("c_err"),
+    )
+    return c.select(
+        F.expr(
+            "stack(3, 'frequency', c_freq, 'active_days', c_days, "
+            "'error_rate', c_err) AS (feature, point_biserial)"
+        )
+    )
+
+
+@register(
     "q317_quantile_transform",
     """
     WITH ranked AS (
