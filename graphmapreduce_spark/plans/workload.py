@@ -13710,6 +13710,122 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q321_char_bigram_entropy",
+    """
+    WITH grams AS (
+      SELECT lang,
+             UNNEST(CASE WHEN length(text) >= 2
+                    THEN list_transform(range(1, length(text)),
+                                        i -> substr(text, i, 2))
+                    ELSE [] END) AS g
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, substr(g, 1, 1) AS c1, g,
+             COUNT(*)::DOUBLE AS n
+      FROM grams GROUP BY lang, substr(g, 1, 1), g
+    ),
+    ctx AS (
+      SELECT lang, c1, SUM(n) AS t FROM c GROUP BY lang, c1
+    ),
+    tot AS (SELECT lang, SUM(t) AS g FROM ctx GROUP BY lang)
+    SELECT c.lang,
+           ROUND(-SUM((c.n / tot.g) * ln(c.n / ctx.t) / ln(2)), 6)
+             AS h_cond_bits
+    FROM c
+    JOIN ctx ON c.lang = ctx.lang AND c.c1 = ctx.c1
+    JOIN tot ON c.lang = tot.lang
+    GROUP BY c.lang
+    """,
+)
+def q321_char_bigram_entropy(spark, sf_dir):
+    """Character-level conditional entropy H(next char | current char)
+    per language, in bits: the bigram upgrade over q104's unigram
+    character entropy and a sharper language/compressibility
+    fingerprint (natural language sits well below the unigram bound).
+    Computed as -Σ p(c1,c2)·log p(c2|c1) over the bigram-type table —
+    the heavy lifting is one grouped count; the entropy folds over
+    the types table only."""
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "lang",
+        F.explode(T.char_shingles("text", 2, distinct=False)).alias(
+            "g"
+        ),
+    )
+    c = grams.groupBy(
+        "lang", F.substring("g", 1, 1).alias("c1"), "g"
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ctx = c.groupBy("lang", "c1").agg(F.sum("n").alias("t"))
+    tot = ctx.groupBy("lang").agg(F.sum("t").alias("g_tot"))
+    return (
+        c.join(ctx, ["lang", "c1"])
+        .join(F.broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("n") / F.col("g_tot"))
+                    * F.log(F.col("n") / F.col("t"))
+                    / F.log(F.lit(2.0))
+                ),
+                6,
+            ).alias("h_cond_bits")
+        )
+    )
+
+
+@register(
+    "q322_exponential_gap_fit",
+    """
+    WITH g AS (
+      SELECT epoch(ts) - epoch(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+      FROM events
+    ),
+    gaps AS (SELECT gap FROM g WHERE gap IS NOT NULL AND gap > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(1.0 / AVG(gap), 9) AS lambda_per_s,
+           ROUND(quantile_cont(gap, 0.5), 4) AS median_gap_s,
+           ROUND(ln(2) * AVG(gap), 4) AS exp_predicted_median_s,
+           ROUND(quantile_cont(gap, 0.5) / (ln(2) * AVG(gap)), 6)
+             AS memorylessness_ratio
+    FROM gaps
+    """,
+)
+def q322_exponential_gap_fit(spark, sf_dir):
+    """Exponential fit of per-user inter-event gaps: rate MLE
+    λ = 1/mean, plus the memorylessness check — an exponential process
+    has median = ln2/λ, so the observed-median / predicted-median
+    ratio far from 1 (here: heavy-tailed, ratio ≪ 1) quantifies how
+    non-Poisson user behavior is, justifying the burstiness-aware
+    models (q306).  One lag window, one aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        (
+            F.unix_micros("ts") / 1e6
+            - F.unix_micros(F.lag("ts").over(w)) / 1e6
+        ).alias("gap")
+    ).filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(1.0 / F.avg("gap"), 9).alias("lambda_per_s"),
+        F.round(F.expr("percentile(gap, 0.5)"), 4).alias(
+            "median_gap_s"
+        ),
+        F.round(F.log(F.lit(2.0)) * F.avg("gap"), 4).alias(
+            "exp_predicted_median_s"
+        ),
+        F.round(
+            F.expr("percentile(gap, 0.5)")
+            / (F.log(F.lit(2.0)) * F.avg("gap")),
+            6,
+        ).alias("memorylessness_ratio"),
+    )
+
+
+@register(
     "q319_temporal_split_audit",
     """
     WITH cut AS (
