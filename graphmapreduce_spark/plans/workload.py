@@ -13710,6 +13710,176 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q323_gini_mean_difference",
+    """
+    WITH ranked AS (
+      SELECT o_totalprice AS x,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
+               AS r,
+             COUNT(*) OVER () AS n
+      FROM orders
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(SUM((2.0 * r - n - 1) * x)
+                 / (MAX(n) * (MAX(n) - 1.0) / 2.0) / 2.0, 4)
+             AS gini_mean_difference,
+           ROUND(AVG(x), 4) AS mean_x
+    FROM ranked
+    """,
+)
+def q323_gini_mean_difference(spark, sf_dir):
+    """Gini mean difference E|X−Y| of order values WITHOUT the
+    pairwise join, via the sorted-rank identity
+    E|X−Y| = Σ(2r−n−1)·x_r / (n(n−1)/2) / 2 — the robust dispersion
+    scalar whose ratio to the mean is twice the Gini coefficient.
+    Ranks come from the range-partitioned `global_rank`; one pass,
+    closed form, no O(n²) anywhere."""
+    from graphmapreduce_spark.operators.sort import global_rank
+
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x"), "o_orderkey"
+    )
+    ranked = global_rank(od, ["x", "o_orderkey"], rank_col="r")
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.round(
+                F.sum(
+                    (2.0 * F.col("r") - F.col("n") - 1) * F.col("x")
+                )
+                / (F.max("n") * (F.max("n") - 1.0) / 2.0)
+                / 2.0,
+                4,
+            ).alias("gini_mean_difference"),
+            F.round(F.avg("x"), 4).alias("mean_x"),
+        )
+    )
+
+
+def _expected_steps_oracle_sql(steps: int = 20) -> str:
+    """Unrolled value iteration h ← 1 + P_sub·h for expected steps to
+    absorption at 'purchase' (the q301 technique on the hitting-time
+    equation; transient states only)."""
+    ctes = [
+        """
+    seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_event
+      FROM events
+    ),
+    c AS MATERIALIZED (
+      SELECT prev_event, event_type AS event, COUNT(*)::DOUBLE AS n
+      FROM seq WHERE prev_event IS NOT NULL GROUP BY 1, 2
+    ),
+    p AS MATERIALIZED (
+      SELECT c.prev_event, c.event, c.n / t.tot AS p
+      FROM c JOIN (SELECT prev_event, SUM(n) AS tot FROM c
+                   GROUP BY prev_event) t USING (prev_event)
+    ),
+    trans AS MATERIALIZED (SELECT DISTINCT prev_event AS s FROM c
+              WHERE prev_event <> 'purchase'),
+    h0 AS (SELECT s, 0.0 AS h FROM trans)
+        """
+    ]
+    prev = "h0"
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"""
+    h{i} AS (
+      SELECT trans.s,
+             1.0 + COALESCE(SUM(p.p * {prev}.h), 0.0) AS h
+      FROM trans
+      LEFT JOIN p ON p.prev_event = trans.s
+                 AND p.event <> 'purchase'
+      LEFT JOIN {prev} ON {prev}.s = p.event
+      GROUP BY trans.s
+    )
+            """
+        )
+        prev = f"h{i}"
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT s AS state, ROUND(h, 6) AS expected_steps_to_purchase
+    FROM {prev}
+    """
+    )
+
+
+@register(
+    "q324_expected_steps_to_purchase",
+    _expected_steps_oracle_sql(),
+)
+def q324_expected_steps_to_purchase(spark, sf_dir):
+    """Expected number of steps to reach 'purchase' from each event
+    state, treating purchase as absorbing: 20 value-iteration steps of
+    h ← 1 + P_sub·h on the transient-state transition matrix — the
+    funnel-friction scalar per state ('how many more events until a
+    signup-state user buys').  Each iteration is a ≤25-row broadcast
+    join-agg; the oracle unrolls identically (q301 technique)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_event", F.lag("event_type").over(w))
+    c = (
+        seq.filter(F.col("prev_event").isNotNull())
+        .groupBy("prev_event", F.col("event_type").alias("event"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    tot = c.groupBy("prev_event").agg(F.sum("n").alias("tot"))
+    p = (
+        c.join(tot, "prev_event")
+        .select(
+            "prev_event", "event", (F.col("n") / F.col("tot")).alias("p")
+        )
+        .filter(F.col("event") != "purchase")
+        .localCheckpoint(eager=True)
+    )
+    trans = (
+        c.select(F.col("prev_event").alias("s"))
+        .filter(F.col("s") != "purchase")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = trans.withColumn("h", F.lit(0.0))
+    for it in range(20):
+        if it and it % 5 == 0:
+            # 4-row state table, but 20 nested broadcast-join layers
+            # cost ~90 s in ANALYSIS alone — truncate the plan
+            h = h.localCheckpoint(eager=True)
+        h = (
+            trans.join(
+                F.broadcast(p), p.prev_event == trans.s, "left"
+            )
+            .join(
+                F.broadcast(
+                    h.select(
+                        F.col("s").alias("hs"), F.col("h").alias("hv")
+                    )
+                ),
+                F.col("event") == F.col("hs"),
+                "left",
+            )
+            .groupBy("s")
+            .agg(
+                (
+                    F.lit(1.0)
+                    + F.coalesce(
+                        F.sum(F.col("p") * F.col("hv")), F.lit(0.0)
+                    )
+                ).alias("h")
+            )
+        )
+    return h.select(
+        F.col("s").alias("state"),
+        F.round("h", 6).alias("expected_steps_to_purchase"),
+    )
+
+
+@register(
     "q321_char_bigram_entropy",
     """
     WITH grams AS (
@@ -15084,16 +15254,16 @@ def _markov_stationary_oracle_sql(steps: int = 12) -> str:
                                    ORDER BY ts, event_id) AS prev_event
       FROM events
     ),
-    c AS (
+    c AS MATERIALIZED (
       SELECT prev_event, event_type AS event, COUNT(*)::DOUBLE AS n
       FROM seq WHERE prev_event IS NOT NULL GROUP BY 1, 2
     ),
-    p AS (
+    p AS MATERIALIZED (
       SELECT c.prev_event, c.event, c.n / t.tot AS p
       FROM c JOIN (SELECT prev_event, SUM(n) AS tot FROM c
                    GROUP BY prev_event) t USING (prev_event)
     ),
-    states AS (SELECT DISTINCT prev_event AS s FROM c),
+    states AS MATERIALIZED (SELECT DISTINCT prev_event AS s FROM c),
     pi0 AS (SELECT s, 1.0 / (SELECT COUNT(*) FROM states) AS v
             FROM states)
         """
