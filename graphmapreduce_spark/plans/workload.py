@@ -13710,6 +13710,176 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q325_weibull_fit",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(epoch(ts)) AS t0 FROM events
+      GROUP BY user_id
+    ),
+    conv AS (
+      SELECT f.user_id,
+             (MIN(e.ts_epoch) - f.t0) / 86400.0 AS t_days
+      FROM firsts f
+      JOIN (SELECT user_id, epoch(ts) AS ts_epoch FROM events
+            WHERE event_type = 'purchase') e
+        ON e.user_id = f.user_id AND e.ts_epoch > f.t0
+      GROUP BY f.user_id, f.t0
+    ),
+    n AS (SELECT COUNT(*)::DOUBLE AS n FROM conv),
+    ranked AS (
+      SELECT t_days,
+             ROW_NUMBER() OVER (ORDER BY t_days, user_id) AS r
+      FROM conv
+    ),
+    pts AS (
+      SELECT ln(t_days) AS x,
+             ln(-ln(1.0 - (r - 0.3) / ((SELECT n FROM n) + 0.4)))
+               AS y
+      FROM ranked WHERE t_days > 0
+    ),
+    m AS (SELECT AVG(x) AS mx, AVG(y) AS my FROM pts)
+    SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_events,
+           ROUND(SUM((x - m.mx) * (y - m.my))
+                 / SUM(POWER(x - m.mx, 2)), 6) AS weibull_shape_k,
+           ROUND(EXP(m.mx - m.my * SUM(POWER(x - m.mx, 2))
+                 / SUM((x - m.mx) * (y - m.my))), 4)
+             AS weibull_scale_days
+    FROM pts CROSS JOIN m
+    GROUP BY m.mx, m.my
+    """,
+)
+def q325_weibull_fit(spark, sf_dir):
+    """Weibull fit of time-to-first-purchase by median-rank
+    regression: plot ln(-ln(1-F)) against ln t using Benard's
+    approximation F ≈ (r-0.3)/(n+0.4), fit by OLS — shape k < 1 means
+    conversion hazard DECREASES with time (convert early or never),
+    k > 1 means ripening.  The parametric layer over q228's
+    Kaplan-Meier; ranks via `global_rank`, fit on sufficient
+    statistics."""
+    from graphmapreduce_spark.operators.sort import global_rank
+
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts") / 1e6).alias("t0")
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", (F.unix_micros("ts") / 1e6).alias("tp"))
+        .join(firsts, "user_id")
+        .filter(F.col("tp") > F.col("t0"))
+        .groupBy("user_id", "t0")
+        .agg(F.min("tp").alias("tp"))
+        .select(
+            "user_id",
+            ((F.col("tp") - F.col("t0")) / 86400.0).alias("t_days"),
+        )
+    )
+    conv = conv.localCheckpoint(eager=False)
+    n = conv.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranked = global_rank(conv, ["t_days", "user_id"], rank_col="r")
+    pts = (
+        ranked.crossJoin(F.broadcast(n))
+        .filter(F.col("t_days") > 0)
+        .select(
+            F.log("t_days").alias("x"),
+            F.log(
+                -F.log(
+                    1.0 - (F.col("r") - 0.3) / (F.col("n") + 0.4)
+                )
+            ).alias("y"),
+            F.col("n"),
+        )
+    )
+    m = pts.agg(F.avg("x").alias("mx"), F.avg("y").alias("my"))
+    fit = pts.crossJoin(F.broadcast(m)).agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        (
+            F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")))
+            / F.sum(F.pow(F.col("x") - F.col("mx"), 2))
+        ).alias("k"),
+        F.max("mx").alias("mx"),
+        F.max("my").alias("my"),
+    )
+    return fit.select(
+        "n_events",
+        F.round("k", 6).alias("weibull_shape_k"),
+        F.round(
+            F.exp(F.col("mx") - F.col("my") / F.col("k")), 4
+        ).alias("weibull_scale_days"),
+    )
+
+
+@register(
+    "q326_early_value_signal",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(epoch(ts)) AS t0 FROM events GROUP BY user_id
+    ),
+    spend AS (
+      SELECT e.user_id,
+             SUM(CASE WHEN epoch(e.ts) <= f.t0 + 7 * 86400
+                      AND e.event_type = 'purchase'
+                      THEN e.value ELSE 0 END) AS week1,
+             SUM(CASE WHEN e.event_type = 'purchase'
+                      THEN e.value ELSE 0 END) AS total
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+      GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(corr(week1, total), 6) AS corr_week1_total,
+           ROUND(AVG(CASE WHEN total > 0
+                     THEN week1 / total END), 6)
+             AS avg_week1_share
+    FROM spend
+    """,
+)
+def q326_early_value_signal(spark, sf_dir):
+    """Early-value signal: does first-week spend predict lifetime
+    spend?  Correlation of week-1 vs total purchase value per user,
+    plus the average share of lifetime value captured in week 1 — the
+    'how early can we score a user' number behind LTV models.  One
+    grouped conditional-sum pass with the per-user start time joined
+    in."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts") / 1e6).alias("t0")
+    )
+    spend = (
+        ev.join(firsts, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (
+                        F.unix_micros("ts") / 1e6
+                        <= F.col("t0") + 7 * 86400
+                    )
+                    & (F.col("event_type") == "purchase"),
+                    F.col("value"),
+                ).otherwise(0.0)
+            ).alias("week1"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(0.0)
+            ).alias("total"),
+        )
+    )
+    return spend.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.corr("week1", "total"), 6).alias("corr_week1_total"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("total") > 0, F.col("week1") / F.col("total")
+                )
+            ),
+            6,
+        ).alias("avg_week1_share"),
+    )
+
+
+@register(
     "q323_gini_mean_difference",
     """
     WITH ranked AS (
