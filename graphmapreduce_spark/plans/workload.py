@@ -13710,6 +13710,167 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q327_binned_percentile_error",
+    """
+    WITH b AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      FROM orders
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR((o_totalprice - b.lo)
+                   / ((b.hi - b.lo) / 20.0)) AS BIGINT), 19) AS bin,
+             COUNT(*) AS n
+      FROM orders CROSS JOIN b
+      GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n)::DOUBLE AS t FROM binned),
+    cum AS (
+      SELECT bin, n,
+             SUM(n) OVER (ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS c
+      FROM binned
+    ),
+    medbin AS (
+      SELECT MIN(bin) AS mb FROM cum
+      WHERE c >= (SELECT t FROM tot) / 2.0
+    ),
+    est AS (
+      SELECT b.lo + ((SELECT mb FROM medbin)
+             + ((SELECT t FROM tot) / 2.0
+                - COALESCE((SELECT MAX(c) FROM cum
+                            WHERE bin < (SELECT mb FROM medbin)), 0))
+               / (SELECT n FROM cum
+                  WHERE bin = (SELECT mb FROM medbin)))
+             * ((b.hi - b.lo) / 20.0) AS p50_est
+      FROM b
+    ),
+    exact AS (
+      SELECT quantile_cont(o_totalprice, 0.5) AS p50 FROM orders
+    )
+    SELECT ROUND((SELECT p50 FROM exact), 4) AS exact_p50,
+           ROUND((SELECT p50_est FROM est), 4) AS binned_p50,
+           ROUND(ABS((SELECT p50_est FROM est)
+                 - (SELECT p50 FROM exact))
+                 / (SELECT p50 FROM exact), 6) AS rel_error
+    """,
+)
+def q327_binned_percentile_error(spark, sf_dir):
+    """Binned-median error audit: estimate p50 from a 20-bucket
+    equi-width histogram by within-bin linear interpolation and
+    compare against the exact percentile — measures what the cheap
+    mergeable-histogram shortcut costs on THIS distribution (the
+    decision input for sketch-vs-exact at scale, companion to the
+    KLL accuracy bounds).  Everything after the one binning pass runs
+    on 20 rows."""
+    od = _t(spark, sf_dir, "orders")
+    b = od.agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    binned = (
+        od.crossJoin(F.broadcast(b))
+        .groupBy(
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+                F.lit(19),
+            )
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    binned = binned.localCheckpoint(eager=False)
+    tot = binned.agg(F.sum("n").cast("double").alias("t"))
+    wc = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = binned.select(
+        "bin", "n", F.sum("n").over(wc).alias("c")
+    ).crossJoin(F.broadcast(tot))
+    medbin = (
+        cum.filter(F.col("c") >= F.col("t") / 2.0)
+        .agg(F.min("bin").alias("mb"))
+    )
+    below = (
+        cum.crossJoin(F.broadcast(medbin))
+        .filter(F.col("bin") < F.col("mb"))
+        .agg(F.coalesce(F.max("c"), F.lit(0)).alias("cb"))
+    )
+    inbin = (
+        cum.crossJoin(F.broadcast(medbin))
+        .filter(F.col("bin") == F.col("mb"))
+        .select(F.col("n").alias("nb"), F.col("t"))
+    )
+    exact = od.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50")
+    )
+    est = (
+        b.crossJoin(F.broadcast(medbin))
+        .crossJoin(F.broadcast(below))
+        .crossJoin(F.broadcast(inbin))
+        .select(
+            (
+                F.col("lo")
+                + (
+                    F.col("mb")
+                    + (F.col("t") / 2.0 - F.col("cb")) / F.col("nb")
+                )
+                * (F.col("hi") - F.col("lo"))
+                / 20.0
+            ).alias("p50_est")
+        )
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.round("p50", 4).alias("exact_p50"),
+        F.round("p50_est", 4).alias("binned_p50"),
+        F.round(
+            F.abs(F.col("p50_est") - F.col("p50")) / F.col("p50"), 6
+        ).alias("rel_error"),
+    )
+
+
+@register(
+    "q328_negbin_fit",
+    r"""
+    WITH t AS (
+      SELECT len(list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> ''))::DOUBLE AS k
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(k), 6) AS mean_tokens,
+           ROUND(VAR_SAMP(k), 6) AS var_tokens,
+           ROUND(VAR_SAMP(k) / AVG(k), 6) AS dispersion,
+           ROUND(AVG(k) / VAR_SAMP(k), 6) AS nb_p,
+           ROUND(AVG(k) * AVG(k) / (VAR_SAMP(k) - AVG(k)), 6) AS nb_r
+    FROM t
+    """,
+)
+def q328_negbin_fit(spark, sf_dir):
+    """Negative-binomial moment fit of tokens-per-document:
+    p = m/v, r = m²/(v−m) — valid when the dispersion v/m exceeds 1
+    (Poisson would have v = m; real document lengths are
+    overdispersed), completing the distribution-fit family
+    (lognormal q315, exponential q322, Weibull q325).  One scan of
+    sufficient statistics."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(T.n_words("text").cast("double").alias("k"))
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("k"), 6).alias("mean_tokens"),
+        F.round(F.var_samp("k"), 6).alias("var_tokens"),
+        F.round(F.var_samp("k") / F.avg("k"), 6).alias("dispersion"),
+        F.round(F.avg("k") / F.var_samp("k"), 6).alias("nb_p"),
+        F.round(
+            F.avg("k") * F.avg("k") / (F.var_samp("k") - F.avg("k")),
+            6,
+        ).alias("nb_r"),
+    )
+
+
+@register(
     "q325_weibull_fit",
     """
     WITH firsts AS (
