@@ -13710,6 +13710,138 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q329_scale_agreement",
+    """
+    WITH s AS (
+      SELECT stddev_samp(l_extendedprice) AS sd,
+             mad(l_extendedprice) * 1.4826 AS mad_sigma,
+             (quantile_cont(l_extendedprice, 0.75)
+              - quantile_cont(l_extendedprice, 0.25)) / 1.349
+               AS iqr_sigma
+      FROM lineitem
+    )
+    SELECT ROUND(sd, 4) AS stddev,
+           ROUND(mad_sigma, 4) AS mad_sigma,
+           ROUND(iqr_sigma, 4) AS iqr_sigma,
+           ROUND(mad_sigma / sd, 6) AS mad_over_sd,
+           ROUND(iqr_sigma / sd, 6) AS iqr_over_sd
+    FROM s
+    """,
+)
+def q329_scale_agreement(spark, sf_dir):
+    """Scale-estimator agreement audit: σ̂ from stddev, from
+    MAD·1.4826, and from IQR/1.349 — all three agree near 1.0 only for
+    Gaussian-ish data, so the ratios are a one-row normality smell
+    test that tells you whether z-score fences (q193) or robust fences
+    (q115/q145) are the right outlier tool for this column.  One scan;
+    MAD needs the median-of-deviations two-phase, fused here into
+    percentile aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    med = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("m")
+    )
+    s = (
+        li.crossJoin(F.broadcast(med))
+        .agg(
+            F.stddev_samp("l_extendedprice").alias("sd"),
+            (
+                F.expr(
+                    "percentile(abs(l_extendedprice - m), 0.5)"
+                )
+                * 1.4826
+            ).alias("mad_sigma"),
+            (
+                (
+                    F.expr("percentile(l_extendedprice, 0.75)")
+                    - F.expr("percentile(l_extendedprice, 0.25)")
+                )
+                / 1.349
+            ).alias("iqr_sigma"),
+        )
+    )
+    return s.select(
+        F.round("sd", 4).alias("stddev"),
+        F.round("mad_sigma", 4).alias("mad_sigma"),
+        F.round("iqr_sigma", 4).alias("iqr_sigma"),
+        F.round(F.col("mad_sigma") / F.col("sd"), 6).alias(
+            "mad_over_sd"
+        ),
+        F.round(F.col("iqr_sigma") / F.col("sd"), 6).alias(
+            "iqr_over_sd"
+        ),
+    )
+
+
+@register(
+    "q330_ingest_order_drift",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             NTILE(10) OVER (ORDER BY doc_id) AS decile,
+             n_chars::DOUBLE AS len,
+             len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE
+               / GREATEST(length(text), 1) AS alpha_ratio
+      FROM documents
+    ),
+    per AS (
+      SELECT decile,
+             COUNT(*) AS n_docs,
+             ROUND(AVG(len), 4) AS mean_len,
+             ROUND(AVG(alpha_ratio), 6) AS mean_alpha
+      FROM t GROUP BY decile
+    ),
+    drift AS (
+      SELECT corr(decile, mean_len) AS c_len,
+             corr(decile, mean_alpha) AS c_alpha
+      FROM per
+    )
+    SELECT per.decile, per.n_docs, per.mean_len, per.mean_alpha,
+           ROUND((SELECT c_len FROM drift), 6) AS len_drift_corr,
+           ROUND((SELECT c_alpha FROM drift), 6) AS alpha_drift_corr
+    FROM per
+    """,
+)
+def q330_ingest_order_drift(spark, sf_dir):
+    """Ingest-order drift: quality proxies (length, alphabetic ratio)
+    per doc_id decile, with the decile-vs-metric correlation attached
+    — a strong correlation means the corpus CHANGES along ingest
+    order (crawl frontier decay, source exhaustion) and random splits
+    of it are not exchangeable.  NTILE over the docs-sized table;
+    drift scalars fold back onto the 10-row decile profile."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    t = d.select(
+        "doc_id",
+        F.ntile(10).over(w).alias("decile"),
+        F.col("n_chars").cast("double").alias("len"),
+        (
+            F.size(
+                F.expr("regexp_extract_all(text, '[A-Za-z]', 0)")
+            ).cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("alpha_ratio"),
+    )
+    per = t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("len"), 4).alias("mean_len"),
+        F.round(F.avg("alpha_ratio"), 6).alias("mean_alpha"),
+    )
+    per = per.localCheckpoint(eager=False)
+    drift = per.agg(
+        F.round(F.corr("decile", "mean_len"), 6).alias("c_len"),
+        F.round(F.corr("decile", "mean_alpha"), 6).alias("c_alpha"),
+    )
+    return per.crossJoin(F.broadcast(drift)).select(
+        "decile",
+        "n_docs",
+        "mean_len",
+        "mean_alpha",
+        F.col("c_len").alias("len_drift_corr"),
+        F.col("c_alpha").alias("alpha_drift_corr"),
+    )
+
+
+@register(
     "q327_binned_percentile_error",
     """
     WITH b AS (
