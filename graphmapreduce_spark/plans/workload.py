@@ -13710,6 +13710,118 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q331_time_hierarchy_rollup",
+    """
+    WITH base AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             o_totalprice
+      FROM orders
+    )
+    SELECT 'day' AS grain, day AS period,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM base GROUP BY day
+    UNION ALL
+    SELECT 'week', week, COUNT(*), ROUND(SUM(o_totalprice), 2)
+    FROM base GROUP BY week
+    UNION ALL
+    SELECT 'month', month, COUNT(*), ROUND(SUM(o_totalprice), 2)
+    FROM base GROUP BY month
+    """,
+)
+def q331_time_hierarchy_rollup(spark, sf_dir):
+    """Time-hierarchy rollup: revenue at day, week, and month grain in
+    one result set with an explicit grain tag — the calendar analog of
+    dimensional GROUPING SETS, expressed as grouping sets over derived
+    time parts so Spark plans ONE scan + Expand instead of three
+    scans."""
+    od = _t(spark, sf_dir, "orders")
+    base = od.select(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day"),
+        F.to_date(F.date_trunc("week", "o_orderdate")).alias("week"),
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+        "o_totalprice",
+    )
+    base.createOrReplaceTempView("_q331_base")
+    return spark.sql(
+        """
+        SELECT CASE WHEN day IS NOT NULL THEN 'day'
+                    WHEN week IS NOT NULL THEN 'week'
+                    ELSE 'month' END AS grain,
+               COALESCE(day, week, month) AS period,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM _q331_base
+        GROUP BY GROUPING SETS ((day), (week), (month))
+        """
+    )
+
+
+@register(
+    "q332_feature_hashing",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    hashed AS (
+      SELECT user_id, event_type,
+             ('0x' || substr(md5(event_type), 1, 15))::BIGINT % 32
+               AS bucket
+      FROM pairs
+    ),
+    bucket_types AS (
+      SELECT bucket, COUNT(DISTINCT event_type) AS n_types
+      FROM hashed GROUP BY bucket
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           CAST(SUM(CASE WHEN n_types > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_colliding_buckets,
+           CAST(MAX(n_types) AS BIGINT) AS max_types_per_bucket,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hashed)
+             AS n_user_features
+    FROM bucket_types
+    """,
+)
+def q332_feature_hashing(spark, sf_dir):
+    """Feature-hashing (hashing-trick) audit: categorical event-type
+    features hash into 32 buckets via the portable md5-60bit hash;
+    report bucket usage, collision count, and worst collision — the
+    dimensionality-vs-collision tradeoff check that precedes choosing
+    the hash width for sparse models.  Distinct user-feature pairs are
+    the only data-sized stage."""
+    from graphmapreduce_spark.functions.text import md5_hash60
+
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.select("user_id", "event_type").distinct()
+    hashed = pairs.select(
+        "user_id",
+        "event_type",
+        (md5_hash60("event_type") % 32).alias("bucket"),
+    )
+    hashed = hashed.localCheckpoint(eager=False)
+    bt = hashed.groupBy("bucket").agg(
+        F.count_distinct("event_type").alias("n_types")
+    )
+    n_feat = hashed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_user_features")
+    )
+    return (
+        bt.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+            F.sum(F.when(F.col("n_types") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_colliding_buckets"),
+            F.max("n_types").cast("bigint").alias(
+                "max_types_per_bucket"
+            ),
+        )
+        .crossJoin(F.broadcast(n_feat))
+    )
+
+
+@register(
     "q329_scale_agreement",
     """
     WITH s AS (
