@@ -13710,6 +13710,128 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q333_price_volume_decomposition",
+    """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             SUM(l_quantity) AS q,
+             SUM(l_extendedprice) / SUM(l_quantity) AS p
+      FROM lineitem GROUP BY 1
+    ),
+    lagged AS (
+      SELECT month, q, p,
+             LAG(q) OVER (ORDER BY month) AS q0,
+             LAG(p) OVER (ORDER BY month) AS p0
+      FROM monthly
+    )
+    SELECT month,
+           ROUND(q * p - q0 * p0, 2) AS revenue_delta,
+           ROUND((q - q0) * p0, 2) AS volume_effect,
+           ROUND(q0 * (p - p0), 2) AS price_effect,
+           ROUND((q - q0) * (p - p0), 2) AS interaction
+    FROM lagged WHERE q0 IS NOT NULL
+    """,
+)
+def q333_price_volume_decomposition(spark, sf_dir):
+    """Month-over-month revenue bridge: ΔR = Δq·p₀ + q₀·Δp + Δq·Δp —
+    how much of each month's revenue change came from shipping MORE
+    vs charging MORE (the finance bridge chart).  One monthly partial
+    agg; the decomposition is a lag window over a dozen rows, and the
+    three effects plus interaction reconcile to the revenue delta by
+    construction."""
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.to_date(F.date_trunc("month", "l_shipdate")).alias("month")
+    ).agg(
+        F.sum("l_quantity").alias("q"),
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+    )
+    w = Window.orderBy("month")
+    lagged = monthly.select(
+        "month",
+        "q",
+        "p",
+        F.lag("q").over(w).alias("q0"),
+        F.lag("p").over(w).alias("p0"),
+    ).filter(F.col("q0").isNotNull())
+    return lagged.select(
+        "month",
+        F.round(
+            F.col("q") * F.col("p") - F.col("q0") * F.col("p0"), 2
+        ).alias("revenue_delta"),
+        F.round((F.col("q") - F.col("q0")) * F.col("p0"), 2).alias(
+            "volume_effect"
+        ),
+        F.round(F.col("q0") * (F.col("p") - F.col("p0")), 2).alias(
+            "price_effect"
+        ),
+        F.round(
+            (F.col("q") - F.col("q0")) * (F.col("p") - F.col("p0")), 2
+        ).alias("interaction"),
+    )
+
+
+@register(
+    "q334_brand_price_position",
+    """
+    WITH type_avg AS (
+      SELECT p_type, AVG(p_retailprice) AS type_mean,
+             COUNT(*) AS n_in_type
+      FROM part GROUP BY p_type
+    ),
+    pos AS (
+      SELECT p.p_brand, p.p_type,
+             COUNT(*) AS n_parts,
+             AVG(p.p_retailprice) AS brand_mean,
+             MAX(t.type_mean) AS type_mean
+      FROM part p JOIN type_avg t ON p.p_type = t.p_type
+      WHERE t.n_in_type >= 5
+      GROUP BY p.p_brand, p.p_type
+      HAVING COUNT(*) >= 3
+    )
+    SELECT p_brand, p_type, n_parts,
+           ROUND(brand_mean, 4) AS brand_mean,
+           ROUND(brand_mean / type_mean, 6) AS price_position
+    FROM pos
+    """,
+)
+def q334_brand_price_position(spark, sf_dir):
+    """Brand price-position index: each brand's mean retail price
+    relative to its product type's mean (>1 = premium positioning) —
+    the merchandising benchmark table, with minimum-support filters on
+    both levels so thin cells don't masquerade as positioning.  Two
+    grouped passes over the part dimension; type means broadcast."""
+    pa = _t(spark, sf_dir, "part")
+    type_avg = (
+        pa.groupBy("p_type")
+        .agg(
+            F.avg("p_retailprice").alias("type_mean"),
+            F.count(F.lit(1)).alias("n_in_type"),
+        )
+        .filter(F.col("n_in_type") >= 5)
+    )
+    return (
+        pa.join(F.broadcast(type_avg), "p_type")
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.avg("p_retailprice").alias("brand_mean"),
+            F.max("type_mean").alias("type_mean"),
+        )
+        .filter(F.col("n_parts") >= 3)
+        .select(
+            "p_brand",
+            "p_type",
+            "n_parts",
+            F.round("brand_mean", 4).alias("brand_mean"),
+            F.round(
+                F.col("brand_mean") / F.col("type_mean"), 6
+            ).alias("price_position"),
+        )
+    )
+
+
+@register(
     "q331_time_hierarchy_rollup",
     """
     WITH base AS (
