@@ -13710,6 +13710,117 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q335_single_source_risk",
+    """
+    WITH ps AS (
+      SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+             SUM(l_extendedprice) AS spend
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(spend), 2) AS spend_at_risk,
+           ROUND(SUM(spend) / (SELECT SUM(spend) FROM ps), 6)
+             AS spend_share
+    FROM ps GROUP BY n_suppliers
+    """,
+)
+def q335_single_source_risk(spark, sf_dir):
+    """Single-source supply risk: parts histogrammed by their distinct
+    supplier count, with the spend concentrated at each redundancy
+    level — the n_suppliers=1 row is the revenue a single supplier
+    failure strands.  One distinct-count agg per part, one histogram
+    agg; total spend folds in as a broadcast scalar."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey").agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.sum("l_extendedprice").alias("spend"),
+    )
+    ps = ps.localCheckpoint(eager=False)
+    tot = ps.agg(F.sum("spend").alias("t"))
+    return (
+        ps.groupBy("n_suppliers")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("spend").alias("spend_raw"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_suppliers",
+            "n_parts",
+            F.round("spend_raw", 2).alias("spend_at_risk"),
+            F.round(F.col("spend_raw") / F.col("t"), 6).alias(
+                "spend_share"
+            ),
+        )
+    )
+
+
+@register(
+    "q336_price_dispersion",
+    """
+    WITH unit AS (
+      SELECT l_partkey,
+             l_extendedprice / l_quantity AS unit_price
+      FROM lineitem WHERE l_quantity > 0
+    ),
+    per AS (
+      SELECT l_partkey,
+             COUNT(*) AS n_sales,
+             AVG(unit_price) AS mean_p,
+             STDDEV_SAMP(unit_price) AS sd_p
+      FROM unit GROUP BY l_partkey
+      HAVING COUNT(*) >= 5
+    )
+    SELECT l_partkey, n_sales,
+           ROUND(mean_p, 4) AS mean_unit_price,
+           ROUND(sd_p / mean_p, 6) AS price_cv
+    FROM per
+    ORDER BY ROUND(sd_p / mean_p, 6) DESC, l_partkey ASC
+    LIMIT 25
+    """,
+)
+def q336_price_dispersion(spark, sf_dir):
+    """Price-consistency audit: the 25 parts with the highest
+    coefficient of variation of realized unit price (≥5 sales) —
+    erratic pricing is either discount leakage or data error, and CV
+    normalizes across price levels.  Grouped sufficient statistics,
+    then TakeOrderedAndProject for the top slice, ranking on the
+    ROUNDed CV with a key tiebreak (the house float discipline)."""
+    li = _t(spark, sf_dir, "lineitem")
+    unit = li.filter(F.col("l_quantity") > 0).select(
+        "l_partkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_price"
+        ),
+    )
+    per = (
+        unit.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_sales"),
+            F.avg("unit_price").alias("mean_p"),
+            F.stddev_samp("unit_price").alias("sd_p"),
+        )
+        .filter(F.col("n_sales") >= 5)
+    )
+    return (
+        per.orderBy(
+            F.round(F.col("sd_p") / F.col("mean_p"), 6).desc(),
+            F.col("l_partkey").asc(),
+        )
+        .limit(25)
+        .select(
+            "l_partkey",
+            "n_sales",
+            F.round("mean_p", 4).alias("mean_unit_price"),
+            F.round(F.col("sd_p") / F.col("mean_p"), 6).alias(
+                "price_cv"
+            ),
+        )
+    )
+
+
+@register(
     "q333_price_volume_decomposition",
     """
     WITH monthly AS (
