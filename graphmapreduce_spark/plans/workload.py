@@ -13710,6 +13710,160 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q337_supplier_scorecard",
+    """
+    WITH lt AS (
+      SELECT l.l_suppkey,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS days,
+             l.l_extendedprice
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    ),
+    g AS (SELECT AVG(days) AS gmean, STDDEV_SAMP(days) AS gsd FROM lt),
+    per AS (
+      SELECT l_suppkey,
+             COUNT(*) AS n_lines,
+             AVG(days) AS mean_days,
+             SUM(l_extendedprice) AS revenue
+      FROM lt GROUP BY l_suppkey
+      HAVING COUNT(*) >= 20
+    )
+    SELECT l_suppkey, n_lines,
+           ROUND(mean_days, 4) AS mean_lead_days,
+           ROUND((mean_days - (SELECT gmean FROM g))
+                 / (SELECT gsd FROM g), 6) AS lead_z,
+           ROUND(revenue, 2) AS revenue
+    FROM per
+    ORDER BY ROUND((mean_days - (SELECT gmean FROM g))
+                   / (SELECT gsd FROM g), 6) DESC, l_suppkey ASC
+    LIMIT 20
+    """,
+)
+def q337_supplier_scorecard(spark, sf_dir):
+    """Supplier reliability scorecard: the 20 suppliers with the worst
+    mean order-to-ship lead time, z-scored against the global lead
+    distribution (≥20 lines support), with the revenue exposed to
+    them — the vendor-management table.  One fact join, global
+    moments as a broadcast scalar, ranking on the ROUNDed z."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    lt = (
+        li.join(
+            od.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "l_suppkey",
+            F.datediff(
+                F.to_date("l_shipdate"), F.to_date("o_orderdate")
+            ).alias("days"),
+            "l_extendedprice",
+        )
+    )
+    lt = lt.localCheckpoint(eager=False)
+    g = lt.agg(
+        F.avg("days").alias("gmean"),
+        F.stddev_samp("days").alias("gsd"),
+    )
+    per = (
+        lt.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.avg("days").alias("mean_days"),
+            F.sum("l_extendedprice").alias("revenue"),
+        )
+        .filter(F.col("n_lines") >= 20)
+    )
+    z = F.round(
+        (F.col("mean_days") - F.col("gmean")) / F.col("gsd"), 6
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .orderBy(z.desc(), F.col("l_suppkey").asc())
+        .limit(20)
+        .select(
+            "l_suppkey",
+            "n_lines",
+            F.round("mean_days", 4).alias("mean_lead_days"),
+            z.alias("lead_z"),
+            F.round("revenue", 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q338_return_rate_by_brand",
+    """
+    WITH j AS (
+      SELECT p.p_brand,
+             CASE WHEN l.l_returnflag = 'R' THEN 1.0 ELSE 0.0 END
+               AS returned,
+             l.l_extendedprice
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    g AS (SELECT AVG(returned) AS grate FROM j)
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(AVG(returned), 6) AS return_rate,
+           ROUND(AVG(returned) - (SELECT grate FROM g), 6)
+             AS vs_global,
+           ROUND(SUM(CASE WHEN returned = 1.0
+                     THEN l_extendedprice ELSE 0 END), 2)
+             AS returned_revenue
+    FROM j GROUP BY p_brand
+    """,
+)
+def q338_return_rate_by_brand(spark, sf_dir):
+    """Return-rate attribution by brand: each brand's R-flag share
+    against the global rate, with the revenue value of returned lines
+    — the product-quality triage table.  The part dimension broadcasts
+    into the fact scan; one conditional agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(pa.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.when(F.col("l_returnflag") == "R", 1.0)
+        .otherwise(0.0)
+        .alias("returned"),
+        "l_extendedprice",
+    )
+    j = j.localCheckpoint(eager=False)
+    g = j.agg(F.avg("returned").alias("grate"))
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.avg("returned"), 6).alias("return_rate"),
+            F.avg("returned").alias("_r"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("returned") == 1.0,
+                        F.col("l_extendedprice"),
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("returned_revenue"),
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            "p_brand",
+            "n_lines",
+            "return_rate",
+            F.round(F.col("_r") - F.col("grate"), 6).alias(
+                "vs_global"
+            ),
+            "returned_revenue",
+        )
+    )
+
+
+@register(
     "q335_single_source_risk",
     """
     WITH ps AS (
