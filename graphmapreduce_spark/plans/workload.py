@@ -13710,6 +13710,98 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q339_emptiness_audit",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_empty,
+           CAST(SUM(CASE WHEN length(text) > 0
+                         AND length(trim(text)) = 0
+                    THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_whitespace_only,
+           CAST(SUM(CASE WHEN length(trim(text)) BETWEEN 1 AND 19
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_under_20_chars,
+           ROUND(AVG(CASE WHEN length(trim(text)) < 20
+                     THEN 1.0 ELSE 0.0 END), 6) AS junk_frac
+    FROM documents GROUP BY source
+    """,
+)
+def q339_emptiness_audit(spark, sf_dir):
+    """Emptiness audit per source: empty, whitespace-only, and
+    under-20-char documents with the junk fraction — the first gate of
+    any ingestion pipeline (upstream extractors that emit husks show
+    up here before they poison dedup statistics).  Scan-speed
+    conditional aggregation, zero joins."""
+    d = _t(spark, sf_dir, "documents")
+    tl = F.length(F.trim(F.col("text")))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.length("text") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_empty"),
+        F.sum(
+            F.when((F.length("text") > 0) & (tl == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_whitespace_only"),
+        F.sum(F.when(tl.between(1, 19), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_under_20_chars"),
+        F.round(
+            F.avg(F.when(tl < 20, 1.0).otherwise(0.0)), 6
+        ).alias("junk_frac"),
+    )
+
+
+@register(
+    "q340_conflicting_metadata",
+    """
+    WITH fp AS (
+      SELECT md5(text) AS f,
+             COUNT(*) AS n_copies,
+             COUNT(DISTINCT lang) AS n_langs,
+             COUNT(DISTINCT source) AS n_sources
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_duplicated,
+           CAST(SUM(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lang_conflicts,
+           CAST(SUM(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_source_conflicts
+    FROM fp
+    """,
+)
+def q340_conflicting_metadata(spark, sf_dir):
+    """Conflicting-metadata audit: identical text (md5 fingerprint)
+    carrying MORE THAN ONE language or source label — the
+    label-noise detector that matters when labels feed training
+    (one of the two labels is wrong, and naive per-label statistics
+    double-count the text).  One fingerprint agg with two distinct
+    counts riding it."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.groupBy(F.md5("text").alias("f")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    return fp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_duplicated"),
+        F.sum(F.when(F.col("n_langs") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lang_conflicts"),
+        F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_source_conflicts"),
+    )
+
+
+@register(
     "q337_supplier_scorecard",
     """
     WITH lt AS (
