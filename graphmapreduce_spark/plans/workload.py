@@ -13710,6 +13710,132 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q341_order_aging",
+    """
+    WITH now_ AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS cutoff
+                  FROM orders),
+    aged AS (
+      SELECT o_orderstatus,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       (SELECT cutoff FROM now_)) AS age_days,
+             o_totalprice
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CASE WHEN age_days < 30 THEN '0-29'
+                WHEN age_days < 90 THEN '30-89'
+                WHEN age_days < 365 THEN '90-364'
+                ELSE '365+' END AS age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS value
+    FROM aged
+    GROUP BY o_orderstatus, CASE WHEN age_days < 30 THEN '0-29'
+                WHEN age_days < 90 THEN '30-89'
+                WHEN age_days < 365 THEN '90-364'
+                ELSE '365+' END
+    """,
+)
+def q341_order_aging(spark, sf_dir):
+    """Order-aging report: orders bucketed by status × age band
+    relative to the table's own latest date (no wall clock — the
+    report is reproducible), with the value sitting in each cell —
+    the WIP/receivables triage table.  One broadcast as-of scalar,
+    one conditional-bucket groupBy."""
+    od = _t(spark, sf_dir, "orders")
+    asof = od.agg(F.max(F.to_date("o_orderdate")).alias("asof"))
+    aged = od.crossJoin(F.broadcast(asof)).select(
+        "o_orderstatus",
+        F.datediff(F.col("asof"), F.to_date("o_orderdate")).alias(
+            "age_days"
+        ),
+        "o_totalprice",
+    )
+    bucket = (
+        F.when(F.col("age_days") < 30, "0-29")
+        .when(F.col("age_days") < 90, "30-89")
+        .when(F.col("age_days") < 365, "90-364")
+        .otherwise("365+")
+    )
+    return aged.groupBy(
+        "o_orderstatus", bucket.alias("age_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("value"),
+    )
+
+
+@register(
+    "q342_discount_uplift",
+    """
+    WITH tagged AS (
+      SELECT p.p_brand,
+             CASE WHEN l.l_discount > 0.05 THEN 1 ELSE 0 END AS disc,
+             l.l_quantity
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    per AS (
+      SELECT p_brand,
+             AVG(CASE WHEN disc = 1 THEN l_quantity END) AS q_disc,
+             AVG(CASE WHEN disc = 0 THEN l_quantity END) AS q_full,
+             SUM(disc) AS n_disc,
+             SUM(1 - disc) AS n_full
+      FROM tagged GROUP BY p_brand
+      HAVING SUM(disc) >= 30 AND SUM(1 - disc) >= 30
+    )
+    SELECT p_brand,
+           CAST(n_disc AS BIGINT) AS n_discounted,
+           CAST(n_full AS BIGINT) AS n_full_price,
+           ROUND(q_disc, 4) AS qty_discounted,
+           ROUND(q_full, 4) AS qty_full_price,
+           ROUND(q_disc / q_full - 1.0, 6) AS qty_uplift
+    FROM per
+    """,
+)
+def q342_discount_uplift(spark, sf_dir):
+    """Discount effectiveness by brand: average quantity on deeply
+    discounted (>5%) lines vs full-price lines, as a relative uplift —
+    the observational 'do discounts move volume' table (with
+    minimum-support guards; causal reads need q310's experiment
+    planner).  One conditional agg after the broadcast part join."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    tagged = li.join(
+        F.broadcast(pa.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.when(F.col("l_discount") > 0.05, 1).otherwise(0).alias(
+            "disc"
+        ),
+        "l_quantity",
+    )
+    per = (
+        tagged.groupBy("p_brand")
+        .agg(
+            F.avg(
+                F.when(F.col("disc") == 1, F.col("l_quantity"))
+            ).alias("q_disc"),
+            F.avg(
+                F.when(F.col("disc") == 0, F.col("l_quantity"))
+            ).alias("q_full"),
+            F.sum("disc").alias("n_disc"),
+            F.sum(1 - F.col("disc")).alias("n_full"),
+        )
+        .filter((F.col("n_disc") >= 30) & (F.col("n_full") >= 30))
+    )
+    return per.select(
+        "p_brand",
+        F.col("n_disc").cast("bigint").alias("n_discounted"),
+        F.col("n_full").cast("bigint").alias("n_full_price"),
+        F.round("q_disc", 4).alias("qty_discounted"),
+        F.round("q_full", 4).alias("qty_full_price"),
+        F.round(F.col("q_disc") / F.col("q_full") - 1.0, 6).alias(
+            "qty_uplift"
+        ),
+    )
+
+
+@register(
     "q339_emptiness_audit",
     """
     SELECT source,
