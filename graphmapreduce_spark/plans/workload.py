@@ -13710,6 +13710,108 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q343_top3_customer_share",
+    """
+    WITH spend AS (
+      SELECT c.c_nationkey AS nation, o.o_custkey,
+             SUM(o.o_totalprice) AS s
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    ranked AS (
+      SELECT nation, s,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY s DESC, o_custkey ASC) AS rk
+      FROM spend
+    )
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(CASE WHEN rk <= 3 THEN s ELSE 0 END), 2)
+             AS top3_revenue,
+           ROUND(SUM(CASE WHEN rk <= 3 THEN s ELSE 0 END) / SUM(s), 6)
+             AS top3_share
+    FROM ranked GROUP BY nation
+    """,
+)
+def q343_top3_customer_share(spark, sf_dir):
+    """Key-account concentration per nation: the revenue share held by
+    each nation's top-3 customers — the 'how fragile is this market'
+    table (one defection moves top3_share of the nation).  One rank
+    window per nation over the customer-spend table, then a
+    conditional share agg; ties broken by customer key so both
+    engines pick identical top-3 sets."""
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    spend = (
+        od.join(
+            F.broadcast(cu.select("c_custkey", "c_nationkey")),
+            od.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nation"), "o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.col("s").desc(), F.col("o_custkey").asc()
+    )
+    ranked = spend.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(
+            F.sum(F.when(F.col("rk") <= 3, F.col("s")).otherwise(0.0)),
+            2,
+        ).alias("top3_revenue"),
+        F.round(
+            F.sum(F.when(F.col("rk") <= 3, F.col("s")).otherwise(0.0))
+            / F.sum("s"),
+            6,
+        ).alias("top3_share"),
+    )
+
+
+@register(
+    "q344_char_class_profile",
+    """
+    WITH t AS (
+      SELECT source,
+             length(text)::DOUBLE AS n,
+             len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS digits,
+             len(regexp_extract_all(text, '[A-Z]'))::DOUBLE AS uppers,
+             len(regexp_extract_all(text,
+                 '[^A-Za-z0-9\\s]'))::DOUBLE AS puncts
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT source,
+           ROUND(SUM(digits) / SUM(n), 6) AS digit_ratio,
+           ROUND(SUM(uppers) / SUM(n), 6) AS upper_ratio,
+           ROUND(SUM(puncts) / SUM(n), 6) AS punct_ratio
+    FROM t GROUP BY source
+    """,
+)
+def q344_char_class_profile(spark, sf_dir):
+    """Character-class profile per source: digit, uppercase, and
+    punctuation ratios — tables/code/boilerplate skew these long
+    before any model sees the text, and a source whose ratios drift
+    from its peers is the first thing to eyeball.  Scan-speed
+    regexp counts into one grouped ratio agg."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    cnt = lambda pat: F.size(  # noqa: E731
+        F.expr(f"regexp_extract_all(text, '{pat}', 0)")
+    ).cast("double")
+    t = d.select(
+        "source",
+        F.length("text").cast("double").alias("n"),
+        cnt("[0-9]").alias("digits"),
+        cnt("[A-Z]").alias("uppers"),
+        cnt(r"[^A-Za-z0-9\\s]").alias("puncts"),
+    )
+    return t.groupBy("source").agg(
+        F.round(F.sum("digits") / F.sum("n"), 6).alias("digit_ratio"),
+        F.round(F.sum("uppers") / F.sum("n"), 6).alias("upper_ratio"),
+        F.round(F.sum("puncts") / F.sum("n"), 6).alias("punct_ratio"),
+    )
+
+
+@register(
     "q341_order_aging",
     """
     WITH now_ AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS cutoff
