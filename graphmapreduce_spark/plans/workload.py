@@ -13710,6 +13710,162 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q345_trade_matrix",
+    """
+    WITH flows AS (
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             l.l_extendedprice * (1 - l.l_discount) AS rev
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    )
+    SELECT supp_nation, cust_nation,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(rev), 2) AS revenue
+    FROM flows
+    GROUP BY supp_nation, cust_nation
+    ORDER BY ROUND(SUM(rev), 2) DESC, supp_nation, cust_nation
+    LIMIT 30
+    """,
+)
+def q345_trade_matrix(spark, sf_dir):
+    """Nation-to-nation trade matrix (the TPC-H Q7 shape generalized):
+    discounted revenue flowing from supplier nation to customer
+    nation, top-30 cells — the fact table joins four dimension hops,
+    every one a broadcast, so the plan is one lineitem scan plus a
+    hash agg; ranking on the ROUNDed revenue with name tiebreaks."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    sn = na.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = na.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    flows = (
+        li.join(
+            F.broadcast(su.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .join(
+            F.broadcast(od.select("o_orderkey", "o_custkey")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cu.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rev"),
+        )
+    )
+    agg = flows.groupBy("supp_nation", "cust_nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(F.sum("rev"), 2).alias("revenue"),
+    )
+    return agg.orderBy(
+        F.col("revenue").desc(), "supp_nation", "cust_nation"
+    ).limit(30)
+
+
+@register(
+    "q346_two_way_anova",
+    """
+    WITH cells AS (
+      SELECT lang, source, COUNT(*)::DOUBLE AS n,
+             AVG(n_chars) AS m,
+             SUM(n_chars * n_chars) AS ss
+      FROM documents GROUP BY lang, source
+    ),
+    rowm AS (SELECT lang, SUM(n * m) / SUM(n) AS rm FROM cells
+             GROUP BY lang),
+    colm AS (SELECT source, SUM(n * m) / SUM(n) AS cm FROM cells
+             GROUP BY source),
+    grand AS (SELECT SUM(n * m) / SUM(n) AS gm, SUM(n) AS nt,
+                     COUNT(DISTINCT lang) AS a,
+                     COUNT(DISTINCT source) AS b
+              FROM cells)
+    SELECT ROUND(SUM(c.n * POWER(r.rm - g.gm, 2)), 2) AS ss_lang,
+           ROUND(SUM(c.n * POWER(cl.cm - g.gm, 2)), 2) AS ss_source,
+           ROUND(SUM(c.n * POWER(c.m - r.rm - cl.cm + g.gm, 2)), 2)
+             AS ss_interaction,
+           ROUND(SUM(c.ss - c.n * c.m * c.m), 2) AS ss_within
+    FROM cells c
+    JOIN rowm r ON c.lang = r.lang
+    JOIN colm cl ON c.source = cl.source
+    CROSS JOIN grand g
+    """,
+)
+def q346_two_way_anova(spark, sf_dir):
+    """Two-way factorial ANOVA sums of squares for document length by
+    lang × source: main effects, the interaction term (does a source's
+    length profile DEPEND on language — the signal that per-source
+    cleaning rules must be language-aware), and the within-cell
+    residual.  All four SS terms compute from cell-level sufficient
+    statistics; raw rows are scanned once."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("n_chars").alias("m"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss"),
+    )
+    cells = cells.localCheckpoint(eager=False)
+    rowm = cells.groupBy("lang").agg(
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("rm")
+    )
+    colm = cells.groupBy("source").agg(
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("cm")
+    )
+    grand = cells.agg(
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm")
+    )
+    j = (
+        cells.join(F.broadcast(rowm), "lang")
+        .join(F.broadcast(colm), "source")
+        .crossJoin(F.broadcast(grand))
+    )
+    return j.agg(
+        F.round(
+            F.sum(F.col("n") * F.pow(F.col("rm") - F.col("gm"), 2)), 2
+        ).alias("ss_lang"),
+        F.round(
+            F.sum(F.col("n") * F.pow(F.col("cm") - F.col("gm"), 2)), 2
+        ).alias("ss_source"),
+        F.round(
+            F.sum(
+                F.col("n")
+                * F.pow(
+                    F.col("m")
+                    - F.col("rm")
+                    - F.col("cm")
+                    + F.col("gm"),
+                    2,
+                )
+            ),
+            2,
+        ).alias("ss_interaction"),
+        F.round(
+            F.sum(
+                F.col("ss") - F.col("n") * F.col("m") * F.col("m")
+            ),
+            2,
+        ).alias("ss_within"),
+    )
+
+
+@register(
     "q343_top3_customer_share",
     """
     WITH spend AS (
