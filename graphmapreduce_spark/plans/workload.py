@@ -13710,6 +13710,109 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q347_catalog_tokens",
+    r"""
+    WITH toks AS (
+      SELECT p_type,
+             UNNEST(list_filter(string_split_regex(lower(p_name),
+                                '\s+'), x -> x <> '')) AS tok
+      FROM part
+    ),
+    counts AS (
+      SELECT p_type, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2
+    )
+    SELECT p_type, tok, n FROM (
+      SELECT p_type, tok, n,
+             ROW_NUMBER() OVER (PARTITION BY p_type
+                                ORDER BY n DESC, tok ASC) AS rk
+      FROM counts) t
+    WHERE rk <= 3
+    """,
+)
+def q347_catalog_tokens(spark, sf_dir):
+    """Catalog text mining: the top-3 name tokens per product type —
+    the naming-convention probe over the dimension's own text (catalog
+    hygiene: tokens that should align with the type taxonomy and
+    don't are misfiled products).  Token explode over the part
+    dimension only; per-type rank with count+token tiebreak."""
+    pa = _t(spark, sf_dir, "part")
+    toks = pa.select(
+        "p_type",
+        F.explode(T.words(F.lower(F.col("p_name")))).alias("tok"),
+    )
+    counts = toks.groupBy("p_type", "tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("p_type").orderBy(
+        F.col("n").desc(), F.col("tok").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_type", "tok", "n")
+    )
+
+
+@register(
+    "q348_double_fire_audit",
+    """
+    WITH lagged AS (
+      SELECT user_id, event_type, value,
+             epoch(ts) - epoch(LAG(ts) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id)) AS gap,
+             value - LAG(value) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS dv
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN gap IS NOT NULL AND gap < 60
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_rapid_repeat,
+           CAST(SUM(CASE WHEN gap IS NOT NULL AND gap < 60
+                         AND dv = 0
+                    THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suspect_double_fire,
+           ROUND(AVG(CASE WHEN gap IS NOT NULL AND gap < 60
+                     THEN 1.0 ELSE 0.0 END), 6) AS rapid_repeat_rate
+    FROM lagged GROUP BY event_type
+    """,
+)
+def q348_double_fire_audit(spark, sf_dir):
+    """Instrumentation double-fire audit: same user, same event type,
+    fired again within 60 s — and the stricter signature of identical
+    value — the telemetry-bug detector that runs before any funnel is
+    trusted.  One lag window per (user, type) partitioning, then a
+    conditional agg."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    lagged = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") / 1e6
+            - F.unix_micros(F.lag("ts").over(w)) / 1e6
+        ).alias("gap"),
+        (F.col("value") - F.lag("value").over(w)).alias("dv"),
+    )
+    rapid = F.col("gap").isNotNull() & (F.col("gap") < 60)
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(rapid, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rapid_repeat"),
+        F.sum(F.when(rapid & (F.col("dv") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_suspect_double_fire"),
+        F.round(
+            F.avg(F.when(rapid, 1.0).otherwise(0.0)), 6
+        ).alias("rapid_repeat_rate"),
+    )
+
+
+@register(
     "q345_trade_matrix",
     """
     WITH flows AS (
