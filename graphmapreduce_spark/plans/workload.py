@@ -13710,6 +13710,99 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q349_unit_economics",
+    """
+    WITH o AS (
+      SELECT COUNT(*)::DOUBLE AS n_orders,
+             COUNT(DISTINCT o_custkey)::DOUBLE AS n_customers,
+             SUM(o_totalprice) AS revenue
+      FROM orders
+    ),
+    l AS (SELECT COUNT(*)::DOUBLE AS n_lines FROM lineitem)
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           ROUND(revenue, 2) AS revenue,
+           ROUND(revenue / n_orders, 4) AS aov,
+           ROUND((SELECT n_lines FROM l) / n_orders, 6)
+             AS lines_per_order,
+           ROUND(revenue / n_customers, 4) AS revenue_per_customer,
+           ROUND(n_orders / n_customers, 6) AS orders_per_customer
+    FROM o
+    """,
+)
+def q349_unit_economics(spark, sf_dir):
+    """Unit-economics KPI card: AOV, lines per order, revenue per
+    customer, purchase frequency — the one-row scorecard every
+    commerce dashboard opens with, each ratio defined from two
+    single-scan aggregates."""
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o = od.agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.count_distinct("o_custkey").cast("double").alias(
+            "n_customers"
+        ),
+        F.sum("o_totalprice").alias("revenue"),
+    )
+    l = li.agg(F.count(F.lit(1)).cast("double").alias("n_lines"))
+    return o.crossJoin(F.broadcast(l)).select(
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.col("n_orders"), 4).alias("aov"),
+        F.round(F.col("n_lines") / F.col("n_orders"), 6).alias(
+            "lines_per_order"
+        ),
+        F.round(F.col("revenue") / F.col("n_customers"), 4).alias(
+            "revenue_per_customer"
+        ),
+        F.round(F.col("n_orders") / F.col("n_customers"), 6).alias(
+            "orders_per_customer"
+        ),
+    )
+
+
+@register(
+    "q350_dataset_card",
+    """
+    SELECT 'region' AS tbl, (SELECT COUNT(*) FROM region) AS n_rows
+    UNION ALL SELECT 'nation', (SELECT COUNT(*) FROM nation)
+    UNION ALL SELECT 'customer', (SELECT COUNT(*) FROM customer)
+    UNION ALL SELECT 'supplier', (SELECT COUNT(*) FROM supplier)
+    UNION ALL SELECT 'part', (SELECT COUNT(*) FROM part)
+    UNION ALL SELECT 'orders', (SELECT COUNT(*) FROM orders)
+    UNION ALL SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem)
+    UNION ALL SELECT 'events', (SELECT COUNT(*) FROM events)
+    UNION ALL SELECT 'documents', (SELECT COUNT(*) FROM documents)
+    UNION ALL SELECT 'embeddings', (SELECT COUNT(*) FROM embeddings)
+    """,
+)
+def q350_dataset_card(spark, sf_dir):
+    """Dataset card: row counts of every table in the fixture star
+    schema in one result — the manifest row-count section every data
+    release publishes (metadata-only scans; parquet serves these from
+    footers without reading data pages)."""
+    rows = None
+    for name in [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]:
+        t = _t(spark, sf_dir, name).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        ).select(F.lit(name).alias("tbl"), "n_rows")
+        rows = t if rows is None else rows.unionByName(t)
+    return rows
+
+
+@register(
     "q347_catalog_tokens",
     r"""
     WITH toks AS (
