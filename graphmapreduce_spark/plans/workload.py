@@ -13710,6 +13710,219 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q351_geo_hotspots",
+    """
+    WITH pts AS (
+      SELECT user_id,
+             (('0x' || substr(md5('lat_' || user_id::VARCHAR), 1, 12))
+                ::BIGINT / 281474976710656.0) * 120.0 - 60.0 AS lat,
+             (('0x' || substr(md5('lon_' || user_id::VARCHAR), 1, 12))
+                ::BIGINT / 281474976710656.0) * 360.0 - 180.0 AS lon
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    cells AS (
+      SELECT CAST(FLOOR(lat / 15.0) AS BIGINT) AS cla,
+             CAST(FLOOR(lon / 15.0) AS BIGINT) AS clo,
+             COUNT(*) AS n
+      FROM pts GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n)::DOUBLE AS t FROM cells)
+    SELECT cla, clo, CAST(n AS BIGINT) AS n_points,
+           ROUND(n / (SELECT t FROM tot), 6) AS share
+    FROM cells
+    ORDER BY n DESC, cla ASC, clo ASC
+    LIMIT 15
+    """,
+)
+def q351_geo_hotspots(spark, sf_dir):
+    """Spatial density hotspots: the 15 most populated 15°×15° grid
+    cells with their share of all points — the aggregation level every
+    geo dashboard heats first, and the load-balancing input for
+    spatial partitioning (a hot cell is a hot Spark partition under
+    naive cell hashing).  Integer cell keys, one groupBy, top-k on
+    exact counts."""
+    ev = _t(spark, sf_dir, "events")
+    frac = lambda tag: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), F.col("user_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 281474976710656.0
+    )
+    pts = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            (frac("lat_") * 120.0 - 60.0).alias("lat"),
+            (frac("lon_") * 360.0 - 180.0).alias("lon"),
+        )
+    )
+    cells = pts.groupBy(
+        F.floor(F.col("lat") / 15.0).cast("bigint").alias("cla"),
+        F.floor(F.col("lon") / 15.0).cast("bigint").alias("clo"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cells = cells.localCheckpoint(eager=False)
+    tot = cells.agg(F.sum("n").cast("double").alias("t"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("n").desc(), "cla", "clo")
+        .limit(15)
+        .select(
+            "cla",
+            "clo",
+            F.col("n").cast("bigint").alias("n_points"),
+            F.round(F.col("n") / F.col("t"), 6).alias("share"),
+        )
+    )
+
+
+@register(
+    "q352_clark_evans",
+    """
+    WITH pts AS (
+      SELECT user_id,
+             (('0x' || substr(md5('lat_' || user_id::VARCHAR), 1, 12))
+                ::BIGINT / 281474976710656.0) * 120.0 - 60.0 AS lat,
+             (('0x' || substr(md5('lon_' || user_id::VARCHAR), 1, 12))
+                ::BIGINT / 281474976710656.0) * 360.0 - 180.0 AS lon
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    cells AS (
+      SELECT user_id, lat, lon,
+             CAST(FLOOR(lat / 9.0) AS BIGINT) AS cla,
+             CAST(FLOOR(lon / 18.0) AS BIGINT) AS clo
+      FROM pts
+    ),
+    lhs AS (
+      SELECT c.user_id, c.lat, c.lon,
+             c.cla + da.d AS cla, c.clo + dl.d AS clo
+      FROM cells c,
+           (SELECT UNNEST([-1, 0, 1]) AS d) da,
+           (SELECT UNNEST([-1, 0, 1]) AS d) dl
+    ),
+    cand AS (
+      SELECT a.user_id,
+             ROUND(2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(b.lat - a.lat) / 2), 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * pow(sin(radians(b.lon - a.lon) / 2), 2))), 3)
+               AS dist_km
+      FROM lhs a JOIN cells b
+        ON a.cla = b.cla AND a.clo = b.clo
+       AND a.user_id <> b.user_id
+    ),
+    nn AS (
+      SELECT user_id, MIN(dist_km) AS d FROM cand
+      WHERE dist_km <= 1000.0 GROUP BY user_id
+    ),
+    n_all AS (SELECT COUNT(*)::DOUBLE AS n FROM pts)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_with_nn,
+           ROUND(AVG(d), 4) AS mean_nn_km,
+           ROUND(0.5 * sqrt((120.0 * 111.0)
+                 * (360.0 * 111.0 * 0.743)
+                 / (SELECT n FROM n_all)), 4) AS expected_random_km,
+           ROUND(AVG(d) / (0.5 * sqrt((120.0 * 111.0)
+                 * (360.0 * 111.0 * 0.743)
+                 / (SELECT n FROM n_all))), 6) AS clark_evans_r
+    FROM nn
+    """,
+)
+def q352_clark_evans(spark, sf_dir):
+    """Clark-Evans aggregation index: observed mean nearest-neighbor
+    distance over the 0.5·√(A/n) expectation for uniform-random points
+    (R≈1 random, R<1 clustered, R→2.15 dispersed) — the spatial
+    randomness test, here over the md5-coordinate fixture with the
+    study area's mean-latitude cosine folded into A.  Reuses the q282
+    blocked-NN join; the index is one aggregate over the NN table."""
+    ev = _t(spark, sf_dir, "events")
+    frac = lambda tag: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), F.col("user_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 281474976710656.0
+    )
+    pts = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (frac("lat_") * 120.0 - 60.0).alias("lat"),
+            (frac("lon_") * 360.0 - 180.0).alias("lon"),
+        )
+    )
+    cells = pts.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / 9.0).cast("bigint").alias("cla"),
+        F.floor(F.col("lon") / 18.0).cast("bigint").alias("clo"),
+    )
+    d3 = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    lhs = (
+        cells.withColumn("da", F.explode(d3))
+        .withColumn("dl", F.explode(d3))
+        .select(
+            "user_id",
+            "lat",
+            "lon",
+            (F.col("cla") + F.col("da")).alias("cla"),
+            (F.col("clo") + F.col("dl")).alias("clo"),
+        )
+    )
+    a, b = lhs.alias("a"), cells.alias("b")
+    dlat = F.radians(F.col("b.lat") - F.col("a.lat")) / 2
+    dlon = F.radians(F.col("b.lon") - F.col("a.lon")) / 2
+    dist = F.round(
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(dlat), 2)
+                + F.cos(F.radians(F.col("a.lat")))
+                * F.cos(F.radians(F.col("b.lat")))
+                * F.pow(F.sin(dlon), 2)
+            )
+        ),
+        3,
+    )
+    nn = (
+        a.join(
+            b,
+            (F.col("a.cla") == F.col("b.cla"))
+            & (F.col("a.clo") == F.col("b.clo"))
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("user_id"), dist.alias("d"))
+        .filter(F.col("d") <= 1000.0)
+        .groupBy("user_id")
+        .agg(F.min("d").alias("d"))
+    )
+    n_all = pts.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    expected = 0.5 * F.sqrt(
+        (120.0 * 111.0) * (360.0 * 111.0 * 0.743) / F.col("n")
+    )
+    return nn.crossJoin(F.broadcast(n_all)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_with_nn"),
+        F.round(F.avg("d"), 4).alias("mean_nn_km"),
+        F.round(F.max(expected), 4).alias("expected_random_km"),
+        F.round(F.avg("d") / F.max(expected), 6).alias(
+            "clark_evans_r"
+        ),
+    )
+
+
+@register(
     "q349_unit_economics",
     """
     WITH o AS (
