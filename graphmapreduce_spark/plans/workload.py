@@ -13710,6 +13710,112 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q353_subsample_convergence",
+    """
+    WITH rates AS (SELECT UNNEST([1, 5, 25, 100]) AS pct),
+    tagged AS (
+      SELECT o_totalprice,
+             ('0x' || substr(md5('ss_' || o_orderkey::VARCHAR), 1, 12))
+               ::BIGINT % 100 AS bucket
+      FROM orders
+    )
+    SELECT rates.pct,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(o_totalprice), 4) AS mean_est,
+           ROUND(STDDEV_SAMP(o_totalprice) / SQRT(COUNT(*)), 6)
+             AS stderr
+    FROM rates JOIN tagged ON tagged.bucket < rates.pct
+    GROUP BY rates.pct
+    """,
+)
+def q353_subsample_convergence(spark, sf_dir):
+    """Subsample-convergence table: the mean order value and its
+    standard error at deterministic 1/5/25/100% hash samples — 'how
+    much data does this metric need', the budget question answered
+    with nested samples (each rate's sample contains the smaller
+    ones, so the estimates converge monotonically in expectation).
+    One md5 bucket per row, a 4-rate conditional join."""
+    od = _t(spark, sf_dir, "orders")
+    tagged = od.select(
+        "o_totalprice",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ss_"),
+                            F.col("o_orderkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ).alias("bucket"),
+    )
+    rates = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x) for x in (1, 5, 25, 100)])
+        ).alias("pct")
+    )
+    return (
+        rates.crossJoin(tagged)
+        .filter(F.col("bucket") < F.col("pct"))
+        .groupBy("pct")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("mean_est"),
+            F.round(
+                F.stddev_samp("o_totalprice")
+                / F.sqrt(F.count(F.lit(1))),
+                6,
+            ).alias("stderr"),
+        )
+    )
+
+
+@register(
+    "q354_rare_category_collapse",
+    """
+    WITH counts AS (
+      SELECT p_type, COUNT(*) AS n FROM part GROUP BY p_type
+    ),
+    tagged AS (
+      SELECT CASE WHEN n >= 40 THEN p_type ELSE '<other>' END AS cat,
+             n
+      FROM counts
+    )
+    SELECT cat,
+           CAST(SUM(n) AS BIGINT) AS n_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_raw_categories
+    FROM tagged GROUP BY cat
+    """,
+)
+def q354_rare_category_collapse(spark, sf_dir):
+    """Rare-category collapsing (min-support 40): product types below
+    the support threshold fold into '<other>' — the categorical
+    preprocessing step that keeps one-hot/target encodings from
+    memorizing noise, reported as the post-collapse category table
+    with how many raw categories each bucket absorbed.  Two tiny
+    aggregations over the category-count table."""
+    pa = _t(spark, sf_dir, "part")
+    counts = pa.groupBy("p_type").agg(F.count(F.lit(1)).alias("n"))
+    tagged = counts.select(
+        F.when(F.col("n") >= 40, F.col("p_type"))
+        .otherwise("<other>")
+        .alias("cat"),
+        "n",
+    )
+    return tagged.groupBy("cat").agg(
+        F.sum("n").cast("bigint").alias("n_parts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_raw_categories"),
+    )
+
+
+@register(
     "q351_geo_hotspots",
     """
     WITH pts AS (
