@@ -13710,6 +13710,153 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q355_log_odds_terms",
+    r"""
+    WITH toks AS (
+      SELECT lang, UNNEST(list_filter(
+        string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+      FROM documents WHERE lang IN ('en', 'de')
+    ),
+    c AS (
+      SELECT term,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS a,
+             SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::DOUBLE AS b
+      FROM toks GROUP BY term
+    ),
+    tot AS (SELECT SUM(a) AS na, SUM(b) AS nb, SUM(a + b) AS n0
+            FROM c),
+    scored AS (
+      SELECT term, CAST(a AS BIGINT) AS n_en, CAST(b AS BIGINT) AS n_de,
+             ROUND(
+               (ln((a + 0.01 * (a + b))
+                   / (tot.na + 0.01 * tot.n0 - a - 0.01 * (a + b)))
+                - ln((b + 0.01 * (a + b))
+                     / (tot.nb + 0.01 * tot.n0 - b
+                        - 0.01 * (a + b))))
+               / sqrt(1.0 / (a + 0.01 * (a + b))
+                      + 1.0 / (b + 0.01 * (a + b))), 6) AS z
+      FROM c CROSS JOIN tot
+      WHERE a + b >= 10
+    )
+    SELECT term, n_en, n_de, z FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY z DESC, term ASC) AS rk
+      FROM scored) t
+    WHERE rk <= 15
+    """,
+)
+def q355_log_odds_terms(spark, sf_dir):
+    """Distinctive terms by weighted log-odds with an informative
+    Dirichlet prior (Monroe et al.'s 'Fightin' Words'): the top-15
+    en-vs-de terms by z-scored log-odds — the statistically honest
+    alternative to TF-IDF for WHICH WORDS DISTINGUISH TWO CORPORA
+    (raw ratios over-reward rare terms; the prior and variance term
+    fix that).  One grouped count per term, the totals as a broadcast
+    scalar, ranking on the ROUNDed z."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de")
+    )
+    toks = d.select("lang", F.explode(T.words("text")).alias("term"))
+    c = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("double")
+        .alias("a"),
+        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0))
+        .cast("double")
+        .alias("b"),
+    )
+    c = c.localCheckpoint(eager=False)
+    tot = c.agg(
+        F.sum("a").alias("na"),
+        F.sum("b").alias("nb"),
+        F.sum(F.col("a") + F.col("b")).alias("n0"),
+    )
+    ab = F.col("a") + F.col("b")
+    pa = F.col("a") + 0.01 * ab
+    pb = F.col("b") + 0.01 * ab
+    qa = F.col("na") + 0.01 * F.col("n0") - pa
+    qb = F.col("nb") + 0.01 * F.col("n0") - pb
+    z = F.round(
+        (F.log(pa / qa) - F.log(pb / qb))
+        / F.sqrt(1.0 / pa + 1.0 / pb),
+        6,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(tot))
+        .filter(ab >= 10)
+        .select(
+            "term",
+            F.col("a").cast("bigint").alias("n_en"),
+            F.col("b").cast("bigint").alias("n_de"),
+            z.alias("z"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("z").desc(), F.col("term").asc())
+        .limit(15)
+    )
+
+
+@register(
+    "q356_qq_table",
+    """
+    WITH qa0 AS (
+      SELECT quantile_cont(n_chars,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM documents WHERE source = 'src0'
+    ),
+    qb0 AS (
+      SELECT quantile_cont(n_chars,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM documents WHERE source = 'src1'
+    ),
+    qa AS (SELECT UNNEST(qs) AS q, generate_subscripts(qs, 1) AS i
+           FROM qa0),
+    qb AS (SELECT UNNEST(qs) AS q, generate_subscripts(qs, 1) AS i
+           FROM qb0)
+    SELECT qa.i AS decile,
+           ROUND(qa.q, 4) AS q_src0,
+           ROUND(qb.q, 4) AS q_src1,
+           ROUND(qb.q - qa.q, 4) + 0.0 AS shift,
+           ROUND(qb.q / qa.q, 6) AS ratio
+    FROM qa JOIN qb USING (i)
+    """,
+)
+def q356_qq_table(spark, sf_dir):
+    """Q-Q shift table: src0-vs-src1 document-length quantiles at each
+    decile with the absolute shift and ratio — WHERE the q296
+    Wasserstein mass moved (a tail-only shift and a uniform shift have
+    the same W₁ but opposite remedies).  One percentile-array
+    aggregate per side, a 9-row zip."""
+    d = _t(spark, sf_dir, "documents")
+    pcts = ",".join(str(i / 10.0) for i in range(1, 10))
+
+    def side(src, alias):
+        return (
+            d.filter(F.col("source") == src)
+            .agg(
+                F.expr(
+                    f"percentile(n_chars, array({pcts}))"
+                ).alias("qs")
+            )
+            .select(F.posexplode("qs").alias("i", alias))
+        )
+
+    qa = side("src0", "qa")
+    qb = side("src1", "qb")
+    return qa.join(qb, "i").select(
+        (F.col("i") + 1).alias("decile"),
+        F.round("qa", 4).alias("q_src0"),
+        F.round("qb", 4).alias("q_src1"),
+        # + 0.0 folds IEEE -0.0 (from rounding a tiny negative
+        # difference) back to +0.0 so both engines hash identically
+        (F.round(F.col("qb") - F.col("qa"), 4) + F.lit(0.0)).alias(
+            "shift"
+        ),
+        F.round(F.col("qb") / F.col("qa"), 6).alias("ratio"),
+    )
+
+
+@register(
     "q353_subsample_convergence",
     """
     WITH rates AS (SELECT UNNEST([1, 5, 25, 100]) AS pct),
