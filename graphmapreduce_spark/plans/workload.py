@@ -13710,6 +13710,137 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q357_shift_share",
+    """
+    WITH mid AS (
+      SELECT MIN(epoch(o_orderdate))
+             + (MAX(epoch(o_orderdate)) - MIN(epoch(o_orderdate)))
+               * 0.5 AS t
+      FROM orders
+    ),
+    rev AS (
+      SELECT c.c_nationkey AS nation,
+             CASE WHEN epoch(o.o_orderdate) < (SELECT t FROM mid)
+                  THEN 'h1' ELSE 'h2' END AS half,
+             SUM(o.o_totalprice) AS r
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT nation,
+             SUM(CASE WHEN half = 'h1' THEN r ELSE 0 END) AS r1,
+             SUM(CASE WHEN half = 'h2' THEN r ELSE 0 END) AS r2
+      FROM rev GROUP BY nation
+    ),
+    g AS (SELECT SUM(r2) / SUM(r1) - 1.0 AS g_tot FROM wide)
+    SELECT nation,
+           ROUND(r2 - r1, 2) AS actual_growth,
+           ROUND(r1 * (SELECT g_tot FROM g), 2) AS expected_growth,
+           ROUND((r2 - r1) - r1 * (SELECT g_tot FROM g), 2)
+             AS competitive_effect
+    FROM wide WHERE r1 > 0
+    """,
+)
+def q357_shift_share(spark, sf_dir):
+    """Shift-share growth decomposition per nation between the two
+    window halves: actual revenue growth vs the growth the nation
+    would have posted at the overall rate, with the residual as the
+    competitive effect — which markets genuinely out/under-performed
+    once the tide is removed.  One conditional-sum pivot per nation;
+    the overall rate folds in as a broadcast scalar."""
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    mid = od.agg(
+        (
+            F.min(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+            + (
+                F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+                - F.min(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+            )
+            * 0.5
+        ).alias("t")
+    )
+    rev = (
+        od.join(
+            F.broadcast(cu.select("c_custkey", "c_nationkey")),
+            od.o_custkey == F.col("c_custkey"),
+        )
+        .crossJoin(F.broadcast(mid))
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.unix_micros(F.col("o_orderdate").cast("timestamp")) < F.col("t"),
+                    F.col("o_totalprice"),
+                ).otherwise(0.0)
+            ).alias("r1"),
+            F.sum(
+                F.when(
+                    F.unix_micros(F.col("o_orderdate").cast("timestamp")) >= F.col("t"),
+                    F.col("o_totalprice"),
+                ).otherwise(0.0)
+            ).alias("r2"),
+        )
+    )
+    rev = rev.localCheckpoint(eager=False)
+    g = rev.agg((F.sum("r2") / F.sum("r1") - 1.0).alias("g_tot"))
+    return (
+        rev.crossJoin(F.broadcast(g))
+        .filter(F.col("r1") > 0)
+        .select(
+            "nation",
+            F.round(F.col("r2") - F.col("r1"), 2).alias(
+                "actual_growth"
+            ),
+            F.round(F.col("r1") * F.col("g_tot"), 2).alias(
+                "expected_growth"
+            ),
+            F.round(
+                (F.col("r2") - F.col("r1"))
+                - F.col("r1") * F.col("g_tot"),
+                2,
+            ).alias("competitive_effect"),
+        )
+    )
+
+
+@register(
+    "q358_metadata_consistency",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_chars <> length(text)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+           ROUND(AVG(CASE WHEN n_chars <> length(text)
+                     THEN 1.0 ELSE 0.0 END), 6) AS mismatch_rate,
+           CAST(MAX(ABS(n_chars - length(text))) AS BIGINT)
+             AS max_abs_gap
+    FROM documents GROUP BY source
+    """,
+)
+def q358_metadata_consistency(spark, sf_dir):
+    """Stored-metadata consistency audit: does the n_chars column
+    still equal length(text)?  Pre-computed statistics drift when text
+    is cleaned without refreshing them, and every query that trusts
+    the stale column inherits the error — the audit that catches it
+    is one scan of conditional aggregates."""
+    d = _t(spark, sf_dir, "documents")
+    mism = F.col("n_chars") != F.length("text")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(mism, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mismatched"),
+        F.round(
+            F.avg(F.when(mism, 1.0).otherwise(0.0)), 6
+        ).alias("mismatch_rate"),
+        F.max(F.abs(F.col("n_chars") - F.length("text")))
+        .cast("bigint")
+        .alias("max_abs_gap"),
+    )
+
+
+@register(
     "q355_log_odds_terms",
     r"""
     WITH toks AS (
