@@ -13710,6 +13710,119 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q359_sla_attainment",
+    """
+    WITH lt AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(AVG(CASE WHEN days <= 30 THEN 1.0 ELSE 0.0 END), 6)
+             AS within_30d,
+           ROUND(AVG(CASE WHEN days <= 60 THEN 1.0 ELSE 0.0 END), 6)
+             AS within_60d,
+           ROUND(AVG(CASE WHEN days <= 90 THEN 1.0 ELSE 0.0 END), 6)
+             AS within_90d
+    FROM lt GROUP BY priority
+    """,
+)
+def q359_sla_attainment(spark, sf_dir):
+    """SLA attainment by priority: the share of lines shipped within
+    30/60/90 days — thresholds, not distributions (q285 gives the
+    percentiles; contracts are written against attainment rates).
+    One fact join and a conditional-average agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    lt = (
+        li.join(
+            F.broadcast(
+                od.select("o_orderkey", "o_orderpriority", "o_orderdate")
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.to_date("o_orderdate")
+            ).alias("days"),
+        )
+    )
+
+    def within(d):
+        return F.round(
+            F.avg(
+                F.when(F.col("days") <= d, 1.0).otherwise(0.0)
+            ),
+            6,
+        )
+
+    return lt.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        within(30).alias("within_30d"),
+        within(60).alias("within_60d"),
+        within(90).alias("within_90d"),
+    )
+
+
+@register(
+    "q360_ttr_length_confound",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id, len(w) AS n_tokens,
+             len(list_distinct(w)) AS n_types
+      FROM t WHERE len(w) > 0
+    ),
+    tiled AS (
+      SELECT n_tokens, n_types,
+             NTILE(10) OVER (ORDER BY n_tokens, doc_id) AS decile
+      FROM stats
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_tokens), 4) AS mean_tokens,
+           ROUND(AVG(n_types::DOUBLE / n_tokens), 6) AS mean_ttr
+    FROM tiled GROUP BY decile
+    """,
+)
+def q360_ttr_length_confound(spark, sf_dir):
+    """The TTR-length confound made visible: mean type-token ratio per
+    document-length decile — TTR falls mechanically with length, so
+    any 'lexical diversity by source' comparison (q198) must be read
+    against this curve or length differences masquerade as vocabulary
+    differences.  Per-doc token/type counts at scan speed, one NTILE
+    over the docs-sized table."""
+    d = _t(spark, sf_dir, "documents")
+    stats = d.select(
+        "doc_id",
+        F.size(T.words("text")).alias("n_tokens"),
+        F.size(F.array_distinct(T.words("text"))).alias("n_types"),
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.orderBy("n_tokens", "doc_id")
+    tiled = stats.withColumn("decile", F.ntile(10).over(w))
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
+        F.round(
+            F.avg(
+                F.col("n_types").cast("double") / F.col("n_tokens")
+            ),
+            6,
+        ).alias("mean_ttr"),
+    )
+
+
+@register(
     "q357_shift_share",
     """
     WITH mid AS (
