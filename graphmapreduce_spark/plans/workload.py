@@ -13710,6 +13710,106 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q361_dead_stock",
+    """
+    WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem)
+    SELECT p.p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN s.l_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_never_sold,
+           ROUND(AVG(CASE WHEN s.l_partkey IS NULL THEN 1.0 ELSE 0.0
+                     END), 6) AS dead_rate,
+           ROUND(SUM(CASE WHEN s.l_partkey IS NULL
+                     THEN p.p_retailprice ELSE 0 END), 2)
+             AS dead_retail_value
+    FROM part p LEFT JOIN sold s ON p.p_partkey = s.l_partkey
+    GROUP BY p.p_type
+    """,
+)
+def q361_dead_stock(spark, sf_dir):
+    """Dead-stock report: catalog parts that never appear in a single
+    lineitem, by product type, with the retail value parked in them —
+    the classic left-anti inventory audit (here as a LEFT JOIN so the
+    live counts ride the same pass).  The sold-key set is
+    dimension-sized and broadcasts."""
+    pa = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    sold = li.select("l_partkey").distinct()
+    j = pa.join(
+        F.broadcast(sold), pa.p_partkey == sold.l_partkey, "left"
+    )
+    dead = F.col("l_partkey").isNull()
+    return j.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(F.when(dead, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_never_sold"),
+        F.round(
+            F.avg(F.when(dead, 1.0).otherwise(0.0)), 6
+        ).alias("dead_rate"),
+        F.round(
+            F.sum(
+                F.when(dead, F.col("p_retailprice")).otherwise(0.0)
+            ),
+            2,
+        ).alias("dead_retail_value"),
+    )
+
+
+@register(
+    "q362_lead_time_stability",
+    """
+    WITH lt AS (
+      SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS month,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    )
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(quantile_cont(days, 0.25), 4) AS p25,
+           ROUND(quantile_cont(days, 0.5), 4) AS p50,
+           ROUND(quantile_cont(days, 0.75), 4) AS p75
+    FROM lt GROUP BY month
+    HAVING COUNT(*) >= 50
+    """,
+)
+def q362_lead_time_stability(spark, sf_dir):
+    """Lead-time stability over time: the monthly p25/p50/p75 whisker
+    of order-to-ship days — a widening box is the operations early
+    warning long before the mean moves.  One fact join, per-month percentile
+    aggregates, months under 50 lines suppressed."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    lt = (
+        li.join(
+            F.broadcast(od.select("o_orderkey", "o_orderdate")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.to_date(F.date_trunc("month", "l_shipdate")).alias(
+                "month"
+            ),
+            F.datediff(
+                F.to_date("l_shipdate"), F.to_date("o_orderdate")
+            ).alias("days"),
+        )
+    )
+    return (
+        lt.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.expr("percentile(days, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(days, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(days, 0.75)"), 4).alias("p75"),
+        )
+        .filter(F.col("n_lines") >= 50)
+    )
+
+
+@register(
     "q359_sla_attainment",
     """
     WITH lt AS (
