@@ -13710,6 +13710,157 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q363_supplier_assortment_overlap",
+    """
+    WITH sp AS (
+      SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+    ),
+    sz AS (SELECT l_suppkey, COUNT(*) AS n FROM sp GROUP BY 1),
+    inter AS (
+      SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sp a JOIN sp b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 20
+    )
+    SELECT supp_a, supp_b, n_shared,
+           ROUND(n_shared::DOUBLE / (sa.n + sb.n - n_shared), 6)
+             AS assortment_jaccard
+    FROM inter
+    JOIN sz sa ON sa.l_suppkey = supp_a
+    JOIN sz sb ON sb.l_suppkey = supp_b
+    ORDER BY ROUND(n_shared::DOUBLE / (sa.n + sb.n - n_shared), 6)
+             DESC, supp_a, supp_b
+    LIMIT 20
+    """,
+)
+def q363_supplier_assortment_overlap(spark, sf_dir):
+    """Supplier assortment overlap: Jaccard of supplied-part sets for
+    the 20 most-overlapping supplier pairs (≥20 shared parts) — the
+    substitutability map procurement negotiates against.  Pairs
+    generate through the shared part (the inverted-index wedge, never
+    supplier × supplier), set sizes broadcast, ranking on the ROUNDed
+    Jaccard with key tiebreaks."""
+    li = _t(spark, sf_dir, "lineitem")
+    sp = li.select("l_suppkey", "l_partkey").distinct()
+    sp = sp.localCheckpoint(eager=False)
+    sz = sp.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sp.alias("a"), sp.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("supp_a"),
+            F.col("b.l_suppkey").alias("supp_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 20)
+    )
+    sa = sz.select(F.col("l_suppkey").alias("supp_a"),
+                   F.col("n").alias("na"))
+    sb = sz.select(F.col("l_suppkey").alias("supp_b"),
+                   F.col("n").alias("nb"))
+    jac = F.round(
+        F.col("n_shared").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_shared")),
+        6,
+    )
+    return (
+        inter.join(F.broadcast(sa), "supp_a")
+        .join(F.broadcast(sb), "supp_b")
+        .orderBy(jac.desc(), "supp_a", "supp_b")
+        .limit(20)
+        .select("supp_a", "supp_b", "n_shared",
+                jac.alias("assortment_jaccard"))
+    )
+
+
+@register(
+    "q364_behavior_maturation",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(epoch(ts)) AS t0 FROM events GROUP BY user_id
+    ),
+    tagged AS (
+      SELECT e.event_type,
+             CASE WHEN epoch(e.ts) <= f.t0 + 7 * 86400
+                  THEN 'first_week' ELSE 'after' END AS tenure
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ),
+    tot AS (
+      SELECT tenure, COUNT(*)::DOUBLE AS t FROM tagged GROUP BY tenure
+    )
+    SELECT tagged.event_type,
+           ROUND(SUM(CASE WHEN tagged.tenure = 'first_week'
+                     THEN 1.0 ELSE 0 END)
+                 / (SELECT t FROM tot WHERE tenure = 'first_week'), 6)
+             AS share_first_week,
+           ROUND(SUM(CASE WHEN tagged.tenure = 'after'
+                     THEN 1.0 ELSE 0 END)
+                 / (SELECT t FROM tot WHERE tenure = 'after'), 6)
+             AS share_after
+    FROM tagged GROUP BY tagged.event_type
+    """,
+)
+def q364_behavior_maturation(spark, sf_dir):
+    """Behavior maturation: the event-type mix during each user's
+    first week vs afterwards — activation behavior (signups, first
+    purchases) concentrates early; the divergence between the two
+    columns is what onboarding actually changes.  One per-user start
+    join, conditional shares against per-tenure totals."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts") / 1e6).alias("t0")
+    )
+    tagged = ev.join(firsts, "user_id").select(
+        "event_type",
+        F.when(
+            F.unix_micros("ts") / 1e6 <= F.col("t0") + 7 * 86400,
+            "first_week",
+        )
+        .otherwise("after")
+        .alias("tenure"),
+    )
+    tagged = tagged.localCheckpoint(eager=False)
+    tot = tagged.groupBy("tenure").agg(
+        F.count(F.lit(1)).cast("double").alias("t")
+    )
+    fw = tot.filter(F.col("tenure") == "first_week").select(
+        F.col("t").alias("t_fw")
+    )
+    af = tot.filter(F.col("tenure") == "after").select(
+        F.col("t").alias("t_af")
+    )
+    return (
+        tagged.groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("tenure") == "first_week", 1.0).otherwise(
+                    0.0
+                )
+            ).alias("n_fw"),
+            F.sum(
+                F.when(F.col("tenure") == "after", 1.0).otherwise(0.0)
+            ).alias("n_af"),
+        )
+        .crossJoin(F.broadcast(fw))
+        .crossJoin(F.broadcast(af))
+        .select(
+            "event_type",
+            F.round(F.col("n_fw") / F.col("t_fw"), 6).alias(
+                "share_first_week"
+            ),
+            F.round(F.col("n_af") / F.col("t_af"), 6).alias(
+                "share_after"
+            ),
+        )
+    )
+
+
+@register(
     "q361_dead_stock",
     """
     WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem)
