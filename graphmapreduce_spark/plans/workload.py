@@ -13710,6 +13710,128 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q365_order_splitting",
+    """
+    WITH per_day AS (
+      SELECT o_custkey, CAST(date_trunc('day', o_orderdate) AS DATE)
+               AS day,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT n AS orders_same_day,
+           CAST(COUNT(*) AS BIGINT) AS n_customer_days,
+           CAST(SUM(n) AS BIGINT) AS n_orders
+    FROM per_day GROUP BY n
+    """,
+)
+def q365_order_splitting(spark, sf_dir):
+    """Order-splitting detector: how often one customer places
+    multiple orders the same day — the histogram's n>1 tail is either
+    checkout fragmentation (minimum-order gaming) or an ingestion
+    duplicate bug, and both corrupt AOV.  Two cascaded hash aggs."""
+    od = _t(spark, sf_dir, "orders")
+    per_day = od.groupBy(
+        "o_custkey",
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per_day.groupBy(
+        F.col("n").alias("orders_same_day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customer_days"),
+        F.sum("n").cast("bigint").alias("n_orders"),
+    )
+
+
+@register(
+    "q366_concentration_trend",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+             SUM(value) AS v
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT day, v,
+             ROW_NUMBER() OVER (PARTITION BY day
+                                ORDER BY v, user_id) AS r,
+             COUNT(*) OVER (PARTITION BY day) AS n
+      FROM daily
+    ),
+    gini AS (
+      SELECT day,
+             SUM((2.0 * r - n - 1) * v)
+               / (MAX(n) * SUM(v)) AS g
+      FROM ranked WHERE n >= 10
+      GROUP BY day
+    ),
+    m AS (SELECT AVG(epoch(day) / 86400.0) AS mx, AVG(g) AS my
+          FROM gini)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(g), 6) AS mean_gini,
+           ROUND(SUM((epoch(day) / 86400.0 - m.mx) * (g - m.my))
+                 / SUM(POWER(epoch(day) / 86400.0 - m.mx, 2)), 9)
+             AS gini_trend_per_day
+    FROM gini CROSS JOIN m
+    GROUP BY m.mx, m.my
+    """,
+)
+def q366_concentration_trend(spark, sf_dir):
+    """Is revenue concentrating?  Daily per-user purchase Gini (the
+    q230 sorted-rank identity, per day on the day-partitioned rank
+    window) fitted with an OLS slope over time — a positive trend says
+    a shrinking set of users carries more of each day's revenue.
+    Days with <10 purchasers are suppressed; the fit runs on 30
+    sufficient-statistics rows."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.to_date(F.date_trunc("DAY", "ts")).alias("day"),
+            "user_id",
+        )
+        .agg(F.sum("value").alias("v"))
+    )
+    wd = Window.partitionBy("day")
+    wr = wd.orderBy("v", "user_id")
+    ranked = daily.select(
+        "day",
+        "v",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wd).alias("n"),
+    )
+    gini = (
+        ranked.filter(F.col("n") >= 10)
+        .groupBy("day")
+        .agg(
+            (
+                F.sum(
+                    (2.0 * F.col("r") - F.col("n") - 1) * F.col("v")
+                )
+                / (F.max("n") * F.sum("v"))
+            ).alias("g")
+        )
+    )
+    gini = gini.localCheckpoint(eager=False)
+    x = F.unix_date(F.col("day")).cast("double")
+    m = gini.agg(
+        F.avg(x).alias("mx"), F.avg("g").alias("my")
+    )
+    return (
+        gini.crossJoin(F.broadcast(m))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.avg("g"), 6).alias("mean_gini"),
+            F.round(
+                F.sum((x - F.col("mx")) * (F.col("g") - F.col("my")))
+                / F.sum(F.pow(x - F.col("mx"), 2)),
+                9,
+            ).alias("gini_trend_per_day"),
+        )
+    )
+
+
+@register(
     "q363_supplier_assortment_overlap",
     """
     WITH sp AS (
