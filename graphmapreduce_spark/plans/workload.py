@@ -13710,6 +13710,121 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q367_normalization_impact",
+    """
+    WITH raw AS (
+      SELECT COUNT(*) - COUNT(DISTINCT md5(text)) AS dups
+      FROM documents
+    ),
+    norm AS (
+      SELECT COUNT(*) - COUNT(DISTINCT md5(lower(trim(text))))
+               AS dups
+      FROM documents
+    ),
+    n AS (SELECT COUNT(*)::DOUBLE AS total FROM documents)
+    SELECT CAST((SELECT total FROM n) AS BIGINT) AS n_docs,
+           CAST((SELECT dups FROM raw) AS BIGINT) AS raw_dups,
+           CAST((SELECT dups FROM norm) AS BIGINT) AS normalized_dups,
+           CAST((SELECT dups FROM norm) - (SELECT dups FROM raw)
+                AS BIGINT) AS dups_gained_by_normalizing,
+           ROUND(((SELECT dups FROM norm) - (SELECT dups FROM raw))
+                 / (SELECT total FROM n), 6) AS gain_rate
+    FROM n
+    """,
+)
+def q367_normalization_impact(spark, sf_dir):
+    """Normalization-impact audit: exact-duplicate counts under raw
+    md5 vs lowercase+trim md5 — the delta is exactly how many
+    duplicates casing/whitespace noise hides from naive exact dedup,
+    which prices whether the normalize step (q85) is worth running
+    before the fingerprint pass.  Two distinct-counts in one scan
+    each."""
+    d = _t(spark, sf_dir, "documents")
+    agg = d.agg(
+        F.count(F.lit(1)).cast("double").alias("total"),
+        (
+            F.count(F.lit(1)) - F.count_distinct(F.md5("text"))
+        ).alias("raw_dups"),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.md5(F.lower(F.trim(F.col("text")))))
+        ).alias("norm_dups"),
+    )
+    return agg.select(
+        F.col("total").cast("bigint").alias("n_docs"),
+        F.col("raw_dups").cast("bigint").alias("raw_dups"),
+        F.col("norm_dups").cast("bigint").alias("normalized_dups"),
+        (F.col("norm_dups") - F.col("raw_dups"))
+        .cast("bigint")
+        .alias("dups_gained_by_normalizing"),
+        F.round(
+            (F.col("norm_dups") - F.col("raw_dups")) / F.col("total"),
+            6,
+        ).alias("gain_rate"),
+    )
+
+
+@register(
+    "q368_realized_vs_list_price",
+    """
+    WITH j AS (
+      SELECT p.p_type,
+             l.l_extendedprice / l.l_quantity AS unit_price,
+             p.p_retailprice
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_quantity > 0
+    )
+    SELECT p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(AVG(unit_price / p_retailprice), 6)
+             AS mean_realization,
+           ROUND(AVG(CASE WHEN unit_price > p_retailprice
+                     THEN 1.0 ELSE 0.0 END), 6)
+             AS share_above_list
+    FROM j GROUP BY p_type
+    """,
+)
+def q368_realized_vs_list_price(spark, sf_dir):
+    """Price realization by product type: the realized unit price as a
+    fraction of list (retail) price, plus the share of lines sold
+    ABOVE list — under 1.0 is structural discounting, above-list lines
+    are either premiums or data errors worth a look.  Broadcast part
+    join, one ratio agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    j = (
+        li.filter(F.col("l_quantity") > 0)
+        .join(
+            F.broadcast(
+                pa.select("p_partkey", "p_type", "p_retailprice")
+            ),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .select(
+            "p_type",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_price"
+            ),
+            "p_retailprice",
+        )
+    )
+    return j.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(
+            F.avg(F.col("unit_price") / F.col("p_retailprice")), 6
+        ).alias("mean_realization"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("unit_price") > F.col("p_retailprice"), 1.0
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("share_above_list"),
+    )
+
+
+@register(
     "q365_order_splitting",
     """
     WITH per_day AS (
