@@ -13710,6 +13710,111 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q369_duplicate_order_audit",
+    """
+    WITH sig AS (
+      SELECT o_custkey, o_totalprice,
+             CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1, 2, 3
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+             AS n_in_dup_groups,
+           CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+             AS n_suspected_dups,
+           ROUND(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END)::DOUBLE
+                 / SUM(n), 6) AS dup_rate
+    FROM sig
+    """,
+)
+def q369_duplicate_order_audit(spark, sf_dir):
+    """Fact-table duplicate audit: orders sharing (customer, total
+    price, day) — the attribute signature a double-submitted or
+    double-ingested order leaves — with the suspected-duplicate count
+    (group size minus one) and rate.  One signature agg, one rollup."""
+    od = _t(spark, sf_dir, "orders")
+    sig = od.groupBy(
+        "o_custkey",
+        "o_totalprice",
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return sig.agg(
+        F.sum("n").cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_in_dup_groups"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_suspected_dups"),
+        F.round(
+            F.sum(
+                F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)
+            ).cast("double")
+            / F.sum("n"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+@register(
+    "q370_cross_domain_summary",
+    r"""
+    WITH commerce AS (
+      SELECT (SELECT ROUND(SUM(o_totalprice), 2) FROM orders)
+               AS revenue,
+             (SELECT COUNT(DISTINCT o_custkey) FROM orders)
+               AS n_buyers
+    ),
+    behavior AS (
+      SELECT COUNT(DISTINCT user_id) AS n_users FROM events
+    ),
+    corpus AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len(list_filter(string_split_regex(trim(text),
+                 '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens,
+             ROUND(1.0 - COUNT(DISTINCT md5(text))::DOUBLE
+                   / COUNT(*), 6) AS exact_dup_rate
+      FROM documents
+    )
+    SELECT commerce.revenue, commerce.n_buyers, behavior.n_users,
+           corpus.n_docs, corpus.n_tokens, corpus.exact_dup_rate
+    FROM commerce CROSS JOIN behavior CROSS JOIN corpus
+    """,
+)
+def q370_cross_domain_summary(spark, sf_dir):
+    """Cross-domain summary card: total revenue and buyer count,
+    active users, corpus size in documents and whitespace tokens, and
+    the exact-duplicate rate — one row spanning all three fixture
+    domains, the executive header above the per-domain cards
+    (q200/q349/q350)."""
+    od = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    d = _t(spark, sf_dir, "documents")
+    commerce = od.agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count_distinct("o_custkey").alias("n_buyers"),
+    )
+    behavior = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    corpus = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(T.words("text"))).cast("bigint").alias(
+            "n_tokens"
+        ),
+        F.round(
+            1.0
+            - F.count_distinct(F.md5("text")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("exact_dup_rate"),
+    )
+    return (
+        commerce.crossJoin(F.broadcast(behavior))
+        .crossJoin(F.broadcast(corpus))
+    )
+
+
+@register(
     "q367_normalization_impact",
     """
     WITH raw AS (
