@@ -13710,6 +13710,154 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q371_reorder_cadence",
+    """
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+               LAG(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders
+    ),
+    g AS (SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL),
+    custs AS (
+      SELECT COUNT(DISTINCT o_custkey)::DOUBLE AS n_cust,
+             COUNT(DISTINCT CASE WHEN cnt > 1 THEN o_custkey END)
+               ::DOUBLE AS n_repeat
+      FROM (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+            GROUP BY o_custkey) t
+    )
+    SELECT CAST((SELECT n_cust FROM custs) AS BIGINT) AS n_customers,
+           ROUND((SELECT n_repeat FROM custs)
+                 / (SELECT n_cust FROM custs), 6) AS repeat_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap_days, 0.5), 4) AS median_gap_days,
+           ROUND(AVG(gap_days), 4) AS mean_gap_days
+    FROM g
+    """,
+)
+def q371_reorder_cadence(spark, sf_dir):
+    """Repeat-purchase cadence: the share of customers who ever
+    reorder, and the median/mean days between a customer's
+    consecutive orders — the replenishment-cycle input for campaign
+    timing.  One lag window on the customer partitioning plus a
+    repeat-rate rollup."""
+    od = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gaps = od.select(
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.to_date(F.lag("o_orderdate").over(w)),
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    custs = (
+        od.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_cust"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("double")
+            .alias("n_repeat"),
+        )
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_days, 0.5)"), 4).alias(
+            "median_gap_days"
+        ),
+        F.round(F.avg("gap_days"), 4).alias("mean_gap_days"),
+    ).crossJoin(F.broadcast(custs)).select(
+        F.col("n_cust").cast("bigint").alias("n_customers"),
+        F.round(F.col("n_repeat") / F.col("n_cust"), 6).alias(
+            "repeat_rate"
+        ),
+        "n_gaps",
+        "median_gap_days",
+        "mean_gap_days",
+    )
+
+
+@register(
+    "q372_brand_loyalty",
+    """
+    WITH cb AS (
+      SELECT o.o_custkey, p.p_brand, COUNT(*) AS n
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY o.o_custkey, p.p_brand
+    ),
+    per AS (
+      SELECT o_custkey,
+             MAX(n)::DOUBLE / SUM(n) AS top_brand_share,
+             SUM(n) AS n_lines
+      FROM cb GROUP BY o_custkey
+      HAVING SUM(n) >= 10
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(top_brand_share), 6) AS mean_top_brand_share,
+           ROUND(quantile_cont(top_brand_share, 0.5), 6)
+             AS median_top_brand_share,
+           ROUND(AVG(CASE WHEN top_brand_share >= 0.5
+                     THEN 1.0 ELSE 0.0 END), 6) AS share_loyal_50pct
+    FROM per
+    """,
+)
+def q372_brand_loyalty(spark, sf_dir):
+    """Brand loyalty: each qualifying customer's share of lines in
+    their single most-bought brand (≥10 lines), summarized — mean,
+    median, and the fraction of customers majority-committed to one
+    brand.  Two grouped aggs after broadcast dimension hops; MAX/SUM
+    per customer needs no window."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    pa = _t(spark, sf_dir, "part")
+    cb = (
+        li.join(
+            F.broadcast(od.select("o_orderkey", "o_custkey")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(pa.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("o_custkey", "p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per = (
+        cb.groupBy("o_custkey")
+        .agg(
+            (F.max("n").cast("double") / F.sum("n")).alias(
+                "top_brand_share"
+            ),
+            F.sum("n").alias("n_lines"),
+        )
+        .filter(F.col("n_lines") >= 10)
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.avg("top_brand_share"), 6).alias(
+            "mean_top_brand_share"
+        ),
+        F.round(
+            F.expr("percentile(top_brand_share, 0.5)"), 6
+        ).alias("median_top_brand_share"),
+        F.round(
+            F.avg(
+                F.when(F.col("top_brand_share") >= 0.5, 1.0).otherwise(
+                    0.0
+                )
+            ),
+            6,
+        ).alias("share_loyal_50pct"),
+    )
+
+
+@register(
     "q369_duplicate_order_audit",
     """
     WITH sig AS (
