@@ -13710,6 +13710,97 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q373_cross_shop_curve",
+    """
+    WITH breadth AS (
+      SELECT o.o_custkey,
+             COUNT(DISTINCT p.p_type) AS n_types,
+             SUM(l.l_extendedprice) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY o.o_custkey
+    )
+    SELECT n_types,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(revenue), 2) AS avg_revenue
+    FROM breadth GROUP BY n_types
+    """,
+)
+def q373_cross_shop_curve(spark, sf_dir):
+    """Cross-shop value curve: customers bucketed by how many product
+    types they buy, with average revenue per bucket — the
+    'omni-category customers are worth more' curve that justifies
+    cross-sell programs (or not).  One grouped distinct-count per
+    customer after broadcast dimension hops."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    pa = _t(spark, sf_dir, "part")
+    breadth = (
+        li.join(
+            F.broadcast(od.select("o_orderkey", "o_custkey")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(pa.select("p_partkey", "p_type")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count_distinct("p_type").alias("n_types"),
+            F.sum("l_extendedprice").alias("revenue"),
+        )
+    )
+    return breadth.groupBy("n_types").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.avg("revenue"), 2).alias("avg_revenue"),
+    )
+
+
+@register(
+    "q374_basket_size_value_corr",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             COUNT(*)::DOUBLE AS n_lines,
+             AVG(l_extendedprice) AS avg_line_value,
+             SUM(l_extendedprice) AS order_value
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(corr(n_lines, avg_line_value), 6)
+             AS corr_lines_linevalue,
+           ROUND(corr(n_lines, order_value), 6)
+             AS corr_lines_ordervalue,
+           ROUND(AVG(n_lines), 4) AS mean_lines
+    FROM per_order
+    """,
+)
+def q374_basket_size_value_corr(spark, sf_dir):
+    """Basket composition: does adding lines dilute line value?
+    Correlation of lines-per-order against average line value (the
+    dilution signal) and against total order value (the obvious
+    positive), from one per-order agg — the decomposition behind
+    upsell-vs-cross-sell strategy."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_lines"),
+        F.avg("l_extendedprice").alias("avg_line_value"),
+        F.sum("l_extendedprice").alias("order_value"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.corr("n_lines", "avg_line_value"), 6).alias(
+            "corr_lines_linevalue"
+        ),
+        F.round(F.corr("n_lines", "order_value"), 6).alias(
+            "corr_lines_ordervalue"
+        ),
+        F.round(F.avg("n_lines"), 4).alias("mean_lines"),
+    )
+
+
+@register(
     "q371_reorder_cadence",
     """
     WITH gaps AS (
