@@ -13710,6 +13710,140 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q375_new_vs_returning_revenue",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(MIN(date_trunc('day', ts)) AS DATE) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day,
+             CASE WHEN CAST(date_trunc('day', e.ts) AS DATE)
+                       = f.first_day
+                  THEN 'new' ELSE 'returning' END AS cohort,
+             SUM(e.value) AS rev
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT day,
+           ROUND(SUM(CASE WHEN cohort = 'new' THEN rev ELSE 0 END), 4)
+             AS new_revenue,
+           ROUND(SUM(CASE WHEN cohort = 'returning' THEN rev
+                     ELSE 0 END), 4) AS returning_revenue,
+           ROUND(SUM(CASE WHEN cohort = 'new' THEN rev ELSE 0 END)
+                 / SUM(rev), 6) AS new_share
+    FROM daily GROUP BY day
+    """,
+)
+def q375_new_vs_returning_revenue(spark, sf_dir):
+    """Daily revenue split new vs returning: purchases on a user's
+    very first active day count as acquisition revenue, everything
+    after as retention revenue — the mix whose drift tells you whether
+    growth is buying customers or keeping them.  One first-day join,
+    one conditional pivot per day."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.min(F.date_trunc("DAY", "ts"))).alias("first_day")
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            F.to_date(F.date_trunc("DAY", "ts")).alias("day"),
+            F.when(
+                F.to_date(F.date_trunc("DAY", "ts"))
+                == F.col("first_day"),
+                "new",
+            )
+            .otherwise("returning")
+            .alias("cohort"),
+        )
+        .agg(F.sum("value").alias("rev"))
+    )
+    return daily.groupBy("day").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("cohort") == "new", F.col("rev")).otherwise(
+                    0.0
+                )
+            ),
+            4,
+        ).alias("new_revenue"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("cohort") == "returning", F.col("rev")
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias("returning_revenue"),
+        F.round(
+            F.sum(
+                F.when(F.col("cohort") == "new", F.col("rev")).otherwise(
+                    0.0
+                )
+            )
+            / F.sum("rev"),
+            6,
+        ).alias("new_share"),
+    )
+
+
+@register(
+    "q376_discount_exposure",
+    """
+    SELECT CASE WHEN l_discount = 0 THEN '0_none'
+                WHEN l_discount <= 0.05 THEN '1_light'
+                ELSE '2_deep' END AS discount_band,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+             AS net_revenue,
+           ROUND(SUM(l_extendedprice * l_discount), 2)
+             AS discount_given,
+           ROUND(SUM(l_extendedprice * (1 - l_discount))
+                 / SUM(SUM(l_extendedprice * (1 - l_discount)))
+                   OVER (), 6) AS revenue_share
+    FROM lineitem
+    GROUP BY CASE WHEN l_discount = 0 THEN '0_none'
+                  WHEN l_discount <= 0.05 THEN '1_light'
+                  ELSE '2_deep' END
+    """,
+)
+def q376_discount_exposure(spark, sf_dir):
+    """Discount exposure: net revenue and the money given away per
+    discount band (none / ≤5% / deep), with each band's share of net
+    revenue — the margin-leakage one-pager.  One conditional groupBy;
+    the share normalizer is a window SUM over the 3-row aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_discount") == 0, "0_none")
+        .when(F.col("l_discount") <= 0.05, "1_light")
+        .otherwise("2_deep")
+    )
+    net = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    agg = li.groupBy(band.alias("discount_band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(net, 2).alias("net_revenue"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("discount_given"),
+        net.alias("_net_raw"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "discount_band",
+        "n_lines",
+        "net_revenue",
+        "discount_given",
+        F.round(
+            F.col("_net_raw") / F.sum("_net_raw").over(w), 6
+        ).alias("revenue_share"),
+    )
+
+
+@register(
     "q373_cross_shop_curve",
     """
     WITH breadth AS (
