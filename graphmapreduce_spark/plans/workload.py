@@ -13710,6 +13710,169 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q377_dedup_aware_sample",
+    """
+    WITH fp AS (
+      SELECT doc_id, source, md5(text) AS f,
+             ('0x' || substr(md5('draw_' || doc_id::VARCHAR), 1, 12))
+               ::BIGINT / 281474976710656.0 AS u
+      FROM documents
+    ),
+    copies AS (
+      SELECT f, COUNT(*)::DOUBLE AS c FROM fp GROUP BY f
+    ),
+    tagged AS (
+      SELECT fp.source, fp.u, copies.c,
+             CASE WHEN fp.u < 1.0 / copies.c THEN 1 ELSE 0 END AS kept
+      FROM fp JOIN copies ON fp.f = copies.f
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           ROUND(AVG(kept::DOUBLE), 6) AS keep_rate
+    FROM tagged GROUP BY source
+    """,
+)
+def q377_dedup_aware_sample(spark, sf_dir):
+    """Dedup-aware sampling: each document survives with probability
+    1/copies (copies = exact-duplicate multiplicity), so every
+    DISTINCT text contributes one expected survivor however many
+    clones it has — the sampler that kills duplication bias without a
+    join against a dedup table at read time.  The draw is a
+    deterministic md5 uniform per doc (reproducible, oracle-exact);
+    multiplicity folds in by fingerprint join."""
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("draw_"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 281474976710656.0
+    )
+    fp = d.select(
+        "source", F.md5("text").alias("f"), u.alias("u")
+    )
+    copies = fp.groupBy("f").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tagged = fp.join(copies, "f").select(
+        "source",
+        F.when(F.col("u") < 1.0 / F.col("c"), 1)
+        .otherwise(0)
+        .alias("kept"),
+    )
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.round(
+            F.avg(F.col("kept").cast("double")), 6
+        ).alias("keep_rate"),
+    )
+
+
+@register(
+    "q378_closure_by_degree",
+    """
+    WITH und AS (
+      SELECT DISTINCT LEAST(l_orderkey % 2000, l_partkey % 2000) AS a,
+                      GREATEST(l_orderkey % 2000, l_partkey % 2000) AS b
+      FROM lineitem
+      WHERE l_orderkey % 2000 <> l_partkey % 2000 AND l_quantity <= 5
+    ),
+    sym AS (SELECT a AS id, b AS nbr FROM und
+            UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT id, COUNT(*) AS deg FROM sym GROUP BY id),
+    wedges AS (
+      SELECT l.id AS u, r.nbr AS w,
+             LEAST(du.deg, dw.deg) AS min_deg,
+             CASE WHEN EXISTS (SELECT 1 FROM und
+                               WHERE und.a = LEAST(l.id, r.nbr)
+                                 AND und.b = GREATEST(l.id, r.nbr))
+                  THEN 1 ELSE 0 END AS closed
+      FROM sym l JOIN sym r ON l.nbr = r.id AND l.id < r.nbr
+      JOIN deg du ON du.id = l.id
+      JOIN deg dw ON dw.id = r.nbr
+    )
+    SELECT CAST(LEAST(length(bin(min_deg)) - 1, 6) AS BIGINT)
+             AS degree_band,
+           CAST(COUNT(*) AS BIGINT) AS n_wedges,
+           ROUND(AVG(closed::DOUBLE), 6) AS closure_rate
+    FROM wedges GROUP BY 1
+    """,
+)
+def q378_closure_by_degree(spark, sf_dir):
+    """Wedge closure rate by endpoint-degree band: does triangle
+    closure concentrate among low- or high-degree endpoint pairs —
+    the degree-resolved view of q273's single global clustering
+    coefficient (hierarchical graphs close low-degree wedges far more
+    often).  The wedge join carries both endpoint degrees; closure is
+    one semi-join flag; exact bit-length log₂ bands cap at 6."""
+    li = _t(spark, sf_dir, "lineitem")
+    und = (
+        li.filter(F.col("l_quantity") <= 5)
+        .select(
+            F.least(
+                F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000
+            ).alias("a"),
+            F.greatest(
+                F.col("l_orderkey") % 2000, F.col("l_partkey") % 2000
+            ).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = und.select(F.col("a").alias("id"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("id"), F.col("a").alias("nbr"))
+    )
+    deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    l, r = sym.alias("l"), sym.alias("r")
+    wedges = (
+        l.join(r, (F.col("l.nbr") == F.col("r.id"))
+               & (F.col("l.id") < F.col("r.nbr")))
+        .select(F.col("l.id").alias("u"), F.col("r.nbr").alias("w"))
+        .join(deg.select(F.col("id").alias("u"),
+                         F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("w"),
+                         F.col("deg").alias("dw")), "w")
+    )
+    closed = (
+        wedges.join(
+            und.select(F.col("a").alias("u"), F.col("b").alias("w")),
+            ["u", "w"],
+            "left_semi",
+        )
+        .withColumn("closed", F.lit(1))
+    )
+    open_ = wedges.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("w")),
+        ["u", "w"],
+        "left_anti",
+    ).withColumn("closed", F.lit(0))
+    allw = closed.unionByName(open_)
+    # exact log2 band via bit length — floor(ln d / ln 2) can flip
+    # at powers of two on a last-ulp libm difference (the q232 lesson)
+    band = F.least(
+        F.length(F.bin(F.least("du", "dw"))) - 1, F.lit(6)
+    ).cast("bigint")
+    return allw.groupBy(band.alias("degree_band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_wedges"),
+        F.round(
+            F.avg(F.col("closed").cast("double")), 6
+        ).alias("closure_rate"),
+    )
+
+
+@register(
     "q375_new_vs_returning_revenue",
     """
     WITH firsts AS (
