@@ -13710,6 +13710,184 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q379_returns_by_leadtime",
+    """
+    WITH lt AS (
+      SELECT CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                 CAST(l.l_shipdate AS DATE)) < 30
+                  THEN '0_fast'
+                  WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                 CAST(l.l_shipdate AS DATE)) < 90
+                  THEN '1_medium'
+                  ELSE '2_slow' END AS lead_band,
+             CASE WHEN l.l_returnflag = 'R' THEN 1.0 ELSE 0.0 END
+               AS returned
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    ),
+    g AS (SELECT AVG(returned) AS grate FROM lt)
+    SELECT lead_band,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(AVG(returned), 6) AS return_rate,
+           ROUND(AVG(returned) - (SELECT grate FROM g), 6)
+             AS vs_global
+    FROM lt GROUP BY lead_band
+    """,
+)
+def q379_returns_by_leadtime(spark, sf_dir):
+    """Do slow shipments come back?  Return rate by order-to-ship
+    lead-time band against the global rate — the logistics-quality
+    cross-metric that connects q285's lead times to q338's returns.
+    One fact join, one conditional agg, global rate broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    days = F.datediff(
+        F.to_date("l_shipdate"), F.to_date("o_orderdate")
+    )
+    lt = (
+        li.join(
+            F.broadcast(od.select("o_orderkey", "o_orderdate")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.when(days < 30, "0_fast")
+            .when(days < 90, "1_medium")
+            .otherwise("2_slow")
+            .alias("lead_band"),
+            F.when(F.col("l_returnflag") == "R", 1.0)
+            .otherwise(0.0)
+            .alias("returned"),
+        )
+    )
+    lt = lt.localCheckpoint(eager=False)
+    g = lt.agg(F.avg("returned").alias("grate"))
+    return (
+        lt.groupBy("lead_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.avg("returned"), 6).alias("return_rate"),
+            F.avg("returned").alias("_r"),
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            "lead_band",
+            "n_lines",
+            "return_rate",
+            F.round(F.col("_r") - F.col("grate"), 6).alias(
+                "vs_global"
+            ),
+        )
+    )
+
+
+@register(
+    "q380_lsh_autotune",
+    """
+    WITH sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, GREATEST(length(text) - 2, 0) + 1),
+               i -> substr(text, i, 3))) AS grams
+      FROM documents WHERE doc_id < 100
+    ),
+    inv AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT ROUND(CAST(i AS DOUBLE) /
+                   (len(sa.grams) + len(sb.grams) - i), 6) AS s
+      FROM inter
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (len(sa.grams) + len(sb.grams) - i)
+            >= 0.5
+    ),
+    grid AS (
+      SELECT b, r FROM (SELECT UNNEST([4, 8, 16, 32]) AS b),
+                       (SELECT UNNEST([2, 4, 8]) AS r)
+    ),
+    scored AS (
+      SELECT grid.b, grid.r, grid.b * grid.r AS n_hashes,
+             AVG(1.0 - POWER(1.0 - POWER(pairs.s, grid.r), grid.b))
+               AS recall
+      FROM grid CROSS JOIN pairs
+      GROUP BY grid.b, grid.r
+    )
+    SELECT b, r, CAST(n_hashes AS BIGINT) AS n_hashes,
+           ROUND(recall, 6) AS expected_recall
+    FROM scored
+    WHERE recall >= 0.9
+    ORDER BY n_hashes ASC, ROUND(recall, 6) DESC, b ASC
+    LIMIT 5
+    """,
+)
+def q380_lsh_autotune(spark, sf_dir):
+    """LSH auto-tuner: evaluate every (bands, rows) configuration of
+    the q269 planner grid against the MEASURED ≥0.5-Jaccard pair
+    distribution (the q274 expected-recall integral per config), keep
+    configs reaching 90% expected recall, and return the 5 cheapest by
+    signature length — parameters chosen by the data, not by rule of
+    thumb.  One inverted-index pair pass; the 12-config grid rides a
+    broadcast cross join over the pair similarities."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_df=1000
+    ).select(F.col("jaccard").alias("s"))
+    pairs = pairs.localCheckpoint(eager=False)
+    grid = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(x) for x in (4, 8, 16, 32)])
+            ).alias("b")
+        )
+        .select(
+            "b",
+            F.explode(F.array(*[F.lit(x) for x in (2, 4, 8)])).alias(
+                "r"
+            ),
+        )
+    )
+    scored = (
+        F.broadcast(grid)
+        .crossJoin(pairs)
+        .groupBy("b", "r")
+        .agg(
+            F.avg(
+                1.0
+                - F.pow(
+                    1.0 - F.pow(F.col("s"), F.col("r")), F.col("b")
+                )
+            ).alias("recall")
+        )
+        .select(
+            "b",
+            "r",
+            (F.col("b") * F.col("r")).cast("bigint").alias("n_hashes"),
+            "recall",
+        )
+    )
+    return (
+        scored.filter(F.col("recall") >= 0.9)
+        .orderBy(
+            F.col("n_hashes").asc(),
+            F.round("recall", 6).desc(),
+            F.col("b").asc(),
+        )
+        .limit(5)
+        .select(
+            "b",
+            "r",
+            "n_hashes",
+            F.round("recall", 6).alias("expected_recall"),
+        )
+    )
+
+
+@register(
     "q377_dedup_aware_sample",
     """
     WITH fp AS (
