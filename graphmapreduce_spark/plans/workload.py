@@ -13710,6 +13710,121 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q381_brand_switching",
+    """
+    WITH order_brand AS (
+      SELECT o.o_custkey, o.o_orderkey, o.o_orderdate,
+             MIN(p.p_brand) AS brand
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate
+      HAVING COUNT(DISTINCT p.p_brand) = 1
+    ),
+    seq AS (
+      SELECT brand,
+             LAG(brand) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey)
+               AS prev_brand
+      FROM order_brand
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(CASE WHEN brand = prev_brand THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stayed,
+           ROUND(AVG(CASE WHEN brand = prev_brand THEN 1.0 ELSE 0.0
+                     END), 6) AS stay_rate
+    FROM seq WHERE prev_brand IS NOT NULL
+    """,
+)
+def q381_brand_switching(spark, sf_dir):
+    """Brand switching on single-brand orders: among a customer's
+    consecutive single-brand orders, how often does the next order
+    stay with the same brand — the behavioral loyalty rate (q372
+    measures SHARE of lines; this measures PERSISTENCE across
+    purchases).  Orders mixing brands are excluded so 'the order's
+    brand' is well-defined; one lag window per customer."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    pa = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(
+            F.broadcast(
+                od.select("o_orderkey", "o_custkey", "o_orderdate")
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(pa.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(
+            F.min("p_brand").alias("brand"),
+            F.count_distinct("p_brand").alias("nb"),
+        )
+        .filter(F.col("nb") == 1)
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = ob.select(
+        "brand", F.lag("brand").over(w).alias("prev_brand")
+    ).filter(F.col("prev_brand").isNotNull())
+    stay = F.when(F.col("brand") == F.col("prev_brand"), 1).otherwise(0)
+    return seq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        F.sum(stay).cast("bigint").alias("n_stayed"),
+        F.round(
+            F.avg(stay.cast("double")), 6
+        ).alias("stay_rate"),
+    )
+
+
+@register(
+    "q382_hapax_rate",
+    r"""
+    WITH toks AS (
+      SELECT source, UNNEST(list_filter(
+        string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, term, COUNT(*) AS n FROM toks GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax,
+           ROUND(AVG(CASE WHEN n = 1 THEN 1.0 ELSE 0.0 END), 6)
+             AS hapax_rate
+    FROM counts GROUP BY source
+    """,
+)
+def q382_hapax_rate(spark, sf_dir):
+    """Hapax legomena rate per source: the share of vocabulary
+    appearing exactly once — high hapax rates mean open vocabulary
+    (names, codes, noise) where stemming/normalization pays; low
+    rates mean closed templated text.  Two cascaded hash aggs on the
+    (source, term) key."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(T.words("text")).alias("term")
+    )
+    counts = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax"),
+        F.round(
+            F.avg(F.when(F.col("n") == 1, 1.0).otherwise(0.0)), 6
+        ).alias("hapax_rate"),
+    )
+
+
+@register(
     "q379_returns_by_leadtime",
     """
     WITH lt AS (
