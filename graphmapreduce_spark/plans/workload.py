@@ -13710,6 +13710,114 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q383_adjacent_doc_overlap",
+    r"""
+    WITH ws AS (
+      SELECT doc_id, list_distinct(list_filter(
+        string_split_regex(trim(text), '\s+'), x -> x <> '')) AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id,
+             len(list_intersect(a.w, b.w))::DOUBLE AS inter,
+             len(a.w) + len(b.w)
+               - len(list_intersect(a.w, b.w)) AS uni
+      FROM ws a JOIN ws b ON b.doc_id = a.doc_id + 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(inter / uni), 6) AS mean_adjacent_jaccard,
+           CAST(SUM(CASE WHEN inter / uni >= 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high_overlap
+    FROM pairs
+    """,
+)
+def q383_adjacent_doc_overlap(spark, sf_dir):
+    """Ingest-stream redundancy: word-set Jaccard between each pair
+    of ADJACENT documents (doc_id, doc_id+1) — crawl near-duplicates
+    cluster in arrival order, so high adjacent overlap is the cheapest
+    early warning that the frontier is stuck on one site.  A band-1
+    self-join on the id (equi join on doc_id+1), set ops on the
+    per-row token arrays."""
+    d = _t(spark, sf_dir, "documents")
+    ws = d.select(
+        "doc_id", F.array_distinct(T.words("text")).alias("w")
+    )
+    a = ws.select(
+        F.col("doc_id"), F.col("w").alias("wa"),
+        (F.col("doc_id") + 1).alias("nxt"),
+    )
+    b = ws.select(
+        F.col("doc_id").alias("nxt"), F.col("w").alias("wb")
+    )
+    inter = F.size(F.array_intersect("wa", "wb")).cast("double")
+    uni = (
+        F.size("wa") + F.size("wb")
+        - F.size(F.array_intersect("wa", "wb"))
+    )
+    pairs = a.join(b, "nxt").select(
+        (inter / uni).alias("j")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg("j"), 6).alias("mean_adjacent_jaccard"),
+        F.sum(F.when(F.col("j") >= 0.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_high_overlap"),
+    )
+
+
+@register(
+    "q384_round_number_affinity",
+    """
+    WITH v AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(AVG(CASE WHEN cents % 100 = 0 THEN 1.0 ELSE 0.0
+                     END), 6) AS share_whole_dollar,
+           ROUND(AVG(CASE WHEN cents % 100 = 99 THEN 1.0 ELSE 0.0
+                     END), 6) AS share_99_cents,
+           ROUND(AVG(CASE WHEN cents % 50 = 0 THEN 1.0 ELSE 0.0
+                     END), 6) AS share_half_dollar,
+           ROUND(AVG(CASE WHEN cents % 1000 = 0 THEN 1.0 ELSE 0.0
+                     END), 6) AS share_ten_dollar
+    FROM v
+    """,
+)
+def q384_round_number_affinity(spark, sf_dir):
+    """Round-number affinity of order totals: shares at whole-dollar,
+    .99, half-dollar, and ten-dollar points — organic totals from
+    summed line items land on round numbers at roughly chance rates,
+    so excess affinity flags price-point psychology upstream or
+    fabricated/defaulted data (the forensic complement of q174's
+    Benford first-digit test).  Integer-cents modular arithmetic in
+    one scan."""
+    od = _t(spark, sf_dir, "orders")
+    v = od.select(
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+
+    def share(mod, rem):
+        return F.round(
+            F.avg(
+                F.when(F.col("cents") % mod == rem, 1.0).otherwise(0.0)
+            ),
+            6,
+        )
+
+    return v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        share(100, 0).alias("share_whole_dollar"),
+        share(100, 99).alias("share_99_cents"),
+        share(50, 0).alias("share_half_dollar"),
+        share(1000, 0).alias("share_ten_dollar"),
+    )
+
+
+@register(
     "q381_brand_switching",
     """
     WITH order_brand AS (
