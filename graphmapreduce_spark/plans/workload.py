@@ -13710,6 +13710,140 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q385_class_separation",
+    """
+    WITH ev AS (
+      SELECT vec_id, label, i, v FROM (
+        SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        FROM embeddings),
+        LATERAL (SELECT UNNEST(range(1, 65)) AS i, UNNEST(emb) AS v)
+    ),
+    cent AS (
+      SELECT label, i, AVG(v) AS c FROM ev GROUP BY label, i
+    ),
+    within AS (
+      SELECT SQRT(SUM(POWER(ev.v - cent.c, 2))) AS d
+      FROM ev JOIN cent ON ev.label = cent.label AND ev.i = cent.i
+      GROUP BY ev.vec_id
+    ),
+    between_ AS (
+      SELECT SQRT(SUM(POWER(a.c - b.c, 2))) AS d
+      FROM cent a JOIN cent b
+        ON a.i = b.i AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT ROUND((SELECT AVG(d) FROM within), 6) AS mean_within,
+           ROUND((SELECT AVG(d) FROM between_), 6) AS mean_between,
+           ROUND((SELECT AVG(d) FROM between_)
+                 / (SELECT AVG(d) FROM within), 6)
+             AS separation_ratio
+    """,
+)
+def q385_class_separation(spark, sf_dir):
+    """Class separability of the embedding space: mean
+    between-centroid distance over mean point-to-own-centroid
+    distance — below ~1 the labels are not linearly clusterable and
+    any centroid-based ANN routing (q49 IVF) will mix classes.
+    Centroids come from one grouped mean over the unnested
+    (label, dim) table; both distance pools are centroid-sized."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.as_double("embedding").alias("v")
+    )
+    ev = e.select(
+        "vec_id", "label", F.posexplode("v").alias("i0", "val")
+    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "val")
+    cent = ev.groupBy("label", "i").agg(F.avg("val").alias("c"))
+    cent = cent.localCheckpoint(eager=False)
+    within = (
+        ev.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id")
+        .agg(
+            F.sqrt(
+                F.sum(F.pow(F.col("val") - F.col("c"), 2))
+            ).alias("d")
+        )
+        .agg(F.avg("d").alias("mean_within"))
+    )
+    a = cent.select(
+        F.col("label").alias("la"), "i", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("lb"), "i", F.col("c").alias("cb")
+    )
+    between = (
+        a.join(b, "i")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sqrt(
+                F.sum(F.pow(F.col("ca") - F.col("cb"), 2))
+            ).alias("d")
+        )
+        .agg(F.avg("d").alias("mean_between"))
+    )
+    return within.crossJoin(F.broadcast(between)).select(
+        F.round("mean_within", 6).alias("mean_within"),
+        F.round("mean_between", 6).alias("mean_between"),
+        F.round(
+            F.col("mean_between") / F.col("mean_within"), 6
+        ).alias("separation_ratio"),
+    )
+
+
+@register(
+    "q386_dominant_term_docs",
+    r"""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*)::DOUBLE AS n FROM (
+        SELECT doc_id, UNNEST(list_filter(
+          string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+        FROM documents)
+      GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT doc_id, MAX(n) / SUM(n) AS top_share
+      FROM tf GROUP BY doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(top_share), 6) AS mean_top_share,
+           CAST(SUM(CASE WHEN top_share > 0.2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dominated,
+           ROUND(AVG(CASE WHEN top_share > 0.2 THEN 1.0 ELSE 0.0
+                     END), 6) AS dominated_rate
+    FROM per
+    """,
+)
+def q386_dominant_term_docs(spark, sf_dir):
+    """Dominant-term detector: documents where one token carries more
+    than 20% of all tokens — keyword-stuffed spam and broken
+    templates, at the TERM level where q127's character-repetition
+    gate is blind.  Per-doc MAX/SUM over the term-frequency table,
+    one rollup."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(T.words("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    per = tf.groupBy("doc_id").agg(
+        (F.max("n") / F.sum("n")).alias("top_share")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("top_share"), 6).alias("mean_top_share"),
+        F.sum(F.when(F.col("top_share") > 0.2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dominated"),
+        F.round(
+            F.avg(
+                F.when(F.col("top_share") > 0.2, 1.0).otherwise(0.0)
+            ),
+            6,
+        ).alias("dominated_rate"),
+    )
+
+
+@register(
     "q383_adjacent_doc_overlap",
     r"""
     WITH ws AS (
