@@ -13710,6 +13710,154 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q387_longest_type_runs",
+    """
+    WITH runs AS (
+      SELECT user_id, event_type,
+             SUM(brk) OVER (PARTITION BY user_id
+                            ORDER BY ts_ord
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM (SELECT user_id, event_type, brk,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                     AS ts_ord,
+                   ts, event_id
+            FROM (SELECT user_id, event_type, ts, event_id,
+                         CASE WHEN LAG(event_type) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id) = event_type
+                              THEN 0 ELSE 1 END AS brk
+                  FROM events) t) t2
+    ),
+    run_len AS (
+      SELECT user_id, event_type, run_id, COUNT(*) AS len
+      FROM runs GROUP BY user_id, event_type, run_id
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(len) AS BIGINT) AS longest_run,
+           ROUND(AVG(len), 6) AS mean_run_len
+    FROM run_len GROUP BY event_type
+    """,
+)
+def q387_longest_type_runs(spark, sf_dir):
+    """Same-event-type run lengths per user (gaps-and-islands on the
+    type sequence): long unbroken runs of one type are either habits
+    or a stuck client re-firing — the run-length view that q348's
+    60-second window can't see.  One break-flag lag plus one
+    cumulative-sum window over the same per-user sort, then run
+    aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w) == F.col("event_type"), 0
+        )
+        .otherwise(1)
+        .alias("brk"),
+        F.row_number().over(w).alias("ts_ord"),
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts_ord").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    runs = marked.withColumn("run_id", F.sum("brk").over(wc))
+    run_len = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return run_len.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.max("len").cast("bigint").alias("longest_run"),
+        F.round(F.avg("len"), 6).alias("mean_run_len"),
+    )
+
+
+@register(
+    "q388_discount_return_odds",
+    """
+    WITH t AS (
+      SELECT CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS disc,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT SUM(CASE WHEN disc = 1 AND ret = 1 THEN 1 ELSE 0
+                 END)::DOUBLE AS a,
+             SUM(CASE WHEN disc = 1 AND ret = 0 THEN 1 ELSE 0
+                 END)::DOUBLE AS b,
+             SUM(CASE WHEN disc = 0 AND ret = 1 THEN 1 ELSE 0
+                 END)::DOUBLE AS c,
+             SUM(CASE WHEN disc = 0 AND ret = 0 THEN 1 ELSE 0
+                 END)::DOUBLE AS d
+      FROM t
+    )
+    SELECT CAST(a AS BIGINT) AS disc_returned,
+           CAST(b AS BIGINT) AS disc_kept,
+           CAST(c AS BIGINT) AS full_returned,
+           CAST(d AS BIGINT) AS full_kept,
+           ROUND((a * d) / (b * c), 6) AS odds_ratio,
+           ROUND(sqrt(1/a + 1/b + 1/c + 1/d), 6) AS log_or_se
+    FROM cells
+    """,
+)
+def q388_discount_return_odds(spark, sf_dir):
+    """Discount × return 2×2: the odds ratio of deeply discounted
+    lines being returned, with the Woolf standard error of the
+    log-odds — OR ≈ 1 within ±2·SE means discounting does not move
+    returns (sanity for 'discounted goods are worse' folklore).  One
+    conditional-cell aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.when(F.col("l_discount") > 0.05, 1).otherwise(0)
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    t = li.select(disc.alias("disc"), ret.alias("ret"))
+    cells = t.agg(
+        F.sum(
+            F.when((F.col("disc") == 1) & (F.col("ret") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("double")
+        .alias("a"),
+        F.sum(
+            F.when((F.col("disc") == 1) & (F.col("ret") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("double")
+        .alias("b"),
+        F.sum(
+            F.when((F.col("disc") == 0) & (F.col("ret") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("double")
+        .alias("c"),
+        F.sum(
+            F.when((F.col("disc") == 0) & (F.col("ret") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("double")
+        .alias("d"),
+    )
+    return cells.select(
+        F.col("a").cast("bigint").alias("disc_returned"),
+        F.col("b").cast("bigint").alias("disc_kept"),
+        F.col("c").cast("bigint").alias("full_returned"),
+        F.col("d").cast("bigint").alias("full_kept"),
+        F.round(
+            (F.col("a") * F.col("d")) / (F.col("b") * F.col("c")), 6
+        ).alias("odds_ratio"),
+        F.round(
+            F.sqrt(
+                1 / F.col("a")
+                + 1 / F.col("b")
+                + 1 / F.col("c")
+                + 1 / F.col("d")
+            ),
+            6,
+        ).alias("log_or_se"),
+    )
+
+
+@register(
     "q385_class_separation",
     """
     WITH ev AS (
