@@ -13710,6 +13710,124 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q389_series_corr_matrix",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*)::DOUBLE AS x
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(corr(a.x, b.x), 6) AS correlation
+    FROM daily a JOIN daily b
+      ON a.day = b.day AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def q389_series_corr_matrix(spark, sf_dir):
+    """Cross-series correlation matrix: same-day correlation of daily
+    volumes between every event-type pair — co-moving series share a
+    driver (traffic), anti-moving ones substitute; the q288 lead-lag
+    analysis starts from whichever pairs light up here.  The pair
+    join runs on the 150-row daily table."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("DAY", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "day",
+        F.col("x").alias("xa"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), "day",
+        F.col("x").alias("xb"),
+    )
+    return (
+        a.join(b, "day")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.corr("xa", "xb"), 6).alias("correlation"),
+        )
+    )
+
+
+@register(
+    "q390_fixed_effects_slope",
+    """
+    WITH p AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)::DOUBLE AS k
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT user_id, AVG(k) AS mk, AVG(value) AS mv,
+             COUNT(*) AS n
+      FROM p GROUP BY user_id HAVING COUNT(*) >= 3
+    ),
+    dm AS (
+      SELECT p.k - m.mk AS dk, p.value - m.mv AS dv
+      FROM p JOIN m ON p.user_id = m.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+           ROUND(SUM(dk * dv) / SUM(dk * dk), 6) AS within_user_slope,
+           ROUND(SUM(dk * dv)
+                 / SQRT(SUM(dk * dk) * SUM(dv * dv)), 6)
+             AS within_corr
+    FROM dm
+    """,
+)
+def q390_fixed_effects_slope(spark, sf_dir):
+    """Fixed-effects (within-user) regression: demean purchase value
+    and purchase index within each user (≥3 purchases), then pool the
+    OLS slope — does spend grow with the user's own experience, with
+    every between-user level difference controlled away (the pooled
+    q205-style OLS would confound rich users buying often).  One rank
+    window, per-user means as a join, one sufficient-statistics
+    aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "value",
+        F.row_number().over(w).cast("double").alias("k"),
+    )
+    p = p.localCheckpoint(eager=False)
+    m = (
+        p.groupBy("user_id")
+        .agg(
+            F.avg("k").alias("mk"),
+            F.avg("value").alias("mv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    dm = p.join(m, "user_id").select(
+        (F.col("k") - F.col("mk")).alias("dk"),
+        (F.col("value") - F.col("mv")).alias("dv"),
+    )
+    return dm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.round(
+            F.sum(F.col("dk") * F.col("dv"))
+            / F.sum(F.col("dk") * F.col("dk")),
+            6,
+        ).alias("within_user_slope"),
+        F.round(
+            F.sum(F.col("dk") * F.col("dv"))
+            / F.sqrt(
+                F.sum(F.col("dk") * F.col("dk"))
+                * F.sum(F.col("dv") * F.col("dv"))
+            ),
+            6,
+        ).alias("within_corr"),
+    )
+
+
+@register(
     "q387_longest_type_runs",
     """
     WITH runs AS (
