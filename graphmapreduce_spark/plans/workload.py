@@ -19746,7 +19746,7 @@ _WINDOW_PRIORITY = [
     # session's full-registry tools/check_oracle.py sweeps recorded in
     # BASELINE.md — q151/q152 are rows-only decode checks with
     # pixel/waveform-exact pytests besides.
-    # ROUND-5 ROTATION QUEUE: q248–q380 (written after this round's
+    # ROUND-5 ROTATION QUEUE: q248–q390 (written after this round's
     # window locked; all green under the continuation-4 full-registry
     # sweep, BASELINE.md) — swap them in for their first driver rows
     # once CORRECTNESS_r04 lands.
