@@ -13710,6 +13710,119 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q391_balance_vs_spend",
+    """
+    WITH spend AS (
+      SELECT o_custkey, SUM(o_totalprice) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+      SELECT c.c_acctbal, COALESCE(spend.s, 0.0) AS s,
+             c.c_custkey
+      FROM customer c LEFT JOIN spend ON c.c_custkey = spend.o_custkey
+    ),
+    tiled AS (
+      SELECT c_acctbal, s,
+             NTILE(5) OVER (ORDER BY c_acctbal, c_custkey) AS quintile
+      FROM j
+    )
+    SELECT quintile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(c_acctbal), 4) AS mean_balance,
+           ROUND(AVG(s), 2) AS mean_spend,
+           ROUND(AVG(CASE WHEN s = 0 THEN 1.0 ELSE 0.0 END), 6)
+             AS never_ordered_rate
+    FROM tiled GROUP BY quintile
+    """,
+)
+def q391_balance_vs_spend(spark, sf_dir):
+    """Account balance vs realized spend: customers quintiled by
+    account balance with mean spend and the never-ordered rate per
+    quintile — whether the credit signal the dimension carries
+    predicts commercial behavior at all.  LEFT join keeps
+    zero-spenders (dropping them is survivor bias); NTILE with key
+    tiebreak."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    spend = od.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("s")
+    )
+    j = cu.join(
+        spend, cu.c_custkey == spend.o_custkey, "left"
+    ).select(
+        "c_acctbal",
+        "c_custkey",
+        F.coalesce("s", F.lit(0.0)).alias("s"),
+    )
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    tiled = j.withColumn("quintile", F.ntile(5).over(w))
+    return tiled.groupBy("quintile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("mean_balance"),
+        F.round(F.avg("s"), 2).alias("mean_spend"),
+        F.round(
+            F.avg(F.when(F.col("s") == 0, 1.0).otherwise(0.0)), 6
+        ).alias("never_ordered_rate"),
+    )
+
+
+@register(
+    "q392_stressed_supplier_exposure",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, SUM(l_extendedprice) AS r
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    j AS (
+      SELECT s.s_suppkey, s.s_acctbal, COALESCE(rev.r, 0.0) AS r
+      FROM supplier s LEFT JOIN rev ON s.s_suppkey = rev.l_suppkey
+    ),
+    tot AS (SELECT SUM(r) AS t FROM j)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stressed,
+           ROUND(SUM(CASE WHEN s_acctbal < 0 THEN r ELSE 0 END), 2)
+             AS stressed_revenue,
+           ROUND(SUM(CASE WHEN s_acctbal < 0 THEN r ELSE 0 END)
+                 / (SELECT t FROM tot), 6) AS stressed_share
+    FROM j
+    """,
+)
+def q392_stressed_supplier_exposure(spark, sf_dir):
+    """Financially stressed supplier exposure: suppliers with negative
+    account balance, and the share of line revenue flowing through
+    them — the counterparty-risk number procurement watches.  One
+    revenue rollup, one dimension join, conditional shares."""
+    su = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum("l_extendedprice").alias("r")
+    )
+    j = su.join(
+        rev, su.s_suppkey == rev.l_suppkey, "left"
+    ).select(
+        "s_acctbal", F.coalesce("r", F.lit(0.0)).alias("r")
+    )
+    j = j.localCheckpoint(eager=False)
+    tot = j.agg(F.sum("r").alias("t"))
+    stressed = F.col("s_acctbal") < 0
+    return j.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum(F.when(stressed, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stressed"),
+        F.round(
+            F.sum(F.when(stressed, F.col("r")).otherwise(0.0)), 2
+        ).alias("stressed_revenue"),
+        F.round(
+            F.sum(F.when(stressed, F.col("r")).otherwise(0.0))
+            / F.max("t"),
+            6,
+        ).alias("stressed_share"),
+    )
+
+
+@register(
     "q389_series_corr_matrix",
     """
     WITH daily AS (
