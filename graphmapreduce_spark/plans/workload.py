@@ -13710,6 +13710,80 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q393_price_per_size",
+    """
+    SELECT p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(AVG(p_retailprice / p_size), 6) AS mean_price_per_size,
+           ROUND(corr(p_size, p_retailprice), 6) AS size_price_corr
+    FROM part WHERE p_size > 0
+    GROUP BY p_type
+    """,
+)
+def q393_price_per_size(spark, sf_dir):
+    """Size-normalized pricing: retail price per size unit and the
+    size-price correlation by type — near-zero correlation means the
+    catalog prices by SKU identity, not physical size, which changes
+    how substitution should be modeled.  One dimension scan."""
+    pa = _t(spark, sf_dir, "part")
+    return (
+        pa.filter(F.col("p_size") > 0)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(
+                F.avg(F.col("p_retailprice") / F.col("p_size")), 6
+            ).alias("mean_price_per_size"),
+            F.round(F.corr("p_size", "p_retailprice"), 6).alias(
+                "size_price_corr"
+            ),
+        )
+    )
+
+
+@register(
+    "q394_quantity_integerness",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(AVG(CASE WHEN l_quantity = FLOOR(l_quantity)
+                     THEN 1.0 ELSE 0.0 END), 6) AS integer_share,
+           ROUND(AVG(CASE WHEN l_quantity <= 0 THEN 1.0 ELSE 0.0
+                     END), 6) AS nonpositive_share,
+           ROUND(MIN(l_quantity), 4) AS min_qty,
+           ROUND(MAX(l_quantity), 4) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q394_quantity_integerness(spark, sf_dir):
+    """Quantity integrity: the share of integer-valued and
+    non-positive quantities per return flag — unit goods should be
+    whole numbers, so fractional or zero quantities are a schema
+    misuse (weights in a count column) or corruption signal.  One
+    conditional scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("l_quantity") == F.floor("l_quantity"), 1.0
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("integer_share"),
+        F.round(
+            F.avg(
+                F.when(F.col("l_quantity") <= 0, 1.0).otherwise(0.0)
+            ),
+            6,
+        ).alias("nonpositive_share"),
+        F.round(F.min("l_quantity"), 4).alias("min_qty"),
+        F.round(F.max("l_quantity"), 4).alias("max_qty"),
+    )
+
+
+@register(
     "q391_balance_vs_spend",
     """
     WITH spend AS (
