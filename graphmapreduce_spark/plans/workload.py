@@ -13710,6 +13710,124 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q395_first_order_predicts_repeat",
+    """
+    WITH firsts AS (
+      SELECT o_custkey, o_totalprice AS first_value,
+             cnt
+      FROM (
+        SELECT o_custkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+        FROM orders) t
+      WHERE rn = 1
+    ),
+    tiled AS (
+      SELECT first_value, CASE WHEN cnt > 1 THEN 1.0 ELSE 0.0 END
+               AS repeated,
+             NTILE(5) OVER (ORDER BY first_value, o_custkey)
+               AS quintile
+      FROM firsts
+    )
+    SELECT quintile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(first_value), 2) AS mean_first_value,
+           ROUND(AVG(repeated), 6) AS repeat_rate
+    FROM tiled GROUP BY quintile
+    """,
+)
+def q395_first_order_predicts_repeat(spark, sf_dir):
+    """Does the first order's size predict coming back?  Customers
+    quintiled by first-order value against their repeat rate — the
+    acquisition-quality signal available on day one.  One ranked
+    window picks the first order and carries the lifetime order count
+    in the same partitioning."""
+    od = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    firsts = (
+        od.select(
+            "o_custkey",
+            F.col("o_totalprice").alias("first_value"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("o_custkey"))
+            .alias("cnt"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    wq = Window.orderBy("first_value", "o_custkey")
+    tiled = firsts.select(
+        "first_value",
+        F.when(F.col("cnt") > 1, 1.0).otherwise(0.0).alias("repeated"),
+        F.ntile(5).over(wq).alias("quintile"),
+    )
+    return tiled.groupBy("quintile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.avg("first_value"), 2).alias("mean_first_value"),
+        F.round(F.avg("repeated"), 6).alias("repeat_rate"),
+    )
+
+
+@register(
+    "q396_vocab_gini",
+    r"""
+    WITH counts AS (
+      SELECT source, term, COUNT(*)::DOUBLE AS n FROM (
+        SELECT source, UNNEST(list_filter(
+          string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+        FROM documents)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT source, n,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n, term) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS v
+      FROM counts
+    )
+    SELECT source,
+           CAST(MAX(v) AS BIGINT) AS vocab,
+           ROUND(SUM((2.0 * r - v - 1) * n) / (MAX(v) * SUM(n)), 6)
+             AS term_gini
+    FROM ranked GROUP BY source
+    """,
+)
+def q396_vocab_gini(spark, sf_dir):
+    """Vocabulary concentration per source: the Gini coefficient of
+    term frequencies via the sorted-rank identity (per-source rank
+    windows over the vocab-sized count table) — the single-number
+    companion to the q226 Zipf exponent: high Gini means a few
+    function words carry the text, low means a flat specialized
+    vocabulary."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(T.words("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    ws = Window.partitionBy("source")
+    wr = ws.orderBy("n", "term")
+    ranked = counts.select(
+        "source",
+        "n",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(ws).alias("v"),
+    )
+    return ranked.groupBy("source").agg(
+        F.max("v").cast("bigint").alias("vocab"),
+        F.round(
+            F.sum((2.0 * F.col("r") - F.col("v") - 1) * F.col("n"))
+            / (F.max("v") * F.sum("n")),
+            6,
+        ).alias("term_gini"),
+    )
+
+
+@register(
     "q393_price_per_size",
     """
     SELECT p_type,
