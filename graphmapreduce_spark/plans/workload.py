@@ -13710,6 +13710,136 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q397_baseline_forecast_tournament",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*)::DOUBLE AS x
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.event_type, a.day, a.x AS actual,
+             n1.x AS naive_1d, n7.x AS naive_7d
+      FROM daily a
+      JOIN daily n1 ON a.event_type = n1.event_type
+                   AND n1.day = a.day - 1
+      JOIN daily n7 ON a.event_type = n7.event_type
+                   AND n7.day = a.day - 7
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(ABS(actual - naive_1d) / actual), 6)
+             AS mape_naive_1d,
+           ROUND(AVG(ABS(actual - naive_7d) / actual), 6)
+             AS mape_naive_7d,
+           CASE WHEN AVG(ABS(actual - naive_7d) / actual)
+                     < AVG(ABS(actual - naive_1d) / actual)
+                THEN 'seasonal' ELSE 'naive' END AS winner
+    FROM j GROUP BY event_type
+    """,
+)
+def q397_baseline_forecast_tournament(spark, sf_dir):
+    """Baseline forecast tournament: yesterday's value vs last week's
+    value as predictors of each day's volume, MAPE head-to-head per
+    event type — 'seasonal' winning means weekly structure dominates
+    day-to-day momentum, which decides every downstream model's
+    feature set.  Two date-offset self-joins of the 30-row daily
+    table."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("DAY", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    daily = daily.localCheckpoint(eager=False)
+    a = daily.select(
+        "event_type", F.col("day").alias("d"), F.col("x").alias("actual")
+    )
+    n1 = daily.select(
+        F.col("event_type").alias("et1"),
+        F.col("day").alias("d1"),
+        F.col("x").alias("naive_1d"),
+    )
+    n7 = daily.select(
+        F.col("event_type").alias("et7"),
+        F.col("day").alias("d7"),
+        F.col("x").alias("naive_7d"),
+    )
+    j = (
+        a.join(
+            n1,
+            (F.col("event_type") == F.col("et1"))
+            & (F.col("d1") == F.date_sub(F.col("d"), 1)),
+        )
+        .join(
+            n7,
+            (F.col("event_type") == F.col("et7"))
+            & (F.col("d7") == F.date_sub(F.col("d"), 7)),
+        )
+    )
+    m1 = F.avg(F.abs(F.col("actual") - F.col("naive_1d")) / F.col("actual"))
+    m7 = F.avg(F.abs(F.col("actual") - F.col("naive_7d")) / F.col("actual"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(m1, 6).alias("mape_naive_1d"),
+        F.round(m7, 6).alias("mape_naive_7d"),
+        F.when(m7 < m1, "seasonal").otherwise("naive").alias("winner"),
+    )
+
+
+@register(
+    "q398_dormancy_gaps",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch(ts) - epoch(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+      FROM events
+    ),
+    per AS (
+      SELECT user_id, MAX(gap) / 86400.0 AS max_gap_days
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(max_gap_days), 4) AS mean_max_gap_days,
+           ROUND(quantile_cont(max_gap_days, 0.9), 4)
+             AS p90_max_gap_days,
+           ROUND(AVG(CASE WHEN max_gap_days > 14 THEN 1.0 ELSE 0.0
+                     END), 6) AS share_dormant_14d
+    FROM per
+    """,
+)
+def q398_dormancy_gaps(spark, sf_dir):
+    """Dormancy profile: each user's LONGEST inactivity gap, and the
+    share who ever went dark 14+ days and came back — resurrection
+    potential (q245 counts resurrections per day; this measures how
+    deep the sleeps are).  One lag window, per-user max, one rollup."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") / 1e6
+            - F.unix_micros(F.lag("ts").over(w)) / 1e6
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    per = g.groupBy("user_id").agg(
+        (F.max("gap") / 86400.0).alias("max_gap_days")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.avg("max_gap_days"), 4).alias("mean_max_gap_days"),
+        F.round(
+            F.expr("percentile(max_gap_days, 0.9)"), 4
+        ).alias("p90_max_gap_days"),
+        F.round(
+            F.avg(
+                F.when(F.col("max_gap_days") > 14, 1.0).otherwise(0.0)
+            ),
+            6,
+        ).alias("share_dormant_14d"),
+    )
+
+
+@register(
     "q395_first_order_predicts_repeat",
     """
     WITH firsts AS (
