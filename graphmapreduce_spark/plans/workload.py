@@ -13710,6 +13710,108 @@ def q300_concurrency_profile(spark, sf_dir):
 
 
 @register(
+    "q399_dup_length_bias",
+    """
+    WITH fp AS (
+      SELECT md5(text) AS f, COUNT(*) AS copies,
+             MAX(n_chars) AS len
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT CASE WHEN copies = 1 THEN 'unique' ELSE 'duplicated' END
+             AS dup_class,
+           CAST(COUNT(*) AS BIGINT) AS n_texts,
+           ROUND(AVG(len), 4) AS mean_len,
+           ROUND(quantile_cont(len, 0.5), 4) AS median_len
+    FROM fp
+    GROUP BY CASE WHEN copies = 1 THEN 'unique' ELSE 'duplicated' END
+    """,
+)
+def q399_dup_length_bias(spark, sf_dir):
+    """Duplication-length bias: are duplicated texts systematically
+    shorter than unique ones?  (They usually are — boilerplate and
+    error pages dominate exact dups — which means naive dedup shifts
+    the corpus length distribution and everything downstream of it.)
+    One fingerprint agg, one two-class comparison."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.groupBy(F.md5("text").alias("f")).agg(
+        F.count(F.lit(1)).alias("copies"),
+        F.max("n_chars").alias("len"),
+    )
+    cls = F.when(F.col("copies") == 1, "unique").otherwise(
+        "duplicated"
+    )
+    return fp.groupBy(cls.alias("dup_class")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_texts"),
+        F.round(F.avg("len"), 4).alias("mean_len"),
+        F.round(F.expr("percentile(len, 0.5)"), 4).alias(
+            "median_len"
+        ),
+    )
+
+
+@register(
+    "q400_pipeline_yield",
+    r"""
+    WITH staged AS (
+      SELECT source,
+             length(trim(text)) >= 20 AS passes_gate,
+             md5(lower(trim(text))) AS f,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> ''))::DOUBLE AS toks,
+             ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                ORDER BY doc_id) AS copy_rank
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS raw_docs,
+           CAST(SUM(toks) AS BIGINT) AS raw_tokens,
+           CAST(SUM(CASE WHEN passes_gate AND copy_rank = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+           CAST(SUM(CASE WHEN passes_gate AND copy_rank = 1
+                    THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+           ROUND(SUM(CASE WHEN passes_gate AND copy_rank = 1
+                     THEN toks ELSE 0 END) / SUM(toks), 6)
+             AS token_yield
+    FROM staged GROUP BY source
+    """,
+)
+def q400_pipeline_yield(spark, sf_dir):
+    """The registry's 400th entry: end-to-end pipeline yield in ONE
+    query — normalize (lowercase+trim), exact-dedup keeping the
+    first copy per normalized fingerprint, gate junk (<20 chars), and
+    report per-source document and token yield — the whole q85→q40→
+    q127 pipeline's accounting, executed as a single plan: one
+    fingerprint window for winner-per-group, scan-speed gates, one
+    grouped rollup."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(
+        F.md5(F.lower(F.trim(F.col("text"))))
+    ).orderBy("doc_id")
+    staged = d.select(
+        "source",
+        (F.length(F.trim(F.col("text"))) >= 20).alias("passes_gate"),
+        T.n_words("text").cast("double").alias("toks"),
+        F.row_number().over(w).alias("copy_rank"),
+    )
+    kept = F.col("passes_gate") & (F.col("copy_rank") == 1)
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("raw_docs"),
+        F.sum("toks").cast("bigint").alias("raw_tokens"),
+        F.sum(F.when(kept, 1).otherwise(0))
+        .cast("bigint")
+        .alias("kept_docs"),
+        F.sum(F.when(kept, F.col("toks")).otherwise(0.0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.round(
+            F.sum(F.when(kept, F.col("toks")).otherwise(0.0))
+            / F.sum("toks"),
+            6,
+        ).alias("token_yield"),
+    )
+
+
+@register(
     "q397_baseline_forecast_tournament",
     """
     WITH daily AS (
