@@ -13812,6 +13812,154 @@ def q400_pipeline_yield(spark, sf_dir):
 
 
 @register(
+    "q401_source_kl",
+    r"""
+    WITH tok AS (
+      SELECT source, UNNEST(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               w -> w <> '')) AS w
+      FROM documents
+    ),
+    sw AS (SELECT source, w, CAST(COUNT(*) AS DOUBLE) AS cs
+           FROM tok GROUP BY source, w),
+    cw AS (SELECT w, CAST(SUM(cs) AS DOUBLE) AS c FROM sw GROUP BY w),
+    g AS (SELECT CAST(SUM(c) AS DOUBLE) AS n,
+                 CAST(COUNT(*) AS DOUBLE) AS v,
+                 SUM(LN(c)) AS lc
+          FROM cw),
+    per AS (
+      SELECT sw.source,
+             SUM(sw.cs) AS ns,
+             CAST(COUNT(*) AS DOUBLE) AS vs,
+             SUM(LN(cw.c)) AS lcs,
+             SUM((sw.cs + 1) * (LN(sw.cs + 1) - LN(cw.c)))
+               AS present_core
+      FROM sw JOIN cw USING (w)
+      GROUP BY sw.source
+    )
+    SELECT per.source,
+           CAST(per.ns AS BIGINT) AS n_tokens,
+           CAST(per.vs AS BIGINT) AS vocab_used,
+           ROUND((per.present_core - g.lc + per.lcs) / (per.ns + g.v)
+                 + LN(g.n) - LN(per.ns + g.v), 6) AS kl_nats
+    FROM per, g
+    """,
+)
+def q401_source_kl(spark, sf_dir):
+    """Per-source KL divergence from the corpus unigram LM — "which
+    source sounds least like the rest of the corpus", the domain-drift
+    statistic behind source-mixing decisions in pretraining-data prep.
+    Add-one smoothing over the corpus vocabulary means every source is
+    scored against ALL of V, but the absent-word mass is folded
+    analytically: for w the source never uses, p_s(w)=1/(n_s+V) is
+    constant, so the sum over V\\S collapses to global scalars
+    (V, ln n, sum-of-ln-counts) minus the source's own aggregates.
+    KL = (present_core - Lc + Lc_s)/(n_s+V) + ln n - ln(n_s+V) —
+    two hash aggs and a one-row broadcast, never a source x vocab
+    expansion.  Same tokenizer as q155's surprisal LM."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda w: w != "",
+    )
+    sw = (
+        d.select("source", F.explode(toks).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("cs"))
+        .localCheckpoint(eager=False)
+    )
+    cw = sw.groupBy("w").agg(F.sum("cs").alias("c"))
+    g = cw.agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.sum(F.log("c")).alias("lc"),
+    )
+    per = (
+        sw.join(cw, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cs").alias("ns"),
+            F.count(F.lit(1)).cast("double").alias("vs"),
+            F.sum(F.log("c")).alias("lcs"),
+            F.sum(
+                (F.col("cs") + 1)
+                * (F.log(F.col("cs") + 1) - F.log("c"))
+            ).alias("present_core"),
+        )
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "source",
+        F.col("ns").cast("bigint").alias("n_tokens"),
+        F.col("vs").cast("bigint").alias("vocab_used"),
+        F.round(
+            (F.col("present_core") - F.col("lc") + F.col("lcs"))
+            / (F.col("ns") + F.col("v"))
+            + F.log("n")
+            - F.log(F.col("ns") + F.col("v")),
+            6,
+        ).alias("kl_nats"),
+    )
+
+
+@register(
+    "q402_ship_window",
+    """
+    WITH span AS (
+      SELECT l_orderkey,
+             date_diff('day', MIN(CAST(l_shipdate AS DATE)),
+                       MAX(CAST(l_shipdate AS DATE))) AS span_days
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(AVG(span_days), 6) AS avg_span,
+           ROUND(quantile_cont(span_days, 0.9), 6) AS p90_span,
+           ROUND(AVG(CASE WHEN span_days = 0 THEN 1.0 ELSE 0.0 END),
+                 6) AS single_window_rate
+    FROM span JOIN orders o ON span.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q402_ship_window(spark, sf_dir):
+    """Ship-window span per order: days between an order's first and
+    last line shipment, summarized by priority.  A long window means
+    the order stayed open across many shipments (split fulfilment);
+    q285 measures order->first-ship latency, this measures the spread
+    WITHIN the order.  Per-order min/max agg, then a broadcast-sized
+    priority rollup with a continuous p90."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    span = li.groupBy("l_orderkey").agg(
+        F.datediff(
+            F.max(F.to_date("l_shipdate")),
+            F.min(F.to_date("l_shipdate")),
+        ).alias("span_days")
+    )
+    return (
+        span.join(
+            od.select("o_orderkey", "o_orderpriority"),
+            span.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.avg("span_days"), 6).alias("avg_span"),
+            F.round(
+                F.expr("percentile(span_days, 0.9)"), 6
+            ).alias("p90_span"),
+            F.round(
+                F.avg(
+                    F.when(F.col("span_days") == 0, 1.0).otherwise(
+                        0.0
+                    )
+                ),
+                6,
+            ).alias("single_window_rate"),
+        )
+    )
+
+
+@register(
     "q397_baseline_forecast_tournament",
     """
     WITH daily AS (
