@@ -13960,6 +13960,154 @@ def q402_ship_window(spark, sf_dir):
 
 
 @register(
+    "q403_sentence_stats",
+    r"""
+    WITH sent AS (
+      SELECT doc_id, source, trim(s) AS s
+      FROM (
+        SELECT doc_id, source, UNNEST(
+                 string_split_regex(text, '[.!?]+')) AS s
+        FROM documents)
+      WHERE trim(s) <> ''
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             COUNT(*) AS n_sent,
+             AVG(len(list_filter(string_split_regex(s, '\s+'),
+                                 w -> w <> ''))::DOUBLE) AS wps
+      FROM sent GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_sent), 6) AS avg_sentences,
+           ROUND(AVG(wps), 6) AS avg_words_per_sentence,
+           ROUND(quantile_cont(wps, 0.9), 6) AS p90_words_per_sentence
+    FROM per_doc GROUP BY source
+    """,
+)
+def q403_sentence_stats(spark, sf_dir):
+    """Sentence-level shape per source: sentences per doc and words
+    per sentence — the syntactic-complexity axis that word-level stats
+    (q42) can't see, and the input to readability gates beyond q137's
+    fixed formula.  Explode on terminal punctuation, per-doc agg, then
+    a source rollup; everything is codegen split/filter expressions."""
+    d = _t(spark, sf_dir, "documents")
+    sent = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(F.split("text", "[.!?]+")).alias("s0"),
+        )
+        .select("doc_id", "source", F.trim("s0").alias("s"))
+        .filter(F.col("s") != "")
+    )
+    per_doc = sent.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_sent"),
+        F.avg(
+            F.size(
+                F.filter(
+                    F.split("s", r"\s+"), lambda w: w != ""
+                )
+            ).cast("double")
+        ).alias("wps"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("n_sent"), 6).alias("avg_sentences"),
+        F.round(F.avg("wps"), 6).alias("avg_words_per_sentence"),
+        F.round(F.expr("percentile(wps, 0.9)"), 6).alias(
+            "p90_words_per_sentence"
+        ),
+    )
+
+
+@register(
+    "q404_local_bridges",
+    """
+    WITH e AS (
+      SELECT DISTINCT LEAST(l_orderkey % 2000, l_partkey % 2000) AS a,
+             GREATEST(l_orderkey % 2000, l_partkey % 2000) AS b
+      FROM lineitem
+      WHERE l_orderkey % 2000 <> l_partkey % 2000
+    ),
+    nbr AS (SELECT a AS v, b AS u FROM e
+            UNION ALL SELECT b AS v, a AS u FROM e),
+    supp AS (
+      SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS support
+      FROM e
+      JOIN nbr na ON na.v = e.a
+      JOIN nbr nb ON nb.v = e.b AND nb.u = na.u
+      GROUP BY e.a, e.b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM supp) AS BIGINT)
+             AS n_supported,
+           CAST((SELECT COUNT(*) FROM e) -
+                (SELECT COUNT(*) FROM supp) AS BIGINT) AS n_bridges,
+           ROUND(1.0 - (SELECT COUNT(*) FROM supp)::DOUBLE /
+                 (SELECT COUNT(*) FROM e), 6) AS bridge_rate,
+           ROUND((SELECT AVG(support) FROM supp), 6) AS avg_support
+    """,
+)
+def q404_local_bridges(spark, sf_dir):
+    """Granovetter local bridges: edges whose endpoints share NO
+    common neighbor — the weak ties that carry novel information
+    across communities, and exactly the support-0 edges k-truss
+    (q105) peels first.  Wedge join on the symmetric adjacency
+    (bounded: sum-of-degrees rows, same shape as triangle support),
+    then one anti-join-free summary row via two counts.  Uses a
+    sparser mod-2000 projection so bridges actually exist at small
+    scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = (F.col("l_orderkey") % 2000).alias("s")
+    t = (F.col("l_partkey") % 2000).alias("t")
+    e = (
+        li.select(s, t)
+        .filter(F.col("s") != F.col("t"))
+        .select(
+            F.least("s", "t").alias("a"),
+            F.greatest("s", "t").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nbr = e.select(
+        F.col("a").alias("v"), F.col("b").alias("u")
+    ).unionAll(e.select(F.col("b").alias("v"), F.col("a").alias("u")))
+    supp = (
+        e.join(
+            nbr.select(F.col("v").alias("va"), F.col("u").alias("ua")),
+            F.col("va") == F.col("a"),
+        )
+        .join(
+            nbr.select(F.col("v").alias("vb"), F.col("u").alias("ub")),
+            (F.col("vb") == F.col("b"))
+            & (F.col("ub") == F.col("ua")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    totals = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    stats = supp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_supported"),
+        F.avg("support").alias("avg_support_raw"),
+    )
+    return totals.crossJoin(F.broadcast(stats)).select(
+        "n_edges",
+        "n_supported",
+        (F.col("n_edges") - F.col("n_supported"))
+        .cast("bigint")
+        .alias("n_bridges"),
+        F.round(
+            F.lit(1.0)
+            - F.col("n_supported").cast("double") / F.col("n_edges"),
+            6,
+        ).alias("bridge_rate"),
+        F.round("avg_support_raw", 6).alias("avg_support"),
+    )
+
+
+@register(
     "q397_baseline_forecast_tournament",
     """
     WITH daily AS (
