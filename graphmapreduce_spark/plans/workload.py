@@ -14108,6 +14108,154 @@ def q404_local_bridges(spark, sf_dir):
 
 
 @register(
+    "q405_zipf_coverage",
+    r"""
+    WITH tok AS (
+      SELECT lang, UNNEST(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               w -> w <> '')) AS w
+      FROM documents
+    ),
+    v AS (SELECT lang, w, CAST(COUNT(*) AS DOUBLE) AS cnt
+          FROM tok GROUP BY lang, w),
+    r AS (
+      SELECT lang, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, w) AS rn,
+             SUM(cnt) OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, w) AS cum
+      FROM v
+    ),
+    tot AS (SELECT lang, SUM(cnt) AS n FROM v GROUP BY lang)
+    SELECT r.lang,
+           CAST(tot.n AS BIGINT) AS n_tokens,
+           CAST(MAX(r.rn) AS BIGINT) AS vocab,
+           ROUND(MAX(CASE WHEN r.rn <= 10 THEN r.cum END) / tot.n, 6)
+             AS cov_top10,
+           ROUND(MAX(CASE WHEN r.rn <= 100 THEN r.cum END) / tot.n, 6)
+             AS cov_top100,
+           ROUND(MAX(CASE WHEN r.rn <= 1000 THEN r.cum END) / tot.n,
+                 6) AS cov_top1000
+    FROM r JOIN tot USING (lang)
+    GROUP BY r.lang, tot.n
+    """,
+)
+def q405_zipf_coverage(spark, sf_dir):
+    """Zipf coverage curve per language: what fraction of the token
+    mass the top-10/100/1000 word types carry — the statistic that
+    sizes stopword lists and tokenizer vocabularies, and the
+    cumulative complement of q226's Zipf slope.  The ordered window
+    (rank + running sum) runs over the per-(lang, word) AGGREGATED
+    vocab table, never the raw token stream; ties break on the word
+    itself so the cumulative path is deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda w: w != "",
+    )
+    v = (
+        d.select("lang", F.explode(toks).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), "w"
+    )
+    r = v.select(
+        "lang",
+        "cnt",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    tot = v.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    cov = lambda k: F.round(  # noqa: E731
+        F.max(F.when(F.col("rn") <= k, F.col("cum"))) / F.first("n"),
+        6,
+    )
+    return (
+        r.join(F.broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(
+            F.first("n").cast("bigint").alias("n_tokens"),
+            F.max("rn").cast("bigint").alias("vocab"),
+            cov(10).alias("cov_top10"),
+            cov(100).alias("cov_top100"),
+            cov(1000).alias("cov_top1000"),
+        )
+    )
+
+
+@register(
+    "q406_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate <  DATE '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q406_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): revenue from orders where
+    the customer and the line's supplier sit in the SAME nation,
+    rolled up by nation within one region — the classic snowflake +
+    self-consistency join.  customer/supplier/nation/region broadcast
+    (dimension-sized); the only shuffle is lineitem joining orders on
+    orderkey; the date filter prunes at the orders scan before that
+    shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(c),
+            (F.col("o_custkey") == F.col("c_custkey")),
+        )
+        .join(
+            F.broadcast(su),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(
+            F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
     "q397_baseline_forecast_tournament",
     """
     WITH daily AS (
