@@ -14256,6 +14256,173 @@ def q406_local_supplier_volume(spark, sf_dir):
 
 
 @register(
+    "q407_dormant_high_balance",
+    """
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2000-01-01')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q407_dormant_high_balance(spark, sf_dir):
+    """TPC-H Q22's shape (global sales opportunity): customers whose
+    balance beats the positive-balance average yet who placed NO
+    order in the dataset's final 18 months — the scalar-subquery +
+    anti-join composition, by segment.  The average is a one-row
+    broadcast; the dormancy test is a LEFT ANTI against the date-
+    filtered o_custkey column (filter + pruning reach the orders
+    scan), so the big table contributes only recent keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    ab = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            o.filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+            .select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "q408_quarter_end_hockey_stick",
+    """
+    WITH q AS (
+      SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE)
+               AS quarter,
+             CAST(o_orderdate AS DATE) >=
+               CAST(date_trunc('quarter', o_orderdate)
+                    + INTERVAL 3 MONTH AS DATE) - 7 AS last_week,
+             o_totalprice AS rev
+      FROM orders
+    )
+    SELECT quarter,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(rev), 2) AS revenue,
+           ROUND(SUM(CASE WHEN last_week THEN rev ELSE 0 END)
+                 / SUM(rev), 6) AS last_week_share,
+           ROUND(AVG(CASE WHEN last_week THEN 1.0 ELSE 0.0 END), 6)
+             AS last_week_order_share
+    FROM q GROUP BY quarter
+    """,
+)
+def q408_quarter_end_hockey_stick(spark, sf_dir):
+    """Quarter-end hockey stick: the share of each quarter's revenue
+    booked in its final 7 days.  A flat ~7.7% means organic flow; a
+    spike means quota-driven pull-ins (or batch ingestion dumping at
+    period close) — either way downstream forecasts must model it.
+    Calendar arithmetic is codegen (date_trunc + add_months), one
+    grouped rollup, zero joins."""
+    od = _t(spark, sf_dir, "orders")
+    qstart = F.to_date(F.date_trunc("QUARTER", "o_orderdate"))
+    cutoff = F.date_sub(F.add_months(qstart, 3), 7)
+    q = od.select(
+        qstart.alias("quarter"),
+        (F.to_date("o_orderdate") >= cutoff).alias("last_week"),
+        F.col("o_totalprice").alias("rev"),
+    )
+    return q.groupBy("quarter").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.round(
+            F.sum(F.when(F.col("last_week"), F.col("rev")).otherwise(0))
+            / F.sum("rev"),
+            6,
+        ).alias("last_week_share"),
+        F.round(
+            F.avg(F.when(F.col("last_week"), 1.0).otherwise(0.0)), 6
+        ).alias("last_week_order_share"),
+    )
+
+
+@register(
+    "q409_butterfly_count",
+    """
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    wedge AS (
+      SELECT e1.c AS c1, e2.c AS c2
+      FROM e e1 JOIN e e2 ON e1.p = e2.p AND e1.c < e2.c
+    ),
+    m AS (SELECT c1, c2, CAST(COUNT(*) AS DOUBLE) AS shared
+          FROM wedge GROUP BY c1, c2)
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM wedge) AS BIGINT) AS n_wedges,
+           CAST((SELECT SUM(shared * (shared - 1) / 2) FROM m)
+                AS BIGINT) AS n_butterflies,
+           ROUND((SELECT SUM(shared * (shared - 1) / 2) FROM m) /
+                 (SELECT COUNT(*) FROM wedge), 6)
+             AS butterflies_per_wedge
+    """,
+)
+def q409_butterfly_count(spark, sf_dir):
+    """Butterfly (bipartite 4-cycle) count on the customer-part
+    purchase graph — the bipartite analogue of the triangle, the base
+    motif for bipartite clustering and co-purchase community
+    strength.  Wedges pair the customers of each part (sum-of-deg^2
+    rows, part-side); butterflies are C(shared,2) summed over
+    customer pairs.  At 100x the part-side wedge join takes the same
+    max_df degree cap as the shingle joins (q45/q232) — here the
+    exact count is the oracle contract."""
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_partkey").alias("p"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    wedge = (
+        e.select(F.col("c").alias("c1"), "p")
+        .join(
+            e.select(F.col("c").alias("c2"), "p"), "p"
+        )
+        .filter(F.col("c1") < F.col("c2"))
+    )
+    m = wedge.groupBy("c1", "c2").agg(
+        F.count(F.lit(1)).cast("double").alias("shared")
+    )
+    ecnt = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    stats = m.agg(
+        F.sum("shared").cast("bigint").alias("n_wedges"),
+        F.sum(
+            F.col("shared") * (F.col("shared") - 1) / 2
+        ).alias("bf"),
+    )
+    return ecnt.crossJoin(F.broadcast(stats)).select(
+        "n_edges",
+        "n_wedges",
+        F.col("bf").cast("bigint").alias("n_butterflies"),
+        F.round(F.col("bf") / F.col("n_wedges"), 6).alias(
+            "butterflies_per_wedge"
+        ),
+    )
+
+
+@register(
     "q397_baseline_forecast_tournament",
     """
     WITH daily AS (
