@@ -14423,6 +14423,87 @@ def q409_butterfly_count(spark, sf_dir):
 
 
 @register(
+    "q410_price_index",
+    """
+    WITH py AS (
+      SELECT l_partkey,
+             EXTRACT(year FROM l_shipdate) AS yr,
+             SUM(l_extendedprice) / SUM(l_quantity) AS p,
+             SUM(l_quantity) AS q
+      FROM lineitem
+      WHERE EXTRACT(year FROM l_shipdate) IN (1999, 2000)
+      GROUP BY l_partkey, EXTRACT(year FROM l_shipdate)
+    ),
+    both_years AS (
+      SELECT b.l_partkey, b.p AS p0, b.q AS q0, c.p AS p1, c.q AS q1
+      FROM py b JOIN py c ON b.l_partkey = c.l_partkey
+      WHERE b.yr = 1999 AND c.yr = 2000
+    )
+    SELECT pt.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(p1 * q0) / SUM(p0 * q0), 6) AS laspeyres,
+           ROUND(SUM(p1 * q1) / SUM(p0 * q1), 6) AS paasche,
+           ROUND(SQRT((SUM(p1 * q0) / SUM(p0 * q0)) *
+                      (SUM(p1 * q1) / SUM(p0 * q1))), 6) AS fisher
+    FROM both_years b JOIN part pt ON b.l_partkey = pt.p_partkey
+    GROUP BY pt.p_brand
+    """,
+)
+def q410_price_index(spark, sf_dir):
+    """Laspeyres / Paasche / Fisher price indices per brand, 1999 ->
+    2000: the index-number problem — base-year-weighted vs current-
+    year-weighted inflation disagree whenever quantity shifts toward
+    cheaper parts, and Fisher's geometric mean is the standard
+    compromise.  One year-partitioned agg, a self-join on partkey
+    restricted to parts traded in BOTH years, then brand sufficient
+    sums; the year filter prunes the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    py = (
+        li.filter(F.year("l_shipdate").isin(1999, 2000))
+        .groupBy(
+            "l_partkey", F.year("l_shipdate").alias("yr")
+        )
+        .agg(
+            (F.sum("l_extendedprice") / F.sum("l_quantity")).alias(
+                "p"
+            ),
+            F.sum("l_quantity").alias("q"),
+        )
+    )
+    base = py.filter(F.col("yr") == 1999).select(
+        "l_partkey",
+        F.col("p").alias("p0"),
+        F.col("q").alias("q0"),
+    )
+    cur = py.filter(F.col("yr") == 2000).select(
+        "l_partkey",
+        F.col("p").alias("p1"),
+        F.col("q").alias("q1"),
+    )
+    lasp = F.sum(F.col("p1") * F.col("q0")) / F.sum(
+        F.col("p0") * F.col("q0")
+    )
+    paas = F.sum(F.col("p1") * F.col("q1")) / F.sum(
+        F.col("p0") * F.col("q1")
+    )
+    return (
+        base.join(cur, "l_partkey")
+        .join(
+            F.broadcast(pt.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(lasp, 6).alias("laspeyres"),
+            F.round(paas, 6).alias("paasche"),
+            F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+        )
+    )
+
+
+@register(
     "q397_baseline_forecast_tournament",
     """
     WITH daily AS (
