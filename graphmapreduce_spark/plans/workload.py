@@ -14504,6 +14504,253 @@ def q410_price_index(spark, sf_dir):
 
 
 @register(
+    "q411_abc_classes",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS r
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, r,
+             SUM(r) OVER (ORDER BY r DESC, l_partkey) /
+               SUM(r) OVER () AS cum_share
+      FROM rev
+    )
+    SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(r), 2) AS revenue,
+           ROUND(SUM(r) / SUM(SUM(r)) OVER (), 6) AS revenue_share
+    FROM ranked
+    GROUP BY CASE WHEN cum_share <= 0.8 THEN 'A'
+                  WHEN cum_share <= 0.95 THEN 'B'
+                  ELSE 'C' END
+    """,
+)
+def q411_abc_classes(spark, sf_dir):
+    """ABC inventory classification: parts ranked by revenue, class A
+    carries the first 80% of cumulative share, B to 95%, C the tail —
+    the warehouse-policy partition (count A parts daily, C parts
+    yearly).  The ordered cumulative window runs over the per-part
+    AGGREGATED revenue table (deterministic partkey tiebreak), and
+    the class rollup reuses one grand-total window."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        ).alias("r")
+    )
+    wcum = Window.orderBy(F.col("r").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        "r",
+        (F.sum("r").over(wcum) / F.sum("r").over(wall)).alias(
+            "cum_share"
+        ),
+    )
+    cls = (
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    per = ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.round(F.sum("r"), 2).alias("revenue"),
+        F.sum("r").alias("raw_r"),
+    )
+    return per.withColumn(
+        "revenue_share",
+        F.round(F.col("raw_r") / F.sum("raw_r").over(wall), 6),
+    ).drop("raw_r")
+
+
+@register(
+    "q412_stl_lite_residuals",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    trend AS (
+      SELECT day, rev,
+             AVG(rev) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS ma7,
+             dayofweek(day) AS dow
+      FROM daily
+    ),
+    detrended AS (
+      SELECT day, dow, rev, ma7, rev - ma7 AS dt FROM trend
+    ),
+    dow_idx AS (
+      SELECT dow, AVG(dt) AS dow_effect FROM detrended GROUP BY dow
+    )
+    SELECT d.dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(i.dow_effect, 4) AS dow_effect,
+           ROUND(STDDEV_SAMP(d.dt - i.dow_effect), 4) AS resid_sd,
+           ROUND(STDDEV_SAMP(d.rev), 4) AS raw_sd
+    FROM detrended d JOIN dow_idx i ON d.dow = i.dow
+    GROUP BY d.dow, i.dow_effect
+    """,
+)
+def q412_stl_lite_residuals(spark, sf_dir):
+    """STL-lite decomposition of daily revenue: a centered 7-day
+    moving-average trend, a day-of-week seasonal index from the
+    detrended series, and the residual sd that's left — how much of
+    the raw volatility the two components explain (the go/no-go
+    check before fitting any real forecaster).  All windows run over
+    the 2,400-row daily AGGREGATE; the seasonal index joins back as a
+    7-row broadcast."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    wma = Window.orderBy("day").rowsBetween(-3, 3)
+    trend = daily.select(
+        "day",
+        "rev",
+        F.avg("rev").over(wma).alias("ma7"),
+        # DuckDB dayofweek is 0=Sunday..6; Spark's is 1..7 — shift.
+        (F.dayofweek("day") - F.lit(1)).cast("bigint").alias("dow"),
+    )
+    det = trend.withColumn("dt", F.col("rev") - F.col("ma7"))
+    dow_idx = det.groupBy("dow").agg(
+        F.avg("dt").alias("dow_effect")
+    )
+    return (
+        det.join(F.broadcast(dow_idx), "dow")
+        .groupBy("dow", "dow_effect")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(
+                F.stddev_samp(F.col("dt") - F.col("dow_effect")), 4
+            ).alias("resid_sd"),
+            F.round(F.stddev_samp("rev"), 4).alias("raw_sd"),
+        )
+        .select(
+            "dow",
+            "n_days",
+            F.round("dow_effect", 4).alias("dow_effect"),
+            "resid_sd",
+            "raw_sd",
+        )
+    )
+
+
+@register(
+    "q413_brevity_law",
+    r"""
+    WITH tok AS (
+      SELECT UNNEST(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               w -> w <> '')) AS w
+      FROM documents
+    ),
+    v AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS cnt
+          FROM tok GROUP BY w),
+    ranked AS (
+      SELECT w, cnt, length(w) AS wlen,
+             NTILE(10) OVER (ORDER BY cnt DESC, w) AS freq_decile
+      FROM v
+    )
+    SELECT freq_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           ROUND(AVG(wlen), 6) AS avg_type_len,
+           ROUND(SUM(wlen * cnt) / SUM(cnt), 6) AS avg_token_len
+    FROM ranked GROUP BY freq_decile
+    """,
+)
+def q413_brevity_law(spark, sf_dir):
+    """Zipf's law of abbreviation: frequent words are shorter.  Word
+    types bucketed into frequency deciles (NTILE over the aggregated
+    vocab, deterministic tiebreak), then type-weighted and token-
+    weighted mean lengths per decile — the monotone-ish decline is
+    the compression pressure that BPE tokenizers exploit, and a
+    corpus that violates it is usually machine-generated."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda w: w != "",
+    )
+    v = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    ranked = v.select(
+        "cnt",
+        F.length("w").alias("wlen"),
+        F.ntile(10)
+        .over(Window.orderBy(F.col("cnt").desc(), "w"))
+        .alias("freq_decile"),
+    )
+    return ranked.groupBy("freq_decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.round(F.avg("wlen"), 6).alias("avg_type_len"),
+        F.round(
+            F.sum(F.col("wlen") * F.col("cnt")) / F.sum("cnt"), 6
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "q414_transition_timing",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             LAG(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(date_diff('second', prev_ts, ts)), 4)
+             AS avg_gap_s,
+           ROUND(quantile_cont(date_diff('second', prev_ts, ts),
+                               0.5), 4) AS p50_gap_s
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def q414_transition_timing(spark, sf_dir):
+    """How long each event transition takes: q175 counts prev->next
+    frequencies, this adds the time dimension — mean and median
+    seconds between consecutive events per (prev, next) pair, the
+    dwell profile that separates considered purchases
+    (view->purchase, slow) from bot paths (uniform, fast).  One
+    user-partitioned ordered window, then a 25-cell rollup."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).filter(F.col("prev_type").isNotNull())
+    gap = F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+    return seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg(gap), 4).alias("avg_gap_s"),
+        F.round(F.expr(
+            "percentile(CAST(ts AS LONG) - CAST(prev_ts AS LONG), 0.5)"
+        ), 4).alias("p50_gap_s"),
+    )
+
+
+@register(
     "q397_baseline_forecast_tournament",
     """
     WITH daily AS (
