@@ -21197,6 +21197,552 @@ def q296_wasserstein_drift(spark, sf_dir):
     )
 
 
+@register(
+    "q415_kendall_tau",
+    """
+    WITH b AS (
+      SELECT p.p_brand AS brand,
+             AVG(l.l_extendedprice / l.l_quantity) AS x,
+             SUM(l.l_quantity) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ),
+    pairs AS (
+      SELECT a.x AS xa, a.y AS ya, c.x AS xb, c.y AS yb
+      FROM b a JOIN b c ON a.brand < c.brand
+    )
+    SELECT CAST(SUM(CASE WHEN (xa-xb)*(ya-yb) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS concordant,
+           CAST(SUM(CASE WHEN (xa-xb)*(ya-yb) < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS discordant,
+           CAST(SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS BIGINT)
+             AS ties_price,
+           CAST(SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS BIGINT)
+             AS ties_qty,
+           ROUND(CAST(SUM(CASE WHEN (xa-xb)*(ya-yb) > 0 THEN 1 ELSE 0 END)
+                    - SUM(CASE WHEN (xa-xb)*(ya-yb) < 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / SQRT((COUNT(*) - SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END))
+                      * (COUNT(*) - SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END))),
+                 6) AS tau_b
+    FROM pairs
+    """,
+)
+def q415_kendall_tau(spark, sf_dir):
+    """Kendall tau-b rank concordance between a brand's average unit
+    price and its total sold quantity — the nonparametric 'does
+    premium pricing depress volume' test that q293's Spearman answers
+    with ranks; tau answers it with pairwise orderings and has a
+    direct interpretation (P(concordant) − P(discordant)).  The
+    pairwise self-join runs over the 25-row brand AGGREGATE (300
+    pairs), never over lineitem — the standard trick that keeps the
+    O(k²) concordance count off the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    b = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("x"),
+            F.sum("l_quantity").alias("y"),
+        )
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(c, F.col("a.brand") < F.col("c.brand")).select(
+        F.col("a.x").alias("xa"),
+        F.col("a.y").alias("ya"),
+        F.col("c.x").alias("xb"),
+        F.col("c.y").alias("yb"),
+    )
+    prod = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    conc = F.sum(F.when(prod > 0, 1).otherwise(0))
+    disc = F.sum(F.when(prod < 0, 1).otherwise(0))
+    tx = F.sum(F.when(F.col("xa") == F.col("xb"), 1).otherwise(0))
+    ty = F.sum(F.when(F.col("ya") == F.col("yb"), 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return pairs.agg(
+        conc.cast("bigint").alias("concordant"),
+        disc.cast("bigint").alias("discordant"),
+        tx.cast("bigint").alias("ties_price"),
+        ty.cast("bigint").alias("ties_qty"),
+        F.round(
+            (conc - disc).cast("double") / F.sqrt((n - tx) * (n - ty)), 6
+        ).alias("tau_b"),
+    )
+
+
+@register(
+    "q416_theil_decomposition",
+    """
+    WITH cust AS (
+      SELECT o_custkey, SUM(o_totalprice) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    g AS (
+      SELECT n.n_name AS nation, COUNT(*)::DOUBLE AS n,
+             SUM(cust.x) AS sx, SUM(cust.x * LN(cust.x)) AS sxlx
+      FROM cust
+      JOIN customer c ON cust.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ),
+    tot AS (SELECT SUM(n) AS nt, SUM(sx) AS sxt FROM g)
+    SELECT g.nation,
+           CAST(g.n AS BIGINT) AS n_customers,
+           ROUND(g.sx / tot.sxt, 6) AS income_share,
+           ROUND(g.sxlx / g.sx - LN(g.sx / g.n), 6) AS theil_within,
+           ROUND((g.sx / tot.sxt)
+                 * (g.sxlx / g.sx - LN(g.sx / g.n)), 6) AS within_contrib,
+           ROUND((g.sx / tot.sxt)
+                 * LN((g.sx / g.n) / (tot.sxt / tot.nt)), 6) AS between_term
+    FROM g CROSS JOIN tot
+    """,
+)
+def q416_theil_decomposition(spark, sf_dir):
+    """Theil-T inequality of customer lifetime spend, decomposed by
+    nation: T = Σ_g s_g·T_g (within) + Σ_g s_g·ln(μ_g/μ) (between),
+    where s_g is the nation's share of total spend.  Unlike the Gini
+    family (q230/q323) the Theil index is additively decomposable, so
+    'how much inequality is cross-country vs within-country' falls out
+    exactly.  Each nation's T_g comes from sufficient statistics only
+    (n, Σx, Σx·ln x) — one grouped pass over the per-customer
+    aggregate, a 25-row broadcast against the grand totals, no sort."""
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    cust = od.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("x"))
+    g = (
+        cust.join(cu, cust.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.log("x")).alias("sxlx"),
+        )
+    )
+    tot = g.agg(F.sum("n").alias("nt"), F.sum("sx").alias("sxt"))
+    share = F.col("sx") / F.col("sxt")
+    t_within = F.col("sxlx") / F.col("sx") - F.log(F.col("sx") / F.col("n"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(share, 6).alias("income_share"),
+        F.round(t_within, 6).alias("theil_within"),
+        F.round(share * t_within, 6).alias("within_contrib"),
+        F.round(
+            share
+            * F.log(
+                (F.col("sx") / F.col("n")) / (F.col("sxt") / F.col("nt"))
+            ),
+            6,
+        ).alias("between_term"),
+    )
+
+
+@register(
+    "q417_mixture_epochs",
+    r"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(
+                 string_split_regex(trim(text), '\s+'),
+                 w -> w <> ''))) AS DOUBLE) AS toks
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(toks) AS tt, COUNT(*)::DOUBLE AS k FROM s)
+    SELECT s.source,
+           CAST(s.toks AS BIGINT) AS tokens,
+           ROUND(0.5 * tot.tt / tot.k, 4) AS requested_tokens,
+           ROUND(0.5 * tot.tt / tot.k / s.toks, 6) AS epochs_needed,
+           ROUND(LEAST(0.5 * tot.tt / tot.k / s.toks, 2.0), 6)
+             AS epochs_capped,
+           ROUND(LEAST(0.5 * tot.tt / tot.k / s.toks, 2.0) * s.toks, 4)
+             AS achieved_tokens,
+           ROUND(GREATEST(0.5 * tot.tt / tot.k
+                 - LEAST(0.5 * tot.tt / tot.k / s.toks, 2.0) * s.toks,
+                 0), 4) AS shortfall_tokens
+    FROM s CROSS JOIN tot
+    """,
+)
+def q417_mixture_epochs(spark, sf_dir):
+    """Training-mixture epoch solver: given a token budget (here half
+    the corpus) split uniformly across sources, how many epochs of
+    each source does its slice demand, capped at a max-repetition
+    budget (2 epochs, the data-constrained-scaling rule of thumb), and
+    how many tokens go unfilled.  The per-source token census is one
+    grouped scan; everything after is arithmetic on the 20-row source
+    table against a broadcast grand total — the planner that decides
+    'can this mixture even be served by this corpus'."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != ""
+        )
+    )
+    s = d.groupBy("source").agg(
+        F.sum(toks).cast("double").alias("toks")
+    )
+    tot = s.agg(
+        F.sum("toks").alias("tt"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    req = F.lit(0.5) * F.col("tt") / F.col("k")
+    need = req / F.col("toks")
+    capped = F.least(need, F.lit(2.0))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("toks").cast("bigint").alias("tokens"),
+        F.round(req, 4).alias("requested_tokens"),
+        F.round(need, 6).alias("epochs_needed"),
+        F.round(capped, 6).alias("epochs_capped"),
+        F.round(capped * F.col("toks"), 4).alias("achieved_tokens"),
+        F.round(
+            F.greatest(req - capped * F.col("toks"), F.lit(0.0)), 4
+        ).alias("shortfall_tokens"),
+    )
+
+
+@register(
+    "q418_changepoint_split",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT day,
+             ROW_NUMBER() OVER (ORDER BY day) AS t,
+             SUM(rev) OVER (ORDER BY day) AS cs,
+             SUM(rev * rev) OVER (ORDER BY day) AS css,
+             COUNT(*) OVER () AS n,
+             SUM(rev) OVER () AS ts,
+             SUM(rev * rev) OVER () AS tss
+      FROM daily
+    ),
+    scored AS (
+      SELECT day, t, n,
+             tss - ts * ts / n AS sse_total,
+             (css - cs * cs / t)
+             + ((tss - css) - (ts - cs) * (ts - cs) / (n - t)) AS sse_split
+      FROM cum WHERE t < n
+    )
+    SELECT day AS split_day,
+           CAST(t AS BIGINT) AS n_left,
+           CAST(n - t AS BIGINT) AS n_right,
+           ROUND(sse_total, 4) AS sse_total,
+           ROUND(sse_split, 4) AS sse_split,
+           ROUND(1 - sse_split / sse_total, 6) AS var_reduction
+    FROM scored
+    ORDER BY sse_split, day
+    LIMIT 1
+    """,
+)
+def q418_changepoint_split(spark, sf_dir):
+    """Single change-point detection on daily revenue (binary
+    segmentation, step 1): the split day minimizing the summed
+    within-segment SSE, found in closed form from running (Σx, Σx²)
+    prefixes — SSE(1..t) = css_t − cs_t²/t, same for the suffix — so
+    scoring every candidate split is one ordered cumulative window
+    over the ~2.4k-row daily aggregate, not n² segment rescans.
+    Ties break to the earliest day."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.sum("rev").over(wc).alias("cs"),
+        F.sum(F.col("rev") * F.col("rev")).over(wc).alias("css"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("rev").over(wall).alias("ts"),
+        F.sum(F.col("rev") * F.col("rev")).over(wall).alias("tss"),
+    ).filter(F.col("t") < F.col("n"))
+    sse_total = F.col("tss") - F.col("ts") * F.col("ts") / F.col("n")
+    sse_split = (
+        F.col("css") - F.col("cs") * F.col("cs") / F.col("t")
+    ) + (
+        (F.col("tss") - F.col("css"))
+        - (F.col("ts") - F.col("cs"))
+        * (F.col("ts") - F.col("cs"))
+        / (F.col("n") - F.col("t"))
+    )
+    return (
+        cum.select(
+            F.col("day").alias("split_day"),
+            F.col("t").cast("bigint").alias("n_left"),
+            (F.col("n") - F.col("t")).cast("bigint").alias("n_right"),
+            F.round(sse_total, 4).alias("sse_total"),
+            F.round(sse_split, 4).alias("sse_split"),
+            F.round(F.lit(1) - sse_split / sse_total, 6).alias(
+                "var_reduction"
+            ),
+            sse_split.alias("_raw"),
+        )
+        .orderBy("_raw", "split_day")
+        .limit(1)
+        .drop("_raw")
+    )
+
+
+@register(
+    "q419_fdr_bh",
+    """
+    WITH s AS (
+      SELECT p.p_brand AS brand,
+             CASE WHEN l.l_discount >= 0.05 THEN 1 ELSE 0 END AS disc,
+             COUNT(*)::DOUBLE AS n, AVG(l.l_quantity) AS m,
+             VAR_SAMP(l.l_quantity) AS v
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT a.brand,
+             (a.m - b.m) / SQRT(a.v / a.n + b.v / b.n) AS zstat
+      FROM s a JOIN s b ON a.brand = b.brand
+                       AND a.disc = 1 AND b.disc = 0
+    ),
+    p AS (
+      SELECT brand, zstat,
+             1 - (1 - (((((1.061405429
+                   * (1 / (1 + 0.3275911 * (ABS(zstat) / SQRT(2))))
+                   - 1.453152027)
+                   * (1 / (1 + 0.3275911 * (ABS(zstat) / SQRT(2))))
+                   + 1.421413741)
+                   * (1 / (1 + 0.3275911 * (ABS(zstat) / SQRT(2))))
+                   - 0.284496736)
+                   * (1 / (1 + 0.3275911 * (ABS(zstat) / SQRT(2))))
+                   + 0.254829592)
+                   * (1 / (1 + 0.3275911 * (ABS(zstat) / SQRT(2))))
+                   * EXP(-(ABS(zstat) / SQRT(2)) * (ABS(zstat) / SQRT(2)))))
+               AS pval
+      FROM z
+    ),
+    ranked AS (
+      SELECT brand, zstat, pval,
+             ROW_NUMBER() OVER (ORDER BY pval, brand) AS prank,
+             COUNT(*) OVER () AS m
+      FROM p
+    ),
+    kstar AS (
+      SELECT MAX(CASE WHEN pval <= prank * 0.05 / m THEN prank END)
+               OVER () AS k
+      FROM ranked LIMIT 1
+    )
+    SELECT r.brand,
+           ROUND(r.zstat, 4) AS z_stat,
+           ROUND(r.pval, 6) AS p_value,
+           CAST(r.prank AS BIGINT) AS p_rank,
+           ROUND(r.prank * 0.05 / r.m, 6) AS bh_threshold,
+           CAST(CASE WHEN kstar.k IS NOT NULL AND r.prank <= kstar.k
+                     THEN 1 ELSE 0 END AS BIGINT) AS rejected
+    FROM ranked r CROSS JOIN kstar
+    """,
+)
+def q419_fdr_bh(spark, sf_dir):
+    """Benjamini-Hochberg FDR control over 25 simultaneous hypothesis
+    tests: per brand, a Welch z-test of 'do discounted line items move
+    different quantities', two-sided p via the Abramowitz-Stegun
+    7.1.26 erf polynomial (pure arithmetic, so Spark and the DuckDB
+    oracle evaluate the identical expression), then the BH step-up —
+    rank p ascending, find the largest k with p_(k) ≤ k·α/m, reject
+    ranks ≤ k.  The multiple-testing gate every per-segment screening
+    query should end with: at α=0.05 across 25 brands, ~1.25 false
+    positives are expected from noise alone.  All window work runs on
+    the 25-row test table; the fact scan is one grouped pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias(
+                "disc"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("l_quantity").alias("m"),
+            F.var_samp("l_quantity").alias("v"),
+        )
+    )
+    a = s.filter(F.col("disc") == 1).select(
+        "brand",
+        F.col("n").alias("na"),
+        F.col("m").alias("ma"),
+        F.col("v").alias("va"),
+    )
+    b = s.filter(F.col("disc") == 0).select(
+        F.col("brand").alias("brand_b"),
+        F.col("n").alias("nb"),
+        F.col("m").alias("mb"),
+        F.col("v").alias("vb"),
+    )
+    z = a.join(b, a.brand == b.brand_b).select(
+        "brand",
+        (
+            (F.col("ma") - F.col("mb"))
+            / F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb"))
+        ).alias("zstat"),
+    )
+    # Abramowitz-Stegun 7.1.26: identical arithmetic to the oracle SQL.
+    x = F.abs(F.col("zstat")) / F.sqrt(F.lit(2))
+    t = F.lit(1) / (F.lit(1) + F.lit(0.3275911) * x)
+    erf = (
+        (
+            (
+                (
+                    (F.lit(1.061405429) * t - F.lit(1.453152027)) * t
+                    + F.lit(1.421413741)
+                )
+                * t
+                - F.lit(0.284496736)
+            )
+            * t
+            + F.lit(0.254829592)
+        )
+        * t
+        * F.exp(-x * x)
+    )
+    pv = z.withColumn("pval", F.lit(1) - (F.lit(1) - erf))
+    ranked = pv.select(
+        "brand",
+        "zstat",
+        "pval",
+        F.row_number().over(Window.orderBy("pval", "brand")).alias("prank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    wall = Window.partitionBy()
+    withk = ranked.withColumn(
+        "k",
+        F.max(
+            F.when(
+                F.col("pval") <= F.col("prank") * F.lit(0.05) / F.col("m"),
+                F.col("prank"),
+            )
+        ).over(wall),
+    )
+    return withk.select(
+        "brand",
+        F.round("zstat", 4).alias("z_stat"),
+        F.round("pval", 6).alias("p_value"),
+        F.col("prank").cast("bigint").alias("p_rank"),
+        F.round(F.col("prank") * F.lit(0.05) / F.col("m"), 6).alias(
+            "bh_threshold"
+        ),
+        F.when(
+            F.col("k").isNotNull() & (F.col("prank") <= F.col("k")), 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("rejected"),
+    )
+
+
+@register(
+    "q420_zonemap_skipping",
+    """
+    WITH zone AS (
+      SELECT l_orderkey // 1000 AS rg,
+             CAST(MIN(l_shipdate) AS DATE) AS lo_ship,
+             CAST(MAX(l_shipdate) AS DATE) AS hi_ship,
+             COUNT(*) AS n_rows
+      FROM lineitem GROUP BY 1
+    ),
+    preds AS (
+      SELECT * FROM (VALUES
+        ('h2_1995', DATE '1995-07-01', DATE '1996-01-01'),
+        ('q1_1994', DATE '1994-01-01', DATE '1994-04-01'),
+        ('week_jun95', DATE '1995-06-01', DATE '1995-06-08')
+      ) AS v(pname, lo, hi)
+    )
+    SELECT p.pname,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN z.hi_ship < p.lo OR z.lo_ship >= p.hi
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS skippable_groups,
+           ROUND(SUM(CASE WHEN z.hi_ship < p.lo OR z.lo_ship >= p.hi
+                          THEN 1.0 ELSE 0 END) / COUNT(*), 6)
+             AS group_skip_frac,
+           CAST(SUM(z.n_rows) AS BIGINT) AS rows_total,
+           CAST(SUM(CASE WHEN z.hi_ship < p.lo OR z.lo_ship >= p.hi
+                         THEN z.n_rows ELSE 0 END) AS BIGINT)
+             AS rows_skipped,
+           ROUND(SUM(CASE WHEN z.hi_ship < p.lo OR z.lo_ship >= p.hi
+                          THEN CAST(z.n_rows AS DOUBLE) ELSE 0 END)
+                 / SUM(z.n_rows), 6) AS row_skip_frac
+    FROM zone z CROSS JOIN preds p
+    GROUP BY p.pname
+    """,
+)
+def q420_zonemap_skipping(spark, sf_dir):
+    """Zone-map data-skipping effectiveness: build per-row-group
+    min/max statistics for l_shipdate (synthetic 1000-orderkey row
+    groups — the stand-in for parquet row-group footers) and measure,
+    for three ship-date predicates, what fraction of groups and rows a
+    scan could skip outright (group max < lo, or group min ≥ hi).
+    This is the layout-quality audit behind Z-ordering (q116): on
+    time-correlated data the skip fraction is high and a 100 TB scan
+    touches only the matching footers; on shuffled data it collapses
+    to zero and the same predicate reads everything.  One grouped pass
+    builds the zone table; the predicate sweep is a 3-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    zone = li.groupBy(
+        F.floor(F.col("l_orderkey") / 1000).alias("rg")
+    ).agg(
+        F.min("l_shipdate").cast("date").alias("lo_ship"),
+        F.max("l_shipdate").cast("date").alias("hi_ship"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    preds = spark.createDataFrame(
+        [
+            ("h2_1995", "1995-07-01", "1996-01-01"),
+            ("q1_1994", "1994-01-01", "1994-04-01"),
+            ("week_jun95", "1995-06-01", "1995-06-08"),
+        ],
+        "pname string, lo string, hi string",
+    ).select(
+        "pname",
+        F.to_date("lo").alias("lo"),
+        F.to_date("hi").alias("hi"),
+    )
+    skip = (F.col("hi_ship") < F.col("lo")) | (
+        F.col("lo_ship") >= F.col("hi")
+    )
+    return (
+        zone.crossJoin(F.broadcast(preds))
+        .groupBy("pname")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.when(skip, 1).otherwise(0))
+            .cast("bigint")
+            .alias("skippable_groups"),
+            F.round(
+                F.sum(F.when(skip, F.lit(1.0)).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("group_skip_frac"),
+            F.sum("n_rows").cast("bigint").alias("rows_total"),
+            F.sum(F.when(skip, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_skipped"),
+            F.round(
+                F.sum(
+                    F.when(
+                        skip, F.col("n_rows").cast("double")
+                    ).otherwise(0)
+                )
+                / F.sum("n_rows"),
+                6,
+            ).alias("row_skip_frac"),
+        )
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
