@@ -21743,6 +21743,891 @@ def q420_zonemap_skipping(spark, sf_dir):
     )
 
 
+@register(
+    "q421_mann_whitney",
+    """
+    WITH vals AS (
+      SELECT n_chars AS v,
+             CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS c0,
+             COUNT(*)::DOUBLE AS ct
+      FROM documents WHERE source IN ('src0', 'src1')
+      GROUP BY n_chars
+    ),
+    r AS (
+      SELECT v, c0, ct,
+             SUM(ct) OVER (ORDER BY v) - ct AS cumbefore
+      FROM vals
+    ),
+    s AS (
+      SELECT SUM(c0 * (cumbefore + (ct + 1) / 2)) AS r1,
+             SUM(c0) AS n1, SUM(ct) AS n, SUM(ct - c0) AS n2,
+             SUM(ct * ct * ct - ct) AS tiesum
+      FROM r
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_src0,
+           CAST(n2 AS BIGINT) AS n_src1,
+           ROUND(r1, 2) AS rank_sum_src0,
+           ROUND(r1 - n1 * (n1 + 1) / 2, 2) AS u_stat,
+           ROUND((r1 - n1 * (n1 + 1) / 2 - n1 * n2 / 2)
+                 / SQRT(n1 * n2 / 12
+                        * ((n + 1) - tiesum / (n * (n - 1)))), 4)
+             AS z_stat
+    FROM s
+    """,
+)
+def q421_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum test between two sources' document
+    lengths — the nonparametric sibling of q278's Welch t: no
+    normality assumption, tie-corrected normal approximation.
+    Average ranks come from the VALUE-level histogram (cumulative
+    count before each distinct value + (t+1)/2), so the rank
+    computation runs over distinct lengths, not rows — the same
+    sufficient-statistics discipline as the ANOVA family, and at
+    100 TB the only shuffle is the value histogram."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    vals = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("double")
+        .alias("c0"),
+        F.count(F.lit(1)).cast("double").alias("ct"),
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    r = vals.select(
+        "c0",
+        "ct",
+        (F.sum("ct").over(wc) - F.col("ct")).alias("cumbefore"),
+    )
+    s = r.agg(
+        F.sum(
+            F.col("c0") * (F.col("cumbefore") + (F.col("ct") + 1) / 2)
+        ).alias("r1"),
+        F.sum("c0").alias("n1"),
+        F.sum("ct").alias("n"),
+        F.sum(F.col("ct") - F.col("c0")).alias("n2"),
+        F.sum(
+            F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct")
+        ).alias("tiesum"),
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2
+    sigma = F.sqrt(
+        F.col("n1")
+        * F.col("n2")
+        / 12
+        * (
+            (F.col("n") + 1)
+            - F.col("tiesum") / (F.col("n") * (F.col("n") - 1))
+        )
+    )
+    return s.select(
+        F.col("n1").cast("bigint").alias("n_src0"),
+        F.col("n2").cast("bigint").alias("n_src1"),
+        F.round("r1", 2).alias("rank_sum_src0"),
+        F.round(u, 2).alias("u_stat"),
+        F.round(
+            (u - F.col("n1") * F.col("n2") / 2) / sigma, 4
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "q422_mcnemar",
+    """
+    WITH bounds AS (
+      SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+      FROM events
+    ),
+    thr AS (
+      SELECT quantile_cont(value, 0.75) AS p75
+      FROM events WHERE event_type = 'purchase'
+    ),
+    u AS (
+      SELECT e.user_id,
+             MAX(CASE WHEN e.event_type = 'purchase' AND e.value > t.p75
+                       AND 2 * epoch_us(e.ts) < b.lo + b.hi
+                      THEN 1 ELSE 0 END) AS h1,
+             MAX(CASE WHEN e.event_type = 'purchase' AND e.value > t.p75
+                       AND 2 * epoch_us(e.ts) >= b.lo + b.hi
+                      THEN 1 ELSE 0 END) AS h2
+      FROM events e CROSS JOIN bounds b CROSS JOIN thr t
+      GROUP BY e.user_id
+    )
+    SELECT CAST(SUM(CASE WHEN h1 = 1 AND h2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS both_halves,
+           CAST(SUM(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS first_only,
+           CAST(SUM(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS second_only,
+           CAST(SUM(CASE WHEN h1 = 0 AND h2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS neither,
+           ROUND(POWER(ABS(CAST(SUM(CASE WHEN h1 = 1 AND h2 = 0
+                                         THEN 1 ELSE 0 END)
+                              - SUM(CASE WHEN h1 = 0 AND h2 = 1
+                                         THEN 1 ELSE 0 END) AS DOUBLE))
+                       - 1, 2)
+                 / (SUM(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END)),
+                 4) AS chi2_cc
+    FROM u
+    """,
+)
+def q422_mcnemar(spark, sf_dir):
+    """McNemar's paired test on user high-value purchase activity: did
+    the same users make an above-p75 purchase in the first and second
+    half of the observation window?  The 2×2 paired table (both /
+    first-only / second-only / neither) and the continuity-corrected
+    chi² = (|b−c|−1)²/(b+c), which only the DISCORDANT cells drive —
+    the right test for 'did behavior change' on paired observations,
+    where a two-sample test would throw away the pairing.  (Plain
+    'any purchase' is degenerate on this fixture — every user buys in
+    both halves, b+c=0 — hence the p75 value threshold.)  The
+    half-window midpoint is integer microsecond arithmetic
+    (2·ts < lo+hi), identical in both engines; one grouped pass per
+    user, then a 4-cell fold."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(
+        F.min(us).alias("lo"), F.max(us).alias("hi")
+    )
+    thr = ev.filter(F.col("event_type") == "purchase").agg(
+        F.expr("percentile(value, 0.75)").alias("p75")
+    )
+    first_half = F.lit(2) * us < F.col("lo") + F.col("hi")
+    is_p = (F.col("event_type") == "purchase") & (
+        F.col("value") > F.col("p75")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(thr))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(is_p & first_half, 1).otherwise(0)
+            ).alias("h1"),
+            F.max(
+                F.when(is_p & ~first_half, 1).otherwise(0)
+            ).alias("h2"),
+        )
+    )
+    b = F.sum(
+        F.when((F.col("h1") == 1) & (F.col("h2") == 0), 1).otherwise(0)
+    )
+    c = F.sum(
+        F.when((F.col("h1") == 0) & (F.col("h2") == 1), 1).otherwise(0)
+    )
+    return u.agg(
+        F.sum(
+            F.when((F.col("h1") == 1) & (F.col("h2") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("both_halves"),
+        b.cast("bigint").alias("first_only"),
+        c.cast("bigint").alias("second_only"),
+        F.sum(
+            F.when((F.col("h1") == 0) & (F.col("h2") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("neither"),
+        F.round(
+            F.pow(F.abs((b - c).cast("double")) - 1, 2) / (b + c), 4
+        ).alias("chi2_cc"),
+    )
+
+
+@register(
+    "q423_hurst_exponent",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    sized AS (
+      SELECT s.sz, q.rn, q.rev,
+             CAST((q.rn - 1) AS BIGINT) // s.sz AS blk
+      FROM seq q CROSS JOIN (VALUES (8), (16), (32), (64)) AS s(sz)
+    ),
+    dev AS (
+      SELECT sz, blk, rn, rev,
+             rev - AVG(rev) OVER (PARTITION BY sz, blk) AS d,
+             COUNT(*) OVER (PARTITION BY sz, blk) AS bn
+      FROM sized
+    ),
+    cum AS (
+      SELECT sz, blk, bn, rev,
+             SUM(d) OVER (PARTITION BY sz, blk ORDER BY rn) AS cd
+      FROM dev WHERE bn = sz
+    ),
+    blocks AS (
+      SELECT sz, blk,
+             (MAX(cd) - MIN(cd)) / STDDEV_POP(rev) AS rs
+      FROM cum GROUP BY sz, blk
+    ),
+    per_size AS (
+      SELECT sz, COUNT(*) AS n_blocks, AVG(rs) AS mean_rs
+      FROM blocks GROUP BY sz
+    )
+    SELECT CAST(sz AS BIGINT) AS block_size,
+           CAST(n_blocks AS BIGINT) AS n_blocks,
+           ROUND(mean_rs, 6) AS mean_rs,
+           ROUND((AVG(LN(sz) * LN(mean_rs)) OVER ()
+                  - AVG(LN(sz)) OVER () * AVG(LN(mean_rs)) OVER ())
+                 / (AVG(LN(sz) * LN(sz)) OVER ()
+                    - AVG(LN(sz)) OVER () * AVG(LN(sz)) OVER ()), 4)
+             AS hurst
+    FROM per_size
+    """,
+)
+def q423_hurst_exponent(spark, sf_dir):
+    """Hurst exponent of daily revenue by rescaled-range analysis:
+    chunk the series into blocks of 8/16/32/64 days, compute each
+    block's R/S (range of cumulative mean-deviations over the
+    population std), average per size, and fit the log-log slope —
+    H≈0.5 is a random walk, H>0.5 long-range persistence (trending
+    demand), H<0.5 mean reversion.  The only row-level work is one
+    ordered window per (size, block) partition over the 2.4k-day
+    aggregate; the regression runs on the 4-row size table."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    seq = daily.select(
+        "rev", F.row_number().over(Window.orderBy("day")).alias("rn")
+    )
+    sizes = daily.sparkSession.createDataFrame(
+        [(8,), (16,), (32,), (64,)], "sz int"
+    )
+    sized = seq.crossJoin(F.broadcast(sizes)).withColumn(
+        "blk", ((F.col("rn") - 1).cast("bigint") / F.col("sz")).cast("bigint")
+    )
+    wb = Window.partitionBy("sz", "blk")
+    dev = sized.select(
+        "sz",
+        "blk",
+        "rn",
+        "rev",
+        (F.col("rev") - F.avg("rev").over(wb)).alias("d"),
+        F.count(F.lit(1)).over(wb).alias("bn"),
+    ).filter(F.col("bn") == F.col("sz"))
+    cum = dev.select(
+        "sz",
+        "blk",
+        "rev",
+        F.sum("d")
+        .over(
+            Window.partitionBy("sz", "blk")
+            .orderBy("rn")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cd"),
+    )
+    blocks = cum.groupBy("sz", "blk").agg(
+        ((F.max("cd") - F.min("cd")) / F.stddev_pop("rev")).alias("rs")
+    )
+    per_size = blocks.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.avg("rs").alias("mean_rs"),
+    )
+    wall = Window.partitionBy()
+    ls, lr = F.log("sz"), F.log("mean_rs")
+    slope = (
+        F.avg(ls * lr).over(wall) - F.avg(ls).over(wall) * F.avg(lr).over(wall)
+    ) / (
+        F.avg(ls * ls).over(wall)
+        - F.avg(ls).over(wall) * F.avg(ls).over(wall)
+    )
+    return per_size.select(
+        F.col("sz").cast("bigint").alias("block_size"),
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+        F.round("mean_rs", 6).alias("mean_rs"),
+        F.round(slope, 4).alias("hurst"),
+    )
+
+
+@register(
+    "q424_sax_symbols",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    z AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             (rev - AVG(rev) OVER ()) / STDDEV_SAMP(rev) OVER () AS zv
+      FROM daily
+    ),
+    paa AS (
+      SELECT (rn - 1) // 10 AS blk, AVG(zv) AS pv, COUNT(*) AS bn
+      FROM z GROUP BY 1 HAVING COUNT(*) = 10
+    ),
+    sym AS (
+      SELECT blk,
+             CASE WHEN pv < -0.6745 THEN 'a'
+                  WHEN pv < 0 THEN 'b'
+                  WHEN pv < 0.6745 THEN 'c'
+                  ELSE 'd' END AS s
+      FROM paa
+    ),
+    trans AS (
+      SELECT LAG(s) OVER (ORDER BY blk) AS prev_s, s
+      FROM sym
+    )
+    SELECT prev_s, s AS next_s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM trans WHERE prev_s IS NOT NULL
+    GROUP BY prev_s, s
+    """,
+)
+def q424_sax_symbols(spark, sf_dir):
+    """SAX symbolization of daily revenue: z-normalize the series,
+    Piecewise Aggregate Approximation into 10-day frames, map frame
+    means to a 4-letter alphabet at the N(0,1) quartile breakpoints
+    (±0.6745, 0), and report the symbol-transition counts — the
+    discretization that turns a numeric series into a string so
+    motif mining, anomaly grammars, and suffix indexing apply.  All
+    heavy lifting is two ordered windows over the 2.4k-day daily
+    aggregate; the PAA is a 10:1 compression done with one hash agg."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    wall = Window.partitionBy()
+    z = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+        (
+            (F.col("rev") - F.avg("rev").over(wall))
+            / F.stddev_samp("rev").over(wall)
+        ).alias("zv"),
+    )
+    paa = (
+        z.groupBy(((F.col("rn") - 1) / 10).cast("bigint").alias("blk"))
+        .agg(F.avg("zv").alias("pv"), F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") == 10)
+    )
+    sym = paa.select(
+        "blk",
+        F.when(F.col("pv") < -0.6745, "a")
+        .when(F.col("pv") < 0, "b")
+        .when(F.col("pv") < 0.6745, "c")
+        .otherwise("d")
+        .alias("s"),
+    )
+    trans = sym.select(
+        F.lag("s").over(Window.orderBy("blk")).alias("prev_s"), "s"
+    ).filter(F.col("prev_s").isNotNull())
+    return trans.groupBy("prev_s", F.col("s").alias("next_s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+@register(
+    "q425_pareto_knee",
+    """
+    WITH rev AS (
+      SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS r
+      FROM lineitem GROUP BY l_partkey
+    ),
+    curve AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY r DESC, l_partkey) AS rk,
+             COUNT(*) OVER () AS n,
+             SUM(r) OVER (ORDER BY r DESC, l_partkey)
+               / SUM(r) OVER () AS cum_share
+      FROM rev
+    )
+    SELECT CAST(rk AS BIGINT) AS knee_rank,
+           ROUND(CAST(rk AS DOUBLE) / n, 6) AS frac_items,
+           ROUND(cum_share, 6) AS cum_share,
+           ROUND(cum_share - CAST(rk AS DOUBLE) / n, 6) AS chord_gap
+    FROM curve
+    ORDER BY cum_share - CAST(rk AS DOUBLE) / n DESC, rk
+    LIMIT 1
+    """,
+)
+def q425_pareto_knee(spark, sf_dir):
+    """Knee detection on the part-revenue Pareto curve: the point of
+    maximum perpendicular distance to the (0,0)→(1,1) chord — which
+    for a unit-square Lorenz-style curve reduces to argmax(cum_share −
+    rank/n) — the principled answer to 'where does the head end',
+    instead of an arbitrary 80% cut (q411's fixed ABC bands).  One
+    ordered cumulative window over the 2k-part aggregate, then a
+    top-1; ties break to the earliest rank."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        ).alias("r")
+    )
+    wc = Window.orderBy(F.col("r").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    curve = rev.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("r").desc(), "l_partkey"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        (F.sum("r").over(wc) / F.sum("r").over(wall)).alias("cum_share"),
+    )
+    gap = F.col("cum_share") - F.col("rk").cast("double") / F.col("n")
+    return (
+        curve.select(
+            F.col("rk").cast("bigint").alias("knee_rank"),
+            F.round(F.col("rk").cast("double") / F.col("n"), 6).alias(
+                "frac_items"
+            ),
+            F.round("cum_share", 6).alias("cum_share"),
+            F.round(gap, 6).alias("chord_gap"),
+            gap.alias("_g"),
+        )
+        .orderBy(F.col("_g").desc(), "knee_rank")
+        .limit(1)
+        .drop("_g")
+    )
+
+
+@register(
+    "q426_term_burstiness",
+    r"""
+    WITH tf AS (
+      SELECT doc_id, w, COUNT(*) AS c
+      FROM (
+        SELECT doc_id,
+               UNNEST(list_filter(
+                 string_split_regex(trim(lower(text)), '\s+'),
+                 x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY doc_id, w
+    ),
+    terms AS (
+      SELECT w,
+             COUNT(*)::DOUBLE AS df,
+             SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::DOUBLE AS df2,
+             AVG(c) AS mean_tf
+      FROM tf GROUP BY w HAVING COUNT(*) >= 20
+    )
+    SELECT w AS term,
+           CAST(df AS BIGINT) AS df,
+           CAST(df2 AS BIGINT) AS df_multi,
+           ROUND(df2 / df, 6) AS burstiness,
+           ROUND(mean_tf, 6) AS mean_tf
+    FROM terms
+    ORDER BY df2 / df DESC, w
+    LIMIT 25
+    """,
+)
+def q426_term_burstiness(spark, sf_dir):
+    """Church-Gale term burstiness: for each term with df ≥ 20, the
+    probability a document that mentions it mentions it AGAIN
+    (df₂/df).  Content words are bursty (one mention begets more);
+    function words are Poisson-ish — so the ranking separates topical
+    vocabulary from glue without any stopword list, and complements
+    q234's TEMPORAL Fano factor with a within-document axis.  One
+    explode → (doc, term) hash agg → term rollup; the df≥20 gate
+    bounds the ranked set."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda w: w != "",
+    )
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    terms = (
+        tf.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("df"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+            .cast("double")
+            .alias("df2"),
+            F.avg("c").alias("mean_tf"),
+        )
+        .filter(F.col("df") >= 20)
+    )
+    return (
+        terms.select(
+            F.col("w").alias("term"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("df2").cast("bigint").alias("df_multi"),
+            F.round(F.col("df2") / F.col("df"), 6).alias("burstiness"),
+            F.round("mean_tf", 6).alias("mean_tf"),
+            (F.col("df2") / F.col("df")).alias("_b"),
+        )
+        .orderBy(F.col("_b").desc(), "term")
+        .limit(25)
+        .drop("_b")
+    )
+
+
+@register(
+    "q427_negative_sampling",
+    r"""
+    WITH v AS (
+      SELECT w, COUNT(*)::DOUBLE AS cnt
+      FROM (
+        SELECT UNNEST(list_filter(
+                 string_split_regex(trim(lower(text)), '\s+'),
+                 x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY w
+    ),
+    p AS (
+      SELECT w, cnt,
+             POWER(cnt, 0.75) / SUM(POWER(cnt, 0.75)) OVER () AS ps,
+             cnt / SUM(cnt) OVER () AS pu
+      FROM v
+    ),
+    cum AS (
+      SELECT w, cnt, pu, ps,
+             FLOOR(10000 * SUM(ps) OVER (ORDER BY cnt DESC, w))
+             - FLOOR(10000 * (SUM(ps) OVER (ORDER BY cnt DESC, w) - ps))
+               AS slots
+      FROM p
+    )
+    SELECT w AS term,
+           CAST(cnt AS BIGINT) AS cnt,
+           ROUND(pu, 8) AS p_unigram,
+           ROUND(ps, 8) AS p_smoothed,
+           CAST(slots AS BIGINT) AS slots
+    FROM cum
+    ORDER BY cnt DESC, w
+    LIMIT 20
+    """,
+)
+def q427_negative_sampling(spark, sf_dir):
+    """word2vec-style negative-sampling table: unigram frequencies
+    raised to the 3/4 power and renormalized (the flattening that
+    keeps rare words reachable), then a 10,000-slot sampling table
+    apportioned by CUMULATIVE rounding — slotsᵢ = ⌊S·cumᵢ⌋ −
+    ⌊S·cumᵢ₋₁⌋, which sums to the table size exactly and is
+    deterministic under the (count desc, term) order both engines
+    share.  The whole computation lives on the vocab aggregate; at
+    100 TB the table build is one ordered window over ~10⁶ types,
+    and the table itself broadcasts to samplers."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda w: w != "",
+    )
+    v = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    wall = Window.partitionBy()
+    p = v.select(
+        "w",
+        "cnt",
+        (
+            F.pow("cnt", 0.75) / F.sum(F.pow("cnt", 0.75)).over(wall)
+        ).alias("ps"),
+        (F.col("cnt") / F.sum("cnt").over(wall)).alias("pu"),
+    )
+    wc = Window.orderBy(F.col("cnt").desc(), "w").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = p.select(
+        "w",
+        "cnt",
+        "pu",
+        "ps",
+        (
+            F.floor(F.lit(10000) * F.sum("ps").over(wc))
+            - F.floor(
+                F.lit(10000) * (F.sum("ps").over(wc) - F.col("ps"))
+            )
+        ).alias("slots"),
+    )
+    return (
+        cum.select(
+            F.col("w").alias("term"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round("pu", 8).alias("p_unigram"),
+            F.round("ps", 8).alias("p_smoothed"),
+            F.col("slots").cast("bigint").alias("slots"),
+        )
+        .orderBy(F.col("cnt").desc(), "term")
+        .limit(20)
+    )
+
+
+@register(
+    "q428_taxonomy_branching",
+    """
+    WITH lv AS (
+      SELECT k.k,
+             array_to_string(string_split(p.p_type, ' ')[1:k.k], ' ')
+               AS node
+      FROM part p CROSS JOIN (VALUES (1), (2), (3)) AS k(k)
+    ),
+    nodes AS (
+      SELECT k, node, COUNT(*)::DOUBLE AS n_parts
+      FROM lv GROUP BY k, node
+    ),
+    shares AS (
+      SELECT k,
+             n_parts / SUM(n_parts) OVER (PARTITION BY k) AS sh
+      FROM nodes
+    ),
+    per_level AS (
+      SELECT k, COUNT(*)::DOUBLE AS n_nodes,
+             -SUM(sh * LN(sh)) AS entropy
+      FROM shares GROUP BY k
+    ),
+    seq AS (
+      SELECT k, n_nodes, entropy,
+             LAG(n_nodes) OVER (ORDER BY k) AS prev_nodes
+      FROM per_level
+    )
+    SELECT CAST(k AS BIGINT) AS level,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           ROUND(n_nodes / COALESCE(prev_nodes, 1), 6) AS branching,
+           ROUND(entropy, 6) AS entropy
+    FROM seq
+    """,
+)
+def q428_taxonomy_branching(spark, sf_dir):
+    """Catalog taxonomy profile over the 3-word p_type hierarchy:
+    distinct nodes at each prefix depth, the branching factor between
+    consecutive levels, and the Shannon entropy of the part
+    distribution per level — the shape audit that tells you whether a
+    category tree partitions the catalog evenly (entropy near ln n)
+    or dumps everything in one branch.  Word-prefix expansion is a
+    3-way cross join on the dimension table; every aggregate runs on
+    the node table."""
+    p = _t(spark, sf_dir, "part")
+    ks = p.sparkSession.createDataFrame([(1,), (2,), (3,)], "k int")
+    lv = p.crossJoin(F.broadcast(ks)).select(
+        "k",
+        F.array_join(
+            F.slice(F.split(F.col("p_type"), " "), 1, F.col("k")), " "
+        ).alias("node"),
+    )
+    nodes = lv.groupBy("k", "node").agg(
+        F.count(F.lit(1)).cast("double").alias("n_parts")
+    )
+    wk = Window.partitionBy("k")
+    share = F.col("n_parts") / F.sum("n_parts").over(wk)
+    per_level = (
+        nodes.select("k", share.alias("sh"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_nodes"),
+            (-F.sum(F.col("sh") * F.log("sh"))).alias("entropy"),
+        )
+    )
+    seq = per_level.select(
+        "k",
+        "n_nodes",
+        "entropy",
+        F.lag("n_nodes").over(Window.orderBy("k")).alias("prev_nodes"),
+    )
+    return seq.select(
+        F.col("k").cast("bigint").alias("level"),
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.round(
+            F.col("n_nodes") / F.coalesce(F.col("prev_nodes"), F.lit(1.0)),
+            6,
+        ).alias("branching"),
+        F.round("entropy", 6).alias("entropy"),
+    )
+
+
+@register(
+    "q429_runs_test",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(rev, 0.5) AS m FROM daily),
+    signs AS (
+      SELECT CASE WHEN d.rev > med.m THEN 1 ELSE 0 END AS s,
+             LAG(CASE WHEN d.rev > med.m THEN 1 ELSE 0 END)
+               OVER (ORDER BY d.day) AS prev_s
+      FROM daily d CROSS JOIN med
+    ),
+    agg AS (
+      SELECT SUM(s)::DOUBLE AS n1,
+             SUM(1 - s)::DOUBLE AS n2,
+             1 + SUM(CASE WHEN prev_s IS NOT NULL AND s <> prev_s
+                          THEN 1 ELSE 0 END)::DOUBLE AS r
+      FROM signs
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           CAST(r AS BIGINT) AS runs,
+           ROUND((r - (2 * n1 * n2 / (n1 + n2) + 1))
+                 / SQRT(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                        / (POWER(n1 + n2, 2) * (n1 + n2 - 1))), 4)
+             AS z_stat
+    FROM agg
+    """,
+)
+def q429_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test for randomness of daily revenue around
+    its median: count maximal runs of above/below-median days and
+    compare to the null mean 2n₁n₂/(n₁+n₂)+1 — too FEW runs means
+    positive serial dependence (trending/regime-y demand), too many
+    means oscillation.  The distribution-free cousin of q194's ACF:
+    it needs only signs, so a single heavy-tailed day can't move it.
+    One ordered lag over the daily aggregate, then scalar algebra."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    med = daily.agg(F.expr("percentile(rev, 0.5)").alias("m"))
+    s = F.when(F.col("rev") > F.col("m"), 1).otherwise(0)
+    signs = daily.crossJoin(F.broadcast(med)).select(
+        s.alias("s"),
+        F.lag(s).over(Window.orderBy("day")).alias("prev_s"),
+    )
+    agg = signs.agg(
+        F.sum("s").cast("double").alias("n1"),
+        F.sum(F.lit(1) - F.col("s")).cast("double").alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev_s").isNotNull()
+                    & (F.col("s") != F.col("prev_s")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("double")
+        .alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    sigma = F.sqrt(
+        2
+        * n1
+        * n2
+        * (2 * n1 * n2 - n1 - n2)
+        / (F.pow(n1 + n2, 2) * (n1 + n2 - 1))
+    )
+    return agg.select(
+        n1.cast("bigint").alias("n_above"),
+        n2.cast("bigint").alias("n_below"),
+        r.cast("bigint").alias("runs"),
+        F.round((r - mu) / sigma, 4).alias("z_stat"),
+    )
+
+
+@register(
+    "q430_haar_energy",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+      QUALIFY rn <= 2048
+    ),
+    blocks AS (
+      SELECT j.j, (s.rn - 1) // POWER(2, j.j - 1)::BIGINT AS g,
+             AVG(s.rev) AS mv
+      FROM seq s CROSS JOIN (VALUES (1), (2), (3), (4)) AS j(j)
+      GROUP BY 1, 2
+    ),
+    details AS (
+      SELECT j, g // 2 AS parent,
+             (SUM(CASE WHEN g % 2 = 0 THEN mv ELSE 0 END)
+              - SUM(CASE WHEN g % 2 = 1 THEN mv ELSE 0 END)) / 2 AS d
+      FROM blocks GROUP BY j, g // 2
+      HAVING COUNT(*) = 2
+    ),
+    energy AS (
+      SELECT j, COUNT(*) AS n_coeffs, SUM(d * d) AS e
+      FROM details GROUP BY j
+    )
+    SELECT CAST(j AS BIGINT) AS level,
+           CAST(n_coeffs AS BIGINT) AS n_coeffs,
+           ROUND(e, 4) AS energy,
+           ROUND(e / SUM(e) OVER (), 6) AS energy_share
+    FROM energy
+    """,
+)
+def q430_haar_energy(spark, sf_dir):
+    """Haar wavelet energy decomposition of daily revenue (first 2048
+    days, levels 1–4 ≙ 2/4/8/16-day scales): each level's detail
+    coefficients are half the difference of adjacent block means, so
+    the whole multiresolution cascade reduces to four grouped
+    averages over the daily aggregate — no recursion, no UDF.  The
+    energy-by-scale profile says WHERE the variance lives (day-to-day
+    noise vs weekly vs fortnightly structure), the quantitative
+    companion to q412's fixed-period seasonal fit."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    seq = daily.select(
+        "rev", F.row_number().over(Window.orderBy("day")).alias("rn")
+    ).filter(F.col("rn") <= 2048)
+    js = daily.sparkSession.createDataFrame(
+        [(1,), (2,), (3,), (4,)], "j int"
+    )
+    blocks = (
+        seq.crossJoin(F.broadcast(js))
+        .groupBy(
+            "j",
+            (
+                (F.col("rn") - 1)
+                / F.pow(F.lit(2), F.col("j") - 1).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("g"),
+        )
+        .agg(F.avg("rev").alias("mv"))
+    )
+    details = (
+        blocks.groupBy("j", (F.col("g") / 2).cast("bigint").alias("parent"))
+        .agg(
+            (
+                (
+                    F.sum(
+                        F.when(F.col("g") % 2 == 0, F.col("mv")).otherwise(
+                            0
+                        )
+                    )
+                    - F.sum(
+                        F.when(F.col("g") % 2 == 1, F.col("mv")).otherwise(
+                            0
+                        )
+                    )
+                )
+                / 2
+            ).alias("d"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") == 2)
+    )
+    energy = details.groupBy("j").agg(
+        F.count(F.lit(1)).alias("n_coeffs"),
+        F.sum(F.col("d") * F.col("d")).alias("e"),
+    )
+    wall = Window.partitionBy()
+    return energy.select(
+        F.col("j").cast("bigint").alias("level"),
+        F.col("n_coeffs").cast("bigint").alias("n_coeffs"),
+        F.round("e", 4).alias("energy"),
+        F.round(F.col("e") / F.sum("e").over(wall), 6).alias(
+            "energy_share"
+        ),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
