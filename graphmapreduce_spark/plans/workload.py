@@ -22628,6 +22628,886 @@ def q430_haar_energy(spark, sf_dir):
     )
 
 
+@register(
+    "q431_cohen_kappa",
+    r"""
+    WITH feat AS (
+      SELECT n_chars,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             w -> w <> '')) AS wc
+      FROM documents
+    ),
+    med AS (
+      SELECT quantile_cont(n_chars, 0.5) AS mc,
+             quantile_cont(wc, 0.5) AS mw
+      FROM feat
+    ),
+    rated AS (
+      SELECT CASE WHEN f.n_chars > m.mc THEN 1 ELSE 0 END AS a,
+             CASE WHEN f.wc > m.mw THEN 1 ELSE 0 END AS b
+      FROM feat f CROSS JOIN med m
+    ),
+    cells AS (
+      SELECT COUNT(*)::DOUBLE AS n,
+             SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)::DOUBLE
+               AS n11,
+             SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)::DOUBLE
+               AS n10,
+             SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)::DOUBLE
+               AS n01,
+             SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)::DOUBLE
+               AS n00
+      FROM rated
+    )
+    SELECT CAST(n11 AS BIGINT) AS both_pass,
+           CAST(n10 AS BIGINT) AS only_chars,
+           CAST(n01 AS BIGINT) AS only_words,
+           CAST(n00 AS BIGINT) AS both_fail,
+           ROUND((n11 + n00) / n, 6) AS p_observed,
+           ROUND(((n11 + n10) * (n11 + n01)
+                + (n01 + n00) * (n10 + n00)) / (n * n), 6) AS p_chance,
+           ROUND(((n11 + n00) / n
+                 - ((n11 + n10) * (n11 + n01)
+                  + (n01 + n00) * (n10 + n00)) / (n * n))
+                 / (1 - ((n11 + n10) * (n11 + n01)
+                       + (n01 + n00) * (n10 + n00)) / (n * n)), 6)
+             AS kappa
+    FROM cells
+    """,
+)
+def q431_cohen_kappa(spark, sf_dir):
+    """Cohen's kappa between two cheap document-quality raters — an
+    above-median character-length gate and an above-median word-count
+    gate: observed agreement, chance agreement from the marginals,
+    and κ = (pₒ−pₑ)/(1−pₑ).  Raw agreement overstates consistency
+    when both raters pass most documents; kappa is the number to
+    report when two heuristic filters are claimed to 'agree'.  One
+    scan builds both features, the medians broadcast, the test is a
+    4-cell fold."""
+    d = _t(spark, sf_dir, "documents")
+    wc = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+    )
+    feat = d.select("n_chars", wc.alias("wc"))
+    med = feat.agg(
+        F.expr("percentile(n_chars, 0.5)").alias("mc"),
+        F.expr("percentile(wc, 0.5)").alias("mw"),
+    )
+    rated = feat.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("n_chars") > F.col("mc"), 1).otherwise(0).alias("a"),
+        F.when(F.col("wc") > F.col("mw"), 1).otherwise(0).alias("b"),
+    )
+    cells = rated.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("n11"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("n10"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("n01"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("n00"),
+    )
+    n = F.col("n")
+    po = (F.col("n11") + F.col("n00")) / n
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) / (n * n)
+    return cells.select(
+        F.col("n11").cast("bigint").alias("both_pass"),
+        F.col("n10").cast("bigint").alias("only_chars"),
+        F.col("n01").cast("bigint").alias("only_words"),
+        F.col("n00").cast("bigint").alias("both_fail"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_chance"),
+        F.round((po - pe) / (F.lit(1) - pe), 6).alias("kappa"),
+    )
+
+
+@register(
+    "q432_dickey_fuller",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT rev - LAG(rev) OVER (ORDER BY day) AS dx,
+             LAG(rev) OVER (ORDER BY day) AS xl
+      FROM daily
+    ),
+    s AS (
+      SELECT COUNT(*)::DOUBLE AS n,
+             AVG(xl) AS mx, AVG(dx) AS my,
+             SUM(xl * dx) AS sxy, SUM(xl * xl) AS sxx,
+             SUM(dx * dx) AS syy
+      FROM lagged WHERE xl IS NOT NULL
+    ),
+    fit AS (
+      SELECT n,
+             (sxy - n * mx * my) / (sxx - n * mx * mx) AS beta,
+             (syy - n * my * my)
+             - POWER(sxy - n * mx * my, 2) / (sxx - n * mx * mx) AS sse,
+             sxx - n * mx * mx AS ssx
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           ROUND(beta, 8) AS beta,
+           ROUND(beta / SQRT((sse / (n - 2)) / ssx), 4) AS df_t,
+           CASE WHEN beta > -1 AND beta < 0
+                THEN ROUND(-LN(2) / LN(1 + beta), 4) END
+             AS half_life_days
+    FROM fit
+    """,
+)
+def q432_dickey_fuller(spark, sf_dir):
+    """Dickey-Fuller unit-root test on daily revenue: regress Δxₜ on
+    xₜ₋₁ (with intercept) and report β, its t statistic, and the
+    implied AR(1) mean-reversion half-life −ln2/ln(1+β) — strongly
+    negative t rejects the random-walk null, meaning revenue shocks
+    decay and a mean-reverting forecaster is justified (the
+    stationarity gate in front of q302's backtests).  The half-life
+    is only defined for −1<β<0 (white-noise-like series fit β≈−1 and
+    report NULL — this fixture does).  One ordered lag window over
+    the daily aggregate, then closed-form OLS from five sufficient
+    statistics."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        (F.col("rev") - F.lag("rev").over(w)).alias("dx"),
+        F.lag("rev").over(w).alias("xl"),
+    ).filter(F.col("xl").isNotNull())
+    s = lagged.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("xl").alias("mx"),
+        F.avg("dx").alias("my"),
+        F.sum(F.col("xl") * F.col("dx")).alias("sxy"),
+        F.sum(F.col("xl") * F.col("xl")).alias("sxx"),
+        F.sum(F.col("dx") * F.col("dx")).alias("syy"),
+    )
+    n, mx, my = F.col("n"), F.col("mx"), F.col("my")
+    cxy = F.col("sxy") - n * mx * my
+    cxx = F.col("sxx") - n * mx * mx
+    cyy = F.col("syy") - n * my * my
+    fit = s.select(
+        "n",
+        (cxy / cxx).alias("beta"),
+        (cyy - F.pow(cxy, 2) / cxx).alias("sse"),
+        cxx.alias("ssx"),
+    )
+    return fit.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round("beta", 8).alias("beta"),
+        F.round(
+            F.col("beta")
+            / F.sqrt(
+                (F.col("sse") / (F.col("n") - 2)) / F.col("ssx")
+            ),
+            4,
+        ).alias("df_t"),
+        F.when(
+            (F.col("beta") > -1) & (F.col("beta") < 0),
+            F.round(
+                -F.log(F.lit(2.0)) / F.log(F.lit(1.0) + F.col("beta")),
+                4,
+            ),
+        ).alias("half_life_days"),
+    )
+
+
+@register(
+    "q433_newsvendor",
+    """
+    WITH demand AS (
+      SELECT p.p_brand AS brand,
+             CAST(date_trunc('day', l.l_shipdate) AS DATE) AS day,
+             SUM(l.l_quantity) AS d
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT brand, quantile_cont(d, 0.8) AS stock
+      FROM demand GROUP BY brand
+    )
+    SELECT d.brand,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(q.stock, 4) AS stock_q80,
+           ROUND(AVG(d.d), 4) AS mean_demand,
+           ROUND(AVG(GREATEST(d.d - q.stock, 0)), 4) AS exp_shortfall,
+           ROUND(AVG(GREATEST(q.stock - d.d, 0)), 4) AS exp_overstock,
+           ROUND(1 - AVG(GREATEST(d.d - q.stock, 0)) / AVG(d.d), 6)
+             AS fill_rate
+    FROM demand d JOIN q ON d.brand = q.brand
+    GROUP BY d.brand, q.stock
+    """,
+)
+def q433_newsvendor(spark, sf_dir):
+    """Newsvendor stocking policy per brand: stock at the critical
+    quantile (0.8 ≙ underage:overage cost ratio 4:1) of observed
+    daily shipped demand, then the policy's expected shortfall,
+    expected overstock, and fill rate evaluated against the same
+    empirical distribution.  (Demand days are days WITH shipments —
+    the empirical conditional distribution; zero-fill would need a
+    calendar spine like q103's.)  Two grouped passes over the
+    (brand, day) demand aggregate and a 25-row broadcast join —
+    the inventory-policy counterpart of q304's VaR tail math."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    demand = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.to_date(F.date_trunc("DAY", "l_shipdate")).alias("day"),
+        )
+        .agg(F.sum("l_quantity").alias("d"))
+    )
+    q = demand.groupBy("brand").agg(
+        F.expr("percentile(d, 0.8)").alias("stock")
+    )
+    short = F.greatest(F.col("d") - F.col("stock"), F.lit(0.0))
+    over = F.greatest(F.col("stock") - F.col("d"), F.lit(0.0))
+    return (
+        demand.join(F.broadcast(q), "brand")
+        .groupBy("brand", "stock")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.avg("d"), 4).alias("mean_demand"),
+            F.round(F.avg(short), 4).alias("exp_shortfall"),
+            F.round(F.avg(over), 4).alias("exp_overstock"),
+            F.round(
+                F.lit(1) - F.avg(short) / F.avg("d"), 6
+            ).alias("fill_rate"),
+        )
+        .select(
+            "brand",
+            "n_days",
+            F.round("stock", 4).alias("stock_q80"),
+            "mean_demand",
+            "exp_shortfall",
+            "exp_overstock",
+            "fill_rate",
+        )
+    )
+
+
+@register(
+    "q434_revenue_beta",
+    """
+    WITH brand_day AS (
+      SELECT p.p_brand AS brand,
+             CAST(date_trunc('day', l.l_shipdate) AS DATE) AS day,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM brand_day),
+    brands AS (SELECT DISTINCT brand FROM brand_day),
+    filled AS (
+      SELECT b.brand, d.day, COALESCE(bd.r, 0) AS r
+      FROM days d CROSS JOIN brands b
+      LEFT JOIN brand_day bd ON bd.brand = b.brand AND bd.day = d.day
+    ),
+    tot AS (
+      SELECT day, SUM(r) AS rt FROM filled GROUP BY day
+    ),
+    s AS (
+      SELECT f.brand, COUNT(*)::DOUBLE AS n,
+             AVG(f.r) AS mb, AVG(t.rt) AS mt,
+             SUM(f.r * t.rt) AS sbt,
+             SUM(t.rt * t.rt) AS stt,
+             SUM(f.r * f.r) AS sbb
+      FROM filled f JOIN tot t ON f.day = t.day
+      GROUP BY f.brand
+    )
+    SELECT brand,
+           ROUND((sbt - n * mb * mt) / (stt - n * mt * mt), 6) AS beta,
+           ROUND((sbt - n * mb * mt)
+                 / SQRT((sbb - n * mb * mb) * (stt - n * mt * mt)), 6)
+             AS corr,
+           ROUND(1 - POWER((sbt - n * mb * mt), 2)
+                     / ((sbb - n * mb * mb) * (stt - n * mt * mt)), 6)
+             AS idio_share
+    FROM s
+    """,
+)
+def q434_revenue_beta(spark, sf_dir):
+    """Per-brand revenue beta against total daily revenue — the CAPM
+    decomposition applied to a portfolio of brands: β says how hard
+    the brand swings with aggregate demand, R² (1−idio_share) how
+    much of its variance aggregate demand explains.  Brand-days with
+    no sales are zero-filled on the day×brand spine (without it, β is
+    biased toward sold-days only); all covariances come from
+    sufficient statistics on the 60k-row filled panel, and the day
+    spine is built once and reused for the market total."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    bd = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.to_date(F.date_trunc("DAY", "l_shipdate")).alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("r")
+        )
+    )
+    days = bd.select("day").distinct()
+    brands = bd.select("brand").distinct()
+    filled = (
+        days.crossJoin(F.broadcast(brands))
+        .join(bd, ["brand", "day"], "left")
+        .select("brand", "day", F.coalesce("r", F.lit(0.0)).alias("r"))
+    )
+    tot = filled.groupBy("day").agg(F.sum("r").alias("rt"))
+    s = (
+        filled.join(tot, "day")
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("r").alias("mb"),
+            F.avg("rt").alias("mt"),
+            F.sum(F.col("r") * F.col("rt")).alias("sbt"),
+            F.sum(F.col("rt") * F.col("rt")).alias("stt"),
+            F.sum(F.col("r") * F.col("r")).alias("sbb"),
+        )
+    )
+    n, mb, mt = F.col("n"), F.col("mb"), F.col("mt")
+    cbt = F.col("sbt") - n * mb * mt
+    ctt = F.col("stt") - n * mt * mt
+    cbb = F.col("sbb") - n * mb * mb
+    return s.select(
+        "brand",
+        F.round(cbt / ctt, 6).alias("beta"),
+        F.round(cbt / F.sqrt(cbb * ctt), 6).alias("corr"),
+        F.round(F.lit(1) - F.pow(cbt, 2) / (cbb * ctt), 6).alias(
+            "idio_share"
+        ),
+    )
+
+
+@register(
+    "q435_tail_dependence",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey, COUNT(*)::DOUBLE AS n_items,
+             SUM(l_extendedprice * (1 - l_discount)) AS price
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    thr AS (
+      SELECT quantile_cont(n_items, 0.9) AS qx,
+             quantile_cont(price, 0.9) AS qy
+      FROM per_order
+    ),
+    flags AS (
+      SELECT CASE WHEN o.n_items > t.qx THEN 1 ELSE 0 END AS fx,
+             CASE WHEN o.price > t.qy THEN 1 ELSE 0 END AS fy
+      FROM per_order o CROSS JOIN thr t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(AVG(fx), 6) AS p_big_basket,
+           ROUND(AVG(fy), 6) AS p_big_price,
+           ROUND(AVG(fx * fy), 6) AS p_joint,
+           ROUND(AVG(fx * fy) / AVG(fy), 6) AS lambda_upper,
+           ROUND(AVG(fx * fy) / (AVG(fx) * AVG(fy)), 4) AS lift
+    FROM flags
+    """,
+)
+def q435_tail_dependence(spark, sf_dir):
+    """Upper-tail dependence between basket size and order value: the
+    probability an order is simultaneously in both top deciles,
+    conditioned (λ_U = P(X>q₉₀ˣ | Y>q₉₀ʸ)) and as a lift over
+    independence.  Pearson/Spearman (q252/q293) measure average
+    co-movement; tail dependence asks whether the EXTREMES coincide —
+    the number that decides if 'big basket' and 'big spend' segments
+    are one segment or two.  One per-order rollup, two broadcast
+    thresholds, a flag fold."""
+    li = _t(spark, sf_dir, "lineitem")
+    po = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+        F.sum(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        ).alias("price"),
+    )
+    thr = po.agg(
+        F.expr("percentile(n_items, 0.9)").alias("qx"),
+        F.expr("percentile(price, 0.9)").alias("qy"),
+    )
+    flags = po.crossJoin(F.broadcast(thr)).select(
+        F.when(F.col("n_items") > F.col("qx"), 1).otherwise(0).alias("fx"),
+        F.when(F.col("price") > F.col("qy"), 1).otherwise(0).alias("fy"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.avg("fx"), 6).alias("p_big_basket"),
+        F.round(F.avg("fy"), 6).alias("p_big_price"),
+        F.round(F.avg(F.col("fx") * F.col("fy")), 6).alias("p_joint"),
+        F.round(
+            F.avg(F.col("fx") * F.col("fy")) / F.avg("fy"), 6
+        ).alias("lambda_upper"),
+        F.round(
+            F.avg(F.col("fx") * F.col("fy"))
+            / (F.avg("fx") * F.avg("fy")),
+            4,
+        ).alias("lift"),
+    )
+
+
+@register(
+    "q436_grubbs_outlier",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    stats AS (
+      SELECT day, rev,
+             ABS(rev - AVG(rev) OVER ()) / STDDEV_SAMP(rev) OVER () AS g,
+             COUNT(*) OVER () AS n
+      FROM daily
+    )
+    SELECT day AS outlier_day,
+           ROUND(rev, 2) AS rev,
+           ROUND(g, 4) AS grubbs_g,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN g > 3 THEN 1 ELSE 0 END) OVER ()
+                AS BIGINT) AS n_beyond_3sd
+    FROM stats
+    ORDER BY g DESC, day
+    LIMIT 1
+    """,
+)
+def q436_grubbs_outlier(spark, sf_dir):
+    """Grubbs' maximum-deviation statistic on daily revenue: the
+    single most extreme day's |x−μ|/s, plus how many days sit beyond
+    3σ — the 'is my worst point an outlier or just the tail' test
+    that complements the fence-based q115/q145 (which flag SETS of
+    points, not the extremum).  Two global windows over the daily
+    aggregate and a top-1; ties break to the earliest day."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    wall = Window.partitionBy()
+    stats = daily.select(
+        "day",
+        "rev",
+        (
+            F.abs(F.col("rev") - F.avg("rev").over(wall))
+            / F.stddev_samp("rev").over(wall)
+        ).alias("g"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    return (
+        stats.select(
+            F.col("day").alias("outlier_day"),
+            F.round("rev", 2).alias("rev"),
+            F.round("g", 4).alias("grubbs_g"),
+            F.col("n").cast("bigint").alias("n_days"),
+            F.sum(F.when(F.col("g") > 3, 1).otherwise(0))
+            .over(wall)
+            .cast("bigint")
+            .alias("n_beyond_3sd"),
+            F.col("g").alias("_g"),
+        )
+        .orderBy(F.col("_g").desc(), "outlier_day")
+        .limit(1)
+        .drop("_g")
+    )
+
+
+@register(
+    "q437_pacf",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT rev - AVG(rev) OVER () AS d,
+             LAG(rev, 1) OVER (ORDER BY day) - AVG(rev) OVER () AS d1,
+             LAG(rev, 2) OVER (ORDER BY day) - AVG(rev) OVER () AS d2,
+             LAG(rev, 3) OVER (ORDER BY day) - AVG(rev) OVER () AS d3
+      FROM daily
+    ),
+    acf AS (
+      SELECT SUM(CASE WHEN d1 IS NOT NULL THEN d * d1 ELSE 0 END)
+               / SUM(d * d) AS r1,
+             SUM(CASE WHEN d2 IS NOT NULL THEN d * d2 ELSE 0 END)
+               / SUM(d * d) AS r2,
+             SUM(CASE WHEN d3 IS NOT NULL THEN d * d3 ELSE 0 END)
+               / SUM(d * d) AS r3
+      FROM lagged
+    ),
+    dl AS (
+      SELECT r1, r2, r3,
+             (r2 - r1 * r1) / (1 - r1 * r1) AS p22
+      FROM acf
+    ),
+    dl2 AS (
+      SELECT r1, r2, r3, p22,
+             r1 * (1 - p22) AS p21
+      FROM dl
+    )
+    SELECT ROUND(r1, 6) AS acf1,
+           ROUND(r2, 6) AS acf2,
+           ROUND(r3, 6) AS acf3,
+           ROUND(r1, 6) AS pacf1,
+           ROUND(p22, 6) AS pacf2,
+           ROUND((r3 - p21 * r2 - p22 * r1)
+                 / (1 - p21 * r1 - p22 * r2), 6) AS pacf3
+    FROM dl2
+    """,
+)
+def q437_pacf(spark, sf_dir):
+    """Partial autocorrelation of daily revenue at lags 1–3 by the
+    Durbin-Levinson recursion in closed form: PACF(2) =
+    (ρ₂−ρ₁²)/(1−ρ₁²), PACF(3) from the level-2 coefficients —
+    the AR-order selector that q298's raw ACF can't provide (ACF
+    tails off for any AR process; PACF CUTS off at the true order).
+    The biased ACF estimates come from three lag windows over the
+    daily aggregate sharing one global mean; everything after is
+    scalar algebra on a single row."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    wall = Window.partitionBy()
+    w = Window.orderBy("day")
+    mean = F.avg("rev").over(wall)
+    lagged = daily.select(
+        (F.col("rev") - mean).alias("d"),
+        (F.lag("rev", 1).over(w) - mean).alias("d1"),
+        (F.lag("rev", 2).over(w) - mean).alias("d2"),
+        (F.lag("rev", 3).over(w) - mean).alias("d3"),
+    )
+    def _num(c):
+        return F.sum(
+            F.when(F.col(c).isNotNull(), F.col("d") * F.col(c)).otherwise(
+                0.0
+            )
+        )
+
+    acf = lagged.agg(
+        (_num("d1") / F.sum(F.col("d") * F.col("d"))).alias("r1"),
+        (_num("d2") / F.sum(F.col("d") * F.col("d"))).alias("r2"),
+        (_num("d3") / F.sum(F.col("d") * F.col("d"))).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    dl = acf.withColumn("p22", (r2 - r1 * r1) / (1 - r1 * r1))
+    dl2 = dl.withColumn("p21", r1 * (1 - F.col("p22")))
+    p21, p22 = F.col("p21"), F.col("p22")
+    return dl2.select(
+        F.round(r1, 6).alias("acf1"),
+        F.round(r2, 6).alias("acf2"),
+        F.round(r3, 6).alias("acf3"),
+        F.round(r1, 6).alias("pacf1"),
+        F.round(p22, 6).alias("pacf2"),
+        F.round(
+            (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2), 6
+        ).alias("pacf3"),
+    )
+
+
+@register(
+    "q438_diff_in_diff",
+    """
+    WITH med AS (
+      SELECT quantile_cont(epoch_us(l_shipdate), 0.5) AS ms
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT CASE WHEN l.l_discount >= 0.05 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN epoch_us(l.l_shipdate) >= m.ms THEN 1 ELSE 0 END
+               AS post,
+             COUNT(*)::DOUBLE AS n,
+             AVG(CASE WHEN l.l_returnflag = 'R' THEN 1.0 ELSE 0 END)
+               AS rate
+      FROM lineitem l CROSS JOIN med m
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN rate END) AS tp,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN rate END) AS tq,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN rate END) AS cp,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN rate END) AS cq,
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN rate * (1 - rate) / n END)
+        + MAX(CASE WHEN treated = 1 AND post = 0 THEN rate * (1 - rate) / n END)
+        + MAX(CASE WHEN treated = 0 AND post = 1 THEN rate * (1 - rate) / n END)
+        + MAX(CASE WHEN treated = 0 AND post = 0 THEN rate * (1 - rate) / n END)
+          AS var_did
+      FROM cells
+    )
+    SELECT ROUND(tq, 6) AS treated_pre,
+           ROUND(tp, 6) AS treated_post,
+           ROUND(cq, 6) AS control_pre,
+           ROUND(cp, 6) AS control_post,
+           ROUND((tp - tq) - (cp - cq), 6) AS did,
+           ROUND(SQRT(var_did), 6) AS se,
+           ROUND(((tp - tq) - (cp - cq)) / SQRT(var_did), 4) AS z_stat
+    FROM wide
+    """,
+)
+def q438_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences on return rates: treated = discounted
+    line items (≥5%), periods split at the median ship date; DID =
+    (T,post − T,pre) − (C,post − C,pre) nets out both the level
+    difference between groups and the common time trend — the
+    estimator behind every 'did the policy change returns' question,
+    where q342's raw uplift would confound trend with treatment.  The
+    SE pools the four binomial cell variances.  One grouped scan into
+    a 4-cell table; the rest is scalar algebra."""
+    li = _t(spark, sf_dir, "lineitem")
+    # l_shipdate arrives as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP
+    # (session TZ is UTC, so the cast is value-preserving vs DuckDB).
+    us = F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+    med = li.agg(
+        F.expr(
+            "percentile(unix_micros(CAST(l_shipdate AS TIMESTAMP)), 0.5)"
+        ).alias("ms")
+    )
+    cells = (
+        li.crossJoin(F.broadcast(med))
+        .groupBy(
+            F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias(
+                "treated"
+            ),
+            F.when(us >= F.col("ms"), 1).otherwise(0).alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg(
+                F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+            ).alias("rate"),
+        )
+    )
+
+    def cell(t, p, expr):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), expr)
+        )
+
+    v = F.col("rate") * (1 - F.col("rate")) / F.col("n")
+    wide = cells.agg(
+        cell(1, 1, F.col("rate")).alias("tp"),
+        cell(1, 0, F.col("rate")).alias("tq"),
+        cell(0, 1, F.col("rate")).alias("cp"),
+        cell(0, 0, F.col("rate")).alias("cq"),
+        (
+            cell(1, 1, v) + cell(1, 0, v) + cell(0, 1, v) + cell(0, 0, v)
+        ).alias("var_did"),
+    )
+    did = (F.col("tp") - F.col("tq")) - (F.col("cp") - F.col("cq"))
+    return wide.select(
+        F.round("tq", 6).alias("treated_pre"),
+        F.round("tp", 6).alias("treated_post"),
+        F.round("cq", 6).alias("control_pre"),
+        F.round("cp", 6).alias("control_post"),
+        F.round(did, 6).alias("did"),
+        F.round(F.sqrt(F.col("var_did")), 6).alias("se"),
+        F.round(did / F.sqrt(F.col("var_did")), 4).alias("z_stat"),
+    )
+
+
+@register(
+    "q439_control_chart_rules",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    z AS (
+      SELECT day,
+             (rev - AVG(rev) OVER ()) / STDDEV_SAMP(rev) OVER () AS zv
+      FROM daily
+    ),
+    flags AS (
+      SELECT day, zv,
+             CASE WHEN zv > 2 THEN 1 ELSE 0 END AS hi2,
+             CASE WHEN zv < -2 THEN 1 ELSE 0 END AS lo2,
+             CASE WHEN zv > 0 THEN 1 ELSE 0 END AS above
+      FROM z
+    ),
+    runs AS (
+      SELECT day, zv,
+             SUM(hi2) OVER (ORDER BY day
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS hi2_3,
+             SUM(lo2) OVER (ORDER BY day
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS lo2_3,
+             SUM(above) OVER (ORDER BY day
+                              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+               AS above_8,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM flags
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN ABS(zv) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS rule1_beyond_3sd,
+           CAST(SUM(CASE WHEN rn >= 3
+                          AND (hi2_3 >= 2 OR lo2_3 >= 2)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS rule2_2of3_beyond_2sd,
+           CAST(SUM(CASE WHEN rn >= 8
+                          AND (above_8 = 8 OR above_8 = 0)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS rule4_run_of_8
+    FROM runs
+    """,
+)
+def q439_control_chart_rules(spark, sf_dir):
+    """Western Electric control-chart rules on daily revenue: Rule 1
+    (a point beyond 3σ), Rule 2 (2 of 3 consecutive beyond 2σ on the
+    same side), Rule 4 (8 consecutive on one side of the mean) — the
+    SPC patterns that catch shifts q193's plain rolling z-score
+    misses, because small sustained drifts never cross 3σ but
+    reliably trip the run rules.  Counts are of completion days, so
+    a sustained shift scores every day it persists.  Three framed
+    windows over the daily aggregate, one fold."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    wall = Window.partitionBy()
+    z = daily.select(
+        "day",
+        (
+            (F.col("rev") - F.avg("rev").over(wall))
+            / F.stddev_samp("rev").over(wall)
+        ).alias("zv"),
+    )
+    flags = z.select(
+        "day",
+        "zv",
+        F.when(F.col("zv") > 2, 1).otherwise(0).alias("hi2"),
+        F.when(F.col("zv") < -2, 1).otherwise(0).alias("lo2"),
+        F.when(F.col("zv") > 0, 1).otherwise(0).alias("above"),
+    )
+    w3 = Window.orderBy("day").rowsBetween(-2, 0)
+    w8 = Window.orderBy("day").rowsBetween(-7, 0)
+    runs = flags.select(
+        "zv",
+        F.sum("hi2").over(w3).alias("hi2_3"),
+        F.sum("lo2").over(w3).alias("lo2_3"),
+        F.sum("above").over(w8).alias("above_8"),
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+    )
+    return runs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.when(F.abs(F.col("zv")) > 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("rule1_beyond_3sd"),
+        F.sum(
+            F.when(
+                (F.col("rn") >= 3)
+                & ((F.col("hi2_3") >= 2) | (F.col("lo2_3") >= 2)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("rule2_2of3_beyond_2sd"),
+        F.sum(
+            F.when(
+                (F.col("rn") >= 8)
+                & ((F.col("above_8") == 8) | (F.col("above_8") == 0)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("rule4_run_of_8"),
+    )
+
+
+@register(
+    "q440_cox_stuart",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    pairs AS (
+      SELECT a.rev AS xa, b.rev AS xb
+      FROM seq a JOIN seq b
+        ON b.rn = a.rn + (a.n + 1) // 2
+    ),
+    s AS (
+      SELECT SUM(CASE WHEN xb > xa THEN 1 ELSE 0 END)::DOUBLE AS sp,
+             SUM(CASE WHEN xb < xa THEN 1 ELSE 0 END)::DOUBLE AS sm
+      FROM pairs
+    )
+    SELECT CAST(sp + sm AS BIGINT) AS n_pairs,
+           CAST(sp AS BIGINT) AS s_plus,
+           CAST(sm AS BIGINT) AS s_minus,
+           ROUND((sp - (sp + sm) / 2) / SQRT((sp + sm) / 4), 4)
+             AS z_stat
+    FROM s
+    """,
+)
+def q440_cox_stuart(spark, sf_dir):
+    """Cox-Stuart trend test on daily revenue: pair each day in the
+    first half with its counterpart one half-length later and sign-test
+    the differences — a monotone-trend detector that needs no
+    distributional assumptions and ignores magnitudes entirely,
+    complementing q275's robust Theil-Sen SLOPE with a significance
+    verdict.  The pairing is one self-join on row number at a fixed
+    offset (an equi-join, so it co-partitions); the test is a two-cell
+    fold."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    seq = daily.select(
+        "rev",
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    a = seq.alias("a")
+    b = seq.alias("b")
+    pairs = a.join(
+        b,
+        F.col("b.rn")
+        == F.col("a.rn") + ((F.col("a.n") + 1) / 2).cast("bigint"),
+    ).select(F.col("a.rev").alias("xa"), F.col("b.rev").alias("xb"))
+    s = pairs.agg(
+        F.sum(F.when(F.col("xb") > F.col("xa"), 1).otherwise(0))
+        .cast("double")
+        .alias("sp"),
+        F.sum(F.when(F.col("xb") < F.col("xa"), 1).otherwise(0))
+        .cast("double")
+        .alias("sm"),
+    )
+    sp, sm = F.col("sp"), F.col("sm")
+    return s.select(
+        (sp + sm).cast("bigint").alias("n_pairs"),
+        sp.cast("bigint").alias("s_plus"),
+        sm.cast("bigint").alias("s_minus"),
+        F.round(
+            (sp - (sp + sm) / 2) / F.sqrt((sp + sm) / 4), 4
+        ).alias("z_stat"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
