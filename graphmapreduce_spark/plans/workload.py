@@ -23508,6 +23508,906 @@ def q440_cox_stuart(spark, sf_dir):
     )
 
 
+@register(
+    "q441_friedman_test",
+    """
+    WITH cell AS (
+      SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS mth,
+             p.p_brand AS brand,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    k AS (SELECT COUNT(DISTINCT brand)::DOUBLE AS k FROM cell),
+    full_months AS (
+      SELECT mth FROM cell GROUP BY mth
+      HAVING COUNT(*) = (SELECT k FROM k)
+    ),
+    ranked AS (
+      SELECT c.brand,
+             ROW_NUMBER() OVER (PARTITION BY c.mth
+                                ORDER BY c.r, c.brand) AS rk
+      FROM cell c JOIN full_months f ON c.mth = f.mth
+    ),
+    sums AS (
+      SELECT brand, SUM(rk)::DOUBLE AS rj, COUNT(*)::DOUBLE AS n
+      FROM ranked GROUP BY brand
+    ),
+    agg AS (
+      SELECT SUM(rj * rj) AS srj2, MAX(n) AS n,
+             COUNT(*)::DOUBLE AS k
+      FROM sums
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           CAST(k AS BIGINT) AS k_brands,
+           ROUND(12 / (n * k * (k + 1)) * srj2 - 3 * n * (k + 1), 4)
+             AS chi2_f,
+           ROUND((12 / (n * k * (k + 1)) * srj2 - 3 * n * (k + 1))
+                 / (n * (k - 1)), 6) AS kendalls_w
+    FROM agg
+    """,
+)
+def q441_friedman_test(spark, sf_dir):
+    """Friedman rank test across brands with months as blocks: rank
+    the 25 brands WITHIN each month by revenue, and test whether the
+    mean ranks differ — the repeated-measures cousin of q279's ANOVA
+    that is immune to month-level scale shifts (a hot month inflates
+    every brand; within-month ranks don't move).  Kendall's W =
+    χ²/(n(k−1)) grades the agreement 0..1.  Only months with all k
+    brands enter (complete blocks); ranking is one partitioned window
+    over the month×brand aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cell = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.to_date(F.date_trunc("MONTH", "l_shipdate")).alias("mth"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("r")
+        )
+    )
+    kdf = cell.agg(
+        F.countDistinct("brand").cast("double").alias("k")
+    )
+    full_months = (
+        cell.groupBy("mth")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(kdf))
+        .filter(F.col("cnt") == F.col("k"))
+        .select("mth")
+    )
+    ranked = cell.join(full_months, "mth").select(
+        "brand",
+        F.row_number()
+        .over(Window.partitionBy("mth").orderBy("r", "brand"))
+        .alias("rk"),
+    )
+    sums = ranked.groupBy("brand").agg(
+        F.sum("rk").cast("double").alias("rj"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    agg = sums.agg(
+        F.sum(F.col("rj") * F.col("rj")).alias("srj2"),
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    n, k = F.col("n"), F.col("k")
+    chi2 = 12 / (n * k * (k + 1)) * F.col("srj2") - 3 * n * (k + 1)
+    return agg.select(
+        n.cast("bigint").alias("n_blocks"),
+        k.cast("bigint").alias("k_brands"),
+        F.round(chi2, 4).alias("chi2_f"),
+        F.round(chi2 / (n * (k - 1)), 6).alias("kendalls_w"),
+    )
+
+
+@register(
+    "q442_kruskal_wallis",
+    """
+    WITH per_vs AS (
+      SELECT n_chars AS v, source, COUNT(*)::DOUBLE AS c
+      FROM documents GROUP BY n_chars, source
+    ),
+    per_v AS (
+      SELECT v, SUM(c) AS ct FROM per_vs GROUP BY v
+    ),
+    cum AS (
+      SELECT v, ct, SUM(ct) OVER (ORDER BY v) - ct AS cumbefore
+      FROM per_v
+    ),
+    groups AS (
+      SELECT s.source,
+             SUM(s.c) AS nj,
+             SUM(s.c * (c2.cumbefore + (c2.ct + 1) / 2)) AS rj
+      FROM per_vs s JOIN cum c2 ON s.v = c2.v
+      GROUP BY s.source
+    ),
+    ties AS (
+      SELECT SUM(ct * ct * ct - ct) AS tsum, SUM(ct) AS n
+      FROM per_v
+    ),
+    h AS (
+      SELECT (12 / (t.n * (t.n + 1)))
+             * (SELECT SUM(rj * rj / nj) FROM groups)
+             - 3 * (t.n + 1) AS h_raw,
+             t.n AS n, t.tsum AS tsum,
+             (SELECT COUNT(*) FROM groups) AS k
+      FROM ties t
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(n AS BIGINT) AS n_docs,
+           ROUND(h_raw, 4) AS h_stat,
+           ROUND(h_raw / (1 - tsum / (n * n * n - n)), 4)
+             AS h_tie_corrected
+    FROM h
+    """,
+)
+def q442_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis rank ANOVA of document length across ALL 20
+    sources — the k-group generalization of q421's Mann-Whitney and
+    the rank-based alternative to q279's F test: H = 12/(N(N+1))
+    ΣR²ⱼ/nⱼ − 3(N+1), tie-corrected by 1−Σ(t³−t)/(N³−N).  Rank sums
+    again come from the distinct-VALUE histogram (cumulative count
+    before each length + average tie rank), so no row ever gets an
+    individual rank — one grouped scan, one small ordered window."""
+    d = _t(spark, sf_dir, "documents")
+    per_vs = d.groupBy(F.col("n_chars").alias("v"), "source").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    per_v = per_vs.groupBy("v").agg(F.sum("c").alias("ct"))
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v",
+        "ct",
+        (F.sum("ct").over(wc) - F.col("ct")).alias("cumbefore"),
+    )
+    groups = (
+        per_vs.join(cum, "v")
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("nj"),
+            F.sum(
+                F.col("c") * (F.col("cumbefore") + (F.col("ct") + 1) / 2)
+            ).alias("rj"),
+        )
+    )
+    gagg = groups.agg(
+        F.sum(F.col("rj") * F.col("rj") / F.col("nj")).alias("srn"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    ties = per_v.agg(
+        F.sum(
+            F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct")
+        ).alias("tsum"),
+        F.sum("ct").alias("n"),
+    )
+    n = F.col("n")
+    h_raw = 12 / (n * (n + 1)) * F.col("srn") - 3 * (n + 1)
+    return ties.crossJoin(F.broadcast(gagg)).select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        n.cast("bigint").alias("n_docs"),
+        F.round(h_raw, 4).alias("h_stat"),
+        F.round(
+            h_raw / (1 - F.col("tsum") / (n * n * n - n)), 4
+        ).alias("h_tie_corrected"),
+    )
+
+
+@register(
+    "q443_cramers_v",
+    """
+    WITH cell AS (
+      SELECT p.p_brand AS brand, l.l_returnflag AS flag,
+             COUNT(*)::DOUBLE AS o
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT brand, flag, o,
+             SUM(o) OVER (PARTITION BY brand) AS rowtot,
+             SUM(o) OVER (PARTITION BY flag) AS coltot,
+             SUM(o) OVER () AS n
+      FROM cell
+    ),
+    chi AS (
+      SELECT SUM(POWER(o - rowtot * coltot / n, 2)
+                 / (rowtot * coltot / n)) AS chi2,
+             MAX(n) AS n,
+             COUNT(DISTINCT brand)::DOUBLE AS r,
+             COUNT(DISTINCT flag)::DOUBLE AS c
+      FROM m
+    )
+    SELECT ROUND(chi2, 4) AS chi2,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           ROUND(SQRT(chi2 / (n * (LEAST(r, c) - 1))), 6) AS cramers_v
+    FROM chi
+    """,
+)
+def q443_cramers_v(spark, sf_dir):
+    """Cramér's V for the brand × return-flag association: the
+    effect-size that q139's chi-squared LACKS — chi² grows with N, so
+    at 100 TB everything is 'significant'; V = √(χ²/(N·(min(r,c)−1)))
+    is scale-free and answers whether the association is MATERIAL.
+    The full contingency table is a 75-cell aggregate; margins come
+    from windows over it, never a second scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cell = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_returnflag").alias("flag"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    m = cell.select(
+        "brand",
+        "flag",
+        "o",
+        F.sum("o").over(Window.partitionBy("brand")).alias("rowtot"),
+        F.sum("o").over(Window.partitionBy("flag")).alias("coltot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("rowtot") * F.col("coltot") / F.col("n")
+    chi = m.agg(
+        F.sum(F.pow(F.col("o") - e, 2) / e).alias("chi2"),
+        F.max("n").alias("n"),
+        F.countDistinct("brand").cast("double").alias("r"),
+        F.countDistinct("flag").cast("double").alias("c"),
+    )
+    return chi.select(
+        F.round("chi2", 4).alias("chi2"),
+        ((F.col("r") - 1) * (F.col("c") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * (F.least(F.col("r"), F.col("c")) - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "q444_partial_correlation",
+    """
+    WITH s AS (
+      SELECT COUNT(*)::DOUBLE AS n,
+             AVG(l_quantity) AS mx, AVG(l_extendedprice) AS my,
+             AVG(l_discount) AS mz,
+             SUM(l_quantity * l_extendedprice) AS sxy,
+             SUM(l_quantity * l_discount) AS sxz,
+             SUM(l_extendedprice * l_discount) AS syz,
+             SUM(l_quantity * l_quantity) AS sxx,
+             SUM(l_extendedprice * l_extendedprice) AS syy,
+             SUM(l_discount * l_discount) AS szz
+      FROM lineitem
+    ),
+    r AS (
+      SELECT (sxy - n * mx * my)
+             / SQRT((sxx - n * mx * mx) * (syy - n * my * my)) AS rxy,
+             (sxz - n * mx * mz)
+             / SQRT((sxx - n * mx * mx) * (szz - n * mz * mz)) AS rxz,
+             (syz - n * my * mz)
+             / SQRT((syy - n * my * my) * (szz - n * mz * mz)) AS ryz
+      FROM s
+    )
+    SELECT ROUND(rxy, 6) AS r_qty_price,
+           ROUND(rxz, 6) AS r_qty_disc,
+           ROUND(ryz, 6) AS r_price_disc,
+           ROUND((rxy - rxz * ryz)
+                 / SQRT((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+             AS partial_r_qty_price
+    FROM r
+    """,
+)
+def q444_partial_correlation(spark, sf_dir):
+    """First-order partial correlation of quantity and extended price
+    CONTROLLING for discount: r_xy·z = (r_xy − r_xz·r_yz) /
+    √((1−r_xz²)(1−r_yz²)) — the correlation that remains after the
+    common driver is regressed out, which q252's raw Pearson matrix
+    cannot distinguish from confounding.  All three pairwise
+    correlations come from one ten-sufficient-statistics scan; the
+    partialling is scalar algebra."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y, z = F.col("l_quantity"), F.col("l_extendedprice"), F.col(
+        "l_discount"
+    )
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(x).alias("mx"),
+        F.avg(y).alias("my"),
+        F.avg(z).alias("mz"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * z).alias("sxz"),
+        F.sum(y * z).alias("syz"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(z * z).alias("szz"),
+    )
+    n = F.col("n")
+    cxx = F.col("sxx") - n * F.col("mx") * F.col("mx")
+    cyy = F.col("syy") - n * F.col("my") * F.col("my")
+    czz = F.col("szz") - n * F.col("mz") * F.col("mz")
+    rxy = (F.col("sxy") - n * F.col("mx") * F.col("my")) / F.sqrt(
+        cxx * cyy
+    )
+    rxz = (F.col("sxz") - n * F.col("mx") * F.col("mz")) / F.sqrt(
+        cxx * czz
+    )
+    ryz = (F.col("syz") - n * F.col("my") * F.col("mz")) / F.sqrt(
+        cyy * czz
+    )
+    r = s.select(
+        rxy.alias("rxy"), rxz.alias("rxz"), ryz.alias("ryz")
+    )
+    return r.select(
+        F.round("rxy", 6).alias("r_qty_price"),
+        F.round("rxz", 6).alias("r_qty_disc"),
+        F.round("ryz", 6).alias("r_price_disc"),
+        F.round(
+            (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+            / F.sqrt(
+                (1 - F.col("rxz") * F.col("rxz"))
+                * (1 - F.col("ryz") * F.col("ryz"))
+            ),
+            6,
+        ).alias("partial_r_qty_price"),
+    )
+
+
+@register(
+    "q445_jackknife_mean",
+    """
+    WITH g AS (
+      SELECT n.n_name AS nation, COUNT(*)::DOUBLE AS ni,
+             SUM(o.o_totalprice) AS si
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(ni) AS nt, SUM(si) AS st,
+             COUNT(*)::DOUBLE AS gk
+      FROM g
+    ),
+    pseudo AS (
+      SELECT g.nation,
+             tot.gk * (tot.st / tot.nt)
+             - (tot.gk - 1) * ((tot.st - g.si) / (tot.nt - g.ni))
+               AS pv,
+             tot.st / tot.nt AS theta, tot.gk AS gk
+      FROM g CROSS JOIN tot
+    )
+    SELECT ROUND(MAX(theta), 4) AS theta_full,
+           ROUND(AVG(pv), 4) AS jackknife_mean,
+           ROUND(SQRT(SUM(POWER(pv - (SELECT AVG(pv) FROM pseudo), 2))
+                      / (MAX(gk) * (MAX(gk) - 1))), 4) AS jackknife_se,
+           CAST(MAX(gk) AS BIGINT) AS n_groups
+    FROM pseudo
+    """,
+)
+def q445_jackknife_mean(spark, sf_dir):
+    """Delete-one-GROUP jackknife for the mean order price, with
+    customer nations as the deletion groups: pseudo-values θ*ᵢ =
+    g·θ − (g−1)·θ₍₋ᵢ₎ and their spread give a standard error that
+    respects within-nation clustering — the honest SE when
+    observations inside a nation are correlated, where q204's i.i.d.
+    bootstrap is too optimistic.  Every leave-one-out estimate is
+    closed-form from (Σ, n) per group, so the whole resampling plan
+    is one grouped scan plus 25-row algebra — no replicate passes."""
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    g = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("ni"),
+            F.sum("o_totalprice").alias("si"),
+        )
+    )
+    tot = g.agg(
+        F.sum("ni").alias("nt"),
+        F.sum("si").alias("st"),
+        F.count(F.lit(1)).cast("double").alias("gk"),
+    )
+    theta = F.col("st") / F.col("nt")
+    loo = (F.col("st") - F.col("si")) / (F.col("nt") - F.col("ni"))
+    pseudo = g.crossJoin(F.broadcast(tot)).select(
+        (F.col("gk") * theta - (F.col("gk") - 1) * loo).alias("pv"),
+        theta.alias("theta"),
+        F.col("gk").alias("gk"),
+    )
+    wall = Window.partitionBy()
+    withm = pseudo.withColumn("pm", F.avg("pv").over(wall))
+    return withm.agg(
+        F.round(F.max("theta"), 4).alias("theta_full"),
+        F.round(F.avg("pv"), 4).alias("jackknife_mean"),
+        F.round(
+            F.sqrt(
+                F.sum(F.pow(F.col("pv") - F.col("pm"), 2))
+                / (F.max("gk") * (F.max("gk") - 1))
+            ),
+            4,
+        ).alias("jackknife_se"),
+        F.max("gk").cast("bigint").alias("n_groups"),
+    )
+
+
+@register(
+    "q446_price_stickiness",
+    """
+    WITH seq AS (
+      SELECT p.p_brand AS brand,
+             ROUND(l.l_extendedprice / l.l_quantity, 2) AS up,
+             LAG(ROUND(l.l_extendedprice / l.l_quantity, 2))
+               OVER (PARTITION BY l.l_partkey
+                     ORDER BY l.l_shipdate, l.l_orderkey,
+                              l.l_linenumber) AS prev_up
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN up = prev_up THEN 1 ELSE 0 END)
+                AS BIGINT) AS sticky_pairs,
+           ROUND(AVG(CASE WHEN up = prev_up THEN 1.0 ELSE 0 END), 6)
+             AS stickiness,
+           ROUND(AVG(CASE WHEN up <> prev_up
+                          THEN ABS(up - prev_up) / prev_up END), 4)
+             AS mean_abs_change
+    FROM seq WHERE prev_up IS NOT NULL
+    GROUP BY brand
+    """,
+)
+def q446_price_stickiness(spark, sf_dir):
+    """Price stickiness per brand: for each part's sale sequence in
+    ship-date order, the share of consecutive transactions at an
+    UNCHANGED unit price (2-decimal) and the mean |Δp|/p when the
+    price does move — the menu-cost micro-metric (Bils-Klenow style)
+    that q336's dispersion snapshot can't see because it has no time
+    axis.  One part-partitioned ordered lag over the fact table, then
+    a brand rollup; the partition key is the natural sales order, so
+    the window shuffle is the only exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    up = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2)
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    seq = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            up.alias("up"),
+            F.lag(up).over(w).alias("prev_up"),
+        )
+        .filter(F.col("prev_up").isNotNull())
+    )
+    same = F.col("up") == F.col("prev_up")
+    return seq.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(same, 1).otherwise(0))
+        .cast("bigint")
+        .alias("sticky_pairs"),
+        F.round(F.avg(F.when(same, 1.0).otherwise(0.0)), 6).alias(
+            "stickiness"
+        ),
+        F.round(
+            F.avg(
+                F.when(
+                    ~same,
+                    F.abs(F.col("up") - F.col("prev_up"))
+                    / F.col("prev_up"),
+                )
+            ),
+            # 4 dp: the ratio mean accumulates in partition order, so
+            # the engines differ at ~1e-6 — round below that noise.
+            4,
+        ).alias("mean_abs_change"),
+    )
+
+
+@register(
+    "q447_logrank",
+    """
+    WITH purch AS (
+      SELECT user_id, epoch_us(ts) AS us, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS k
+      FROM events WHERE event_type = 'purchase'
+    ),
+    maxt AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
+    firsts AS (
+      SELECT user_id, us AS t1, value AS v1 FROM purch WHERE k = 1
+    ),
+    seconds AS (
+      SELECT user_id, us AS t2 FROM purch WHERE k = 2
+    ),
+    med AS (SELECT quantile_cont(v1, 0.5) AS mv FROM firsts),
+    subj AS (
+      SELECT CASE WHEN f.v1 > med.mv THEN 1 ELSE 0 END AS grp,
+             CASE WHEN s.user_id IS NOT NULL
+                  THEN (s.t2 - f.t1) // 86400000000
+                  ELSE (maxt.mx - f.t1) // 86400000000 END AS dur,
+             CASE WHEN s.user_id IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM firsts f
+      LEFT JOIN seconds s ON f.user_id = s.user_id
+      CROSS JOIN med CROSS JOIN maxt
+    ),
+    wide AS (
+      SELECT dur,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::DOUBLE AS c1,
+             SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::DOUBLE AS c0,
+             SUM(CASE WHEN grp = 1 AND ev = 1 THEN 1 ELSE 0 END)::DOUBLE
+               AS d1,
+             SUM(CASE WHEN grp = 0 AND ev = 1 THEN 1 ELSE 0 END)::DOUBLE
+               AS d0
+      FROM subj GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d1, d0,
+             SUM(c1) OVER () - (SUM(c1) OVER (ORDER BY dur) - c1)
+               AS n1,
+             SUM(c1 + c0) OVER ()
+             - (SUM(c1 + c0) OVER (ORDER BY dur) - c1 - c0) AS n
+      FROM wide
+    ),
+    terms AS (
+      SELECT SUM(d1) AS o1,
+             SUM((d1 + d0) * n1 / n) AS e1,
+             SUM(CASE WHEN n > 1
+                      THEN (d1 + d0) * (n1 / n) * (1 - n1 / n)
+                           * (n - d1 - d0) / (n - 1)
+                      ELSE 0 END) AS v
+      FROM risk WHERE d1 + d0 > 0
+    )
+    SELECT CAST(o1 AS BIGINT) AS observed_hi,
+           ROUND(e1, 4) AS expected_hi,
+           ROUND(v, 4) AS variance,
+           ROUND((o1 - e1) / SQRT(v), 4) AS z_stat
+    FROM terms
+    """,
+)
+def q447_logrank(spark, sf_dir):
+    """Log-rank test for time-to-second-purchase between users whose
+    FIRST purchase was above vs below the median value — do big
+    first-baskets come back sooner?  Right-censoring at the end of
+    the window is handled properly (censored users leave the risk set
+    without counting as events), which is exactly what a naive
+    mean-gap comparison gets wrong.  The risk sets nₘ(t) come from
+    cumulative windows over the per-DURATION histogram, not per-
+    (time×subject) expansion — the hypergeometric terms then fold in
+    one pass, the same discipline as q228's Kaplan-Meier."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        us.alias("us"),
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("k"),
+    )
+    maxt = ev.agg(F.max(us).alias("mx"))
+    firsts = purch.filter(F.col("k") == 1).select(
+        "user_id", F.col("us").alias("t1"), F.col("value").alias("v1")
+    )
+    seconds = purch.filter(F.col("k") == 2).select(
+        F.col("user_id").alias("uid2"), F.col("us").alias("t2")
+    )
+    med = firsts.agg(F.expr("percentile(v1, 0.5)").alias("mv"))
+    day = F.lit(86400000000)
+    subj = (
+        firsts.join(seconds, firsts.user_id == seconds.uid2, "left")
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(maxt))
+        .select(
+            F.when(F.col("v1") > F.col("mv"), 1).otherwise(0).alias("grp"),
+            F.when(
+                F.col("uid2").isNotNull(),
+                ((F.col("t2") - F.col("t1")) / day).cast("bigint"),
+            )
+            .otherwise(((F.col("mx") - F.col("t1")) / day).cast("bigint"))
+            .alias("dur"),
+            F.when(F.col("uid2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    wide = subj.groupBy("dur").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("c1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("c0"),
+        F.sum(F.when((F.col("grp") == 1) & (F.col("ev") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("d1"),
+        F.sum(F.when((F.col("grp") == 0) & (F.col("ev") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("d0"),
+    )
+    wall = Window.partitionBy()
+    wc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    risk = wide.select(
+        "dur",
+        "d1",
+        "d0",
+        (
+            F.sum("c1").over(wall)
+            - (F.sum("c1").over(wc) - F.col("c1"))
+        ).alias("n1"),
+        (
+            F.sum(F.col("c1") + F.col("c0")).over(wall)
+            - (
+                F.sum(F.col("c1") + F.col("c0")).over(wc)
+                - F.col("c1")
+                - F.col("c0")
+            )
+        ).alias("n"),
+    ).filter(F.col("d1") + F.col("d0") > 0)
+    d = F.col("d1") + F.col("d0")
+    n1, n = F.col("n1"), F.col("n")
+    terms = risk.agg(
+        F.sum("d1").alias("o1"),
+        F.sum(d * n1 / n).alias("e1"),
+        F.sum(
+            F.when(
+                n > 1,
+                d * (n1 / n) * (1 - n1 / n) * (n - d) / (n - 1),
+            ).otherwise(0.0)
+        ).alias("v"),
+    )
+    return terms.select(
+        F.col("o1").cast("bigint").alias("observed_hi"),
+        F.round("e1", 4).alias("expected_hi"),
+        F.round("v", 4).alias("variance"),
+        F.round(
+            (F.col("o1") - F.col("e1")) / F.sqrt(F.col("v")), 4
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "q448_average_precision",
+    """
+    WITH u AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type IN ('click', 'view')
+                      THEN 1 ELSE 0 END)::DOUBLE AS engagement,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN value ELSE 0 END) AS spend
+      FROM events GROUP BY user_id
+    ),
+    med AS (SELECT quantile_cont(spend, 0.5) AS ms FROM u),
+    ranked AS (
+      SELECT CASE WHEN u.spend > med.ms THEN 1.0 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (ORDER BY u.engagement DESC, u.user_id)
+               AS k
+      FROM u CROSS JOIN med
+    ),
+    prec AS (
+      SELECT rel, k,
+             SUM(rel) OVER (ORDER BY k) / k AS p_at_k
+      FROM ranked
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(rel) AS BIGINT) AS n_pos,
+           ROUND(SUM(rel * p_at_k) / SUM(rel), 6)
+             AS average_precision,
+           ROUND(SUM(CASE WHEN k <= 10 THEN rel ELSE 0 END) / 10, 6)
+             AS precision_at_10
+    FROM prec
+    """,
+)
+def q448_average_precision(spark, sf_dir):
+    """Average precision (PR-curve area) for ranking users by
+    click/view engagement against an above-median-spend label: AP =
+    (1/P)·Σ relₖ·Precision@k — the retrieval metric that, unlike
+    q241's AUC-ROC, concentrates on the TOP of the ranking, which is
+    what matters when you can only act on the first page.  One
+    per-user rollup, one ordered cumulative window over the 150-user
+    table; ties break on user_id so both engines rank identically."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("click", "view"), 1).otherwise(
+                0
+            )
+        )
+        .cast("double")
+        .alias("engagement"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0.0)
+        ).alias("spend"),
+    )
+    med = u.agg(F.expr("percentile(spend, 0.5)").alias("ms"))
+    ranked = u.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("spend") > F.col("ms"), 1.0).otherwise(0.0).alias(
+            "rel"
+        ),
+        F.row_number()
+        .over(Window.orderBy(F.col("engagement").desc(), "user_id"))
+        .alias("k"),
+    )
+    wc = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    prec = ranked.select(
+        "rel", "k", (F.sum("rel").over(wc) / F.col("k")).alias("p_at_k")
+    )
+    return prec.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("rel").cast("bigint").alias("n_pos"),
+        F.round(
+            F.sum(F.col("rel") * F.col("p_at_k")) / F.sum("rel"), 6
+        ).alias("average_precision"),
+        F.round(
+            F.sum(F.when(F.col("k") <= 10, F.col("rel")).otherwise(0.0))
+            / 10,
+            6,
+        ).alias("precision_at_10"),
+    )
+
+
+@register(
+    "q449_lorenz_asymmetry",
+    """
+    WITH cust AS (
+      SELECT o_custkey, SUM(o_totalprice) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+      SELECT x,
+             AVG(x) OVER () AS mu,
+             COUNT(*) OVER () AS n,
+             SUM(x) OVER () AS sx
+      FROM cust
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           ROUND(MAX(mu), 4) AS mean_spend,
+           ROUND(SUM(CASE WHEN x < mu THEN 1.0 ELSE 0 END) / MAX(n), 6)
+             AS f_mu,
+           ROUND(SUM(CASE WHEN x < mu THEN x ELSE 0 END) / MAX(sx), 6)
+             AS l_mu,
+           ROUND(SUM(CASE WHEN x < mu THEN 1.0 ELSE 0 END) / MAX(n)
+                 + SUM(CASE WHEN x < mu THEN x ELSE 0 END) / MAX(sx), 6)
+             AS lorenz_asymmetry
+    FROM stats
+    """,
+)
+def q449_lorenz_asymmetry(spark, sf_dir):
+    """Lorenz asymmetry coefficient of customer spend: S = F(μ)+L(μ)
+    (discrete estimator) — the shape diagnostic that two
+    distributions with IDENTICAL Gini (q230) can still disagree on:
+    S<1 says inequality is driven by many small customers, S>1 by a
+    few dominant ones — different retention strategies entirely.
+    F(μ) and L(μ) are two conditional folds against broadcast global
+    stats; no sort is needed at all (the curve point at μ doesn't
+    require ranking, just the below-mean mass and its spend share)."""
+    od = _t(spark, sf_dir, "orders")
+    cust = od.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("x"))
+    wall = Window.partitionBy()
+    stats = cust.select(
+        "x",
+        F.avg("x").over(wall).alias("mu"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("x").over(wall).alias("sx"),
+    )
+    below = F.col("x") < F.col("mu")
+    f_mu = F.sum(F.when(below, 1.0).otherwise(0.0)) / F.max("n")
+    l_mu = F.sum(F.when(below, F.col("x")).otherwise(0.0)) / F.max("sx")
+    return stats.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(F.max("mu"), 4).alias("mean_spend"),
+        F.round(f_mu, 6).alias("f_mu"),
+        F.round(l_mu, 6).alias("l_mu"),
+        F.round(f_mu + l_mu, 6).alias("lorenz_asymmetry"),
+    )
+
+
+@register(
+    "q450_cmh_test",
+    """
+    WITH cell AS (
+      SELECT p.p_brand AS brand,
+             SUM(CASE WHEN l.l_discount >= 0.05
+                       AND l.l_returnflag = 'R'
+                      THEN 1 ELSE 0 END)::DOUBLE AS a,
+             SUM(CASE WHEN l.l_discount >= 0.05
+                       AND l.l_returnflag <> 'R'
+                      THEN 1 ELSE 0 END)::DOUBLE AS b,
+             SUM(CASE WHEN l.l_discount < 0.05
+                       AND l.l_returnflag = 'R'
+                      THEN 1 ELSE 0 END)::DOUBLE AS c,
+             SUM(CASE WHEN l.l_discount < 0.05
+                       AND l.l_returnflag <> 'R'
+                      THEN 1 ELSE 0 END)::DOUBLE AS d
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ),
+    terms AS (
+      SELECT COUNT(*)::DOUBLE AS k,
+             SUM(a) AS sa,
+             SUM((a + b) * (a + c) / (a + b + c + d)) AS se,
+             SUM((a + b) * (c + d) * (a + c) * (b + d)
+                 / (POWER(a + b + c + d, 2) * (a + b + c + d - 1)))
+               AS sv,
+             SUM(a * d / (a + b + c + d)) AS snum,
+             SUM(b * c / (a + b + c + d)) AS sden
+      FROM cell
+    )
+    SELECT CAST(k AS BIGINT) AS k_strata,
+           ROUND(sa, 1) AS observed,
+           ROUND(se, 4) AS expected,
+           ROUND(POWER(ABS(sa - se) - 0.5, 2) / sv, 4) AS chi2_cmh,
+           ROUND(snum / sden, 6) AS odds_ratio_mh
+    FROM terms
+    """,
+)
+def q450_cmh_test(spark, sf_dir):
+    """Cochran-Mantel-Haenszel test of the discount→return association
+    STRATIFIED by brand: each brand contributes its own 2×2 table and
+    the test pools Σ(a−E[a]) over strata with hypergeometric
+    variances, plus the Mantel-Haenszel common odds ratio — the
+    confounding-proof version of q388's single-table odds ratio (a
+    brand that both discounts heavily and gets returned often would
+    fake a marginal association; CMH nets it out).  The whole
+    analysis is one grouped scan into 25 four-cell rows and a scalar
+    fold — the same shape Simpson's-paradox auditing (q264) uses."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_discount") >= 0.05
+    ret = F.col("l_returnflag") == "R"
+
+    def s(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("double")
+
+    cell = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            s(disc & ret).alias("a"),
+            s(disc & ~ret).alias("b"),
+            s(~disc & ret).alias("c"),
+            s(~disc & ~ret).alias("d"),
+        )
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    nt = a + b + c + d
+    terms = cell.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(a).alias("sa"),
+        F.sum((a + b) * (a + c) / nt).alias("se"),
+        F.sum(
+            (a + b) * (c + d) * (a + c) * (b + d)
+            / (F.pow(nt, 2) * (nt - 1))
+        ).alias("sv"),
+        F.sum(a * d / nt).alias("snum"),
+        F.sum(b * c / nt).alias("sden"),
+    )
+    return terms.select(
+        F.col("k").cast("bigint").alias("k_strata"),
+        F.round("sa", 1).alias("observed"),
+        F.round("se", 4).alias("expected"),
+        F.round(
+            F.pow(F.abs(F.col("sa") - F.col("se")) - 0.5, 2)
+            / F.col("sv"),
+            4,
+        ).alias("chi2_cmh"),
+        F.round(F.col("snum") / F.col("sden"), 6).alias(
+            "odds_ratio_mh"
+        ),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
