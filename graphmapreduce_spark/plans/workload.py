@@ -24408,6 +24408,844 @@ def q450_cmh_test(spark, sf_dir):
     )
 
 
+@register(
+    "q451_mann_kendall",
+    """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY mth) AS rn
+      FROM monthly
+    ),
+    s AS (
+      SELECT SUM(CASE WHEN b.rev > a.rev THEN 1
+                      WHEN b.rev < a.rev THEN -1 ELSE 0 END)::DOUBLE
+               AS s,
+             (SELECT COUNT(*)::DOUBLE FROM seq) AS n
+      FROM seq a JOIN seq b ON b.rn > a.rn
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           CAST(s AS BIGINT) AS s_stat,
+           ROUND(s / (n * (n - 1) / 2), 6) AS kendall_tau,
+           ROUND((s - CASE WHEN s > 0 THEN 1
+                           WHEN s < 0 THEN -1 ELSE 0 END)
+                 / SQRT(n * (n - 1) * (2 * n + 5) / 18), 4) AS z_stat
+    FROM s
+    """,
+)
+def q451_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test on monthly revenue: S = Σ sign(xⱼ−xᵢ)
+    over all i<j pairs, continuity-corrected normal z — the
+    hydrology-standard monotone-trend test that sees through any
+    monotone transformation of the data and pairs naturally with
+    q275's Theil-Sen slope (MK decides IF, Sen says HOW MUCH).  The
+    O(n²) pair join runs on the 80-row MONTHLY aggregate (3k pairs) —
+    the deliberate scale trade the daily series wouldn't allow; ties
+    are counted as zero sign (tie variance correction omitted for
+    continuous revenue)."""
+    od = _t(spark, sf_dir, "orders")
+    monthly = od.groupBy(
+        F.to_date(F.date_trunc("MONTH", "o_orderdate")).alias("mth")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    seq = monthly.select(
+        "rev", F.row_number().over(Window.orderBy("mth")).alias("rn")
+    )
+    a, b = seq.alias("a"), seq.alias("b")
+    pairs = a.join(b, F.col("b.rn") > F.col("a.rn"))
+    nrow = seq.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    s = pairs.agg(
+        F.sum(
+            F.when(F.col("b.rev") > F.col("a.rev"), 1)
+            .when(F.col("b.rev") < F.col("a.rev"), -1)
+            .otherwise(0)
+        )
+        .cast("double")
+        .alias("s")
+    ).crossJoin(F.broadcast(nrow))
+    sv, n = F.col("s"), F.col("n")
+    cc = F.when(sv > 0, 1).when(sv < 0, -1).otherwise(0)
+    return s.select(
+        n.cast("bigint").alias("n_months"),
+        sv.cast("bigint").alias("s_stat"),
+        F.round(sv / (n * (n - 1) / 2), 6).alias("kendall_tau"),
+        F.round(
+            (sv - cc) / F.sqrt(n * (n - 1) * (2 * n + 5) / 18), 4
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "q452_turning_points",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    tri AS (
+      SELECT rev,
+             LAG(rev) OVER (ORDER BY day) AS prev,
+             LEAD(rev) OVER (ORDER BY day) AS next
+      FROM daily
+    ),
+    agg AS (
+      SELECT COUNT(*)::DOUBLE AS n,
+             SUM(CASE WHEN prev IS NOT NULL AND next IS NOT NULL
+                       AND ((rev > prev AND rev > next)
+                         OR (rev < prev AND rev < next))
+                      THEN 1 ELSE 0 END)::DOUBLE AS t
+      FROM tri
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(t AS BIGINT) AS turning_points,
+           ROUND(2 * (n - 2) / 3, 4) AS expected,
+           ROUND((t - 2 * (n - 2) / 3)
+                 / SQRT((16 * n - 29) / 90), 4) AS z_stat
+    FROM agg
+    """,
+)
+def q452_turning_points(spark, sf_dir):
+    """Turning-point test on daily revenue: count strict local peaks
+    and troughs and compare to the i.i.d. expectation 2(n−2)/3 with
+    variance (16n−29)/90 — too few turns means smooth momentum, too
+    many means alternation (e.g., order batching that dumps on
+    alternate days).  The third classical randomness lens next to
+    q429's runs test (level-based) and q194's ACF (linear) — this one
+    is purely LOCAL shape.  One lag+lead window over the daily
+    aggregate."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("day")
+    tri = daily.select(
+        "rev",
+        F.lag("rev").over(w).alias("prev"),
+        F.lead("rev").over(w).alias("next"),
+    )
+    turn = (
+        F.col("prev").isNotNull()
+        & F.col("next").isNotNull()
+        & (
+            ((F.col("rev") > F.col("prev")) & (F.col("rev") > F.col("next")))
+            | (
+                (F.col("rev") < F.col("prev"))
+                & (F.col("rev") < F.col("next"))
+            )
+        )
+    )
+    agg = tri.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(turn, 1).otherwise(0)).cast("double").alias("t"),
+    )
+    n, t = F.col("n"), F.col("t")
+    return agg.select(
+        n.cast("bigint").alias("n_days"),
+        t.cast("bigint").alias("turning_points"),
+        F.round(2 * (n - 2) / 3, 4).alias("expected"),
+        F.round(
+            (t - 2 * (n - 2) / 3) / F.sqrt((16 * n - 29) / 90), 4
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "q453_ljung_box",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT rev - AVG(rev) OVER () AS d,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM daily
+    ),
+    denom AS (
+      SELECT SUM(d * d) AS ss, COUNT(*)::DOUBLE AS n FROM seq
+    ),
+    rho AS (
+      SELECT k.k, SUM(a.d * b.d) / MAX(denom.ss) AS r
+      FROM seq a
+      CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10))
+        AS k(k)
+      JOIN seq b ON a.rn = b.rn + k.k
+      CROSS JOIN denom
+      GROUP BY k.k
+    )
+    SELECT CAST(MAX(denom.n) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_lags,
+           ROUND(MAX(CASE WHEN rho.k = 1 THEN rho.r END), 6) AS acf1,
+           ROUND(MAX(denom.n) * (MAX(denom.n) + 2)
+                 * SUM(rho.r * rho.r / (denom.n - rho.k)), 4)
+             AS q_stat
+    FROM rho CROSS JOIN denom
+    """,
+)
+def q453_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau test on daily revenue: Q = n(n+2)·
+    Σₖ ρ²ₖ/(n−k) over lags 1–10 — the omnibus 'is there ANY linear
+    serial structure' verdict that a per-lag eyeball of q298's ACF
+    can't give without multiple-testing inflation (under the null
+    Q~χ²₁₀, so one number answers all ten lags at once).  The ten
+    lagged products come from one equi-join of the mean-centered
+    daily sequence against itself at offsets 1..10 (a 10-row
+    broadcast expansion, co-partitioned on row number)."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    wall = Window.partitionBy()
+    seq = daily.select(
+        (F.col("rev") - F.avg("rev").over(wall)).alias("d"),
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+    )
+    denom = seq.agg(
+        F.sum(F.col("d") * F.col("d")).alias("ss"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    ks = daily.sparkSession.createDataFrame(
+        [(k,) for k in range(1, 11)], "k int"
+    )
+    a, b = seq.alias("a"), seq.alias("b")
+    rho = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.col("a.rn") == F.col("b.rn") + F.col("k"))
+        .crossJoin(F.broadcast(denom))
+        .groupBy("k")
+        .agg(
+            (F.sum(F.col("a.d") * F.col("b.d")) / F.max("ss")).alias("r")
+        )
+    )
+    # n is constant across the 10 joined rows — use the plain column
+    # inside the SUM (a nested MAX would be an aggregate-in-aggregate).
+    return rho.crossJoin(F.broadcast(denom)).agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lags"),
+        F.round(
+            F.max(F.when(F.col("k") == 1, F.col("r"))), 6
+        ).alias("acf1"),
+        F.round(
+            F.max("n")
+            * (F.max("n") + 2)
+            * F.sum(
+                F.col("r") * F.col("r") / (F.col("n") - F.col("k"))
+            ),
+            4,
+        ).alias("q_stat"),
+    )
+
+
+@register(
+    "q454_jarque_bera",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    ret AS (
+      SELECT LN(rev / LAG(rev) OVER (ORDER BY day)) AS r
+      FROM daily QUALIFY LAG(rev) OVER (ORDER BY day) IS NOT NULL
+    ),
+    cent AS (
+      SELECT r - AVG(r) OVER () AS d FROM ret
+    ),
+    m AS (
+      SELECT COUNT(*)::DOUBLE AS n,
+             SUM(d * d) / COUNT(*) AS m2,
+             SUM(d * d * d) / COUNT(*) AS m3,
+             SUM(d * d * d * d) / COUNT(*) AS m4
+      FROM cent
+    )
+    SELECT CAST(n AS BIGINT) AS n_returns,
+           ROUND(m3 / POWER(m2, 1.5), 6) AS skewness,
+           ROUND(m4 / (m2 * m2), 6) AS kurtosis,
+           ROUND(n / 6 * (POWER(m3 / POWER(m2, 1.5), 2)
+                 + POWER(m4 / (m2 * m2) - 3, 2) / 4), 4) AS jb_stat
+    FROM m
+    """,
+)
+def q454_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality test on daily revenue LOG-RETURNS:
+    JB = n/6·(S² + (K−3)²/4) from the third and fourth central
+    moments — the gate in front of every Gaussian assumption
+    downstream (q304's parametric VaR, q310's power analysis); a JB
+    in the hundreds says 'use the empirical quantiles, not μ±zσ'.
+    Returns are one lag window, moments one fold over the centered
+    series."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("day")
+    ret = daily.select(
+        F.log(F.col("rev") / F.lag("rev").over(w)).alias("r"),
+        F.lag("rev").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    wall = Window.partitionBy()
+    cent = ret.select((F.col("r") - F.avg("r").over(wall)).alias("d"))
+    m = cent.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(F.col("d") * F.col("d")) / F.count(F.lit(1))).alias("m2"),
+        (
+            F.sum(F.col("d") * F.col("d") * F.col("d"))
+            / F.count(F.lit(1))
+        ).alias("m3"),
+        (
+            F.sum(F.col("d") * F.col("d") * F.col("d") * F.col("d"))
+            / F.count(F.lit(1))
+        ).alias("m4"),
+    )
+    skew = F.col("m3") / F.pow(F.col("m2"), 1.5)
+    kurt = F.col("m4") / (F.col("m2") * F.col("m2"))
+    return m.select(
+        F.col("n").cast("bigint").alias("n_returns"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis"),
+        F.round(
+            F.col("n")
+            / 6
+            * (F.pow(skew, 2) + F.pow(kurt - 3, 2) / 4),
+            4,
+        ).alias("jb_stat"),
+    )
+
+
+@register(
+    "q455_durbin_watson",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT rev AS y,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS t
+      FROM daily
+    ),
+    fit AS (
+      SELECT (SUM(t * y) - COUNT(*) * AVG(t) * AVG(y))
+             / (SUM(t * t) - COUNT(*) * AVG(t) * AVG(t)) AS b,
+             AVG(y) AS ybar, AVG(t) AS tbar
+      FROM seq
+    ),
+    resid AS (
+      SELECT s.y - (f.ybar - f.b * f.tbar) - f.b * s.t AS e,
+             LAG(s.y - (f.ybar - f.b * f.tbar) - f.b * s.t)
+               OVER (ORDER BY s.t) AS pe,
+             f.b AS b
+      FROM seq s CROSS JOIN fit f
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(MAX(b), 6) AS trend_slope,
+           ROUND(SUM(CASE WHEN pe IS NOT NULL
+                          THEN POWER(e - pe, 2) ELSE 0 END)
+                 / SUM(e * e), 4) AS dw_stat,
+           ROUND(1 - (SUM(CASE WHEN pe IS NOT NULL
+                               THEN POWER(e - pe, 2) ELSE 0 END)
+                      / SUM(e * e)) / 2, 6) AS rho_approx
+    FROM resid
+    """,
+)
+def q455_durbin_watson(spark, sf_dir):
+    """Durbin-Watson autocorrelation test on the residuals of the
+    daily-revenue linear trend: DW = Σ(eₜ−eₜ₋₁)²/Σe² ≈ 2(1−ρ) — the
+    regression-diagnostic companion to q432: if DW ≪ 2 the trend
+    fit's standard errors are fiction (positively correlated errors)
+    and any 'significant growth' claim from q205-style OLS needs
+    Newey-West or differencing.  The trend coefficients are
+    closed-form from one fold; residuals need no second scan — the
+    fit broadcasts back over the ordered window."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    seq = daily.select(
+        F.col("rev").alias("y"),
+        F.row_number()
+        .over(Window.orderBy("day"))
+        .cast("double")
+        .alias("t"),
+    )
+    fit = seq.agg(
+        (
+            (F.sum(F.col("t") * F.col("y"))
+             - F.count(F.lit(1)) * F.avg("t") * F.avg("y"))
+            / (
+                F.sum(F.col("t") * F.col("t"))
+                - F.count(F.lit(1)) * F.avg("t") * F.avg("t")
+            )
+        ).alias("b"),
+        F.avg("y").alias("ybar"),
+        F.avg("t").alias("tbar"),
+    )
+    e = (
+        F.col("y")
+        - (F.col("ybar") - F.col("b") * F.col("tbar"))
+        - F.col("b") * F.col("t")
+    )
+    resid = seq.crossJoin(F.broadcast(fit)).select(
+        e.alias("e"),
+        F.lag(e).over(Window.orderBy("t")).alias("pe"),
+        F.col("b").alias("b"),
+    )
+    num = F.sum(
+        F.when(
+            F.col("pe").isNotNull(),
+            F.pow(F.col("e") - F.col("pe"), 2),
+        ).otherwise(0.0)
+    )
+    den = F.sum(F.col("e") * F.col("e"))
+    return resid.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.max("b"), 6).alias("trend_slope"),
+        F.round(num / den, 4).alias("dw_stat"),
+        F.round(F.lit(1) - (num / den) / 2, 6).alias("rho_approx"),
+    )
+
+
+@register(
+    "q456_arch_test",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    sq AS (
+      SELECT POWER(rev - AVG(rev) OVER (), 2) AS x2, day
+      FROM daily
+    ),
+    lagged AS (
+      SELECT x2 AS y, LAG(x2) OVER (ORDER BY day) AS x
+      FROM sq QUALIFY LAG(x2) OVER (ORDER BY day) IS NOT NULL
+    ),
+    s AS (
+      SELECT COUNT(*)::DOUBLE AS n,
+             AVG(x) AS mx, AVG(y) AS my,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM lagged
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           ROUND(POWER(sxy - n * mx * my, 2)
+                 / ((sxx - n * mx * mx) * (syy - n * my * my)), 6)
+             AS r_squared,
+           ROUND(n * POWER(sxy - n * mx * my, 2)
+                 / ((sxx - n * mx * mx) * (syy - n * my * my)), 4)
+             AS lm_stat
+    FROM s
+    """,
+)
+def q456_arch_test(spark, sf_dir):
+    """Engle's ARCH LM test (order 1) on daily revenue: regress the
+    squared demeaned series on its own lag; LM = n·R² ~ χ²₁ under
+    homoskedasticity.  Volatility CLUSTERING is invisible to every
+    level-based test in the suite (q429/q452/q453 all pass white
+    noise with ARCH effects); this is the one that catches 'calm
+    weeks, wild weeks' — and if it fires, q304's VaR should be
+    conditional, not unconditional.  One window for the lag, one
+    sufficient-statistics fold."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    wall = Window.partitionBy()
+    sq = daily.select(
+        F.pow(F.col("rev") - F.avg("rev").over(wall), 2).alias("x2"),
+        "day",
+    )
+    w = Window.orderBy("day")
+    lagged = sq.select(
+        F.col("x2").alias("y"), F.lag("x2").over(w).alias("x")
+    ).filter(F.col("x").isNotNull())
+    s = lagged.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    r2 = F.pow(F.col("sxy") - n * F.col("mx") * F.col("my"), 2) / (
+        (F.col("sxx") - n * F.col("mx") * F.col("mx"))
+        * (F.col("syy") - n * F.col("my") * F.col("my"))
+    )
+    return s.select(
+        n.cast("bigint").alias("n_obs"),
+        F.round(r2, 6).alias("r_squared"),
+        F.round(n * r2, 4).alias("lm_stat"),
+    )
+
+
+@register(
+    "q457_granger_cause",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS clicks,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS buys
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT CAST(buys AS DOUBLE) AS y,
+             CAST(LAG(buys) OVER (ORDER BY day) AS DOUBLE) AS x1,
+             CAST(LAG(clicks) OVER (ORDER BY day) AS DOUBLE) AS x2
+      FROM daily
+      QUALIFY LAG(buys) OVER (ORDER BY day) IS NOT NULL
+    ),
+    c AS (
+      SELECT COUNT(*)::DOUBLE AS n,
+             SUM(x1 * y) - COUNT(*) * AVG(x1) * AVG(y) AS s1y,
+             SUM(x2 * y) - COUNT(*) * AVG(x2) * AVG(y) AS s2y,
+             SUM(x1 * x1) - COUNT(*) * AVG(x1) * AVG(x1) AS s11,
+             SUM(x2 * x2) - COUNT(*) * AVG(x2) * AVG(x2) AS s22,
+             SUM(x1 * x2) - COUNT(*) * AVG(x1) * AVG(x2) AS s12,
+             SUM(y * y) - COUNT(*) * AVG(y) * AVG(y) AS syy
+      FROM lagged
+    ),
+    fit AS (
+      SELECT n, syy,
+             (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1,
+             (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS b2,
+             s1y, s2y,
+             syy - s1y * s1y / s11 AS sse_r
+      FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           ROUND(b2, 6) AS click_coef,
+           ROUND(sse_r, 4) AS sse_restricted,
+           ROUND(syy - b1 * s1y - b2 * s2y, 4) AS sse_unrestricted,
+           ROUND((sse_r - (syy - b1 * s1y - b2 * s2y))
+                 / ((syy - b1 * s1y - b2 * s2y) / (n - 3)), 4)
+             AS f_stat
+    FROM fit
+    """,
+)
+def q457_granger_cause(spark, sf_dir):
+    """Granger causality (lag 1): do yesterday's CLICKS predict
+    today's PURCHASES beyond what yesterday's purchases already do?
+    Unrestricted AR(1)+exogenous vs restricted AR(1), F-test on the
+    SSE drop — the temporal-precedence test that separates 'clicks
+    lead buys' from mere contemporaneous correlation (q288's lead-lag
+    corr measures association; this one demands incremental
+    predictive power).  The 2-regressor OLS solves the 2×2 normal
+    equations in closed form from seven centered sufficient
+    statistics — one lag window, one fold, no matrix library."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("DAY", "ts")).alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "clicks"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("buys"),
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        F.col("buys").cast("double").alias("y"),
+        F.lag("buys").over(w).cast("double").alias("x1"),
+        F.lag("clicks").over(w).cast("double").alias("x2"),
+    ).filter(F.col("x1").isNotNull())
+    cnt = F.count(F.lit(1))
+    c = lagged.agg(
+        cnt.cast("double").alias("n"),
+        (F.sum(F.col("x1") * F.col("y")) - cnt * F.avg("x1") * F.avg("y")).alias("s1y"),
+        (F.sum(F.col("x2") * F.col("y")) - cnt * F.avg("x2") * F.avg("y")).alias("s2y"),
+        (F.sum(F.col("x1") * F.col("x1")) - cnt * F.avg("x1") * F.avg("x1")).alias("s11"),
+        (F.sum(F.col("x2") * F.col("x2")) - cnt * F.avg("x2") * F.avg("x2")).alias("s22"),
+        (F.sum(F.col("x1") * F.col("x2")) - cnt * F.avg("x1") * F.avg("x2")).alias("s12"),
+        (F.sum(F.col("y") * F.col("y")) - cnt * F.avg("y") * F.avg("y")).alias("syy"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1 = (F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")) / det
+    b2 = (F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12")) / det
+    fit = c.select(
+        "n",
+        "syy",
+        b1.alias("b1"),
+        b2.alias("b2"),
+        "s1y",
+        "s2y",
+        (F.col("syy") - F.col("s1y") * F.col("s1y") / F.col("s11")).alias(
+            "sse_r"
+        ),
+    )
+    sse_u = (
+        F.col("syy")
+        - F.col("b1") * F.col("s1y")
+        - F.col("b2") * F.col("s2y")
+    )
+    return fit.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round("b2", 6).alias("click_coef"),
+        F.round("sse_r", 4).alias("sse_restricted"),
+        F.round(sse_u, 4).alias("sse_unrestricted"),
+        F.round(
+            (F.col("sse_r") - sse_u) / (sse_u / (F.col("n") - 3)), 4
+        ).alias("f_stat"),
+    )
+
+
+@register(
+    "q458_periodogram",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT rev - AVG(rev) OVER () AS d,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS t
+      FROM daily
+    ),
+    terms AS (
+      SELECT p.period,
+             SUM(s.d * COS(2 * 3.141592653589793 * s.t / p.period))
+               AS c,
+             SUM(s.d * SIN(2 * 3.141592653589793 * s.t / p.period))
+               AS sn,
+             COUNT(*)::DOUBLE AS n,
+             SUM(s.d * s.d) / COUNT(*) AS m2
+      FROM seq s CROSS JOIN (VALUES (7.0), (30.0), (91.0), (365.0))
+        AS p(period)
+      GROUP BY p.period
+    )
+    SELECT CAST(period AS BIGINT) AS period_days,
+           ROUND((c * c + sn * sn) / n, 4) AS power,
+           ROUND(2 * SQRT(c * c + sn * sn) / n, 4) AS amplitude,
+           ROUND(POWER(2 * SQRT(c * c + sn * sn) / n, 2) / 2 / m2, 6)
+             AS var_share
+    FROM terms
+    """,
+)
+def q458_periodogram(spark, sf_dir):
+    """Periodogram probe of daily revenue at the four calendar
+    frequencies that matter (weekly, monthly, quarterly, yearly):
+    the DFT power (C²+S²)/n, the implied sinusoid amplitude, and the
+    fraction of total variance that single frequency explains —
+    q412 FITS a weekly shape and q254 tabulates it; this one asks
+    each period 'how much signal is at exactly your frequency' with
+    one trig-weighted fold per period, so an unexpected spike (e.g.
+    a 14-day invoicing echo) shows up without being modeled first.
+    Four periods × one pass over the daily aggregate."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    wall = Window.partitionBy()
+    seq = daily.select(
+        (F.col("rev") - F.avg("rev").over(wall)).alias("d"),
+        F.row_number()
+        .over(Window.orderBy("day"))
+        .cast("double")
+        .alias("t"),
+    )
+    periods = daily.sparkSession.createDataFrame(
+        [(7.0,), (30.0,), (91.0,), (365.0,)], "period double"
+    )
+    two_pi = 2 * 3.141592653589793
+    ang = F.lit(two_pi) * F.col("t") / F.col("period")
+    terms = (
+        seq.crossJoin(F.broadcast(periods))
+        .groupBy("period")
+        .agg(
+            F.sum(F.col("d") * F.cos(ang)).alias("c"),
+            F.sum(F.col("d") * F.sin(ang)).alias("sn"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+            (F.sum(F.col("d") * F.col("d")) / F.count(F.lit(1))).alias(
+                "m2"
+            ),
+        )
+    )
+    p2 = F.col("c") * F.col("c") + F.col("sn") * F.col("sn")
+    amp = 2 * F.sqrt(p2) / F.col("n")
+    return terms.select(
+        F.col("period").cast("bigint").alias("period_days"),
+        F.round(p2 / F.col("n"), 4).alias("power"),
+        F.round(amp, 4).alias("amplitude"),
+        F.round(F.pow(amp, 2) / 2 / F.col("m2"), 6).alias("var_share"),
+    )
+
+
+@register(
+    "q459_variance_changepoint",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    sq AS (
+      SELECT day, POWER(rev - AVG(rev) OVER (), 2) AS e2
+      FROM daily
+    ),
+    cum AS (
+      SELECT day,
+             ROW_NUMBER() OVER (ORDER BY day) AS k,
+             SUM(e2) OVER (ORDER BY day) AS ck,
+             SUM(e2) OVER () AS cn,
+             COUNT(*) OVER () AS n
+      FROM sq
+    ),
+    scored AS (
+      SELECT day, k, n,
+             ck / cn - CAST(k AS DOUBLE) / n AS dk,
+             ck / k AS var_left,
+             (cn - ck) / (n - k) AS var_right
+      FROM cum WHERE k < n
+    )
+    SELECT day AS split_day,
+           CAST(k AS BIGINT) AS n_left,
+           CAST(n - k AS BIGINT) AS n_right,
+           ROUND(dk, 6) AS d_k,
+           ROUND(var_left, 4) AS var_left,
+           ROUND(var_right, 4) AS var_right,
+           ROUND(var_right / var_left, 4) AS var_ratio
+    FROM scored
+    ORDER BY ABS(dk) DESC, day
+    LIMIT 1
+    """,
+)
+def q459_variance_changepoint(spark, sf_dir):
+    """Single VARIANCE change-point (ICSS step 1): the day maximizing
+    |Dₖ| = |Cₖ/Cₙ − k/n| on the centered cumulative sum of squares —
+    q418 finds a LEVEL shift; this finds the day volatility regime
+    changed even when the mean never moved (the split q456's ARCH
+    test motivates).  Same closed-form prefix discipline: one ordered
+    cumulative window over the daily aggregate, a top-1 with an
+    earliest-day tiebreak."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    wall = Window.partitionBy()
+    sq = daily.select(
+        "day",
+        F.pow(F.col("rev") - F.avg("rev").over(wall), 2).alias("e2"),
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sq.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("k"),
+        F.sum("e2").over(wc).alias("ck"),
+        F.sum("e2").over(wall).alias("cn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    ).filter(F.col("k") < F.col("n"))
+    dk = F.col("ck") / F.col("cn") - F.col("k").cast("double") / F.col("n")
+    vl = F.col("ck") / F.col("k")
+    vr = (F.col("cn") - F.col("ck")) / (F.col("n") - F.col("k"))
+    return (
+        cum.select(
+            F.col("day").alias("split_day"),
+            F.col("k").cast("bigint").alias("n_left"),
+            (F.col("n") - F.col("k")).cast("bigint").alias("n_right"),
+            F.round(dk, 6).alias("d_k"),
+            F.round(vl, 4).alias("var_left"),
+            F.round(vr, 4).alias("var_right"),
+            F.round(vr / vl, 4).alias("var_ratio"),
+            F.abs(dk).alias("_a"),
+        )
+        .orderBy(F.col("_a").desc(), "split_day")
+        .limit(1)
+        .drop("_a")
+    )
+
+
+@register(
+    "q460_stopword_discovery",
+    r"""
+    WITH tf AS (
+      SELECT doc_id, w, COUNT(*) AS c
+      FROM (
+        SELECT doc_id,
+               UNNEST(list_filter(
+                 string_split_regex(trim(lower(text)), '\s+'),
+                 x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY doc_id, w
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n FROM tf),
+    terms AS (
+      SELECT t.w,
+             COUNT(*)::DOUBLE / MAX(nd.n) AS df_frac,
+             SUM(CASE WHEN t.c >= 2 THEN 1 ELSE 0 END)::DOUBLE
+               / COUNT(*) AS burst
+      FROM tf t CROSS JOIN nd
+      GROUP BY t.w
+      HAVING COUNT(*)::DOUBLE / MAX(nd.n) >= 0.5
+    )
+    SELECT w AS term,
+           ROUND(df_frac, 6) AS df_frac,
+           ROUND(burst, 6) AS burstiness,
+           ROUND(df_frac * (1 - burst), 6) AS stopword_score
+    FROM terms
+    ORDER BY df_frac * (1 - burst) DESC, w
+    LIMIT 20
+    """,
+)
+def q460_stopword_discovery(spark, sf_dir):
+    """Data-driven stopword discovery: score = df_frac·(1−burstiness)
+    — a stopword appears in (nearly) every document (high df) but
+    does NOT burst when it appears (function words are dispersed;
+    q426 showed content words re-occur).  No language-specific list,
+    so it works on any corpus the pipeline meets — the principled
+    replacement for the hardcoded lists most cleaning stacks carry.
+    Reuses the (doc, term) aggregate; the ≥50%-df gate keeps the
+    ranked set tiny."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda w: w != "",
+    )
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nd = tf.agg(F.countDistinct("doc_id").cast("double").alias("n"))
+    terms = (
+        tf.crossJoin(F.broadcast(nd))
+        .groupBy("w")
+        .agg(
+            (F.count(F.lit(1)).cast("double") / F.max("n")).alias(
+                "df_frac"
+            ),
+            (
+                F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("burst"),
+        )
+        .filter(F.col("df_frac") >= 0.5)
+    )
+    score = F.col("df_frac") * (1 - F.col("burst"))
+    return (
+        terms.select(
+            F.col("w").alias("term"),
+            F.round("df_frac", 6).alias("df_frac"),
+            F.round("burst", 6).alias("burstiness"),
+            F.round(score, 6).alias("stopword_score"),
+            score.alias("_s"),
+        )
+        .orderBy(F.col("_s").desc(), "term")
+        .limit(20)
+        .drop("_s")
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
@@ -24433,10 +25271,10 @@ _WINDOW_PRIORITY = [
     # session's full-registry tools/check_oracle.py sweeps recorded in
     # BASELINE.md — q151/q152 are rows-only decode checks with
     # pixel/waveform-exact pytests besides.
-    # ROUND-5 ROTATION QUEUE: q248–q390 (written after this round's
+    # ROUND-5 ROTATION QUEUE: q248–q460 (written after this round's
     # window locked; all green under the continuation-4 full-registry
-    # sweep, BASELINE.md) — swap them in for their first driver rows
-    # once CORRECTNESS_r04 lands.
+    # sweeps and per-arc batch sweeps, BASELINE.md) — swap them in for
+    # their first driver rows once CORRECTNESS_r04 lands.
     "q144_ordered_listagg",
     "q145_mad_outliers",
     "q146_salted_skew_join",
