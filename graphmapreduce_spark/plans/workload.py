@@ -25246,6 +25246,966 @@ def q460_stopword_discovery(spark, sf_dir):
     )
 
 
+@register(
+    "q461_brier_decomposition",
+    """
+    WITH u AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type IN ('click', 'view')
+                      THEN 1 ELSE 0 END)::DOUBLE AS engagement,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN value ELSE 0 END) AS spend
+      FROM events GROUP BY user_id
+    ),
+    med AS (SELECT quantile_cont(spend, 0.5) AS ms FROM u),
+    scored AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY u.engagement, u.user_id)
+                  AS DOUBLE)
+             / COUNT(*) OVER () AS p,
+             CASE WHEN u.spend > med.ms THEN 1.0 ELSE 0 END AS o
+      FROM u CROSS JOIN med
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin, p, o
+      FROM scored
+    ),
+    bins AS (
+      SELECT bin, COUNT(*)::DOUBLE AS nk, AVG(p) AS pk, AVG(o) AS ok
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT SUM(nk) AS n, SUM(nk * ok) / SUM(nk) AS obar FROM bins
+    ),
+    parts AS (
+      SELECT SUM(b.nk * POWER(b.pk - b.ok, 2)) / MAX(t.n) AS rel,
+             SUM(b.nk * POWER(b.ok - t.obar, 2)) / MAX(t.n) AS res,
+             MAX(t.obar) * (1 - MAX(t.obar)) AS unc
+      FROM bins b CROSS JOIN tot t
+    ),
+    brier AS (
+      SELECT AVG(POWER(p - o, 2)) AS bs FROM scored
+    )
+    SELECT ROUND(brier.bs, 6) AS brier_score,
+           ROUND(parts.rel, 6) AS reliability,
+           ROUND(parts.res, 6) AS resolution,
+           ROUND(parts.unc, 6) AS uncertainty,
+           ROUND(parts.rel - parts.res + parts.unc, 6)
+             AS decomposed_brier
+    FROM brier CROSS JOIN parts
+    """,
+)
+def q461_brier_decomposition(spark, sf_dir):
+    """Brier score with the Murphy decomposition (reliability −
+    resolution + uncertainty) for an engagement-percentile forecast
+    of above-median spend: q316's ECE measures miscalibration only;
+    the decomposition separates 'the probabilities are wrong'
+    (reliability) from 'the forecaster can't discriminate'
+    (resolution) — two different fixes.  The binned decomposition
+    won't equal the raw Brier exactly (within-bin variance is the
+    documented gap).  One per-user rollup, one rank window, a 10-bin
+    fold."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("click", "view"), 1).otherwise(
+                0
+            )
+        )
+        .cast("double")
+        .alias("engagement"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0.0)
+        ).alias("spend"),
+    )
+    med = u.agg(F.expr("percentile(spend, 0.5)").alias("ms"))
+    wall = Window.partitionBy()
+    scored = u.crossJoin(F.broadcast(med)).select(
+        (
+            F.row_number()
+            .over(Window.orderBy("engagement", "user_id"))
+            .cast("double")
+            / F.count(F.lit(1)).over(wall)
+        ).alias("p"),
+        F.when(F.col("spend") > F.col("ms"), 1.0).otherwise(0.0).alias(
+            "o"
+        ),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("p") * 10).cast("bigint"), F.lit(9)).alias(
+            "bin"
+        ),
+        "p",
+        "o",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("double").alias("nk"),
+        F.avg("p").alias("pk"),
+        F.avg("o").alias("ok"),
+    )
+    tot = bins.agg(
+        F.sum("nk").alias("n"),
+        (F.sum(F.col("nk") * F.col("ok")) / F.sum("nk")).alias("obar"),
+    )
+    parts = bins.crossJoin(F.broadcast(tot)).agg(
+        (
+            F.sum(F.col("nk") * F.pow(F.col("pk") - F.col("ok"), 2))
+            / F.max("n")
+        ).alias("rel"),
+        (
+            F.sum(F.col("nk") * F.pow(F.col("ok") - F.col("obar"), 2))
+            / F.max("n")
+        ).alias("res"),
+        (F.max("obar") * (1 - F.max("obar"))).alias("unc"),
+    )
+    brier = scored.agg(
+        F.avg(F.pow(F.col("p") - F.col("o"), 2)).alias("bs")
+    )
+    return brier.crossJoin(F.broadcast(parts)).select(
+        F.round("bs", 6).alias("brier_score"),
+        F.round("rel", 6).alias("reliability"),
+        F.round("res", 6).alias("resolution"),
+        F.round("unc", 6).alias("uncertainty"),
+        F.round(
+            F.col("rel") - F.col("res") + F.col("unc"), 6
+        ).alias("decomposed_brier"),
+    )
+
+
+@register(
+    "q462_cohens_d_league",
+    """
+    WITH s AS (
+      SELECT p.p_brand AS brand,
+             CASE WHEN l.l_discount >= 0.05 THEN 1 ELSE 0 END AS disc,
+             COUNT(*)::DOUBLE AS n, AVG(l.l_quantity) AS m,
+             VAR_SAMP(l.l_quantity) AS v
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT a.brand, a.n AS na, b.n AS nb,
+             (a.m - b.m)
+             / SQRT(((a.n - 1) * a.v + (b.n - 1) * b.v)
+                    / (a.n + b.n - 2)) AS cd
+      FROM s a JOIN s b ON a.brand = b.brand
+                        AND a.disc = 1 AND b.disc = 0
+    )
+    SELECT brand,
+           CAST(na AS BIGINT) AS n_discounted,
+           CAST(nb AS BIGINT) AS n_full_price,
+           ROUND(cd, 6) AS cohens_d,
+           ROUND(cd * (1 - 3 / (4 * (na + nb) - 9)), 6) AS hedges_g
+    FROM d
+    ORDER BY ABS(cd) DESC, brand
+    LIMIT 10
+    """,
+)
+def q462_cohens_d_league(spark, sf_dir):
+    """Effect-size league table: Cohen's d (pooled-SD standardized
+    mean difference) of discounted-vs-full-price quantity per brand,
+    with the Hedges small-sample correction — the magnitude ranking
+    that q419's BH-FDR p-values deliberately don't give (at large n
+    everything is significant; d says which effects are WORTH
+    acting on).  Same one-scan grouped sufficient statistics as the
+    test queries; the league is a 25-row sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias(
+                "disc"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("l_quantity").alias("m"),
+            F.var_samp("l_quantity").alias("v"),
+        )
+    )
+    a = s.filter(F.col("disc") == 1).select(
+        "brand",
+        F.col("n").alias("na"),
+        F.col("m").alias("ma"),
+        F.col("v").alias("va"),
+    )
+    b = s.filter(F.col("disc") == 0).select(
+        F.col("brand").alias("brand_b"),
+        F.col("n").alias("nb"),
+        F.col("m").alias("mb"),
+        F.col("v").alias("vb"),
+    )
+    pooled = F.sqrt(
+        (
+            (F.col("na") - 1) * F.col("va")
+            + (F.col("nb") - 1) * F.col("vb")
+        )
+        / (F.col("na") + F.col("nb") - 2)
+    )
+    cd = (F.col("ma") - F.col("mb")) / pooled
+    d = a.join(b, a.brand == b.brand_b).select(
+        "brand", "na", "nb", cd.alias("cd")
+    )
+    return (
+        d.select(
+            "brand",
+            F.col("na").cast("bigint").alias("n_discounted"),
+            F.col("nb").cast("bigint").alias("n_full_price"),
+            F.round("cd", 6).alias("cohens_d"),
+            F.round(
+                F.col("cd")
+                * (1 - 3 / (4 * (F.col("na") + F.col("nb")) - 9)),
+                6,
+            ).alias("hedges_g"),
+            F.abs(F.col("cd")).alias("_a"),
+        )
+        .orderBy(F.col("_a").desc(), "brand")
+        .limit(10)
+        .drop("_a")
+    )
+
+
+@register(
+    "q463_error_metric_suite",
+    """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
+             SUM(o_totalprice) AS y
+      FROM orders GROUP BY 1
+    ),
+    fc AS (
+      SELECT mth, y,
+             LAG(y, 12) OVER (ORDER BY mth) AS yhat,
+             ABS(y - LAG(y, 1) OVER (ORDER BY mth)) AS naive1_ae
+      FROM monthly
+    ),
+    scored AS (
+      SELECT y, yhat, ABS(y - yhat) AS ae,
+             (SELECT AVG(naive1_ae) FROM fc
+              WHERE naive1_ae IS NOT NULL) AS mae_naive1
+      FROM fc WHERE yhat IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+           ROUND(AVG(ae / ABS(y)), 6) AS mape,
+           ROUND(SUM(ae) / SUM(ABS(y)), 6) AS wape,
+           ROUND(AVG(2 * ae / (ABS(y) + ABS(yhat))), 6) AS smape,
+           ROUND(SQRT(AVG(ae * ae)), 4) AS rmse,
+           ROUND(AVG(ae) / MAX(mae_naive1), 6) AS mase
+    FROM scored
+    """,
+)
+def q463_error_metric_suite(spark, sf_dir):
+    """The forecast error-metric suite evaluated on one seasonal-naive
+    (lag-12) forecast of monthly revenue: MAPE, WAPE, sMAPE, RMSE and
+    MASE side by side — q302 reports MAPE alone, but on skewed series
+    MAPE and WAPE diverge hard (MAPE over-weights small months), and
+    MASE > 1 is the 'worse than naive-1' red flag that percentage
+    metrics can hide entirely.  Two lag windows over the 80-month
+    aggregate and one fold."""
+    od = _t(spark, sf_dir, "orders")
+    monthly = od.groupBy(
+        F.to_date(F.date_trunc("MONTH", "o_orderdate")).alias("mth")
+    ).agg(F.sum("o_totalprice").alias("y"))
+    w = Window.orderBy("mth")
+    fc = monthly.select(
+        "y",
+        F.lag("y", 12).over(w).alias("yhat"),
+        F.abs(F.col("y") - F.lag("y", 1).over(w)).alias("naive1_ae"),
+    )
+    mae1 = fc.filter(F.col("naive1_ae").isNotNull()).agg(
+        F.avg("naive1_ae").alias("mae_naive1")
+    )
+    scored = (
+        fc.filter(F.col("yhat").isNotNull())
+        .crossJoin(F.broadcast(mae1))
+        .select(
+            "y",
+            "yhat",
+            F.abs(F.col("y") - F.col("yhat")).alias("ae"),
+            "mae_naive1",
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.round(F.avg(F.col("ae") / F.abs(F.col("y"))), 6).alias("mape"),
+        F.round(F.sum("ae") / F.sum(F.abs(F.col("y"))), 6).alias("wape"),
+        F.round(
+            F.avg(
+                2 * F.col("ae") / (F.abs(F.col("y")) + F.abs(F.col("yhat")))
+            ),
+            6,
+        ).alias("smape"),
+        F.round(F.sqrt(F.avg(F.col("ae") * F.col("ae"))), 4).alias(
+            "rmse"
+        ),
+        F.round(F.avg("ae") / F.max("mae_naive1"), 6).alias("mase"),
+    )
+
+
+@register(
+    "q464_pinball_loss",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT day, rev,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    train AS (
+      SELECT quantile_cont(rev, 0.1) AS q10,
+             quantile_cont(rev, 0.5) AS q50,
+             quantile_cont(rev, 0.9) AS q90
+      FROM seq WHERE rn <= n / 2
+    ),
+    test AS (
+      SELECT s.rev, t.q10, t.q50, t.q90
+      FROM seq s CROSS JOIN train t
+      WHERE s.rn > s.n / 2
+    ),
+    folded AS (
+      SELECT tau, fc,
+             AVG(CASE WHEN rev >= fc THEN tau * (rev - fc)
+                      ELSE (1 - tau) * (fc - rev) END) AS pinball,
+             AVG(CASE WHEN rev <= fc THEN 1.0 ELSE 0 END) AS coverage
+      FROM (
+        SELECT rev, 0.1 AS tau, q10 AS fc FROM test
+        UNION ALL
+        SELECT rev, 0.5, q50 FROM test
+        UNION ALL
+        SELECT rev, 0.9, q90 FROM test
+      )
+      GROUP BY tau, fc
+    )
+    SELECT tau,
+           ROUND(fc, 4) AS forecast,
+           ROUND(pinball, 4) AS pinball_loss,
+           ROUND(coverage, 6) AS coverage
+    FROM folded
+    """,
+)
+def q464_pinball_loss(spark, sf_dir):
+    """Quantile-forecast evaluation with the pinball loss: train-half
+    empirical q10/q50/q90 of daily revenue held constant over the
+    test half, scored with the asymmetric loss each quantile is the
+    Bayes answer to, plus realized coverage — the evaluation harness
+    any quantile forecaster plugs into, and the reason 'predict the
+    median' and 'predict the 90th' are different problems (q327's
+    binned error audit has no notion of asymmetric cost).  One split
+    by row number, three constant forecasts, one fold per τ."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    seq = daily.select(
+        "rev",
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    train = seq.filter(F.col("rn") <= F.col("n") / 2).agg(
+        F.expr("percentile(rev, 0.1)").alias("q10"),
+        F.expr("percentile(rev, 0.5)").alias("q50"),
+        F.expr("percentile(rev, 0.9)").alias("q90"),
+    )
+    test = (
+        seq.filter(F.col("rn") > F.col("n") / 2)
+        .crossJoin(F.broadcast(train))
+        .select("rev", "q10", "q50", "q90")
+    )
+    stacked = None
+    for tau, col in ((0.1, "q10"), (0.5, "q50"), (0.9, "q90")):
+        part = test.select(
+            "rev",
+            F.lit(tau).alias("tau"),
+            F.col(col).alias("fc"),
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    pin = F.when(
+        F.col("rev") >= F.col("fc"),
+        F.col("tau") * (F.col("rev") - F.col("fc")),
+    ).otherwise((1 - F.col("tau")) * (F.col("fc") - F.col("rev")))
+    return stacked.groupBy("tau", "fc").agg(
+        F.round(F.avg(pin), 4).alias("pinball_loss"),
+        F.round(
+            F.avg(F.when(F.col("rev") <= F.col("fc"), 1.0).otherwise(0.0)),
+            6,
+        ).alias("coverage"),
+    ).select(
+        "tau",
+        F.round("fc", 4).alias("forecast"),
+        "pinball_loss",
+        "coverage",
+    )
+
+
+@register(
+    "q465_auc_confidence",
+    """
+    WITH u AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type IN ('click', 'view')
+                      THEN 1 ELSE 0 END)::DOUBLE AS engagement,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN value ELSE 0 END) AS spend
+      FROM events GROUP BY user_id
+    ),
+    med AS (SELECT quantile_cont(spend, 0.5) AS ms FROM u),
+    vals AS (
+      SELECT u.engagement AS v,
+             SUM(CASE WHEN u.spend > med.ms THEN 1 ELSE 0 END)::DOUBLE
+               AS c1,
+             COUNT(*)::DOUBLE AS ct
+      FROM u CROSS JOIN med
+      GROUP BY u.engagement
+    ),
+    r AS (
+      SELECT v, c1, ct,
+             SUM(ct) OVER (ORDER BY v) - ct AS cumbefore
+      FROM vals
+    ),
+    s AS (
+      SELECT SUM(c1 * (cumbefore + (ct + 1) / 2)) AS r1,
+             SUM(c1) AS n1, SUM(ct - c1) AS n0
+      FROM r
+    ),
+    auc AS (
+      SELECT n1, n0,
+             (r1 - n1 * (n1 + 1) / 2) / (n0 * n1) AS a
+      FROM s
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos,
+           CAST(n0 AS BIGINT) AS n_neg,
+           ROUND(a, 6) AS auc,
+           ROUND(SQRT((a * (1 - a)
+                 + (n1 - 1) * (a / (2 - a) - a * a)
+                 + (n0 - 1) * (2 * a * a / (1 + a) - a * a))
+                 / (n0 * n1)), 6) AS se,
+           ROUND(a - 1.96 * SQRT((a * (1 - a)
+                 + (n1 - 1) * (a / (2 - a) - a * a)
+                 + (n0 - 1) * (2 * a * a / (1 + a) - a * a))
+                 / (n0 * n1)), 6) AS ci_lo,
+           ROUND(a + 1.96 * SQRT((a * (1 - a)
+                 + (n1 - 1) * (a / (2 - a) - a * a)
+                 + (n0 - 1) * (2 * a * a / (1 + a) - a * a))
+                 / (n0 * n1)), 6) AS ci_hi
+    FROM auc
+    """,
+)
+def q465_auc_confidence(spark, sf_dir):
+    """AUC-ROC with a Hanley-McNeil confidence interval for the
+    engagement→high-spend ranking: the AUC comes from the tie-
+    corrected rank-sum identity (AUC = U/(n₀n₁), average ranks off
+    the distinct-VALUE histogram as in q421), and the SE from the
+    Q₁/Q₂ closed forms — so 'AUC 0.71' ships with the ±0.05 that
+    says whether it beats yesterday's 0.68 at all.  q241 reports the
+    point estimate; this is the inferential version, still one
+    grouped scan plus a histogram window."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("click", "view"), 1).otherwise(
+                0
+            )
+        )
+        .cast("double")
+        .alias("engagement"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0.0)
+        ).alias("spend"),
+    )
+    med = u.agg(F.expr("percentile(spend, 0.5)").alias("ms"))
+    vals = (
+        u.crossJoin(F.broadcast(med))
+        .groupBy(F.col("engagement").alias("v"))
+        .agg(
+            F.sum(
+                F.when(F.col("spend") > F.col("ms"), 1).otherwise(0)
+            )
+            .cast("double")
+            .alias("c1"),
+            F.count(F.lit(1)).cast("double").alias("ct"),
+        )
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    r = vals.select(
+        "c1",
+        "ct",
+        (F.sum("ct").over(wc) - F.col("ct")).alias("cumbefore"),
+    )
+    s = r.agg(
+        F.sum(
+            F.col("c1") * (F.col("cumbefore") + (F.col("ct") + 1) / 2)
+        ).alias("r1"),
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("ct") - F.col("c1")).alias("n0"),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    a = (F.col("r1") - n1 * (n1 + 1) / 2) / (n0 * n1)
+    auc = s.select(n1.alias("n1"), n0.alias("n0"), a.alias("a"))
+    av = F.col("a")
+    se = F.sqrt(
+        (
+            av * (1 - av)
+            + (n1 - 1) * (av / (2 - av) - av * av)
+            + (n0 - 1) * (2 * av * av / (1 + av) - av * av)
+        )
+        / (n0 * n1)
+    )
+    return auc.select(
+        n1.cast("bigint").alias("n_pos"),
+        n0.cast("bigint").alias("n_neg"),
+        F.round(av, 6).alias("auc"),
+        F.round(se, 6).alias("se"),
+        F.round(av - 1.96 * se, 6).alias("ci_lo"),
+        F.round(av + 1.96 * se, 6).alias("ci_hi"),
+    )
+
+
+@register(
+    "q466_goodman_kruskal_gamma",
+    """
+    WITH ranked AS (
+      SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS pr,
+             NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS vq
+      FROM orders
+    ),
+    cells AS (
+      SELECT pr, vq, COUNT(*)::DOUBLE AS n
+      FROM ranked GROUP BY pr, vq
+    ),
+    pairs AS (
+      SELECT SUM(CASE WHEN (a.pr < b.pr AND a.vq < b.vq)
+                        OR (a.pr > b.pr AND a.vq > b.vq)
+                      THEN a.n * b.n ELSE 0 END) / 2 AS c,
+             SUM(CASE WHEN (a.pr < b.pr AND a.vq > b.vq)
+                        OR (a.pr > b.pr AND a.vq < b.vq)
+                      THEN a.n * b.n ELSE 0 END) / 2 AS d
+      FROM cells a CROSS JOIN cells b
+    )
+    SELECT CAST(c AS BIGINT) AS concordant_pairs,
+           CAST(d AS BIGINT) AS discordant_pairs,
+           ROUND((c - d) / (c + d), 6) AS gamma
+    FROM pairs
+    """,
+)
+def q466_goodman_kruskal_gamma(spark, sf_dir):
+    """Goodman-Kruskal gamma between order PRIORITY (ordinal 1..5)
+    and order-value quartile: concordant vs discordant pairs,
+    computed from the 5×4 CONTINGENCY cells (nᵢⱼ·nᵢ'ⱼ' products over
+    the 400 cell pairs) rather than the n² row pairs — the ordinal
+    association measure for categorical-but-ordered columns where
+    Pearson (q252) assumes intervals and Cramér's V (q443) throws the
+    ordering away.  Gamma ignores ties entirely, the right default
+    for coarse ordinal scales."""
+    od = _t(spark, sf_dir, "orders")
+    ranked = od.select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("pr"),
+        F.ntile(4)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("vq"),
+    )
+    cells = ranked.groupBy("pr", "vq").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    conc = (
+        (F.col("a.pr") < F.col("b.pr")) & (F.col("a.vq") < F.col("b.vq"))
+    ) | (
+        (F.col("a.pr") > F.col("b.pr")) & (F.col("a.vq") > F.col("b.vq"))
+    )
+    disc = (
+        (F.col("a.pr") < F.col("b.pr")) & (F.col("a.vq") > F.col("b.vq"))
+    ) | (
+        (F.col("a.pr") > F.col("b.pr")) & (F.col("a.vq") < F.col("b.vq"))
+    )
+    prod = F.col("a.n") * F.col("b.n")
+    pairs = a.crossJoin(b).agg(
+        (F.sum(F.when(conc, prod).otherwise(0.0)) / 2).alias("c"),
+        (F.sum(F.when(disc, prod).otherwise(0.0)) / 2).alias("d"),
+    )
+    c, dd = F.col("c"), F.col("d")
+    return pairs.select(
+        c.cast("bigint").alias("concordant_pairs"),
+        dd.cast("bigint").alias("discordant_pairs"),
+        F.round((c - dd) / (c + dd), 6).alias("gamma"),
+    )
+
+
+@register(
+    "q467_zipf_mandelbrot_grid",
+    r"""
+    WITH v AS (
+      SELECT w, COUNT(*)::DOUBLE AS cnt
+      FROM (
+        SELECT UNNEST(list_filter(
+                 string_split_regex(trim(lower(text)), '\s+'),
+                 x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY w
+    ),
+    ranked AS (
+      SELECT LN(cnt) AS lf,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS DOUBLE)
+               AS r
+      FROM v QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, w) <= 1000
+    ),
+    grid AS (
+      SELECT CAST(s.s AS DOUBLE) AS s, CAST(q.q AS DOUBLE) AS q FROM
+        (VALUES (0.8), (0.9), (1.0), (1.1), (1.2)) AS s(s),
+        (VALUES (0.0), (1.0), (2.0), (3.0), (5.0)) AS q(q)
+    ),
+    fit AS (
+      SELECT g.s, g.q,
+             AVG(rk.lf + g.s * LN(rk.r + g.q)) AS logc
+      FROM ranked rk CROSS JOIN grid g
+      GROUP BY g.s, g.q
+    )
+    SELECT f.s AS zipf_s,
+           f.q AS mandelbrot_q,
+           ROUND(f.logc, 6) AS log_c,
+           ROUND(SUM(POWER(rk.lf
+                 - (f.logc - f.s * LN(rk.r + f.q)), 2)), 6) AS sse
+    FROM ranked rk CROSS JOIN fit f
+    GROUP BY f.s, f.q, f.logc
+    """,
+)
+def q467_zipf_mandelbrot_grid(spark, sf_dir):
+    """Zipf-Mandelbrot grid fit over the top-1000 vocabulary:
+    ln f = ln C − s·ln(r+q) evaluated on a 5×5 (s, q) grid, with the
+    intercept C closed-form per cell and the SSE surface reported for
+    all 25 candidates — the Mandelbrot shift q is what fixes plain
+    Zipf's (q226) systematic head misfit, and the full surface shows
+    WHERE the fit is sensitive (flat valley → parameters barely
+    identified).  Grid search as a 25-row broadcast cross join; two
+    passes over the 1000-row ranked vocab."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda w: w != "",
+    )
+    v = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    ranked = (
+        v.select(
+            F.log("cnt").alias("lf"),
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), "w"))
+            .cast("double")
+            .alias("r"),
+        )
+        .filter(F.col("r") <= 1000)
+    )
+    grid = d.sparkSession.createDataFrame(
+        [
+            (s, q)
+            for s in (0.8, 0.9, 1.0, 1.1, 1.2)
+            for q in (0.0, 1.0, 2.0, 3.0, 5.0)
+        ],
+        "s double, q double",
+    )
+    fit = (
+        ranked.crossJoin(F.broadcast(grid))
+        .groupBy("s", "q")
+        .agg(
+            F.avg(
+                F.col("lf") + F.col("s") * F.log(F.col("r") + F.col("q"))
+            ).alias("logc")
+        )
+    )
+    resid = F.col("lf") - (
+        F.col("logc") - F.col("s") * F.log(F.col("r") + F.col("q"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(fit))
+        .groupBy("s", "q", "logc")
+        .agg(F.round(F.sum(F.pow(resid, 2)), 6).alias("sse"))
+        .select(
+            F.col("s").alias("zipf_s"),
+            F.col("q").alias("mandelbrot_q"),
+            F.round("logc", 6).alias("log_c"),
+            "sse",
+        )
+    )
+
+
+@register(
+    "q468_silhouette_lite",
+    """
+    WITH dims AS (
+      SELECT vec_id, label, i, embedding[i] AS x
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent AS (
+      SELECT label AS clabel, i, AVG(x) AS cx
+      FROM dims GROUP BY label, i
+    ),
+    dist AS (
+      SELECT d.vec_id, d.label, c.clabel,
+             SQRT(SUM(POWER(d.x - c.cx, 2))) AS dst
+      FROM dims d JOIN cent c ON d.i = c.i
+      GROUP BY d.vec_id, d.label, c.clabel
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN clabel = label THEN dst END) AS a,
+             MIN(CASE WHEN clabel <> label THEN dst END) AS b
+      FROM dist GROUP BY vec_id, label
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG((b - a) / GREATEST(a, b)), 4)
+             AS mean_silhouette,
+           ROUND(AVG(a), 4) AS mean_dist_own,
+           ROUND(AVG(b), 4) AS mean_dist_nearest
+    FROM ab GROUP BY label
+    """,
+)
+def q468_silhouette_lite(spark, sf_dir):
+    """Centroid silhouette per embedding class: for each vector, a =
+    distance to its OWN class centroid, b = distance to the nearest
+    OTHER centroid, s = (b−a)/max(a,b), averaged per label — the
+    cluster-quality score whose full version is O(n²) pairwise but
+    whose centroid variant is one vec×centroid join (n·k distances),
+    the only formulation that survives 100 TB.  Complements q385's
+    class-separation ratio with a PER-CLASS verdict (which labels
+    bleed into which).  Dimension explosion → per-dim centroid agg →
+    distance re-agg, all hash joins on (dim) and (vec)."""
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "x")
+    )
+    cent = dims.groupBy(
+        F.col("label").alias("clabel"), "i"
+    ).agg(F.avg("x").alias("cx"))
+    dist = (
+        dims.join(cent, "i")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sqrt(F.sum(F.pow(F.col("x") - F.col("cx"), 2))).alias(
+                "dst"
+            )
+        )
+    )
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.col("dst"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), F.col("dst"))
+        ).alias("b"),
+    )
+    sil = (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+    return ab.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(F.avg(sil), 4).alias("mean_silhouette"),
+        F.round(F.avg("a"), 4).alias("mean_dist_own"),
+        F.round(F.avg("b"), 4).alias("mean_dist_nearest"),
+    )
+
+
+@register(
+    "q469_srm_check",
+    f"""
+    WITH b AS (
+      SELECT {_MD5_BUCKET.format(col='doc_id', seed=1)} AS bk
+      FROM documents
+    ),
+    counts AS (
+      SELECT SUM(CASE WHEN bk < 800000 THEN 1 ELSE 0 END)::DOUBLE
+               AS n_train,
+             SUM(CASE WHEN bk >= 800000 AND bk < 900000
+                      THEN 1 ELSE 0 END)::DOUBLE AS n_val,
+             SUM(CASE WHEN bk >= 900000 THEN 1 ELSE 0 END)::DOUBLE
+               AS n_test,
+             COUNT(*)::DOUBLE AS n
+      FROM b
+    )
+    SELECT CAST(n AS BIGINT) AS n_total,
+           CAST(n_train AS BIGINT) AS n_train,
+           CAST(n_val AS BIGINT) AS n_val,
+           CAST(n_test AS BIGINT) AS n_test,
+           ROUND(POWER(n_train - 0.8 * n, 2) / (0.8 * n)
+                 + POWER(n_val - 0.1 * n, 2) / (0.1 * n)
+                 + POWER(n_test - 0.1 * n, 2) / (0.1 * n), 4)
+             AS chi2_srm,
+           ROUND(GREATEST(ABS(n_train / n - 0.8),
+                          ABS(n_val / n - 0.1),
+                          ABS(n_test / n - 0.1)), 6) AS max_abs_dev
+    FROM counts
+    """,
+)
+def q469_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch check on the 80/10/10 md5 hash split
+    (q80's splitter): chi² of observed split counts against the
+    declared ratios, dof 2 — the first thing to run on ANY
+    experiment or split pipeline, because a biased assignment
+    invalidates everything downstream and SRM is how you catch
+    hash-collision bugs, key skew, or a filter applied to one arm.
+    Here it doubles as a deterministic audit of the splitter itself.
+    One hash scan, a three-cell fold."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    train, val, test = SMP.hash_split(
+        d, "doc_id", [0.8, 0.1, 0.1], seed=1, hash_fn="md5"
+    )
+    counts = None
+    for name, frame in (("n_train", train), ("n_val", val), ("n_test", test)):
+        c = frame.agg(F.count(F.lit(1)).cast("double").alias(name))
+        counts = c if counts is None else counts.crossJoin(c)
+    counts = counts.withColumn(
+        "n", F.col("n_train") + F.col("n_val") + F.col("n_test")
+    )
+    n = F.col("n")
+    chi2 = (
+        F.pow(F.col("n_train") - 0.8 * n, 2) / (0.8 * n)
+        + F.pow(F.col("n_val") - 0.1 * n, 2) / (0.1 * n)
+        + F.pow(F.col("n_test") - 0.1 * n, 2) / (0.1 * n)
+    )
+    return counts.select(
+        n.cast("bigint").alias("n_total"),
+        F.col("n_train").cast("bigint").alias("n_train"),
+        F.col("n_val").cast("bigint").alias("n_val"),
+        F.col("n_test").cast("bigint").alias("n_test"),
+        F.round(chi2, 4).alias("chi2_srm"),
+        F.round(
+            F.greatest(
+                F.abs(F.col("n_train") / n - 0.8),
+                F.abs(F.col("n_val") / n - 0.1),
+                F.abs(F.col("n_test") / n - 0.1),
+            ),
+            6,
+        ).alias("max_abs_dev"),
+    )
+
+
+@register(
+    "q470_pit_uniformity",
+    """
+    WITH cust AS (
+      SELECT LN(SUM(o_totalprice)) AS lx
+      FROM orders GROUP BY o_custkey
+    ),
+    fit AS (
+      SELECT AVG(lx) AS mu, STDDEV_SAMP(lx) AS sigma FROM cust
+    ),
+    z AS (
+      SELECT (c.lx - f.mu) / f.sigma AS zv
+      FROM cust c CROSS JOIN fit f
+    ),
+    pit AS (
+      SELECT 0.5 * (1 + (CASE WHEN zv < 0 THEN -1 ELSE 1 END)
+             * (1 - (((((1.061405429
+                 * (1 / (1 + 0.3275911 * (ABS(zv) / SQRT(2))))
+                 - 1.453152027)
+                 * (1 / (1 + 0.3275911 * (ABS(zv) / SQRT(2))))
+                 + 1.421413741)
+                 * (1 / (1 + 0.3275911 * (ABS(zv) / SQRT(2))))
+                 - 0.284496736)
+                 * (1 / (1 + 0.3275911 * (ABS(zv) / SQRT(2))))
+                 + 0.254829592)
+                 * (1 / (1 + 0.3275911 * (ABS(zv) / SQRT(2))))
+                 * EXP(-(ABS(zv) / SQRT(2)) * (ABS(zv) / SQRT(2))))))
+               AS u
+      FROM z
+    ),
+    bins AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(ROUND(u, 6) * 10) AS BIGINT),
+                            0), 9) AS bin,
+             COUNT(*)::DOUBLE AS o
+      FROM pit GROUP BY 1
+    ),
+    tot AS (SELECT SUM(o) AS n FROM bins)
+    SELECT CAST(MAX(tot.n) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(SUM(POWER(bins.o - tot.n / 10, 2) / (tot.n / 10)), 4)
+             AS chi2_uniform,
+           ROUND(MAX(bins.o) / MAX(tot.n), 6) AS max_bin_share,
+           ROUND(MIN(bins.o) / MAX(tot.n), 6) AS min_bin_share
+    FROM bins CROSS JOIN tot
+    """,
+)
+def q470_pit_uniformity(spark, sf_dir):
+    """Probability-integral-transform check of q315's lognormal spend
+    model: push every customer's ln-spend through the FITTED normal
+    CDF (A-S erf polynomial, sign-extended for negative z — identical
+    arithmetic in both engines) and chi²-test the resulting u-values
+    against uniform(0,1) over 10 bins — the universal goodness-of-fit
+    harness that works for ANY continuous parametric model, not just
+    this one (swap the CDF, keep the plan).  If the model is right,
+    PIT is flat; humps at the ends mean heavy tails the lognormal
+    missed.  One grouped scan, broadcast fit, 10-bin fold."""
+    od = _t(spark, sf_dir, "orders")
+    cust = od.groupBy("o_custkey").agg(
+        F.log(F.sum("o_totalprice")).alias("lx")
+    )
+    fit = cust.agg(
+        F.avg("lx").alias("mu"), F.stddev_samp("lx").alias("sigma")
+    )
+    z = cust.crossJoin(F.broadcast(fit)).select(
+        ((F.col("lx") - F.col("mu")) / F.col("sigma")).alias("zv")
+    )
+    x = F.abs(F.col("zv")) / F.sqrt(F.lit(2))
+    t = F.lit(1) / (F.lit(1) + F.lit(0.3275911) * x)
+    erf = (
+        (
+            (
+                (
+                    (F.lit(1.061405429) * t - F.lit(1.453152027)) * t
+                    + F.lit(1.421413741)
+                )
+                * t
+                - F.lit(0.284496736)
+            )
+            * t
+            + F.lit(0.254829592)
+        )
+        * t
+        * F.exp(-x * x)
+    )
+    sign = F.when(F.col("zv") < 0, -1.0).otherwise(1.0)
+    # `erf` above is the A-S complement (poly·e^(−x²)); true erf is
+    # 1 − that.
+    pit = z.select(
+        (F.lit(0.5) * (F.lit(1) + sign * (F.lit(1) - erf))).alias("u")
+    )
+    # Round u to 6 dp before binning: the engines' exp() differ in the
+    # last ulp, so raw edge values (incl. the saturated u=0 tail) can
+    # flip bins between Spark and the oracle.
+    bins = pit.groupBy(
+        F.least(
+            F.greatest(
+                F.floor(F.round(F.col("u"), 6) * 10).cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(9),
+        ).alias("bin")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    tot = bins.agg(F.sum("o").alias("n"))
+    n = F.max("n")
+    return bins.crossJoin(F.broadcast(tot)).agg(
+        n.cast("bigint").alias("n_customers"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.round(
+            F.sum(
+                F.pow(F.col("o") - F.col("n") / 10, 2)
+                / (F.col("n") / 10)
+            ),
+            4,
+        ).alias("chi2_uniform"),
+        F.round(F.max("o") / n, 6).alias("max_bin_share"),
+        F.round(F.min("o") / n, 6).alias("min_bin_share"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
