@@ -26206,6 +26206,883 @@ def q470_pit_uniformity(spark, sf_dir):
     )
 
 
+@register(
+    "q471_bloom_join_effectiveness",
+    f"""
+    WITH thr AS (
+      SELECT quantile_cont(o_totalprice, 0.9) AS p90 FROM orders
+    ),
+    qual AS (
+      SELECT o.o_orderkey,
+             {_MD5_BUCKET.format(col='o.o_orderkey', seed=7)} % 8192
+               AS bkt
+      FROM orders o CROSS JOIN thr t
+      WHERE o.o_totalprice > t.p90
+    ),
+    bits AS (SELECT DISTINCT bkt FROM qual),
+    li AS (
+      SELECT l_orderkey,
+             {_MD5_BUCKET.format(col='l_orderkey', seed=7)} % 8192
+               AS bkt
+      FROM lineitem
+    ),
+    flags AS (
+      SELECT CASE WHEN q.o_orderkey IS NOT NULL THEN 1 ELSE 0 END
+               AS exact_hit,
+             CASE WHEN b.bkt IS NOT NULL THEN 1 ELSE 0 END AS bloom_hit
+      FROM li
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM qual) q
+        ON li.l_orderkey = q.o_orderkey
+      LEFT JOIN bits b ON li.bkt = b.bkt
+    )
+    SELECT CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS bits_set,
+           CAST(COUNT(*) AS BIGINT) AS li_rows,
+           CAST(SUM(exact_hit) AS BIGINT) AS exact_pass,
+           CAST(SUM(bloom_hit) AS BIGINT) AS bloom_pass,
+           ROUND(CAST(SUM(bloom_hit) - SUM(exact_hit) AS DOUBLE)
+                 / (COUNT(*) - SUM(exact_hit)), 6) AS false_pos_rate,
+           ROUND(1 - CAST(SUM(bloom_hit) AS DOUBLE) / COUNT(*), 6)
+             AS scan_reduction
+    FROM flags
+    """,
+)
+def q471_bloom_join_effectiveness(spark, sf_dir):
+    """Runtime-filter (Bloom-style) join reduction, measured: build a
+    single-hash 8192-bucket filter from the top-decile orders, probe
+    every lineitem row, and compare against the exact semi-join —
+    observed false-positive rate and the fraction of the fact scan
+    the filter would eliminate before the shuffle.  This is the
+    arithmetic behind Spark's own
+    `spark.sql.optimizer.runtimeFilter.bloomFilter` decision: at
+    100 TB the filter's bits broadcast for free and every skipped row
+    is shuffle traffic saved; a measured FPR near the m/n theory
+    (here 1.5k keys into 8k buckets ≈ 17%) validates the sizing.
+    The md5 bucket keeps both engines bit-identical."""
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    thr = od.agg(F.expr("percentile(o_totalprice, 0.9)").alias("p90"))
+    bkt = lambda c: (
+        F.conv(F.substring(F.md5(F.concat_ws(":", c.cast("string"), F.lit("7"))), 1, 15), 16, 10)
+        .cast("bigint")
+        % 1000000
+    ) % 8192
+    qual = (
+        od.crossJoin(F.broadcast(thr))
+        .filter(F.col("o_totalprice") > F.col("p90"))
+        .select("o_orderkey", bkt(F.col("o_orderkey")).alias("bkt"))
+    )
+    bits = qual.select("bkt").distinct()
+    keys = qual.select("o_orderkey").distinct()
+    lib = li.select(
+        "l_orderkey", bkt(F.col("l_orderkey")).alias("bkt")
+    )
+    flags = (
+        lib.join(
+            F.broadcast(keys), lib.l_orderkey == keys.o_orderkey, "left"
+        )
+        .join(
+            F.broadcast(bits.withColumnRenamed("bkt", "bbkt")),
+            lib.bkt == F.col("bbkt"),
+            "left",
+        )
+        .select(
+            F.when(F.col("o_orderkey").isNotNull(), 1)
+            .otherwise(0)
+            .alias("exact_hit"),
+            F.when(F.col("bbkt").isNotNull(), 1).otherwise(0).alias(
+                "bloom_hit"
+            ),
+        )
+    )
+    nbits = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    eh, bh = F.sum("exact_hit"), F.sum("bloom_hit")
+    return flags.crossJoin(F.broadcast(nbits)).agg(
+        F.max("bits_set").cast("bigint").alias("bits_set"),
+        F.count(F.lit(1)).cast("bigint").alias("li_rows"),
+        eh.cast("bigint").alias("exact_pass"),
+        bh.cast("bigint").alias("bloom_pass"),
+        F.round(
+            (bh - eh).cast("double") / (F.count(F.lit(1)) - eh), 6
+        ).alias("false_pos_rate"),
+        F.round(
+            F.lit(1) - bh.cast("double") / F.count(F.lit(1)), 6
+        ).alias("scan_reduction"),
+    )
+
+
+@register(
+    "q472_partition_balance",
+    f"""
+    WITH maxk AS (
+      SELECT MAX(l_orderkey) + 1 AS mk FROM lineitem
+    ),
+    assigned AS (
+      SELECT 'hash' AS scheme,
+             {_MD5_BUCKET.format(col='l_orderkey', seed=3)} % 32
+               AS bucket
+      FROM lineitem
+      UNION ALL
+      SELECT 'range',
+             LEAST(CAST(l_orderkey * 32 // m.mk AS BIGINT), 31)
+      FROM lineitem CROSS JOIN maxk m
+    ),
+    sizes AS (
+      SELECT scheme, bucket, COUNT(*)::DOUBLE AS n
+      FROM assigned GROUP BY scheme, bucket
+    ),
+    ranked AS (
+      SELECT scheme, n,
+             ROW_NUMBER() OVER (PARTITION BY scheme
+                                ORDER BY n, bucket) AS i,
+             COUNT(*) OVER (PARTITION BY scheme) AS k,
+             SUM(n) OVER (PARTITION BY scheme) AS tot
+      FROM sizes
+    )
+    SELECT scheme,
+           CAST(MAX(k) AS BIGINT) AS n_buckets,
+           ROUND(MIN(n) / MAX(tot), 6) AS min_share,
+           ROUND(MAX(n) / MAX(tot), 6) AS max_share,
+           ROUND(SUM((2 * i - k - 1) * n)
+                 / (MAX(k) * MAX(tot)), 6) AS gini
+    FROM ranked
+    GROUP BY scheme
+    """,
+)
+def q472_partition_balance(spark, sf_dir):
+    """Partition-balance audit, hash vs range, 32 buckets on
+    l_orderkey: per-scheme min/max bucket share and the Gini of
+    bucket sizes (sorted-rank identity) — the number that predicts
+    straggler tasks BEFORE a shuffle runs.  Hash partitioning should
+    sit near Gini 0; range partitioning on fixed-width key spans
+    inherits whatever non-uniformity the key distribution has (TPC-H
+    orderkeys are deliberately gappy).  This is q178's skew report
+    pointed at the PARTITIONER instead of the data, and the exact
+    measurement the salted-join (q146) decision needs."""
+    li = _t(spark, sf_dir, "lineitem")
+    maxk = li.agg((F.max("l_orderkey") + 1).alias("mk"))
+    hash_b = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("l_orderkey").cast("string"), F.lit("3")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    ) % 32
+    h = li.select(F.lit("hash").alias("scheme"), hash_b.alias("bucket"))
+    r = li.crossJoin(F.broadcast(maxk)).select(
+        F.lit("range").alias("scheme"),
+        F.least(
+            (F.col("l_orderkey") * 32 / F.col("mk")).cast("bigint"),
+            F.lit(31),
+        ).alias("bucket"),
+    )
+    sizes = (
+        h.unionByName(r)
+        .groupBy("scheme", "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    wp = Window.partitionBy("scheme")
+    ranked = sizes.select(
+        "scheme",
+        "n",
+        F.row_number()
+        .over(Window.partitionBy("scheme").orderBy("n", "bucket"))
+        .alias("i"),
+        F.count(F.lit(1)).over(wp).alias("k"),
+        F.sum("n").over(wp).alias("tot"),
+    )
+    return ranked.groupBy("scheme").agg(
+        F.max("k").cast("bigint").alias("n_buckets"),
+        F.round(F.min("n") / F.max("tot"), 6).alias("min_share"),
+        F.round(F.max("n") / F.max("tot"), 6).alias("max_share"),
+        F.round(
+            F.sum((2 * F.col("i") - F.col("k") - 1) * F.col("n"))
+            / (F.max("k") * F.max("tot")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "q473_path_census",
+    """
+    WITH e AS (
+      SELECT DISTINCT LEAST(l_orderkey % 500, l_partkey % 500) AS a,
+             GREATEST(l_orderkey % 500, l_partkey % 500) AS b
+      FROM lineitem
+      WHERE l_orderkey % 500 <> l_partkey % 500
+    ),
+    deg AS (
+      SELECT v, COUNT(*)::DOUBLE AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY v
+    ),
+    tri AS (
+      SELECT COUNT(*)::DOUBLE AS t
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    dd AS (
+      SELECT SUM(d) AS sd, SUM(d * (d - 1) / 2) AS wedges,
+             COUNT(*)::DOUBLE AS nv
+      FROM deg
+    ),
+    epairs AS (
+      SELECT SUM((da.d - 1) * (db.d - 1)) AS pe
+      FROM e JOIN deg da ON e.a = da.v
+             JOIN deg db ON e.b = db.v
+    )
+    SELECT CAST(dd.nv AS BIGINT) AS n_vertices,
+           CAST(dd.sd / 2 AS BIGINT) AS n_edges,
+           CAST(dd.wedges AS BIGINT) AS wedges,
+           CAST(tri.t AS BIGINT) AS triangles,
+           CAST(epairs.pe - 3 * tri.t AS BIGINT) AS paths3,
+           ROUND(3 * tri.t / dd.wedges, 6) AS transitivity
+    FROM dd CROSS JOIN tri CROSS JOIN epairs
+    """,
+)
+def q473_path_census(spark, sf_dir):
+    """Motif census by pure degree algebra on the mod-500 bipartite
+    projection: wedges = ΣC(d,2), simple 3-paths = Σ_{(u,v)∈E}
+    (dᵤ−1)(dᵥ−1) − 3·triangles, global transitivity = 3T/wedges —
+    every count EXCEPT the triangle core comes from the degree table,
+    no path enumeration anywhere (the identity is what makes motif
+    statistics computable at 100 TB; enumerating 3-paths would be
+    Σd² join rows).  Complements q124/q273 with the path-level
+    numbers a null-model comparison needs."""
+    li = _t(spark, sf_dir, "lineitem")
+    s, t = F.col("l_orderkey") % 500, F.col("l_partkey") % 500
+    e = (
+        li.select(
+            F.least(s, t).alias("a"), F.greatest(s, t).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("t"))
+    )
+    dd = deg.agg(
+        F.sum("d").alias("sd"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("wedges"),
+        F.count(F.lit(1)).cast("double").alias("nv"),
+    )
+    da = deg.withColumnRenamed("v", "va").withColumnRenamed("d", "dda")
+    db = deg.withColumnRenamed("v", "vb").withColumnRenamed("d", "ddb")
+    epairs = (
+        e.join(da, e.a == da.va)
+        .join(db, e.b == db.vb)
+        .agg(
+            F.sum((F.col("dda") - 1) * (F.col("ddb") - 1)).alias("pe")
+        )
+    )
+    return (
+        dd.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(epairs))
+        .select(
+            F.col("nv").cast("bigint").alias("n_vertices"),
+            (F.col("sd") / 2).cast("bigint").alias("n_edges"),
+            F.col("wedges").cast("bigint").alias("wedges"),
+            F.col("t").cast("bigint").alias("triangles"),
+            (F.col("pe") - 3 * F.col("t"))
+            .cast("bigint")
+            .alias("paths3"),
+            F.round(3 * F.col("t") / F.col("wedges"), 6).alias(
+                "transitivity"
+            ),
+        )
+    )
+
+
+@register(
+    "q474_rrf_fusion",
+    """
+    WITH u AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type IN ('click', 'view')
+                      THEN 1 ELSE 0 END)::DOUBLE AS engagement,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN value ELSE 0 END) AS spend
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (ORDER BY engagement DESC, user_id)
+               AS r_eng,
+             ROW_NUMBER() OVER (ORDER BY spend DESC, user_id)
+               AS r_spend
+      FROM u
+    )
+    SELECT user_id,
+           CAST(r_eng AS BIGINT) AS rank_engagement,
+           CAST(r_spend AS BIGINT) AS rank_spend,
+           ROUND(1.0 / (60 + r_eng) + 1.0 / (60 + r_spend), 6)
+             AS rrf_score
+    FROM ranked
+    ORDER BY 1.0 / (60 + r_eng) + 1.0 / (60 + r_spend) DESC, user_id
+    LIMIT 10
+    """,
+)
+def q474_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of two user rankings (engagement and
+    spend): RRF = Σ 1/(60+rankᵢ) — the retrieval-standard way to
+    merge heterogeneous rankings WITHOUT calibrating their scores
+    against each other (scores from different systems aren't
+    comparable; ranks are).  k=60 damps the head so one list can't
+    dominate.  Two rank windows over the per-user aggregate and a
+    top-10; the same fusion pattern merges BM25 (q93) with cosine
+    (q255) lists in a hybrid retriever."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("click", "view"), 1).otherwise(
+                0
+            )
+        )
+        .cast("double")
+        .alias("engagement"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0.0)
+        ).alias("spend"),
+    )
+    ranked = u.select(
+        "user_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("engagement").desc(), "user_id"))
+        .alias("r_eng"),
+        F.row_number()
+        .over(Window.orderBy(F.col("spend").desc(), "user_id"))
+        .alias("r_spend"),
+    )
+    rrf = 1.0 / (60 + F.col("r_eng")) + 1.0 / (60 + F.col("r_spend"))
+    return (
+        ranked.select(
+            "user_id",
+            F.col("r_eng").cast("bigint").alias("rank_engagement"),
+            F.col("r_spend").cast("bigint").alias("rank_spend"),
+            F.round(rrf, 6).alias("rrf_score"),
+            rrf.alias("_s"),
+        )
+        .orderBy(F.col("_s").desc(), "user_id")
+        .limit(10)
+        .drop("_s")
+    )
+
+
+@register(
+    "q475_weighted_kappa",
+    r"""
+    WITH feat AS (
+      SELECT NTILE(10) OVER (ORDER BY n_chars, doc_id) AS i,
+             NTILE(10) OVER (
+               ORDER BY len(list_filter(
+                 string_split_regex(trim(text), '\s+'),
+                 w -> w <> '')), doc_id) AS j
+      FROM documents
+    ),
+    cells AS (
+      SELECT i, j, COUNT(*)::DOUBLE AS o FROM feat GROUP BY i, j
+    ),
+    tot AS (SELECT SUM(o) AS n FROM cells),
+    mi AS (SELECT i, SUM(o) AS ri FROM cells GROUP BY i),
+    mj AS (SELECT j, SUM(o) AS cj FROM cells GROUP BY j),
+    obs AS (
+      SELECT SUM(POWER((c.i - c.j) / 9.0, 2) * c.o / t.n) AS do_w,
+             SUM(CASE WHEN c.i <> c.j THEN c.o / t.n ELSE 0 END)
+               AS do_u
+      FROM cells c CROSS JOIN tot t
+    ),
+    exp_d AS (
+      SELECT SUM(POWER((mi.i - mj.j) / 9.0, 2)
+                 * mi.ri * mj.cj / (t.n * t.n)) AS de_w,
+             SUM(CASE WHEN mi.i <> mj.j
+                      THEN mi.ri * mj.cj / (t.n * t.n) ELSE 0 END)
+               AS de_u
+      FROM mi CROSS JOIN mj CROSS JOIN tot t
+    )
+    SELECT ROUND(1 - obs.do_w / exp_d.de_w, 6) AS weighted_kappa,
+           ROUND(1 - obs.do_u / exp_d.de_u, 6) AS unweighted_kappa
+    FROM obs CROSS JOIN exp_d
+    """,
+)
+def q475_weighted_kappa(spark, sf_dir):
+    """Quadratic-weighted kappa between two ORDINAL raters (character-
+    length decile vs word-count decile): disagreement is weighted by
+    ((i−j)/9)², so being one decile off costs 1/81 of being nine off —
+    the agreement statistic for graded labels (quality tiers, star
+    ratings) where q431's binary kappa wastes the ordering.  Both the
+    observed and the chance disagreement come from the 10×10 cell
+    table and its margins (a 100-row cross join), never the rows."""
+    d = _t(spark, sf_dir, "documents")
+    wc = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+    )
+    feat = d.select(
+        F.ntile(10).over(Window.orderBy("n_chars", "doc_id")).alias("i"),
+        F.ntile(10).over(Window.orderBy(wc, F.col("doc_id"))).alias("j"),
+    )
+    cells = feat.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    tot = cells.agg(F.sum("o").alias("n"))
+    mi = cells.groupBy("i").agg(F.sum("o").alias("ri"))
+    mj = cells.groupBy("j").agg(F.sum("o").alias("cj"))
+    wq = F.pow((F.col("i") - F.col("j")) / 9.0, 2)
+    obs = cells.crossJoin(F.broadcast(tot)).agg(
+        F.sum(wq * F.col("o") / F.col("n")).alias("do_w"),
+        F.sum(
+            F.when(
+                F.col("i") != F.col("j"), F.col("o") / F.col("n")
+            ).otherwise(0.0)
+        ).alias("do_u"),
+    )
+    exp_d = (
+        mi.crossJoin(mj)
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                wq * F.col("ri") * F.col("cj") / (F.col("n") * F.col("n"))
+            ).alias("de_w"),
+            F.sum(
+                F.when(
+                    F.col("i") != F.col("j"),
+                    F.col("ri") * F.col("cj") / (F.col("n") * F.col("n")),
+                ).otherwise(0.0)
+            ).alias("de_u"),
+        )
+    )
+    return obs.crossJoin(F.broadcast(exp_d)).select(
+        F.round(
+            F.lit(1) - F.col("do_w") / F.col("de_w"), 6
+        ).alias("weighted_kappa"),
+        F.round(
+            F.lit(1) - F.col("do_u") / F.col("de_u"), 6
+        ).alias("unweighted_kappa"),
+    )
+
+
+@register(
+    "q476_bullwhip_ratio",
+    """
+    WITH od AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS v
+      FROM orders GROUP BY 1
+    ),
+    sh AS (
+      SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+             SUM(l_extendedprice * (1 - l_discount)) AS v
+      FROM lineitem GROUP BY 1
+    ),
+    s AS (
+      SELECT (SELECT VAR_SAMP(v) FROM od) AS vo,
+             (SELECT AVG(v) FROM od) AS mo,
+             (SELECT VAR_SAMP(v) FROM sh) AS vs,
+             (SELECT AVG(v) FROM sh) AS ms
+    )
+    SELECT ROUND(vo, 2) AS var_order_value,
+           ROUND(vs, 2) AS var_ship_value,
+           ROUND(vs / vo, 4) AS variance_ratio,
+           ROUND((vs / (ms * ms)) / (vo / (mo * mo)), 4)
+             AS bullwhip_cv2_ratio
+    FROM s
+    """,
+)
+def q476_bullwhip_ratio(spark, sf_dir):
+    """Bullwhip measurement between the demand signal (daily ordered
+    value) and the fulfillment signal (daily shipped value): the raw
+    variance ratio and the scale-free CV² ratio — a ratio above 1
+    means the fulfillment process AMPLIFIES demand variability
+    (batching, shortage gaming), the supply-chain instability whose
+    stages this pair of tables actually records.  Two daily
+    aggregates, four scalars."""
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    odd = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("v"))
+    shd = li.groupBy(
+        F.to_date(F.date_trunc("DAY", "l_shipdate")).alias("day")
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        ).alias("v")
+    )
+    so = odd.agg(
+        F.var_samp("v").alias("vo"), F.avg("v").alias("mo")
+    )
+    ss = shd.agg(
+        F.var_samp("v").alias("vs"), F.avg("v").alias("ms")
+    )
+    s = so.crossJoin(F.broadcast(ss))
+    return s.select(
+        F.round("vo", 2).alias("var_order_value"),
+        F.round("vs", 2).alias("var_ship_value"),
+        F.round(F.col("vs") / F.col("vo"), 4).alias("variance_ratio"),
+        F.round(
+            (F.col("vs") / (F.col("ms") * F.col("ms")))
+            / (F.col("vo") / (F.col("mo") * F.col("mo"))),
+            4,
+        ).alias("bullwhip_cv2_ratio"),
+    )
+
+
+@register(
+    "q477_trading_day_adjustment",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    dow_mean AS (
+      SELECT dayofweek(day) AS dow, AVG(rev) AS m
+      FROM daily GROUP BY 1
+    ),
+    monthly AS (
+      SELECT CAST(date_trunc('month', d.day) AS DATE) AS mth,
+             SUM(d.rev) AS actual,
+             SUM(w.m) AS expected,
+             COUNT(*) AS n_days
+      FROM daily d JOIN dow_mean w ON dayofweek(d.day) = w.dow
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT mth, actual, expected,
+             ROW_NUMBER() OVER (ORDER BY mth DESC) AS rk
+      FROM monthly WHERE n_days >= 28
+    )
+    SELECT mth AS month,
+           ROUND(actual, 2) AS actual,
+           ROUND(expected, 2) AS expected,
+           ROUND(actual / expected, 6) AS adjustment_index
+    FROM ranked WHERE rk <= 12
+    """,
+)
+def q477_trading_day_adjustment(spark, sf_dir):
+    """Trading-day adjustment for the last 12 full months: each
+    month's expected revenue is the sum of the GLOBAL day-of-week
+    means over the weekdays that month actually contains, and the
+    index actual/expected is month-over-month growth with the
+    'this March had five Fridays' artifact removed — the calendar
+    composition effect that raw monthly comparisons (q177) silently
+    include.  One dow profile (7-row broadcast), one month rollup."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    dow_mean = daily.groupBy(
+        F.dayofweek("day").alias("dow")
+    ).agg(F.avg("rev").alias("m"))
+    monthly = (
+        daily.withColumn("dow", F.dayofweek("day"))
+        .join(F.broadcast(dow_mean), "dow")
+        .groupBy(
+            F.to_date(F.date_trunc("MONTH", "day")).alias("mth")
+        )
+        .agg(
+            F.sum("rev").alias("actual"),
+            F.sum("m").alias("expected"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .filter(F.col("n_days") >= 28)
+    )
+    ranked = monthly.select(
+        "mth",
+        "actual",
+        "expected",
+        F.row_number()
+        .over(Window.orderBy(F.col("mth").desc()))
+        .alias("rk"),
+    ).filter(F.col("rk") <= 12)
+    return ranked.select(
+        F.col("mth").alias("month"),
+        F.round("actual", 2).alias("actual"),
+        F.round("expected", 2).alias("expected"),
+        F.round(F.col("actual") / F.col("expected"), 6).alias(
+            "adjustment_index"
+        ),
+    )
+
+
+@register(
+    "q478_tost_equivalence",
+    """
+    WITH s AS (
+      SELECT source, COUNT(*)::DOUBLE AS n, AVG(n_chars) AS m,
+             VAR_SAMP(n_chars) AS v
+      FROM documents WHERE source IN ('src0', 'src1')
+      GROUP BY source
+    ),
+    w AS (
+      SELECT a.m - b.m AS diff,
+             SQRT(a.v / a.n + b.v / b.n) AS se,
+             0.05 * (a.m * a.n + b.m * b.n) / (a.n + b.n) AS margin
+      FROM s a JOIN s b ON a.source = 'src0' AND b.source = 'src1'
+    )
+    SELECT ROUND(diff, 4) AS mean_diff,
+           ROUND(margin, 4) AS margin,
+           ROUND(se, 4) AS se,
+           ROUND((diff + margin) / se, 4) AS z_lower,
+           ROUND((margin - diff) / se, 4) AS z_upper,
+           CAST(CASE WHEN (diff + margin) / se > 1.645
+                      AND (margin - diff) / se > 1.645
+                     THEN 1 ELSE 0 END AS BIGINT) AS equivalent
+    FROM w
+    """,
+)
+def q478_tost_equivalence(spark, sf_dir):
+    """TOST equivalence test between two sources' mean document
+    lengths: two one-sided z-tests against a ±5%-of-grand-mean
+    margin — the test that can conclude the sources are THE SAME,
+    which q278's difference test can never do (failing to reject ≠
+    equivalence; TOST requires the whole CI inside the margin).  The
+    right gate for 'may I pool these two corpora'.  One grouped scan
+    into two sufficient-statistics rows, scalar algebra after."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("n_chars").alias("m"),
+        F.var_samp("n_chars").alias("v"),
+    )
+    a = s.filter(F.col("source") == "src0").select(
+        F.col("n").alias("na"), F.col("m").alias("ma"),
+        F.col("v").alias("va"),
+    )
+    b = s.filter(F.col("source") == "src1").select(
+        F.col("n").alias("nb"), F.col("m").alias("mb"),
+        F.col("v").alias("vb"),
+    )
+    w = a.crossJoin(b).select(
+        (F.col("ma") - F.col("mb")).alias("diff"),
+        F.sqrt(
+            F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+        ).alias("se"),
+        (
+            F.lit(0.05)
+            * (F.col("ma") * F.col("na") + F.col("mb") * F.col("nb"))
+            / (F.col("na") + F.col("nb"))
+        ).alias("margin"),
+    )
+    zl = (F.col("diff") + F.col("margin")) / F.col("se")
+    zu = (F.col("margin") - F.col("diff")) / F.col("se")
+    return w.select(
+        F.round("diff", 4).alias("mean_diff"),
+        F.round("margin", 4).alias("margin"),
+        F.round("se", 4).alias("se"),
+        F.round(zl, 4).alias("z_lower"),
+        F.round(zu, 4).alias("z_upper"),
+        F.when((zl > 1.645) & (zu > 1.645), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("equivalent"),
+    )
+
+
+@register(
+    "q479_fleiss_kappa",
+    r"""
+    WITH feat AS (
+      SELECT n_chars,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             w -> w <> '')) AS wc,
+             CAST(n_chars AS DOUBLE)
+             / len(list_filter(string_split_regex(trim(text), '\s+'),
+                               w -> w <> '')) AS awl
+      FROM documents
+    ),
+    med AS (
+      SELECT quantile_cont(n_chars, 0.5) AS mc,
+             quantile_cont(wc, 0.5) AS mw,
+             quantile_cont(awl, 0.5) AS ma
+      FROM feat
+    ),
+    votes AS (
+      SELECT (CASE WHEN f.n_chars > m.mc THEN 1 ELSE 0 END
+            + CASE WHEN f.wc > m.mw THEN 1 ELSE 0 END
+            + CASE WHEN f.awl > m.ma THEN 1 ELSE 0 END) AS x
+      FROM feat f CROSS JOIN med m
+    ),
+    agg AS (
+      SELECT COUNT(*)::DOUBLE AS n,
+             AVG((x * (x - 1) + (3 - x) * (2 - x)) / 6.0) AS pbar,
+             SUM(x)::DOUBLE / (3 * COUNT(*)) AS p
+      FROM votes
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           ROUND(p, 6) AS p_pass,
+           ROUND(pbar, 6) AS p_bar,
+           ROUND(p * p + (1 - p) * (1 - p), 6) AS p_chance,
+           ROUND((pbar - (p * p + (1 - p) * (1 - p)))
+                 / (1 - (p * p + (1 - p) * (1 - p))), 6)
+             AS fleiss_kappa
+    FROM agg
+    """,
+)
+def q479_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa across THREE document-quality raters (above-
+    median characters, words, and average word length): per-document
+    agreement Pᵢ = (x(x−1)+(3−x)(2−x))/6 over the pass-vote count x,
+    chance-corrected by the pooled marginal — the multi-rater
+    generalization of q431's two-rater kappa, and the statistic to
+    report when a quality ensemble votes.  One scan builds all three
+    features, medians broadcast, then a one-column fold."""
+    d = _t(spark, sf_dir, "documents")
+    wc = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+    )
+    feat = d.select(
+        "n_chars",
+        wc.alias("wc"),
+        (F.col("n_chars").cast("double") / wc).alias("awl"),
+    )
+    med = feat.agg(
+        F.expr("percentile(n_chars, 0.5)").alias("mc"),
+        F.expr("percentile(wc, 0.5)").alias("mw"),
+        F.expr("percentile(awl, 0.5)").alias("ma"),
+    )
+    x = (
+        F.when(F.col("n_chars") > F.col("mc"), 1).otherwise(0)
+        + F.when(F.col("wc") > F.col("mw"), 1).otherwise(0)
+        + F.when(F.col("awl") > F.col("ma"), 1).otherwise(0)
+    )
+    votes = feat.crossJoin(F.broadcast(med)).select(x.alias("x"))
+    agg = votes.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(
+            (
+                F.col("x") * (F.col("x") - 1)
+                + (3 - F.col("x")) * (2 - F.col("x"))
+            )
+            / 6.0
+        ).alias("pbar"),
+        (
+            F.sum("x").cast("double") / (3 * F.count(F.lit(1)))
+        ).alias("p"),
+    )
+    p = F.col("p")
+    pe = p * p + (1 - p) * (1 - p)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(p, 6).alias("p_pass"),
+        F.round("pbar", 6).alias("p_bar"),
+        F.round(pe, 6).alias("p_chance"),
+        F.round((F.col("pbar") - pe) / (1 - pe), 6).alias(
+            "fleiss_kappa"
+        ),
+    )
+
+
+@register(
+    "q480_gains_table",
+    """
+    WITH u AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type IN ('click', 'view')
+                      THEN 1 ELSE 0 END)::DOUBLE AS engagement,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN value ELSE 0 END) AS spend
+      FROM events GROUP BY user_id
+    ),
+    med AS (SELECT quantile_cont(spend, 0.5) AS ms FROM u),
+    ranked AS (
+      SELECT NTILE(10) OVER (ORDER BY u.engagement DESC, u.user_id)
+               AS decile,
+             CASE WHEN u.spend > med.ms THEN 1.0 ELSE 0 END AS pos
+      FROM u CROSS JOIN med
+    ),
+    dec AS (
+      SELECT decile, COUNT(*)::DOUBLE AS n, SUM(pos) AS np
+      FROM ranked GROUP BY decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n AS BIGINT) AS n_users,
+           CAST(np AS BIGINT) AS n_pos,
+           ROUND(SUM(np) OVER (ORDER BY decile) / SUM(np) OVER (), 6)
+             AS cum_capture,
+           ROUND((np / n) / (SUM(np) OVER () / SUM(n) OVER ()), 4)
+             AS lift
+    FROM dec
+    """,
+)
+def q480_gains_table(spark, sf_dir):
+    """Decile gains table for the engagement→high-spend ranking: per
+    decile of the ranked population, the positives captured, the
+    cumulative capture curve, and the lift over the base rate — the
+    campaign-planning view of the SAME ranking q465 summarizes as one
+    AUC ('mail the top 3 deciles, get 52% of the buyers').  A rank
+    window, a 10-row rollup, two windows over it."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("click", "view"), 1).otherwise(
+                0
+            )
+        )
+        .cast("double")
+        .alias("engagement"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0.0)
+        ).alias("spend"),
+    )
+    med = u.agg(F.expr("percentile(spend, 0.5)").alias("ms"))
+    ranked = u.crossJoin(F.broadcast(med)).select(
+        F.ntile(10)
+        .over(Window.orderBy(F.col("engagement").desc(), "user_id"))
+        .alias("decile"),
+        F.when(F.col("spend") > F.col("ms"), 1.0).otherwise(0.0).alias(
+            "pos"
+        ),
+    )
+    dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("pos").alias("np"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    return dec.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.round(
+            F.sum("np").over(wc) / F.sum("np").over(wall), 6
+        ).alias("cum_capture"),
+        F.round(
+            (F.col("np") / F.col("n"))
+            / (F.sum("np").over(wall) / F.sum("n").over(wall)),
+            4,
+        ).alias("lift"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
