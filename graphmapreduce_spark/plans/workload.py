@@ -27083,6 +27083,899 @@ def q480_gains_table(spark, sf_dir):
     )
 
 
+@register(
+    "q481_empirical_bayes",
+    """
+    WITH g AS (
+      SELECT p.p_brand AS brand,
+             SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+               ::DOUBLE AS x,
+             COUNT(*)::DOUBLE AS n
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ),
+    prior AS (
+      SELECT SUM(x) / SUM(n) AS p0,
+             GREATEST((SUM(x) / SUM(n)) * (1 - SUM(x) / SUM(n))
+                      / VAR_SAMP(x / n) - 1, 1.0) AS m
+      FROM g
+    )
+    SELECT g.brand,
+           CAST(g.n AS BIGINT) AS n_items,
+           ROUND(g.x / g.n, 6) AS raw_rate,
+           ROUND((g.x + pr.m * pr.p0) / (g.n + pr.m), 6)
+             AS shrunk_rate,
+           ROUND(g.n / (g.n + pr.m), 6) AS shrink_weight
+    FROM g CROSS JOIN prior pr
+    """,
+)
+def q481_empirical_bayes(spark, sf_dir):
+    """Empirical-Bayes (beta-binomial) shrinkage of per-brand return
+    rates: the prior precision m comes from the method of moments on
+    the observed rate spread (m = p₀(1−p₀)/σ̂² − 1, floored at 1), and
+    every brand's rate is pulled toward the global p₀ with weight
+    n/(n+m) — the fix for 'the smallest segment always tops the
+    league table' (q338's raw ranking).  At 100 TB the same two-pass
+    shape holds: one grouped scan, one 25-row prior fold, broadcast
+    back."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    g = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("double")
+            .alias("x"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+    )
+    p0 = F.sum("x") / F.sum("n")
+    prior = g.agg(
+        p0.alias("p0"),
+        F.greatest(
+            p0 * (1 - p0) / F.var_samp(F.col("x") / F.col("n")) - 1,
+            F.lit(1.0),
+        ).alias("m"),
+    )
+    return g.crossJoin(F.broadcast(prior)).select(
+        "brand",
+        F.col("n").cast("bigint").alias("n_items"),
+        F.round(F.col("x") / F.col("n"), 6).alias("raw_rate"),
+        F.round(
+            (F.col("x") + F.col("m") * F.col("p0"))
+            / (F.col("n") + F.col("m")),
+            6,
+        ).alias("shrunk_rate"),
+        F.round(F.col("n") / (F.col("n") + F.col("m")), 6).alias(
+            "shrink_weight"
+        ),
+    )
+
+
+@register(
+    "q482_adstock_transform",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               ::DOUBLE AS c,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               ::DOUBLE AS p
+      FROM events GROUP BY 1
+    ),
+    seq AS (
+      SELECT c, p, ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM daily
+    ),
+    ad AS (
+      SELECT a.rn, MAX(a.c) AS c, MAX(a.p) AS p,
+             SUM(POWER(0.5, k.k) * b.c) AS astock
+      FROM seq a
+      CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS k(k)
+      JOIN seq b ON b.rn = a.rn - k.k
+      GROUP BY a.rn
+      HAVING COUNT(*) = 8
+    ),
+    s AS (
+      SELECT COUNT(*)::DOUBLE AS n,
+             AVG(c) AS mc, AVG(p) AS mp, AVG(astock) AS ma,
+             SUM(c * p) AS scp, SUM(c * c) AS scc,
+             SUM(p * p) AS spp,
+             SUM(astock * p) AS sap, SUM(astock * astock) AS saa
+      FROM ad
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           ROUND((scp - n * mc * mp)
+                 / SQRT((scc - n * mc * mc) * (spp - n * mp * mp)), 6)
+             AS corr_raw_clicks,
+           ROUND((sap - n * ma * mp)
+                 / SQRT((saa - n * ma * ma) * (spp - n * mp * mp)), 6)
+             AS corr_adstock,
+           ROUND((sap - n * ma * mp)
+                 / SQRT((saa - n * ma * ma) * (spp - n * mp * mp))
+                 - (scp - n * mc * mp)
+                 / SQRT((scc - n * mc * mc) * (spp - n * mp * mp)), 6)
+             AS adstock_gain
+    FROM s
+    """,
+)
+def q482_adstock_transform(spark, sf_dir):
+    """Geometric adstock (8-tap, λ=0.5) of daily clicks and its
+    correlation with purchases vs the raw series — the media-mix
+    transform encoding 'advertising works with decay': if the
+    adstocked correlation beats the raw one, click effects carry over
+    days and same-day attribution (q250) under-credits.  The carryover
+    convolution is an 8-offset equi-join on row number (a FIR filter
+    as a join — no recursion), then two sufficient-statistics
+    correlations from one fold."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("DAY", "ts")).alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("c"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("double")
+        .alias("p"),
+    )
+    seq = daily.select(
+        "c", "p", F.row_number().over(Window.orderBy("day")).alias("rn")
+    )
+    ks = daily.sparkSession.createDataFrame(
+        [(k,) for k in range(8)], "k int"
+    )
+    a, b = seq.alias("a"), seq.alias("b")
+    ad = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.col("b.rn") == F.col("a.rn") - F.col("k"))
+        .groupBy(F.col("a.rn"))
+        .agg(
+            F.max(F.col("a.c")).alias("c"),
+            F.max(F.col("a.p")).alias("p"),
+            F.sum(F.pow(F.lit(0.5), F.col("k")) * F.col("b.c")).alias(
+                "astock"
+            ),
+            F.count(F.lit(1)).alias("taps"),
+        )
+        .filter(F.col("taps") == 8)
+    )
+    s = ad.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("c").alias("mc"),
+        F.avg("p").alias("mp"),
+        F.avg("astock").alias("ma"),
+        F.sum(F.col("c") * F.col("p")).alias("scp"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("astock") * F.col("p")).alias("sap"),
+        F.sum(F.col("astock") * F.col("astock")).alias("saa"),
+    )
+    n = F.col("n")
+    corr_raw = (F.col("scp") - n * F.col("mc") * F.col("mp")) / F.sqrt(
+        (F.col("scc") - n * F.col("mc") * F.col("mc"))
+        * (F.col("spp") - n * F.col("mp") * F.col("mp"))
+    )
+    corr_ad = (F.col("sap") - n * F.col("ma") * F.col("mp")) / F.sqrt(
+        (F.col("saa") - n * F.col("ma") * F.col("ma"))
+        * (F.col("spp") - n * F.col("mp") * F.col("mp"))
+    )
+    return s.select(
+        n.cast("bigint").alias("n_days"),
+        F.round(corr_raw, 6).alias("corr_raw_clicks"),
+        F.round(corr_ad, 6).alias("corr_adstock"),
+        F.round(corr_ad - corr_raw, 6).alias("adstock_gain"),
+    )
+
+
+@register(
+    "q483_mahalanobis_outliers",
+    r"""
+    WITH feat AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS x,
+             CAST(len(list_filter(
+               string_split_regex(trim(text), '\s+'),
+               w -> w <> '')) AS DOUBLE) AS y
+      FROM documents
+    ),
+    s AS (
+      SELECT AVG(x) AS mx, AVG(y) AS my,
+             SUM(x * x) / COUNT(*) - AVG(x) * AVG(x) AS sxx,
+             SUM(y * y) / COUNT(*) - AVG(y) * AVG(y) AS syy,
+             SUM(x * y) / COUNT(*) - AVG(x) * AVG(y) AS sxy
+      FROM feat
+    )
+    SELECT f.doc_id,
+           CAST(f.x AS BIGINT) AS n_chars,
+           CAST(f.y AS BIGINT) AS n_words,
+           ROUND((s.syy * POWER(f.x - s.mx, 2)
+                - 2 * s.sxy * (f.x - s.mx) * (f.y - s.my)
+                + s.sxx * POWER(f.y - s.my, 2))
+                / (s.sxx * s.syy - s.sxy * s.sxy), 4)
+             AS mahalanobis_sq
+    FROM feat f CROSS JOIN s
+    ORDER BY (s.syy * POWER(f.x - s.mx, 2)
+            - 2 * s.sxy * (f.x - s.mx) * (f.y - s.my)
+            + s.sxx * POWER(f.y - s.my, 2))
+            / (s.sxx * s.syy - s.sxy * s.sxy) DESC, f.doc_id
+    LIMIT 10
+    """,
+)
+def q483_mahalanobis_outliers(spark, sf_dir):
+    """Bivariate Mahalanobis outliers on (characters, words): the
+    2×2 covariance inverts in closed form, so d² = (σ_yy dx² −
+    2σ_xy dx dy + σ_xx dy²)/det — which flags documents that break
+    the length CORRELATION (many chars, few words → binary junk or
+    megawords) even when each marginal looks normal, exactly what
+    the per-column fences (q115/q145) cannot see.  One
+    sufficient-statistics fold, broadcast back, top-10."""
+    d = _t(spark, sf_dir, "documents")
+    wc = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+    )
+    feat = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("x"),
+        wc.cast("double").alias("y"),
+    )
+    cnt = F.count(F.lit(1))
+    s = feat.agg(
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        (F.sum(F.col("x") * F.col("x")) / cnt - F.avg("x") * F.avg("x")).alias("sxx"),
+        (F.sum(F.col("y") * F.col("y")) / cnt - F.avg("y") * F.avg("y")).alias("syy"),
+        (F.sum(F.col("x") * F.col("y")) / cnt - F.avg("x") * F.avg("y")).alias("sxy"),
+    )
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    d2 = (
+        F.col("syy") * dx * dx
+        - 2 * F.col("sxy") * dx * dy
+        + F.col("sxx") * dy * dy
+    ) / (F.col("sxx") * F.col("syy") - F.col("sxy") * F.col("sxy"))
+    return (
+        feat.crossJoin(F.broadcast(s))
+        .select(
+            "doc_id",
+            F.col("x").cast("bigint").alias("n_chars"),
+            F.col("y").cast("bigint").alias("n_words"),
+            F.round(d2, 4).alias("mahalanobis_sq"),
+            d2.alias("_d"),
+        )
+        .orderBy(F.col("_d").desc(), "doc_id")
+        .limit(10)
+        .drop("_d")
+    )
+
+
+@register(
+    "q484_pca_2x2",
+    r"""
+    WITH feat AS (
+      SELECT LN(CAST(n_chars AS DOUBLE)) AS x,
+             LN(CAST(len(list_filter(
+               string_split_regex(trim(text), '\s+'),
+               w -> w <> '')) AS DOUBLE)) AS y
+      FROM documents
+    ),
+    s AS (
+      SELECT SUM(x * x) / COUNT(*) - AVG(x) * AVG(x) AS sxx,
+             SUM(y * y) / COUNT(*) - AVG(y) * AVG(y) AS syy,
+             SUM(x * y) / COUNT(*) - AVG(x) * AVG(y) AS sxy
+      FROM feat
+    )
+    SELECT ROUND(sxx, 6) AS var_logchars,
+           ROUND(syy, 6) AS var_logwords,
+           ROUND(sxy, 6) AS covar,
+           ROUND((sxx + syy
+                  + SQRT(POWER(sxx - syy, 2) + 4 * sxy * sxy)) / 2, 6)
+             AS lambda1,
+           ROUND((sxx + syy
+                  - SQRT(POWER(sxx - syy, 2) + 4 * sxy * sxy)) / 2, 6)
+             AS lambda2,
+           ROUND((sxx + syy
+                  + SQRT(POWER(sxx - syy, 2) + 4 * sxy * sxy))
+                 / (2 * (sxx + syy)), 6) AS explained_pc1,
+           ROUND(DEGREES(0.5 * ATAN2(2 * sxy, sxx - syy)), 4)
+             AS pc1_angle_deg
+    FROM s
+    """,
+)
+def q484_pca_2x2(spark, sf_dir):
+    """Closed-form 2D PCA of (ln chars, ln words): the 2×2 covariance
+    eigendecomposes analytically — λ = (tr ± √((σxx−σyy)²+4σxy²))/2,
+    first-component angle from atan2 — so the 'one length factor
+    explains 9x% of both columns' statement costs one
+    sufficient-statistics fold, no linear-algebra library and no
+    iteration.  The 2×2 case is the workhorse for pairwise feature
+    whitening (q221) and for deciding whether two length features
+    deserve one dimension."""
+    d = _t(spark, sf_dir, "documents")
+    wc = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+    )
+    feat = d.select(
+        F.log(F.col("n_chars").cast("double")).alias("x"),
+        F.log(wc.cast("double")).alias("y"),
+    )
+    cnt = F.count(F.lit(1))
+    s = feat.agg(
+        (F.sum(F.col("x") * F.col("x")) / cnt - F.avg("x") * F.avg("x")).alias("sxx"),
+        (F.sum(F.col("y") * F.col("y")) / cnt - F.avg("y") * F.avg("y")).alias("syy"),
+        (F.sum(F.col("x") * F.col("y")) / cnt - F.avg("x") * F.avg("y")).alias("sxy"),
+    )
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    disc = F.sqrt(F.pow(sxx - syy, 2) + 4 * sxy * sxy)
+    return s.select(
+        F.round(sxx, 6).alias("var_logchars"),
+        F.round(syy, 6).alias("var_logwords"),
+        F.round(sxy, 6).alias("covar"),
+        F.round((sxx + syy + disc) / 2, 6).alias("lambda1"),
+        F.round((sxx + syy - disc) / 2, 6).alias("lambda2"),
+        F.round((sxx + syy + disc) / (2 * (sxx + syy)), 6).alias(
+            "explained_pc1"
+        ),
+        F.round(
+            F.degrees(F.lit(0.5) * F.atan2(2 * sxy, sxx - syy)), 4
+        ).alias("pc1_angle_deg"),
+    )
+
+
+@register(
+    "q485_conformal_interval",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT rev,
+             LAG(rev, 7) OVER (ORDER BY day) AS yhat,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    train_resid AS (
+      SELECT ABS(rev - yhat) AS r
+      FROM seq WHERE yhat IS NOT NULL AND rn <= n / 2
+    ),
+    qhat AS (
+      SELECT r AS q
+      FROM (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS k,
+               COUNT(*) OVER () AS m
+        FROM train_resid
+      )
+      WHERE k = LEAST(CAST(CEIL(0.9 * (m + 1)) AS BIGINT), m)
+    ),
+    test AS (
+      SELECT s.rev, s.yhat, q.q
+      FROM seq s CROSS JOIN qhat q
+      WHERE s.yhat IS NOT NULL AND s.rn > s.n / 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(MAX(q), 4) AS q_hat,
+           ROUND(AVG(CASE WHEN ABS(rev - yhat) <= q
+                          THEN 1.0 ELSE 0 END), 6) AS coverage,
+           0.9 AS target_coverage,
+           ROUND(2 * MAX(q), 4) AS interval_width
+    FROM test
+    """,
+)
+def q485_conformal_interval(spark, sf_dir):
+    """Split-conformal prediction interval around a lag-7 naive
+    forecast of daily revenue: q̂ is the ⌈0.9(n+1)⌉-th smallest
+    training |residual| — chosen by RANK, which is what gives the
+    finite-sample coverage guarantee WITHOUT any distributional
+    assumption (compare q304's parametric VaR and q454's normality
+    gate: conformal needs neither).  Test-half coverage verifies the
+    promise empirically.  Rank selection is one ordered window over
+    the train residuals; no quantile interpolation anywhere."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("day")
+    seq = daily.select(
+        "rev",
+        F.lag("rev", 7).over(w).alias("yhat"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    train_resid = seq.filter(
+        F.col("yhat").isNotNull() & (F.col("rn") <= F.col("n") / 2)
+    ).select(F.abs(F.col("rev") - F.col("yhat")).alias("r"))
+    ranked = train_resid.select(
+        "r",
+        F.row_number().over(Window.orderBy("r")).alias("k"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    qhat = ranked.filter(
+        F.col("k")
+        == F.least(
+            F.ceil(0.9 * (F.col("m") + 1)).cast("bigint"), F.col("m")
+        )
+    ).select(F.col("r").alias("q"))
+    test = (
+        seq.filter(
+            F.col("yhat").isNotNull() & (F.col("rn") > F.col("n") / 2)
+        )
+        .crossJoin(F.broadcast(qhat))
+    )
+    return test.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.round(F.max("q"), 4).alias("q_hat"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.abs(F.col("rev") - F.col("yhat")) <= F.col("q"),
+                    1.0,
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("coverage"),
+        F.lit(0.9).alias("target_coverage"),
+        F.round(2 * F.max("q"), 4).alias("interval_width"),
+    )
+
+
+@register(
+    "q486_matrix_profile",
+    """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY mth) AS rn,
+             COUNT(*) OVER () AS n
+      FROM monthly
+    ),
+    subs AS (
+      SELECT a.rn AS i, k.k, b.rev AS xv
+      FROM seq a
+      CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+      JOIN seq b ON b.rn = a.rn + k.k
+      WHERE a.rn + 3 <= a.n
+    ),
+    stats AS (
+      SELECT i, AVG(xv) AS m, STDDEV_POP(xv) AS sd
+      FROM subs GROUP BY i
+    ),
+    z AS (
+      SELECT s.i, s.k, (s.xv - st.m) / st.sd AS zv
+      FROM subs s JOIN stats st ON s.i = st.i
+    ),
+    d2 AS (
+      SELECT a.i AS i, b.i AS j,
+             ROUND(SUM(POWER(a.zv - b.zv, 2)), 10) AS d
+      FROM z a JOIN z b ON a.k = b.k
+      WHERE ABS(a.i - b.i) >= 2
+      GROUP BY a.i, b.i
+    ),
+    profile AS (
+      SELECT i, j AS nn, d,
+             ROW_NUMBER() OVER (PARTITION BY i ORDER BY d, j) AS rk
+      FROM d2
+    ),
+    p AS (SELECT i, nn, d FROM profile WHERE rk = 1),
+    labeled AS (
+      SELECT 'motif' AS kind, i, nn, d,
+             ROW_NUMBER() OVER (ORDER BY d, i) AS rk
+      FROM p
+      UNION ALL
+      SELECT 'discord', i, nn, d,
+             ROW_NUMBER() OVER (ORDER BY d DESC, i)
+      FROM p
+    )
+    SELECT kind,
+           CAST(i AS BIGINT) AS position,
+           CAST(nn AS BIGINT) AS nn_position,
+           ROUND(SQRT(d), 4) AS distance
+    FROM labeled WHERE rk <= 3
+    """,
+)
+def q486_matrix_profile(spark, sf_dir):
+    """Matrix profile (window 4) over monthly revenue: z-normalized
+    distance from every 4-month subsequence to its nearest neighbor
+    (exclusion zone 2), reporting the top-3 MOTIFS (repeated shapes —
+    recurring demand patterns) and top-3 DISCORDS (anomalous
+    quarters nothing else resembles).  The all-pairs join is 76²
+    rows on the MONTHLY aggregate — the deliberate granularity trade;
+    distances are pre-rounded at 1e-10 before ranking so fp
+    summation order can't flip nearest-neighbor ties between
+    engines."""
+    od = _t(spark, sf_dir, "orders")
+    monthly = od.groupBy(
+        F.to_date(F.date_trunc("MONTH", "o_orderdate")).alias("mth")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    seq = monthly.select(
+        "rev",
+        F.row_number().over(Window.orderBy("mth")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    ks = monthly.sparkSession.createDataFrame(
+        [(0,), (1,), (2,), (3,)], "k int"
+    )
+    a, b = seq.alias("a"), seq.alias("b")
+    subs = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.col("b.rn") == F.col("a.rn") + F.col("k"))
+        .filter(F.col("a.rn") + 3 <= F.col("a.n"))
+        .select(
+            F.col("a.rn").alias("i"), "k", F.col("b.rev").alias("xv")
+        )
+    )
+    stats = subs.groupBy("i").agg(
+        F.avg("xv").alias("m"), F.stddev_pop("xv").alias("sd")
+    )
+    z = subs.join(stats, "i").select(
+        "i", "k", ((F.col("xv") - F.col("m")) / F.col("sd")).alias("zv")
+    )
+    za = z.select(
+        F.col("i").alias("ia"), F.col("k"), F.col("zv").alias("zva")
+    )
+    zb = z.select(
+        F.col("i").alias("ib"),
+        F.col("k").alias("kb"),
+        F.col("zv").alias("zvb"),
+    )
+    d2 = (
+        za.join(zb, (za.k == zb.kb) & (F.abs(za.ia - zb.ib) >= 2))
+        .groupBy(F.col("ia").alias("i"), F.col("ib").alias("j"))
+        .agg(
+            F.round(
+                F.sum(F.pow(F.col("zva") - F.col("zvb"), 2)), 10
+            ).alias("d")
+        )
+    )
+    profile = d2.select(
+        "i",
+        F.col("j").alias("nn"),
+        "d",
+        F.row_number()
+        .over(Window.partitionBy("i").orderBy("d", "j"))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    motifs = profile.select(
+        F.lit("motif").alias("kind"),
+        "i",
+        "nn",
+        "d",
+        F.row_number().over(Window.orderBy("d", "i")).alias("rk"),
+    )
+    discords = profile.select(
+        F.lit("discord").alias("kind"),
+        "i",
+        "nn",
+        "d",
+        F.row_number()
+        .over(Window.orderBy(F.col("d").desc(), "i"))
+        .alias("rk"),
+    )
+    return (
+        motifs.unionByName(discords)
+        .filter(F.col("rk") <= 3)
+        .select(
+            "kind",
+            F.col("i").cast("bigint").alias("position"),
+            F.col("nn").cast("bigint").alias("nn_position"),
+            F.round(F.sqrt("d"), 4).alias("distance"),
+        )
+    )
+
+
+@register(
+    "q487_pooled_testing",
+    """
+    WITH prev AS (
+      SELECT AVG(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0 END)
+               AS p
+      FROM lineitem
+    ),
+    grid AS (
+      SELECT k.k, prev.p,
+             1.0 / k.k + 1 - POWER(1 - prev.p, k.k) AS e
+      FROM (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12))
+        AS k(k)
+      CROSS JOIN prev
+    )
+    SELECT CAST(k AS BIGINT) AS group_size,
+           ROUND(p, 6) AS prevalence,
+           ROUND(e, 6) AS expected_tests_per_item,
+           ROUND(1 - e, 6) AS savings,
+           CAST(CASE WHEN e = MIN(e) OVER () THEN 1 ELSE 0 END
+                AS BIGINT) AS is_optimal
+    FROM grid
+    """,
+)
+def q487_pooled_testing(spark, sf_dir):
+    """Dorfman pooled-testing design against the measured defect
+    (return) prevalence: expected tests per item 1/k + 1 − (1−p)^k
+    over group sizes 2..12, with the cost-minimizing pool flagged —
+    the group-testing arithmetic that applies verbatim to batched
+    quality audits of data shards ('sample the pool; only open the
+    shard if the pool fails').  At the fixture's p the optimum and
+    its ~50% saving fall straight out of one measured scalar and an
+    11-row grid."""
+    li = _t(spark, sf_dir, "lineitem")
+    prev = li.agg(
+        F.avg(
+            F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+        ).alias("p")
+    )
+    ks = li.sparkSession.createDataFrame(
+        [(k,) for k in range(2, 13)], "k int"
+    )
+    grid = ks.crossJoin(F.broadcast(prev)).select(
+        "k",
+        "p",
+        (
+            1.0 / F.col("k")
+            + 1
+            - F.pow(1 - F.col("p"), F.col("k"))
+        ).alias("e"),
+    )
+    wall = Window.partitionBy()
+    return grid.select(
+        F.col("k").cast("bigint").alias("group_size"),
+        F.round("p", 6).alias("prevalence"),
+        F.round("e", 6).alias("expected_tests_per_item"),
+        F.round(F.lit(1) - F.col("e"), 6).alias("savings"),
+        F.when(F.col("e") == F.min("e").over(wall), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_optimal"),
+    )
+
+
+@register(
+    "q488_eoq",
+    """
+    WITH span AS (
+      SELECT date_diff('day',
+               MIN(CAST(l_shipdate AS DATE)),
+               MAX(CAST(l_shipdate AS DATE))) / 365.25 AS years
+      FROM lineitem
+    ),
+    b AS (
+      SELECT p.p_brand AS brand,
+             SUM(l.l_quantity) AS total_qty,
+             AVG(l.l_extendedprice / l.l_quantity) AS unit_price
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    )
+    SELECT b.brand,
+           ROUND(b.total_qty / s.years, 2) AS annual_demand,
+           ROUND(SQRT(2 * (b.total_qty / s.years) * 100
+                      / (0.2 * b.unit_price)), 4) AS eoq_units,
+           ROUND((b.total_qty / s.years)
+                 / SQRT(2 * (b.total_qty / s.years) * 100
+                        / (0.2 * b.unit_price)), 4) AS orders_per_year,
+           ROUND(365.25 / ((b.total_qty / s.years)
+                 / SQRT(2 * (b.total_qty / s.years) * 100
+                        / (0.2 * b.unit_price))), 4) AS cycle_days
+    FROM b CROSS JOIN span s
+    """,
+)
+def q488_eoq(spark, sf_dir):
+    """Economic order quantity per brand from measured demand: EOQ =
+    √(2DK/h) with annual demand D from the shipped-quantity history,
+    fixed order cost K=100, holding cost 20% of the brand's average
+    unit price — then the implied replenishment cadence.  The classic
+    OR counterpart to q433's newsvendor (EOQ sets the CYCLE,
+    newsvendor sets the BUFFER); both run off the same one-scan brand
+    aggregate and a broadcast time-span scalar."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    span = li.agg(
+        (
+            F.datediff(
+                F.max(F.col("l_shipdate").cast("date")),
+                F.min(F.col("l_shipdate").cast("date")),
+            )
+            / 365.25
+        ).alias("years")
+    )
+    b = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum("l_quantity").alias("total_qty"),
+            F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_price"
+            ),
+        )
+    )
+    d = F.col("total_qty") / F.col("years")
+    eoq = F.sqrt(2 * d * 100 / (0.2 * F.col("unit_price")))
+    return b.crossJoin(F.broadcast(span)).select(
+        "brand",
+        F.round(d, 2).alias("annual_demand"),
+        F.round(eoq, 4).alias("eoq_units"),
+        F.round(d / eoq, 4).alias("orders_per_year"),
+        F.round(F.lit(365.25) / (d / eoq), 4).alias("cycle_days"),
+    )
+
+
+@register(
+    "q489_interrupted_ts",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT rev AS y,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS t,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    halves AS (
+      SELECT CASE WHEN t <= n / 2 THEN 0 ELSE 1 END AS post,
+             COUNT(*)::DOUBLE AS cnt,
+             AVG(t) AS mt, AVG(y) AS my,
+             SUM(t * y) AS sty, SUM(t * t) AS stt,
+             MAX(n) AS n
+      FROM seq GROUP BY 1
+    ),
+    fits AS (
+      SELECT post, n,
+             (sty - cnt * mt * my) / (stt - cnt * mt * mt) AS b,
+             my - (sty - cnt * mt * my) / (stt - cnt * mt * mt) * mt
+               AS a
+      FROM halves
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN post = 0 THEN a END) AS a0,
+             MAX(CASE WHEN post = 0 THEN b END) AS b0,
+             MAX(CASE WHEN post = 1 THEN a END) AS a1,
+             MAX(CASE WHEN post = 1 THEN b END) AS b1,
+             MAX(n) / 2.0 + 0.5 AS t0
+      FROM fits
+    )
+    SELECT ROUND(b0, 6) AS slope_pre,
+           ROUND(b1, 6) AS slope_post,
+           ROUND(b1 - b0, 6) AS slope_change,
+           ROUND((a1 + b1 * t0) - (a0 + b0 * t0), 4) AS level_change
+    FROM wide
+    """,
+)
+def q489_interrupted_ts(spark, sf_dir):
+    """Interrupted-time-series (segmented regression) at the series
+    midpoint: separate OLS trend fits on the two halves, reporting
+    the slope change and the level discontinuity at the break —
+    q418 FINDS the best break; this quantifies WHAT changed there in
+    the two quantities a policy evaluation needs (did growth bend,
+    did the level jump).  Both fits come from one grouped
+    sufficient-statistics pass (group = half), no per-segment
+    rescans; SEs deliberately omitted (q455's DW shows these
+    residuals are serially dependent — honest SEs need Newey-West)."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    seq = daily.select(
+        F.col("rev").alias("y"),
+        F.row_number()
+        .over(Window.orderBy("day"))
+        .cast("double")
+        .alias("t"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    halves = seq.groupBy(
+        F.when(F.col("t") <= F.col("n") / 2, 0).otherwise(1).alias("post")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.avg("t").alias("mt"),
+        F.avg("y").alias("my"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.max("n").alias("n"),
+    )
+    bexp = (
+        F.col("sty") - F.col("cnt") * F.col("mt") * F.col("my")
+    ) / (F.col("stt") - F.col("cnt") * F.col("mt") * F.col("mt"))
+    fits = halves.select(
+        "post",
+        "n",
+        bexp.alias("b"),
+        (F.col("my") - bexp * F.col("mt")).alias("a"),
+    )
+    wide = fits.agg(
+        F.max(F.when(F.col("post") == 0, F.col("a"))).alias("a0"),
+        F.max(F.when(F.col("post") == 0, F.col("b"))).alias("b0"),
+        F.max(F.when(F.col("post") == 1, F.col("a"))).alias("a1"),
+        F.max(F.when(F.col("post") == 1, F.col("b"))).alias("b1"),
+        (F.max("n") / 2.0 + 0.5).alias("t0"),
+    )
+    return wide.select(
+        F.round("b0", 6).alias("slope_pre"),
+        F.round("b1", 6).alias("slope_post"),
+        F.round(F.col("b1") - F.col("b0"), 6).alias("slope_change"),
+        F.round(
+            (F.col("a1") + F.col("b1") * F.col("t0"))
+            - (F.col("a0") + F.col("b0") * F.col("t0")),
+            4,
+        ).alias("level_change"),
+    )
+
+
+@register(
+    "q490_freshness_audit",
+    """
+    WITH spans AS (
+      SELECT 'orders' AS tbl,
+             MIN(CAST(o_orderdate AS DATE)) AS lo,
+             MAX(CAST(o_orderdate AS DATE)) AS hi,
+             COUNT(*) AS n
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem', MIN(CAST(l_shipdate AS DATE)),
+             MAX(CAST(l_shipdate AS DATE)), COUNT(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'events', MIN(CAST(ts AS DATE)),
+             MAX(CAST(ts AS DATE)), COUNT(*)
+      FROM events
+    ),
+    gmax AS (SELECT MAX(hi) AS gm FROM spans)
+    SELECT s.tbl,
+           CAST(s.n AS BIGINT) AS n_rows,
+           s.lo AS first_date,
+           s.hi AS last_date,
+           CAST(date_diff('day', s.lo, s.hi) AS BIGINT) AS span_days,
+           CAST(date_diff('day', s.hi, g.gm) AS BIGINT)
+             AS days_behind_freshest
+    FROM spans s CROSS JOIN gmax g
+    """,
+)
+def q490_freshness_audit(spark, sf_dir):
+    """Cross-table freshness card: each temporal table's date span and
+    how many days it lags the freshest table in the warehouse — the
+    first dashboard a data-platform team builds, because a silently
+    stalled feed shows up here days before any downstream metric
+    drifts (q330's ingest-order audit catches WITHIN-table disorder;
+    this catches BETWEEN-table lag).  One min/max scan per table,
+    three rows."""
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    parts = []
+    for name, frame, col in (
+        ("orders", od, "o_orderdate"),
+        ("lineitem", li, "l_shipdate"),
+        ("events", ev, "ts"),
+    ):
+        parts.append(
+            frame.agg(
+                F.min(F.col(col).cast("date")).alias("lo"),
+                F.max(F.col(col).cast("date")).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            ).select(F.lit(name).alias("tbl"), "lo", "hi", "n")
+        )
+    spans = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    gmax = spans.agg(F.max("hi").alias("gm"))
+    return spans.crossJoin(F.broadcast(gmax)).select(
+        "tbl",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("lo").alias("first_date"),
+        F.col("hi").alias("last_date"),
+        F.datediff("hi", "lo").cast("bigint").alias("span_days"),
+        F.datediff("gm", "hi")
+        .cast("bigint")
+        .alias("days_behind_freshest"),
+    )
+
+
 # =====================================================================
 # Driver verification-window ordering
 # =====================================================================
