@@ -944,15 +944,29 @@ def _louvain_local_moving(edges: DataFrame, max_rounds: int) -> DataFrame:
             * (F.col("sig_own") - F.col("k"))
             / F.lit(2 * m)
         )
-        new_comm = best.select(
+        moves = best.select(
             "id",
             F.when(
                 movable & (F.col("b.score") > stay + 1e-12),
                 -F.col("b.nc"),
             )
             .otherwise(F.col("c_old"))
-            .alias("c"),
-        ).localCheckpoint(eager=True)
+            .alias("c_move"),
+        )
+        # LEFT-join the moves back onto the full membership: a vertex
+        # with no wvc rows (a coarsened community whose only edge is
+        # its own self-loop — msg_edges excludes self-loops) has no
+        # candidate row and therefore no `best` row; it must KEEP its
+        # community, not vanish (an inner-join here silently dissolved
+        # such communities into singletons at the next level merge)
+        new_comm = (
+            comm.select("id", F.col("c").alias("c_keep"))
+            .join(moves, "id", "left")
+            .select(
+                "id", F.coalesce("c_move", "c_keep").alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
         # the convergence probe joins two CHECKPOINTED frames — cheap;
         # checkpointing new_comm first keeps the heavy move plan from
         # executing twice (once for the probe, once next round)
@@ -1032,14 +1046,21 @@ def louvain(
         if mapping is None:
             mapping = comm
         else:
+            # LEFT join: if a super-vertex is absent from the quotient
+            # moving result (defensive — new_comm now preserves full
+            # membership), its members keep their previous community
+            # rather than being dropped and later singleton-ized
             mapping = (
                 mapping.join(
                     comm.select(
                         F.col("id").alias("c"), F.col("c").alias("c_new")
                     ),
                     "c",
+                    "left",
                 )
-                .select("id", F.col("c_new").alias("c"))
+                .select(
+                    "id", F.coalesce("c_new", F.col("c")).alias("c")
+                )
                 .localCheckpoint(eager=True)
             )
         if level < levels - 1:

@@ -26,10 +26,12 @@ next to one superstep's shuffle; on a cluster, point
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
 import uuid
+import weakref
 
 from pyspark.sql import DataFrame
 
@@ -37,16 +39,30 @@ from pyspark.sql import DataFrame
 # checkpoints (edge materialization etc.) that share the same session
 SEVER_INTERVAL = 10
 
+# live severers, cleaned up at interpreter exit (weakrefs: a GC'd
+# severer whose close() already ran must not be re-closed)
+_LIVE: "weakref.WeakSet[LineageSeverer]" = weakref.WeakSet()
+
+
+@atexit.register
+def _close_all() -> None:
+    for s in list(_LIVE):
+        s.close()
+
 
 class LineageSeverer:
     """Owns a scratch directory; ``sever(df)`` returns ``df`` reborn as
-    a parquet scan.  Sever files are KEPT until ``close()`` (or process
-    exit for the tempdir default): with the truncation bug this class
-    works around, a later recompute may legitimately walk back to any
-    earlier sever scan, and callers may sever several frames through
-    one instance — deleting mid-run can break both.  The severed states
-    are the SMALL side of their loops by design, so the residue is a
-    few KB–MB per run."""
+    a parquet scan.  Sever files are KEPT until ``close()``: with the
+    truncation bug this class works around, a later recompute may
+    legitimately walk back to any earlier sever scan, and callers may
+    sever several frames through one instance — deleting mid-run can
+    break both.  Every severer is also registered for a best-effort
+    ``close()`` at interpreter exit (atexit), so local scratch dirs do
+    not accumulate in /tmp across runs.  Remote ``severDir`` paths
+    (hdfs:/s3/abfs/gs:) are NOT removed — the driver-side rmtree can't
+    reach them; point severDir at a store with a TTL/lifecycle rule or
+    sweep it externally (documented residue: a few KB–MB per run, the
+    severed states are the SMALL side of their loops by design)."""
 
     def __init__(self, spark, tag: str = "state"):
         self.spark = spark
@@ -60,6 +76,8 @@ class LineageSeverer:
             self.dir = tempfile.mkdtemp(prefix=f"gmr_sever_{tag}_")
             self._local = True
         self._history: list[str] = []
+        self._closed = False
+        _LIVE.add(self)
 
     def sever(self, df: DataFrame) -> DataFrame:
         path = os.path.join(self.dir, uuid.uuid4().hex)
@@ -69,10 +87,14 @@ class LineageSeverer:
         return out
 
     def close(self) -> None:
-        """Best-effort removal of the scratch dir.  Only call once no
-        frame returned by ``sever`` will be used again."""
+        """Best-effort removal of the scratch dir (idempotent).  Only
+        call once no frame returned by ``sever`` will be used again."""
+        if self._closed:
+            return
+        self._closed = True
         self._history.clear()
         self._rm(self.dir)
+        _LIVE.discard(self)
 
     def _rm(self, path: str) -> None:
         if self._local:

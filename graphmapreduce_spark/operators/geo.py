@@ -47,17 +47,29 @@ def _with_cells(
     lat_cell_deg = radius_km / _KM_PER_DEG
     import math
 
-    lon_cell_deg = lat_cell_deg / max(
+    lon_cell_min = lat_cell_deg / max(
         math.cos(math.radians(max_abs_lat)), 1e-6
     )
+    # Round the lon cell width UP so it divides 360 exactly and wrap
+    # the cell key modulo the cell count: cell 0 and cell n−1 are then
+    # true neighbors, so within-radius pairs straddling the
+    # antimeridian (lon ≈ ±180) land in adjacent cells instead of
+    # being silently missed.  Widening cells preserves the covering
+    # guarantee (any within-radius pair is ≤ 1 cell apart).
+    n_lon = max(1, int(360.0 // lon_cell_min)) if lon_cell_min < 360 else 1
+    lon_cell_deg = 360.0 / n_lon
     return (
         df.withColumn(
             "_cla", F.floor(F.col(lat) / lat_cell_deg).cast("bigint")
         ).withColumn(
-            "_clo", F.floor(F.col(lon) / lon_cell_deg).cast("bigint")
+            "_clo",
+            F.pmod(
+                F.floor(F.col(lon) / lon_cell_deg), F.lit(n_lon)
+            ).cast("bigint"),
         ),
         lat_cell_deg,
         lon_cell_deg,
+        n_lon,
     )
 
 
@@ -79,17 +91,24 @@ def radius_join(
     raise the bound rather than silently under-join.  Column names are
     suffixed ``_l`` / ``_r`` in the output.
     """
-    l, lat_deg, lon_deg = _with_cells(
+    l, lat_deg, lon_deg, n_lon = _with_cells(
         left, lat, lon, radius_km, max_abs_lat
     )
-    r, _, _ = _with_cells(right, lat, lon, radius_km, max_abs_lat)
+    r, _, _, _ = _with_cells(right, lat, lon, radius_km, max_abs_lat)
     d3 = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    # lon neighbors wrap modulo n_lon (antimeridian adjacency);
+    # array_distinct keeps each (row, cell) candidate unique when
+    # n_lon ≤ 3 would otherwise alias offsets onto the same cell
+    lon_nbrs = F.array_distinct(
+        F.transform(
+            d3, lambda d: F.pmod(F.col("_clo") + d, F.lit(n_lon))
+        )
+    )
     l = (
         l.withColumn("_da", F.explode(d3))
-        .withColumn("_dl", F.explode(d3))
         .withColumn("_cla", F.col("_cla") + F.col("_da"))
-        .withColumn("_clo", F.col("_clo") + F.col("_dl"))
-        .drop("_da", "_dl")
+        .withColumn("_clo", F.explode(lon_nbrs))
+        .drop("_da")
     )
     lcols = [
         F.col(f"l.{c}").alias(f"{c}_l")
@@ -130,18 +149,31 @@ def knn_join(
     lat: str = "lat",
     lon: str = "lon",
     max_abs_lat: float = 66.0,
+    exclude_self: bool | None = None,
 ) -> DataFrame:
     """k nearest right-side neighbors per left row, searched within
     ``radius_km`` (the blocking bound): rank on the rounded distance
     with the right id as tiebreak.  Left rows whose k-th neighbor lies
     beyond the radius return fewer than k rows — escalate the radius
-    for a guaranteed k (documented blocking contract, as q282)."""
+    for a guaranteed k (documented blocking contract, as q282).
+
+    ``exclude_self`` drops pairs whose ids coincide.  Default (None):
+    auto — exclude only for a self-join (``left is right``), because
+    for two DIFFERENT tables an id collision across the two id domains
+    is a legitimate neighbor, not a self-pair.  Pass True/False to
+    override."""
     from pyspark.sql.window import Window
 
+    if exclude_self is None:
+        exclude_self = left is right
     pairs = radius_join(
         left, right, radius_km, lat=lat, lon=lon,
         max_abs_lat=max_abs_lat,
-    ).filter(F.col(f"{id_left}_l") != F.col(f"{id_right}_r"))
+    )
+    if exclude_self:
+        pairs = pairs.filter(
+            F.col(f"{id_left}_l") != F.col(f"{id_right}_r")
+        )
     w = Window.partitionBy(f"{id_left}_l").orderBy(
         F.col("dist_km").asc(), F.col(f"{id_right}_r").asc()
     )

@@ -373,6 +373,37 @@ def test_louvain_recovers_planted_communities(spark):
     assert q_louvain > 0.3
 
 
+def test_louvain_disconnected_components(spark):
+    """Two DISJOINT K5s (no bridge): after level-1 each clique
+    contracts to a super-vertex whose only edge is its own self-loop —
+    it has no move candidates at level 2 and must KEEP its community,
+    not vanish (regression: an inner join on the move result dissolved
+    every disconnected community into singletons at levels=2, dropping
+    modularity from 0.5 to −0.1)."""
+    from graphmapreduce_spark.graph.algorithms import louvain, modularity
+    from graphmapreduce_spark.graph.property_graph import PropertyGraph
+
+    k5a = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k5b = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    g = PropertyGraph.from_edges(
+        spark.createDataFrame(k5a + k5b, "src long, dst long")
+    )
+    for levels in (1, 2, 3):
+        got = {
+            r["id"]: r["community"]
+            for r in louvain(g, levels=levels).collect()
+        }
+        assert len(got) == 10, (levels, got)
+        ca = {got[i] for i in range(5)}
+        cb = {got[i] for i in range(10, 15)}
+        assert len(ca) == 1 and len(cb) == 1 and ca != cb, (levels, got)
+        assign = spark.createDataFrame(
+            [(k, v) for k, v in got.items()], "id long, community long"
+        )
+        q = modularity(g, assign).first()["modularity"]
+        assert abs(q - 0.5) < 1e-9, (levels, q)
+
+
 def test_louvain_ring_of_cliques(spark):
     """Classic ring-of-cliques fixture: 4 K4s in a ring — local moving
     recovers exactly the 4 cliques as communities."""
@@ -853,3 +884,27 @@ def test_bipartite_project_hub_cap(spark):
         for r in alg.bipartite_project(e, max_df=3).collect()
     }
     assert capped == {(1, 2, 1)}
+
+
+def test_lineage_severer_close_and_atexit_registration(spark):
+    """close() removes the local scratch dir, is idempotent, and every
+    severer is registered for atexit cleanup (regression: tempdirs
+    leaked in /tmp past process exit)."""
+    import os
+
+    from graphmapreduce_spark.graph import sever as sv
+
+    s = sv.LineageSeverer(spark, tag="testclose")
+    assert s in sv._LIVE
+    df = spark.range(5)
+    out = s.sever(df)
+    assert out.count() == 5
+    assert os.path.isdir(s.dir)
+    s.close()
+    assert not os.path.exists(s.dir)
+    assert s not in sv._LIVE
+    s.close()  # idempotent
+    # the atexit hook closes whatever is still live without raising
+    s2 = sv.LineageSeverer(spark, tag="testatexit")
+    sv._close_all()
+    assert not os.path.exists(s2.dir)

@@ -536,3 +536,50 @@ def test_knn_join_tiebreak_and_radius_contract(spark):
     # 2 and 3 are equidistant from 1 -> id tiebreak picks 2;
     # 4 has no neighbor inside the radius -> absent (contract)
     assert got == {1: 2, 2: 1, 3: 1}
+
+
+def test_radius_join_antimeridian_wrap(spark):
+    """Within-radius pairs straddling lon ±180 must be found: the lon
+    cell key wraps modulo the cell count so cell 0 and the last cell
+    are blocking neighbors (regression: straddling pairs were silently
+    missed)."""
+    from graphmapreduce_spark.operators.geo import radius_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 179.9), (2, 0.0, -179.9), (3, 0.0, 170.0)],
+        "id long, lat double, lon double",
+    )
+    pairs = {
+        (r["id_l"], r["id_r"])
+        for r in radius_join(pts, pts, 120.0)
+        .filter("id_l < id_r")
+        .collect()
+    }
+    # (1,2) is ~22 km across the antimeridian; 3 is ~1100 km away
+    assert pairs == {(1, 2)}
+    # and each pair appears exactly once (no duplicate candidates from
+    # wrapped neighbor-cell aliasing)
+    assert radius_join(pts, pts, 120.0).filter("id_l < id_r").count() == 1
+
+
+def test_knn_join_cross_table_id_collision(spark):
+    """For two DIFFERENT tables, a left id that happens to equal a
+    right id is a legitimate neighbor and must not be dropped
+    (regression: the self-pair filter applied unconditionally)."""
+    from graphmapreduce_spark.operators.geo import knn_join
+
+    stores = spark.createDataFrame(
+        [(7, 10.0, 10.0)], "id long, lat double, lon double"
+    )
+    customers = spark.createDataFrame(
+        [(7, 10.0, 10.05), (8, 10.0, 10.4)],
+        "id long, lat double, lon double",
+    )
+    nn = knn_join(stores, customers, k=1, radius_km=100.0,
+                  id_left="id", id_right="id")
+    got = {(r["id_l"], r["id_r"]) for r in nn.collect()}
+    assert got == {(7, 7)}
+    # self-join default still excludes the zero-distance self pair
+    self_nn = knn_join(customers, customers, k=1, radius_km=100.0,
+                       id_left="id", id_right="id")
+    assert all(r["id_l"] != r["id_r"] for r in self_nn.collect())
