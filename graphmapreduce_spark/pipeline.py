@@ -60,3 +60,102 @@ def prepare_corpus(
     return packed_layout(
         toks, id_col, "n_tokens", capacity=capacity, range_size=range_size
     )
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int | None = None,
+    shingle_n: int = 5,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = 4096,
+    est_margin: float | None = 0.2,
+    verify_sample_mod: int | None = 4,
+    max_iter: int = 50,
+) -> DataFrame:
+    """The production 100 TB dedup recipe as ONE composed operator
+    (BASELINE.md's prescription, previously prose): exact-dedup first,
+    MinHash-LSH with the measured cost knobs on the exact survivors
+    only, transitive clustering of the verified pairs, and a full
+    doc → canonical mapping out — WITHOUT ever materializing
+    within-cluster all-pairs.
+
+    Returns (id_col, canonical_id): every input document mapped to the
+    id of its surviving representative (the smallest id in its near-dup
+    cluster).  A document is kept iff ``id_col == canonical_id``;
+    ``count(distinct canonical_id)`` is the deduped corpus size.
+
+    Stage shapes, in order:
+      1. exact: group on md5(text) (16-byte key, never the text) →
+         min-id representative; the doc→rep mapping rides the same
+         hash key, so the widest shuffle of the whole recipe carries
+         (id, 128-bit hash), not documents.
+      2. near-dup: `minhash_lsh_near_dup_pairs` over REPRESENTATIVES
+         ONLY — exact copies (the bulk of web-scale duplication) never
+         reach shingling.  ``max_bucket_size`` star-expands degenerate
+         LSH buckets (pair count linear in bucket size, exactly what
+         transitive clustering needs); ``est_margin`` drops candidates
+         whose signature-estimated Jaccard is below
+         threshold−margin before the shingle-set verify.  Both knobs
+         are deterministic given the seed, hence oracle-replicable.
+      3. cluster: min-label connected components over the verified
+         pair graph (`dedup_clusters`) — O(cluster diameter)
+         supersteps on a pair table that is a tiny fraction of the
+         corpus.
+      4. map-back: doc → exact rep → cluster label, one left join on
+         the representative id, coalescing unique docs to themselves.
+    """
+    from graphmapreduce_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_near_dup_pairs,
+    )
+
+    key = F.md5(F.col(text_col).cast("binary")).alias("_ck")
+    reps = (
+        docs.select(key, F.col(id_col))
+        .groupBy("_ck")
+        .agg(F.min(id_col).alias("_rep"))
+    )
+    exact_map = (
+        docs.select(F.col(id_col), key)
+        .join(reps, "_ck")
+        .select(id_col, "_rep")
+    )
+    # materialize once: the LSH stage scans representatives three ways
+    # (signatures, sampled shingles, full shingles) — without the
+    # checkpoint each scan would re-run the exact-dedup shuffle
+    rep_docs = (
+        docs.join(
+            reps.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+        )
+        .select(id_col, text_col)
+        .localCheckpoint(eager=True)
+    )
+    pairs = minhash_lsh_near_dup_pairs(
+        rep_docs,
+        id_col,
+        text_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        seed=seed,
+        hash_fn=hash_fn,
+        max_bucket_size=max_bucket_size,
+        est_margin=est_margin,
+        verify_sample_mod=verify_sample_mod,
+    )
+    clusters = dedup_clusters(pairs, max_iter=max_iter)
+    return (
+        exact_map.join(
+            clusters.withColumnRenamed("id", "_rep"), "_rep", "left"
+        )
+        .select(
+            id_col,
+            F.coalesce("cluster", "_rep").alias("canonical_id"),
+        )
+    )

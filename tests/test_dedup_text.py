@@ -105,6 +105,52 @@ def test_minhash_lsh_est_margin_prefilter_keeps_true_pairs(docs):
     assert (1, 3) in p
 
 
+def test_minhash_lsh_sampled_verify_prefilter(docs):
+    """The hash-mod sampled-shingle prefilter (second scale knob) must
+    keep every clearly-above-threshold pair with unchanged exact
+    scores — it only skips full verification for pairs whose sampled
+    Jaccard is far below threshold."""
+    exact = D.minhash_lsh_near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=32, bands=16
+    )
+    pre = D.minhash_lsh_near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=32, bands=16,
+        verify_sample_mod=4, verify_sample_margin=0.1,
+    )
+    e = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
+    p = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pre.collect()}
+    assert set(p) <= set(e)
+    assert all(e[k] == p[k] for k in p)
+    assert (1, 2) in p and p[(1, 2)] == 1.0
+    assert (1, 3) in p
+
+
+def test_dedup_corpus_composed_recipe(spark):
+    """pipeline.dedup_corpus end-to-end on a hand-checkable corpus:
+    exact dups collapse to the min id, near-dups cluster transitively,
+    unique docs map to themselves, and every input id appears exactly
+    once in the mapping."""
+    from graphmapreduce_spark.pipeline import dedup_corpus
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [
+        (1, base),
+        (2, base),                          # exact dup of 1
+        (3, base + "EXTRA TAIL HERE"),      # near dup of 1
+        (4, "completely different content about spark physical plans "
+            * 6),
+        (5, base),                          # another exact dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_corpus(
+            docs, "doc_id", "text", threshold=0.5, num_hashes=32,
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 1}
+
+
 def test_dedup_by_pairs(docs):
     pairs = D.minhash_lsh_near_dup_pairs(
         docs, "doc_id", "text", threshold=0.95, num_hashes=32, bands=16

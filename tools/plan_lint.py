@@ -1,0 +1,277 @@
+"""Machine gate for the q555 class of scale bugs: walk EVERY registered
+query's optimized logical plan (and the pre-execution physical plan) and
+flag the patterns that ship correct-at-sf0.01 / dead-at-100TB plans:
+
+  ERROR no-equi-join        Join whose condition has no top-level
+                            conjunctive equality — a theta/cross join —
+                            where NEITHER side is provably small
+                            (logical maxRows ≤ SMALL_SIDE_ROWS, the
+                            broadcast-scalar pattern).  q555 shipped
+                            exactly this (unbounded within-label pair
+                            join) and was only caught by a scale probe.
+  ERROR cartesian-product   CartesianProduct in the physical plan
+                            (same bug surfacing after planning).
+  ERROR raw-global-window   Window with ORDER BY and no PARTITION BY
+                            whose input subtree contains NO aggregation
+                            / limit — i.e. a single-task sort over an
+                            unreduced fact table.
+  WARN  collapsed-global-window
+                            Unpartitioned ordered window over an input
+                            that IS collapsed (an Aggregate/Limit sits
+                            below).  Correct and cheap at test scale;
+                            still dimension-sized at 100 TB — route
+                            through operators/sort.global_rank when the
+                            dimension can be large.  Counted, non-fatal.
+  INFO  unpushed-scan       Parquet scan with no pushed filters in a
+                            plan that filters on literals — pushdown
+                            diagnostics only, non-fatal (computed-
+                            expression filters legitimately don't push).
+
+Waivers: a query may waive a named ERROR check via WAIVERS below with a
+justification string — the audit trail the round-4 verdict asked for.
+Exit status 1 iff any unwaived ERROR remains.
+
+Usage: python tools/plan_lint.py [sf_dir] [query ...] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# A side at or under this many rows broadcasts trivially; theta/cross
+# against it is the sanctioned scalar-join / tiny-calendar pattern.
+SMALL_SIDE_ROWS = 1000
+
+# query -> {check: justification}.  ERRORs only; WARN/INFO never gate.
+WAIVERS: dict[str, dict[str, str]] = {
+    # The theta join IS the operator under test: band condition on
+    # bounded, pre-filtered inputs (demo of the non-equi surface).
+    "q20_theta_join": {
+        "no-equi-join": "theta join is the demonstrated operator; both"
+        " sides are filtered to small bounded slices before the join"
+    },
+}
+
+
+def _iter_children(node):
+    ch = node.children()
+    for i in range(ch.size()):
+        yield ch.apply(i)
+
+
+def _walk(node):
+    yield node
+    for c in _iter_children(node):
+        yield from _walk(c)
+
+
+def _cls(node) -> str:
+    return node.getClass().getSimpleName()
+
+
+def _max_rows(node):
+    opt = node.maxRows()
+    return opt.get() if opt.isDefined() else None
+
+
+def _conjuncts(expr):
+    """Split an expression on top-level Ands (Catalyst's equi-key
+    extraction looks at exactly these conjuncts)."""
+    if _cls(expr) == "And":
+        yield from _conjuncts(expr.left())
+        yield from _conjuncts(expr.right())
+    else:
+        yield expr
+
+
+def _has_equi_conjunct(cond) -> bool:
+    for c in _conjuncts(cond):
+        if _cls(c) in ("EqualTo", "EqualNullSafe"):
+            return True
+    return False
+
+
+_COLLAPSING = {
+    "Aggregate",          # groupBy / distinct / global agg
+    "GlobalLimit",
+    "LocalLimit",
+    "Deduplicate",
+    "LogicalQueryStage",  # already-planned AQE stage (post-exec reuse)
+}
+
+
+def _subtree_collapses(node) -> bool:
+    """True if every path from this node to its leaves passes through a
+    row-reducing operator — the 'collapsed table' signature.  We use the
+    cheaper any-collapsing-node-below test: good enough because a
+    window over a join of (agg, raw-fact) still reads as collapsed only
+    if the fact side was reduced, which the maxRows probe below covers
+    for limits; precision beyond that is the waiver list's job."""
+    for n in _walk(node):
+        if _cls(n) in _COLLAPSING:
+            return True
+    return False
+
+
+def lint_query(name, df) -> list[dict]:
+    findings: list[dict] = []
+    qe = df._jdf.queryExecution()
+    plan = qe.optimizedPlan()
+
+    for node in _walk(plan):
+        cls = _cls(node)
+        if cls == "Join":
+            jt = node.joinType().toString()
+            cond = node.condition()
+            has_equi = cond.isDefined() and _has_equi_conjunct(cond.get())
+            if not has_equi:
+                lmax = _max_rows(node.left())
+                rmax = _max_rows(node.right())
+                small = min(
+                    [m for m in (lmax, rmax) if m is not None],
+                    default=None,
+                )
+                if small is None or small > SMALL_SIDE_ROWS:
+                    findings.append(
+                        {
+                            "check": "no-equi-join",
+                            "level": "ERROR",
+                            "detail": f"{jt} join, cond="
+                            f"{cond.get().sql() if cond.isDefined() else 'NONE'},"
+                            f" maxRows L={lmax} R={rmax}",
+                        }
+                    )
+        elif cls == "Window":
+            if node.partitionSpec().isEmpty() and not (
+                node.orderSpec().isEmpty()
+            ):
+                child = node.children().apply(0)
+                cmax = _max_rows(child)
+                if cmax is not None and cmax <= SMALL_SIDE_ROWS:
+                    continue
+                if _subtree_collapses(child):
+                    findings.append(
+                        {
+                            "check": "collapsed-global-window",
+                            "level": "WARN",
+                            "detail": "unpartitioned ordered window over"
+                            " an aggregated input (dimension-sized at"
+                            " scale; prefer global_rank)",
+                        }
+                    )
+                else:
+                    findings.append(
+                        {
+                            "check": "raw-global-window",
+                            "level": "ERROR",
+                            "detail": "unpartitioned ordered window"
+                            " directly over unreduced input"
+                            " (single-task sort of the fact table)",
+                        }
+                    )
+
+    # physical backstop: a planned CartesianProduct that the logical
+    # check's small-side whitelist did not explain
+    phys = qe.executedPlan().toString()
+    if "CartesianProduct" in phys:
+        logical_ok = not any(
+            f["check"] == "no-equi-join" for f in findings
+        )
+        if not logical_ok:
+            findings.append(
+                {
+                    "check": "cartesian-product",
+                    "level": "ERROR",
+                    "detail": "CartesianProduct in physical plan",
+                }
+            )
+
+    # pushdown diagnostics (non-fatal): literal filters present but some
+    # parquet scan pushed nothing
+    if "PushedFilters: []" in phys and "Filter" in phys:
+        findings.append(
+            {
+                "check": "unpushed-scan",
+                "level": "INFO",
+                "detail": "scan with empty PushedFilters in a filtering"
+                " plan (fine for computed-expression predicates)",
+            }
+        )
+    return findings
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
+    sf_dir = (
+        args[0]
+        if args and os.path.isdir(args[0])
+        else "/root/testdata/sf0.01"
+    )
+    names = args[1:] if args and os.path.isdir(args[0]) else args
+
+    from graphmapreduce_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        master="local[4]", shuffle_partitions=4, app_name="plan-lint"
+    )
+    qs = entrymod.queries()
+    todo = names or list(qs)
+    n_err = n_waived = n_warn = n_info = n_buildfail = 0
+    report: dict[str, list] = {}
+    t0 = time.time()
+    for i, name in enumerate(todo):
+        try:
+            df = qs[name](spark, sf_dir)
+            findings = lint_query(name, df)
+        except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
+            print(f"BUILDFAIL {name}: {type(ex).__name__}: {ex}")
+            n_buildfail += 1
+            continue
+        kept = []
+        for f in findings:
+            waived = WAIVERS.get(name, {}).get(f["check"])
+            if f["level"] == "ERROR" and waived:
+                f = {**f, "level": "WAIVED", "waiver": waived}
+                n_waived += 1
+            elif f["level"] == "ERROR":
+                n_err += 1
+            elif f["level"] == "WARN":
+                n_warn += 1
+            else:
+                n_info += 1
+            kept.append(f)
+            if f["level"] in ("ERROR", "WAIVED"):
+                print(f"{f['level']:6s} {name} {f['check']}: {f['detail']}")
+        if kept:
+            report[name] = kept
+        if (i + 1) % 100 == 0:
+            print(
+                f"-- {i + 1}/{len(todo)} linted"
+                f" ({time.time() - t0:.0f}s) --"
+            )
+    print(
+        f"\n== plan lint: {n_err} ERROR, {n_waived} waived,"
+        f" {n_warn} warn, {n_info} info, {n_buildfail} buildfail,"
+        f" {len(todo)} queries =="
+    )
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(report, fh, indent=1, sort_keys=True)
+    spark.stop()
+    return 1 if (n_err or n_buildfail) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
