@@ -100,6 +100,46 @@ def global_rank(
     )
 
 
+def global_ntile(
+    df: DataFrame,
+    cols: list[Column | str],
+    k: int,
+    tile_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact SQL-NTILE(k) over a global order WITHOUT a
+    single-partition window: `global_rank` supplies the distributed
+    rank, and the tile falls out of the closed form — the first
+    ``n mod k`` tiles hold ``n div k + 1`` rows, the rest ``n div k``
+    (identical to ``F.ntile(k).over(Window.orderBy(...))`` whenever
+    ``cols`` is a total order; with ties the tile of a tied VALUE can
+    differ at the boundary exactly as the window's would).
+
+    Cost beyond the range-partitioned sort: one count() on the
+    checkpoint-backed ranked frame — a metadata-sized action.  This is
+    the scale path for fact-table quantile bucketing (customer
+    deciles, document-length quintiles …) where ``Window.orderBy``
+    would funnel the table through one task."""
+    ranked = global_rank(df, cols, rank_col="_gnr",
+                         num_partitions=num_partitions)
+    n = ranked.count()
+    q, m = divmod(n, k)
+    cut = m * (q + 1)
+    r = F.col("_gnr")
+    if q > 0:
+        tile = (
+            F.when(r <= cut, (r - 1) / (q + 1))
+            .otherwise(m + (r - cut - 1) / q)
+            .cast("long")
+            + 1
+        )
+    else:
+        tile = r
+    return ranked.withColumn(
+        tile_col, tile.cast("int")
+    ).drop("_gnr")
+
+
 def equi_depth_histogram(
     df: DataFrame,
     value_col: str,

@@ -102,6 +102,13 @@ _COLLAPSING = {
     "LocalLimit",
     "Deduplicate",
     "LogicalQueryStage",  # already-planned AQE stage (post-exec reuse)
+    # A localCheckpoint erases its plan (LogicalRDD leaf): the lint
+    # cannot see whether the checkpointed frame was collapsed.  In this
+    # codebase localCheckpoint marks iterative state / deliberately
+    # materialized small frames, so treat it as collapsed — the cost of
+    # the alternative is flagging every checkpointed 20-row histogram
+    # as a fact-table sort.  Documented soft spot, mirrored in WARNs.
+    "LogicalRDD",
 }
 
 
@@ -136,14 +143,35 @@ def lint_query(name, df) -> list[dict]:
                     [m for m in (lmax, rmax) if m is not None],
                     default=None,
                 )
-                if small is None or small > SMALL_SIDE_ROWS:
+                if small is not None and small <= SMALL_SIDE_ROWS:
+                    continue
+                # grouped aggregates report maxRows=None; a no-equi
+                # join where BOTH sides are collapsed (an Aggregate /
+                # Limit below) is the dimension-grid pattern —
+                # bounded by |dim|², counted as WARN.  Any RAW side
+                # in a no-equi join is the q555 bug class: ERROR.
+                l_coll = _subtree_collapses(node.left())
+                r_coll = _subtree_collapses(node.right())
+                detail = (
+                    f"{jt} join, cond="
+                    f"{cond.get().sql() if cond.isDefined() else 'NONE'},"
+                    f" maxRows L={lmax} R={rmax},"
+                    f" collapsed L={l_coll} R={r_coll}"
+                )
+                if l_coll and r_coll:
+                    findings.append(
+                        {
+                            "check": "collapsed-no-equi-join",
+                            "level": "WARN",
+                            "detail": detail,
+                        }
+                    )
+                else:
                     findings.append(
                         {
                             "check": "no-equi-join",
                             "level": "ERROR",
-                            "detail": f"{jt} join, cond="
-                            f"{cond.get().sql() if cond.isDefined() else 'NONE'},"
-                            f" maxRows L={lmax} R={rmax}",
+                            "detail": detail,
                         }
                     )
         elif cls == "Window":
@@ -175,21 +203,22 @@ def lint_query(name, df) -> list[dict]:
                         }
                     )
 
-    # physical backstop: a planned CartesianProduct that the logical
-    # check's small-side whitelist did not explain
+    # physical backstop: a planned CartesianProduct NOT already
+    # explained by a logical no-equi ERROR — either the logical check
+    # missed it, or a "collapsed" side was still too big to broadcast
+    # (Spark prefers BroadcastNestedLoopJoin whenever one side fits)
     phys = qe.executedPlan().toString()
-    if "CartesianProduct" in phys:
-        logical_ok = not any(
-            f["check"] == "no-equi-join" for f in findings
+    if "CartesianProduct" in phys and not any(
+        f["check"] == "no-equi-join" for f in findings
+    ):
+        findings.append(
+            {
+                "check": "cartesian-product",
+                "level": "ERROR",
+                "detail": "CartesianProduct in physical plan (side too"
+                " big to broadcast)",
+            }
         )
-        if not logical_ok:
-            findings.append(
-                {
-                    "check": "cartesian-product",
-                    "level": "ERROR",
-                    "detail": "CartesianProduct in physical plan",
-                }
-            )
 
     # pushdown diagnostics (non-fatal): literal filters present but some
     # parquet scan pushed nothing
