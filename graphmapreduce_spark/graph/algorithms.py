@@ -727,13 +727,19 @@ def kmeans(
     Returns (id, cluster).  Centroids are broadcast (k × dim is tiny);
     assignment is a broadcast crossJoin + argmin via min(struct) — one
     shuffle per iteration for the centroid recompute, none for assignment.
+
+    Seeding: the k smallest xxhash64(id) rows — deterministic (same
+    seeds on any engine/partition layout) but hash-SPREAD across the
+    input, so sorted-clustered data doesn't hand all k seeds to one
+    true cluster the way first-k-by-id would (first-k degenerates to
+    one-seed-per-run-of-ids when ids correlate with position).
     """
     spark = points.sparkSession
     pts = points.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    seeds = pts.orderBy("id").limit(k).collect()
+    seeds = pts.orderBy(F.xxhash64("id"), F.col("id")).limit(k).collect()
     centroids = [(i, row["vec"]) for i, row in enumerate(seeds)]
 
     def dist2(vec: F.Column, cen: list[float]) -> F.Column:

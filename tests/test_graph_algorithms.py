@@ -227,6 +227,30 @@ def test_kmeans_two_obvious_clusters(spark):
     assert c[1] != c[10]
 
 
+def test_kmeans_sorted_clustered_input_recovers_all_clusters(spark):
+    """Hash-spread seeding regression: on id-sorted clustered input,
+    first-k-by-id seeding would draw all k seeds from the FIRST true
+    cluster and routinely collapse the rest; hash-ordered seeds are
+    spread across the input, and Lloyd's recovers the planted 3-way
+    partition."""
+    rows = []
+    for c, (cx, cy) in enumerate([(0.0, 0.0), (10.0, 10.0), (20.0, 0.0)]):
+        for i in range(10):
+            rows.append(
+                (c * 10 + i + 1, [cx + 0.01 * i, cy + 0.013 * i])
+            )
+    pts = spark.createDataFrame(rows, "id long, vec array<double>")
+    out = alg.kmeans(pts, k=3, max_iter=15)
+    got = {r["id"]: r["cluster"] for r in out.collect()}
+    labels = []
+    for c in range(3):
+        ids = [c * 10 + i + 1 for i in range(10)]
+        ls = {got[i] for i in ids}
+        assert len(ls) == 1, (c, got)
+        labels.append(ls.pop())
+    assert len(set(labels)) == 3, labels
+
+
 def test_pregel_check_interval_equivalent(spark):
     """Chunked vote-to-halt (check_interval>1) must land on the same
     fixpoint as per-superstep checking for idempotent (min/cover)
