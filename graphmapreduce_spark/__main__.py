@@ -167,7 +167,7 @@ def main(argv: list[str] | None = None) -> int:
         res = alg.connected_components(g, max_iter=args.max_iter).orderBy("id")
     elif args.algorithm == "scc":
         res = alg.strongly_connected_components(
-            g, max_iter=args.max_iter
+            g, max_outer=args.max_iter
         ).orderBy("id")
     elif args.algorithm == "kcore":
         res = alg.k_core(g, args.k).orderBy("id")

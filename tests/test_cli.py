@@ -89,6 +89,38 @@ def test_cli_pagerank_output_parquet(tmp_path):
     assert glob.glob(out_dir + "/*.parquet"), "parquet output missing"
 
 
+def test_cli_every_remaining_algorithm_branch():
+    """EVERY remaining --algorithm choice launches end-to-end on the
+    reference fixture (round-4 ADVICE lesson, completed round 5: the
+    two CLI crashes both lived in branches no test had ever entered).
+    Together with the dedicated goldens above this covers the full
+    argparse choices list."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    for algo, extra in (
+        ("sssp", ["--source", "1"]),
+        ("bfs", ["--source", "1"]),
+        ("wcc", []),
+        ("scc", []),
+        ("kcore", ["--k", "2"]),
+        ("coreness", []),
+        ("labelprop", []),
+        ("louvain", []),
+        ("mis", []),
+    ):
+        out = subprocess.run(
+            [sys.executable, "-m", "graphmapreduce_spark",
+             algo, f"{REF}/small.graph", *extra],
+            capture_output=True, text=True, timeout=300, cwd=REPO,
+            env=env,
+        )
+        assert out.returncode == 0, (algo, out.stderr[-2000:])
+        body = out.stdout.strip().splitlines()
+        assert len(body) >= 2, (algo, out.stdout)
+        assert any(line.startswith("# rows:") for line in body), (
+            algo, out.stdout,
+        )
+
+
 def test_cli_new_centralities_run():
     """Every round-4 centrality launches end-to-end on the reference's
     small fixture (the ADVICE lesson: an advertised CLI branch without
