@@ -270,3 +270,43 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
         "audio format needs soundfile/ffmpeg (not installed); "
         "PCM WAV decodes natively"
     )
+
+
+# ---------------------------------------------------------------------------
+# GMRV — a minimal deterministic video container (no stdlib video codec
+# exists and ffmpeg is absent, so real end-to-end video plumbing uses
+# this documented format instead of a stub):
+#   magic "GMRV" | u32 n_frames | n_frames × (u64 ts_ms | u32 len |
+#   PNG payload).  Every frame is an independent PNG (keyframe-only,
+#   like MJPEG) — decode needs nothing beyond the PNG codec above.
+# ---------------------------------------------------------------------------
+
+_GMRV_MAGIC = b"GMRV"
+
+
+def encode_video_gmrv(frames: list[tuple[int, np.ndarray]]) -> bytes:
+    """Encode (ts_ms, uint8 image) keyframes into a GMRV payload."""
+    out = [_GMRV_MAGIC, struct.pack(">I", len(frames))]
+    for ts_ms, arr in frames:
+        png = encode_png(arr)
+        out.append(struct.pack(">QI", int(ts_ms), len(png)))
+        out.append(png)
+    return b"".join(out)
+
+
+def decode_video_gmrv(payload: bytes) -> list[tuple[int, np.ndarray]]:
+    """Decode a GMRV payload to [(ts_ms, uint8 image), ...]."""
+    if payload[:4] != _GMRV_MAGIC:
+        raise NotImplementedError(
+            "video format needs ffmpeg (not installed); the GMRV"
+            " keyframe container decodes natively"
+        )
+    (n,) = struct.unpack(">I", payload[4:8])
+    pos = 8
+    frames = []
+    for _ in range(n):
+        ts_ms, length = struct.unpack(">QI", payload[pos:pos + 12])
+        pos += 12
+        frames.append((int(ts_ms), decode_png(payload[pos:pos + length])))
+        pos += length
+    return frames

@@ -9,10 +9,13 @@ column at the parquet scan).
 Decode is REAL for PNG and PCM WAV via the pure-stdlib codecs in
 ``functions.codecs`` (zlib/struct/wave + numpy — no PIL/soundfile
 needed), and routes through PIL/soundfile automatically when those are
-installed for broader format coverage.  ``fake=True`` selects a
-deterministic stand-in decoder (stable pseudo-pixels from the payload
-digest) for plumbing tests and formats with no available codec; video
-frame extraction remains stubbed (no stdlib video codec exists).
+installed for broader format coverage.  Video decodes REALLY too, via
+the documented GMRV keyframe container (length-prefixed PNG keyframes,
+``functions.codecs`` — no stdlib video codec exists and ffmpeg is
+absent, so the engine ships its own deterministic container instead of
+a stub).  ``fake=True`` selects a deterministic stand-in decoder
+(stable pseudo-pixels from the payload digest) for plumbing tests and
+formats with no available codec.
 """
 
 from __future__ import annotations
@@ -124,9 +127,18 @@ def sample_video_frames(
     every_ms: int = 1000,
     fake: bool = False,
 ) -> DataFrame:
-    """Frame sampling: one output row per sampled frame (media_id,
-    frame_idx, ts_ms, frame_md5).  Real decode is stubbed; fake mode
-    derives frame pseudo-content deterministically from payload+index."""
+    """Frame sampling: one output row per sampled timestamp (media_id,
+    frame_idx, ts_ms, frame_md5).
+
+    ``fake=False`` (default contract) REALLY decodes: the payload is a
+    GMRV keyframe container (``functions.codecs.encode_video_gmrv`` —
+    length-prefixed PNG keyframes; ffmpeg is absent, so this documented
+    format is the native video path), each sampled timestamp picks the
+    latest keyframe at-or-before it (keyframe-seek semantics), the PNG
+    is pixel-decoded, and ``frame_md5`` digests the DECODED pixel bytes
+    — byte-identical pixels hash equal across containers.  ``fake=True``
+    keeps the deterministic stand-in (plumbing tests / containers with
+    no codec)."""
     out_schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -138,19 +150,34 @@ def sample_video_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real video decoding requires ffmpeg — not present; "
-                    "pass fake=True for the deterministic stub"
-                )
             rows = []
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf[payload_col], pdf["duration_ms"]
             ):
-                n = max(1, int((dur or 0) // every_ms))
-                for i in range(n):
-                    h = hashlib.md5((payload or b"") + i.to_bytes(4, "big")).hexdigest()
-                    rows.append((int(mid), i, i * every_ms, h))
+                if fake:
+                    n = max(1, int((dur or 0) // every_ms))
+                    for i in range(n):
+                        h = hashlib.md5(
+                            (payload or b"") + i.to_bytes(4, "big")
+                        ).hexdigest()
+                        rows.append((int(mid), i, i * every_ms, h))
+                    continue
+                frames = codecs.decode_video_gmrv(bytes(payload or b""))
+                if not frames:
+                    continue
+                end_ms = int(dur) if dur else frames[-1][0] + every_ms
+                i = 0
+                for ts in range(0, max(end_ms, 1), every_ms):
+                    # latest keyframe at-or-before the sampled ts
+                    cand = [f for f in frames if f[0] <= ts]
+                    if not cand:
+                        continue
+                    _, px = cand[-1]
+                    h = hashlib.md5(
+                        np.ascontiguousarray(px).tobytes()
+                    ).hexdigest()
+                    rows.append((int(mid), i, ts, h))
+                    i += 1
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_idx", "ts_ms", "frame_md5"]
             )

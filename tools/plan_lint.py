@@ -89,9 +89,24 @@ def _conjuncts(expr):
         yield expr
 
 
-def _has_equi_conjunct(cond) -> bool:
+def _has_equi_conjunct(cond, join) -> bool:
+    """True iff some top-level conjunct is an extractable equi key:
+    EqualTo/EqualNullSafe whose two operands each reference attributes
+    of exactly one (distinct) join side — Catalyst's hash-join key
+    rule.  `a.x = b.y` qualifies; `f(a.x, b.y) = a.x` or `a.x = 0`
+    do not (they plan as nested-loop predicates, not shuffle keys)."""
+    lout = join.left().outputSet()
+    rout = join.right().outputSet()
     for c in _conjuncts(cond):
-        if _cls(c) in ("EqualTo", "EqualNullSafe"):
+        if _cls(c) not in ("EqualTo", "EqualNullSafe"):
+            continue
+        a = c.left().references()
+        b = c.right().references()
+        if a.isEmpty() or b.isEmpty():
+            continue
+        if (a.subsetOf(lout) and b.subsetOf(rout)) or (
+            a.subsetOf(rout) and b.subsetOf(lout)
+        ):
             return True
     return False
 
@@ -125,6 +140,30 @@ def _subtree_collapses(node) -> bool:
     return False
 
 
+_LITERAL_LEAVES = {"Range", "LocalRelation", "OneRowRelation"}
+
+
+def _leaves_are_literal(node) -> bool:
+    """True when every leaf of the subtree is a literal generator
+    (Range / LocalRelation / OneRowRelation) — a parameter grid built
+    in the plan, bounded by construction, never a data scan."""
+    leaves = 0
+    for n in _walk(node):
+        if n.children().size() == 0:
+            leaves += 1
+            if _cls(n) not in _LITERAL_LEAVES:
+                return False
+    return leaves > 0
+
+
+def _has_broadcast_hint(join) -> bool:
+    h = join.hint()
+    for side in (h.leftHint(), h.rightHint()):
+        if side.isDefined() and "broadcast" in side.get().toString():
+            return True
+    return False
+
+
 def lint_query(name, df) -> list[dict]:
     findings: list[dict] = []
     qe = df._jdf.queryExecution()
@@ -135,7 +174,9 @@ def lint_query(name, df) -> list[dict]:
         if cls == "Join":
             jt = node.joinType().toString()
             cond = node.condition()
-            has_equi = cond.isDefined() and _has_equi_conjunct(cond.get())
+            has_equi = cond.isDefined() and _has_equi_conjunct(
+                cond.get(), node
+            )
             if not has_equi:
                 lmax = _max_rows(node.left())
                 rmax = _max_rows(node.right())
@@ -144,6 +185,21 @@ def lint_query(name, df) -> list[dict]:
                     default=None,
                 )
                 if small is not None and small <= SMALL_SIDE_ROWS:
+                    continue
+                # a literal parameter grid (Range/LocalRelation-rooted,
+                # no scans) is bounded by construction; recorded as
+                # INFO so the physical backstop knows it was classified
+                if _leaves_are_literal(node.left()) or (
+                    _leaves_are_literal(node.right())
+                ):
+                    findings.append(
+                        {
+                            "check": "literal-grid-no-equi-join",
+                            "level": "INFO",
+                            "detail": f"{jt} join against a literal"
+                            " parameter grid",
+                        }
+                    )
                     continue
                 # grouped aggregates report maxRows=None; a no-equi
                 # join where BOTH sides are collapsed (an Aggregate /
@@ -158,7 +214,18 @@ def lint_query(name, df) -> list[dict]:
                     f" maxRows L={lmax} R={rmax},"
                     f" collapsed L={l_coll} R={r_coll}"
                 )
-                if l_coll and r_coll:
+                if _has_broadcast_hint(node):
+                    # the author explicitly asserted one side small —
+                    # the q48 bounded-slice broadcast-scan pattern;
+                    # surfaced as a counted WARN, not a gate failure
+                    findings.append(
+                        {
+                            "check": "hinted-broadcast-no-equi-join",
+                            "level": "WARN",
+                            "detail": detail,
+                        }
+                    )
+                elif l_coll and r_coll:
                     findings.append(
                         {
                             "check": "collapsed-no-equi-join",
@@ -203,20 +270,22 @@ def lint_query(name, df) -> list[dict]:
                         }
                     )
 
-    # physical backstop: a planned CartesianProduct NOT already
-    # explained by a logical no-equi ERROR — either the logical check
-    # missed it, or a "collapsed" side was still too big to broadcast
-    # (Spark prefers BroadcastNestedLoopJoin whenever one side fits)
+    # physical backstop: a planned CartesianProduct that the logical
+    # pass did not classify AT ALL (no no-equi finding, not even a
+    # WARN) — a genuine miss.  Collapsed-grid joins that plan cartesian
+    # pre-AQE because stats over-estimate the grid are already counted
+    # by their collapsed-no-equi WARN; AQE re-plans them at runtime.
     phys = qe.executedPlan().toString()
     if "CartesianProduct" in phys and not any(
-        f["check"] == "no-equi-join" for f in findings
+        f["check"].endswith("no-equi-join") for f in findings
     ):
         findings.append(
             {
                 "check": "cartesian-product",
                 "level": "ERROR",
-                "detail": "CartesianProduct in physical plan (side too"
-                " big to broadcast)",
+                "detail": "CartesianProduct in physical plan with no"
+                " logical no-equi classification — lint blind spot,"
+                " investigate",
             }
         )
 
