@@ -1,0 +1,331 @@
+"""Graph algorithms on derived edge tables (PageRank/SSSP/WCC/SCC/triangles… q32–q39 band).
+
+Part 2/11 of the query registry (split from the former single-file
+workload.py); importing this module registers its queries in
+``plans._shared.QUERIES``.
+"""
+
+from graphmapreduce_spark.plans._shared import *  # noqa: F401,F403
+
+def _ps_graph(spark, sf_dir) -> PropertyGraph:
+    """Bipartite part–supplier graph from lineitem (parts negated to keep
+    id spaces disjoint), weight = min quantity seen."""
+    li = _t(spark, sf_dir, "lineitem")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # ONE shuffle: partition by src first, then aggregate — hash
+    # partitioning on src already co-locates equal (src, dst) pairs, so
+    # the groupBy needs no further exchange and the cached edge table
+    # comes out partitioned on the join key of every superstep
+    e = (
+        li.select(
+            F.col("l_suppkey").alias("src"),
+            (-F.col("l_partkey")).alias("dst"),
+            F.col("l_quantity"),
+        )
+        .repartition(n_part, "src")
+        .groupBy("src", "dst")
+        .agg(F.min("l_quantity").alias("weight"))
+    )
+    return PropertyGraph.from_edges(e, prepartition=False)
+
+
+def _mod_graph(spark, sf_dir, k: int = 500) -> PropertyGraph:
+    """Directed graph on Z_k derived from lineitem (orderkey→partkey)."""
+    li = _t(spark, sf_dir, "lineitem")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # single-shuffle build: see _ps_graph
+    e = (
+        li.select(
+            (F.col("l_orderkey") % k).alias("src"),
+            (F.col("l_partkey") % k).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .repartition(n_part, "src")
+        .dropDuplicates(["src", "dst"])
+        .withColumn("weight", F.lit(1.0))
+    )
+    return PropertyGraph.from_edges(e, prepartition=False)
+
+
+@register(
+    "q30_degrees",
+    """
+    SELECT src AS id, COUNT(*) AS out_degree FROM
+      (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem)
+    GROUP BY src
+    """,
+)
+def q30_degrees(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).distinct()
+    return e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+
+
+@register(
+    "q31_triangle_count",
+    """
+    WITH und AS (
+      SELECT DISTINCT LEAST(l_orderkey % 500, l_partkey % 500) AS a,
+                      GREATEST(l_orderkey % 500, l_partkey % 500) AS b
+      FROM lineitem
+      WHERE l_orderkey % 500 <> l_partkey % 500
+    )
+    SELECT COUNT(*)::BIGINT AS n_triangles
+    FROM und e1 JOIN und e2 ON e1.b = e2.a
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q31_triangle_count(spark, sf_dir):
+    """TriangleCount (ref algorithms.h:97-180) on the degree-ordered
+    orientation (`algorithms._enumerate_triangles`): wedges pair the
+    out-edges of each triangle's lowest-degree corner, so hub vertices
+    can't go quadratic in the wedge join."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_orderkey") % 500).alias("s"), (F.col("l_partkey") % 500).alias("t")
+        )
+        .select(F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        # materialize once: the orientation + 3-way self-join must not
+        # re-derive the (scan + distinct shuffle) edge set per branch
+        .localCheckpoint(eager=True)
+    )
+    return alg._enumerate_triangles(e).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def _pagerank_oracle_sql(n_iter: int = 15, d: float = 0.85, k: int = 500) -> str:
+    """Unrolled power iteration in portable SQL (MATERIALIZED CTEs so the
+    oracle engine scans lineitem once, not once per iteration)."""
+    pre = f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey % {k} AS src, l_partkey % {k} AS dst
+      FROM lineitem WHERE l_orderkey % {k} <> l_partkey % {k}
+    ),
+    v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+    deg AS MATERIALIZED (
+      SELECT src AS id, COUNT(*)::DOUBLE AS d FROM e GROUP BY src),
+    nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM v),
+    r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM v)
+    """
+    its = []
+    for i in range(1, n_iter + 1):
+        p = f"r{i - 1}"
+        its.append(f"""
+    r{i} AS MATERIALIZED (
+      SELECT v.id,
+             (1-{d})/(SELECT n FROM nn)
+             + {d} * (SELECT COALESCE(SUM(r.rank),0) FROM {p} r
+                      LEFT JOIN deg dg ON dg.id = r.id WHERE dg.id IS NULL)
+                   / (SELECT n FROM nn)
+             + {d} * COALESCE(s.in_sum, 0) AS rank
+      FROM v
+      LEFT JOIN (SELECT e.dst AS id, SUM(r.rank / dg.d) AS in_sum
+                 FROM e JOIN {p} r ON r.id = e.src
+                        JOIN deg dg ON dg.id = e.src
+                 GROUP BY e.dst) s ON s.id = v.id
+    )""")
+        pre_sep = ","
+    return (
+        pre + pre_sep + ",".join(its)
+        + f"\n    SELECT id, ROUND(rank, 6) AS rank FROM r{n_iter}"
+    )
+
+
+@register("q32_pagerank", _pagerank_oracle_sql())
+def q32_pagerank(spark, sf_dir):
+    """PageRank (ref algorithms.h:4-37, quirks normalized per SURVEY §7.4).
+    Oracle: the same 15 power iterations unrolled as SQL CTEs."""
+    g = _mod_graph(spark, sf_dir, 500)
+    # fixed 15 iterations (threshold unreachable) → chain 5 supersteps
+    # per Spark job; exact-iteration parity holds since 15 % 5 == 0
+    pr = alg.pagerank(
+        g, damping=0.85, max_iter=15, threshold=1e-8, check_interval=5
+    )
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "q33_sssp",
+    """
+    WITH w AS (SELECT -l_partkey AS id, MIN(l_quantity)::DOUBLE AS distance
+               FROM lineitem WHERE l_suppkey = 1 GROUP BY 1)
+    SELECT id, ROUND(distance, 6) AS distance FROM w
+    UNION ALL SELECT 1 AS id, 0.0 AS distance
+    """,
+)
+def q33_sssp(spark, sf_dir):
+    """SSSP (ref algorithms.h:42-92).  On the bipartite supplier→part
+    graph every shortest path is one hop, so the converged Bellman-Ford
+    fixpoint has a closed-form oracle; multi-hop convergence is covered
+    by the golden-graph pytest suite."""
+    g = _ps_graph(spark, sf_dir)
+    d = alg.sssp(g, source=1, broadcast_vertices=True)
+    return d.filter(F.col("distance") != float("inf")).select(
+        "id", F.round("distance", 6).alias("distance")
+    )
+
+
+def _wcc_oracle_sql(n_iter: int = 14) -> str:
+    """Min-label propagation unrolled to the fixpoint (graph diameter at
+    sf0.01 is well under n_iter; extra iterations are no-ops)."""
+    pre = """
+    WITH de AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS src, -l_partkey AS dst FROM lineitem
+    ),
+    e AS MATERIALIZED (SELECT src, dst FROM de UNION SELECT dst, src FROM de),
+    v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+    c0 AS MATERIALIZED (SELECT id, id AS lbl FROM v)
+    """
+    its = []
+    for i in range(1, n_iter + 1):
+        p = f"c{i - 1}"
+        its.append(f"""
+    c{i} AS MATERIALIZED (
+      SELECT v.id, LEAST(p.lbl, COALESCE(m.mn, p.lbl)) AS lbl
+      FROM v JOIN {p} p ON p.id = v.id
+      LEFT JOIN (SELECT e.dst AS id, MIN(p2.lbl) AS mn
+                 FROM e JOIN {p} p2 ON p2.id = e.src GROUP BY e.dst) m
+             ON m.id = v.id
+    )""")
+    return (
+        pre + "," + ",".join(its)
+        + f"\n    SELECT lbl AS component, COUNT(*) AS n_members"
+        + f" FROM c{n_iter} GROUP BY lbl"
+    )
+
+
+@register("q34_wcc", _wcc_oracle_sql())
+def q34_wcc(spark, sf_dir):
+    """Connected components (ref stub algorithms.h:195).  Oracle: the
+    same min-label propagation unrolled as SQL CTEs past the diameter."""
+    g = _ps_graph(spark, sf_dir)
+    # min-propagation is idempotent past the fixpoint, so chunking the
+    # vote-to-halt to every 2 supersteps is safe (AQE broadcasts the
+    # small vertex state at runtime; no explicit hint needed)
+    cc = alg.connected_components(g, check_interval=2)
+    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+@register(
+    "q35_bfs",
+    """
+    WITH de AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS src, -l_partkey AS dst FROM lineitem),
+    v AS MATERIALIZED (SELECT src AS id FROM de UNION SELECT dst AS id FROM de),
+    l1 AS (SELECT DISTINCT dst AS id FROM de WHERE src = 1)
+    SELECT level, COUNT(*) AS n_at_level FROM (
+      SELECT v.id, CASE WHEN v.id = 1 THEN 0
+                        WHEN l1.id IS NOT NULL THEN 1
+                        ELSE -1 END AS level
+      FROM v LEFT JOIN l1 ON l1.id = v.id) t
+    GROUP BY level
+    """,
+)
+def q35_bfs(spark, sf_dir):
+    """BFS levels (ref stub algorithms.h:190); -1 = unreachable.  The
+    bipartite graph has exact levels {0, 1, -1} from a supplier source."""
+    g = _ps_graph(spark, sf_dir)
+    lv = alg.bfs(g, source=1)
+    return lv.groupBy("level").agg(F.count(F.lit(1)).alias("n_at_level"))
+
+
+def _scc_oracle_sql(k: int = 100, n_iter: int = 8) -> str:
+    """Forward/backward min-label reachability unrolled past the diameter.
+    v belongs to the SCC of root r iff r is both the min label reaching v
+    and the min label reachable from v.  Single peel round — exact here
+    because the Z_k graph at sf0.01 is one SCC (0 stragglers, verified);
+    multi-round peeling is covered by the golden-graph pytest suite."""
+    pre = f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey % {k} AS src, l_partkey % {k} AS dst
+      FROM lineitem WHERE l_orderkey % {k} <> l_partkey % {k}
+    ),
+    v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+    f0 AS MATERIALIZED (SELECT id, id AS lbl FROM v),
+    b0 AS MATERIALIZED (SELECT id, id AS lbl FROM v)"""
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(f"""
+    f{i} AS MATERIALIZED (
+      SELECT v.id, LEAST(p.lbl, COALESCE(m.mn, p.lbl)) AS lbl
+      FROM v JOIN f{i - 1} p ON p.id = v.id
+      LEFT JOIN (SELECT e.dst AS id, MIN(p2.lbl) AS mn
+                 FROM e JOIN f{i - 1} p2 ON p2.id = e.src GROUP BY e.dst) m
+             ON m.id = v.id),
+    b{i} AS MATERIALIZED (
+      SELECT v.id, LEAST(p.lbl, COALESCE(m.mn, p.lbl)) AS lbl
+      FROM v JOIN b{i - 1} p ON p.id = v.id
+      LEFT JOIN (SELECT e.src AS id, MIN(p2.lbl) AS mn
+                 FROM e JOIN b{i - 1} p2 ON p2.id = e.dst GROUP BY e.src) m
+             ON m.id = v.id)""")
+    return (
+        pre + "," + ",".join(its)
+        + f"""
+    SELECT f.lbl AS component, COUNT(*) AS n_members
+    FROM f{n_iter} f JOIN b{n_iter} b ON f.id = b.id AND f.lbl = b.lbl
+    GROUP BY f.lbl"""
+    )
+
+
+@register("q36_scc", _scc_oracle_sql())
+def q36_scc(spark, sf_dir):
+    """SCC (ref stub algorithms.h:207) via forward/backward min-label
+    peeling; oracle: the same reachability labels unrolled as SQL CTEs."""
+    g = _mod_graph(spark, sf_dir, 100)
+    scc = alg.strongly_connected_components(g, max_outer=20)
+    return scc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+@register("q37_mst", None)  # iterative — golden-graph pytest coverage
+def q37_mst(spark, sf_dir):
+    g = _ps_graph(spark, sf_dir)
+    mst = alg.boruvka_mst(g)
+    return mst.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.round(F.sum("weight"), 4).alias("total_weight"),
+    )
+
+
+@register(
+    "q38_matmul",
+    """
+    WITH a AS (SELECT l_suppkey AS i, l_partkey % 20 AS k,
+                      SUM(l_quantity) AS v
+               FROM lineitem GROUP BY 1, 2),
+         b AS (SELECT p_partkey % 20 AS k, p_size % 10 AS j,
+                      SUM(p_retailprice) AS v
+               FROM part GROUP BY 1, 2)
+    SELECT a.i, b.j, ROUND(SUM(a.v * b.v), 2) AS v
+    FROM a JOIN b ON a.k = b.k
+    GROUP BY a.i, b.j
+    """,
+)
+def q38_matmul(spark, sf_dir):
+    """MatrixMultiply (ref stub algorithms.h:185) as COO join-agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    a = li.groupBy(
+        F.col("l_suppkey").alias("i"), (F.col("l_partkey") % 20).alias("k")
+    ).agg(F.sum("l_quantity").alias("v"))
+    b = p.groupBy(
+        (F.col("p_partkey") % 20).alias("k"), (F.col("p_size") % 10).alias("j")
+    ).agg(F.sum("p_retailprice").alias("v"))
+    out = alg.matmul(a, b)
+    return out.select("i", "j", F.round("v", 2).alias("v"))
+
+
+@register("q39_kmeans", None)  # iterative — pytest-covered; deterministic seeds
+def q39_kmeans(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = alg.kmeans(
+        emb, k=4, max_iter=5, id_col="vec_id", vec_col="embedding"
+    )
+    return assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))

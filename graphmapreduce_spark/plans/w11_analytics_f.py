@@ -1,0 +1,1292 @@
+"""Analytics arc F: closing arcs + the composed 100 TB dedup recipe (q576).
+
+Part 11/11 of the query registry (split from the former single-file
+workload.py); importing this module registers its queries in
+``plans._shared.QUERIES``.
+"""
+
+from graphmapreduce_spark.plans._shared import *  # noqa: F401,F403
+
+@register(
+    "q561_cochran_q",
+    r"""
+    WITH feat AS (
+      SELECT n_chars,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             w -> w <> '')) AS wc,
+             CAST(n_chars AS DOUBLE)
+             / len(list_filter(string_split_regex(trim(text), '\s+'),
+                               w -> w <> '')) AS awl
+      FROM documents
+    ),
+    med AS (
+      SELECT quantile_cont(n_chars, 0.5) AS mc,
+             quantile_cont(wc, 0.5) AS mw,
+             quantile_cont(awl, 0.5) AS ma
+      FROM feat
+    ),
+    votes AS (
+      SELECT CASE WHEN f.n_chars > m.mc THEN 1 ELSE 0 END AS g1,
+             CASE WHEN f.wc > m.mw THEN 1 ELSE 0 END AS g2,
+             CASE WHEN f.awl > m.ma THEN 1 ELSE 0 END AS g3
+      FROM feat f CROSS JOIN med m
+    ),
+    s AS (
+      SELECT COUNT(*)::DOUBLE AS n,
+             SUM(g1)::DOUBLE AS c1, SUM(g2)::DOUBLE AS c2,
+             SUM(g3)::DOUBLE AS c3,
+             SUM(g1 + g2 + g3)::DOUBLE AS sr,
+             SUM(POWER(g1 + g2 + g3, 2))::DOUBLE AS sr2
+      FROM votes
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           ROUND(c1 / n, 6) AS pass_rate_chars,
+           ROUND(c2 / n, 6) AS pass_rate_words,
+           ROUND(c3 / n, 6) AS pass_rate_awl,
+           ROUND(2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - sr * sr)
+                 / (3 * sr - sr2), 4) AS cochran_q
+    FROM s
+    """,
+)
+def q561_cochran_q(spark, sf_dir):
+    """Cochran's Q across the three binary quality gates of q479: do
+    the gates pass DIFFERENT proportions of documents?  Q = (k−1)
+    (kΣCⱼ²−(ΣCⱼ)²)/(kΣRᵢ−ΣRᵢ²) ~ χ²₂ — the marginal-homogeneity
+    complement to Fleiss' kappa (raters can AGREE highly yet differ
+    systematically in strictness; kappa sees the first, Q the
+    second, and a gate ensemble needs both checks).  All terms from
+    one per-document vote fold."""
+    d = _t(spark, sf_dir, "documents")
+    wc = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+    )
+    feat = d.select(
+        "n_chars",
+        wc.alias("wc"),
+        (F.col("n_chars").cast("double") / wc).alias("awl"),
+    )
+    med = feat.agg(
+        F.expr("percentile(n_chars, 0.5)").alias("mc"),
+        F.expr("percentile(wc, 0.5)").alias("mw"),
+        F.expr("percentile(awl, 0.5)").alias("ma"),
+    )
+    votes = feat.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("n_chars") > F.col("mc"), 1).otherwise(0).alias("g1"),
+        F.when(F.col("wc") > F.col("mw"), 1).otherwise(0).alias("g2"),
+        F.when(F.col("awl") > F.col("ma"), 1).otherwise(0).alias("g3"),
+    )
+    r = F.col("g1") + F.col("g2") + F.col("g3")
+    s = votes.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("g1").cast("double").alias("c1"),
+        F.sum("g2").cast("double").alias("c2"),
+        F.sum("g3").cast("double").alias("c3"),
+        F.sum(r).cast("double").alias("sr"),
+        F.sum(F.pow(r, 2)).cast("double").alias("sr2"),
+    )
+    q = (
+        2
+        * (
+            3
+            * (
+                F.col("c1") * F.col("c1")
+                + F.col("c2") * F.col("c2")
+                + F.col("c3") * F.col("c3")
+            )
+            - F.col("sr") * F.col("sr")
+        )
+        / (3 * F.col("sr") - F.col("sr2"))
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(F.col("c1") / F.col("n"), 6).alias("pass_rate_chars"),
+        F.round(F.col("c2") / F.col("n"), 6).alias("pass_rate_words"),
+        F.round(F.col("c3") / F.col("n"), 6).alias("pass_rate_awl"),
+        F.round(q, 4).alias("cochran_q"),
+    )
+
+
+@register(
+    "q562_mcc",
+    """
+    WITH u AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type IN ('click', 'view')
+                      THEN 1 ELSE 0 END)::DOUBLE AS engagement,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN value ELSE 0 END) AS spend
+      FROM events GROUP BY user_id
+    ),
+    med AS (
+      SELECT quantile_cont(spend, 0.5) AS ms,
+             quantile_cont(engagement, 0.5) AS me
+      FROM u
+    ),
+    cells AS (
+      SELECT SUM(CASE WHEN engagement > me AND spend > ms
+                      THEN 1 ELSE 0 END)::DOUBLE AS tp,
+             SUM(CASE WHEN engagement > me AND spend <= ms
+                      THEN 1 ELSE 0 END)::DOUBLE AS fp,
+             SUM(CASE WHEN engagement <= me AND spend > ms
+                      THEN 1 ELSE 0 END)::DOUBLE AS fn,
+             SUM(CASE WHEN engagement <= me AND spend <= ms
+                      THEN 1 ELSE 0 END)::DOUBLE AS tn
+      FROM u CROSS JOIN med
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           ROUND((tp * tn - fp * fn)
+                 / SQRT((tp + fp) * (tp + fn)
+                        * (tn + fp) * (tn + fn)), 6) AS mcc,
+           ROUND((tp + tn) / (tp + fp + fn + tn), 6) AS accuracy
+    FROM cells
+    """,
+)
+def q562_mcc(spark, sf_dir):
+    """Matthews correlation coefficient for the median-engagement →
+    median-spend classifier: MCC = (TP·TN−FP·FN)/√(∏ margins) — the
+    single confusion-matrix summary that stays honest under class
+    imbalance, where accuracy (reported beside it) inflates; MCC
+    closes the eval family q241/q448/q465/q535 by giving the
+    BALANCED point-estimate at a fixed operating point.  One fold
+    over the 2×2."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("click", "view"), 1).otherwise(
+                0
+            )
+        )
+        .cast("double")
+        .alias("engagement"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0.0)
+        ).alias("spend"),
+    )
+    med = u.agg(
+        F.expr("percentile(spend, 0.5)").alias("ms"),
+        F.expr("percentile(engagement, 0.5)").alias("me"),
+    )
+    pe = F.col("engagement") > F.col("me")
+    ps = F.col("spend") > F.col("ms")
+    cells = u.crossJoin(F.broadcast(med)).agg(
+        F.sum(F.when(pe & ps, 1).otherwise(0)).cast("double").alias("tp"),
+        F.sum(F.when(pe & ~ps, 1).otherwise(0)).cast("double").alias("fp"),
+        F.sum(F.when(~pe & ps, 1).otherwise(0)).cast("double").alias("fn"),
+        F.sum(F.when(~pe & ~ps, 1).otherwise(0)).cast("double").alias("tn"),
+    )
+    tp, fp, fn, tn = (
+        F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn"),
+    )
+    return cells.select(
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        tn.cast("bigint").alias("tn"),
+        F.round(
+            (tp * tn - fp * fn)
+            / F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)),
+            6,
+        ).alias("mcc"),
+        F.round((tp + tn) / (tp + fp + fn + tn), 6).alias("accuracy"),
+    )
+
+
+@register(
+    "q563_chain_drift",
+    """
+    WITH pm AS (
+      SELECT p.p_brand AS brand,
+             CAST(date_trunc('month', l.l_shipdate) AS DATE) AS mth,
+             SUM(l.l_extendedprice) / SUM(l.l_quantity) AS price,
+             SUM(l.l_quantity) AS qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    linked AS (
+      SELECT mth,
+             SUM(price * prev_qty)
+             / SUM(prev_price * prev_qty) AS monthly_laspeyres
+      FROM (
+        SELECT brand, mth, price, qty,
+               LAG(price) OVER (PARTITION BY brand ORDER BY mth)
+                 AS prev_price,
+               LAG(qty) OVER (PARTITION BY brand ORDER BY mth)
+                 AS prev_qty
+        FROM pm
+      )
+      WHERE prev_price IS NOT NULL
+      GROUP BY mth
+    ),
+    seq AS (
+      SELECT mth, monthly_laspeyres,
+             ROW_NUMBER() OVER (ORDER BY mth) AS rn,
+             COUNT(*) OVER () AS n
+      FROM linked
+    ),
+    lastyear AS (
+      SELECT EXP(SUM(LN(monthly_laspeyres))) AS chained
+      FROM seq WHERE rn > n - 12
+    ),
+    direct AS (
+      SELECT SUM(c.price * b.qty) / SUM(b.price * b.qty) AS idx
+      FROM (SELECT brand, price, qty FROM pm
+            WHERE mth = (SELECT MIN(mth) FROM pm
+                         WHERE mth > (SELECT MAX(mth)
+                                      FROM pm) - INTERVAL 12 MONTH))
+           b
+      JOIN (SELECT brand, price FROM pm
+            WHERE mth = (SELECT MAX(mth) FROM pm)) c
+        ON b.brand = c.brand
+    )
+    SELECT ROUND(l.chained, 6) AS chained_index,
+           ROUND(d.idx, 6) AS direct_index,
+           ROUND(l.chained / d.idx - 1, 6) AS chain_drift
+    FROM lastyear l CROSS JOIN direct d
+    """,
+)
+def q563_chain_drift(spark, sf_dir):
+    """Chain drift in the Laspeyres price index over the final 12
+    months: the PRODUCT of month-over-month linked indices vs the
+    single direct base-to-end index — with oscillating prices and
+    quantities the chained index drifts systematically (the known
+    index-number pathology that motivates multilateral methods), and
+    the drift magnitude is the audit before trusting any chained
+    KPI (q410's fixed-base family doesn't expose it).  Monthly links
+    from one lag window, the chain as exp(Σln), the direct index as
+    two endpoint joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    pm = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.to_date(F.date_trunc("MONTH", "l_shipdate")).alias("mth"),
+        )
+        .agg(
+            (F.sum("l_extendedprice") / F.sum("l_quantity")).alias(
+                "price"
+            ),
+            F.sum("l_quantity").alias("qty"),
+        )
+    )
+    w = Window.partitionBy("brand").orderBy("mth")
+    lagged = pm.select(
+        "brand",
+        "mth",
+        "price",
+        "qty",
+        F.lag("price").over(w).alias("prev_price"),
+        F.lag("qty").over(w).alias("prev_qty"),
+    ).filter(F.col("prev_price").isNotNull())
+    linked = lagged.groupBy("mth").agg(
+        (
+            F.sum(F.col("price") * F.col("prev_qty"))
+            / F.sum(F.col("prev_price") * F.col("prev_qty"))
+        ).alias("ml")
+    )
+    seq = linked.select(
+        "mth",
+        "ml",
+        F.row_number().over(Window.orderBy("mth")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    lastyear = seq.filter(F.col("rn") > F.col("n") - 12).agg(
+        F.exp(F.sum(F.log("ml"))).alias("chained")
+    )
+    maxm = pm.agg(F.max("mth").alias("mx"))
+    basem = (
+        pm.crossJoin(F.broadcast(maxm))
+        .filter(F.col("mth") > F.add_months(F.col("mx"), -12))
+        .agg(F.min("mth").alias("bm"))
+    )
+    b = (
+        pm.crossJoin(F.broadcast(basem))
+        .filter(F.col("mth") == F.col("bm"))
+        .select(
+            F.col("brand").alias("bb"),
+            F.col("price").alias("bp"),
+            F.col("qty").alias("bq"),
+        )
+    )
+    c = (
+        pm.crossJoin(F.broadcast(maxm))
+        .filter(F.col("mth") == F.col("mx"))
+        .select(F.col("brand").alias("cb"), F.col("price").alias("cp"))
+    )
+    direct = b.join(c, F.col("bb") == F.col("cb")).agg(
+        (
+            F.sum(F.col("cp") * F.col("bq"))
+            / F.sum(F.col("bp") * F.col("bq"))
+        ).alias("idx")
+    )
+    return lastyear.crossJoin(F.broadcast(direct)).select(
+        F.round("chained", 6).alias("chained_index"),
+        F.round("idx", 6).alias("direct_index"),
+        F.round(F.col("chained") / F.col("idx") - 1, 6).alias(
+            "chain_drift"
+        ),
+    )
+
+
+@register(
+    "q564_cuped",
+    """
+    WITH med AS (
+      SELECT quantile_cont(epoch_us(o_orderdate), 0.5) AS ms
+      FROM orders
+    ),
+    u AS (
+      SELECT o.o_custkey,
+             SUM(CASE WHEN epoch_us(o.o_orderdate) < m.ms
+                      THEN o.o_totalprice ELSE 0 END) AS pre,
+             SUM(CASE WHEN epoch_us(o.o_orderdate) >= m.ms
+                      THEN o.o_totalprice ELSE 0 END) AS post
+      FROM orders o CROSS JOIN med m
+      GROUP BY o.o_custkey
+    ),
+    s AS (
+      SELECT COUNT(*)::DOUBLE AS n,
+             AVG(pre) AS mx, AVG(post) AS my,
+             SUM(pre * post) AS sxy, SUM(pre * pre) AS sxx,
+             VAR_SAMP(post) AS vy, VAR_SAMP(pre) AS vx
+      FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           ROUND((sxy - n * mx * my) / (sxx - n * mx * mx), 6)
+             AS theta,
+           ROUND(vy, 2) AS var_post,
+           ROUND(vy * (1 - POWER(sxy - n * mx * my, 2)
+                 / ((sxx - n * mx * mx) * (n - 1) * vy)), 2)
+             AS var_cuped,
+           ROUND(POWER(sxy - n * mx * my, 2)
+                 / ((sxx - n * mx * mx) * (n - 1) * vy), 6)
+             AS variance_reduction
+    FROM s
+    """,
+)
+def q564_cuped(spark, sf_dir):
+    """CUPED variance reduction for customer spend: θ = cov(pre,
+    post)/var(pre) and the adjusted-metric variance var(post)(1−ρ²)
+    — the industry-standard trick that shrinks an A/B test's
+    required sample by exactly ρ² using only PRE-period data (no
+    model, no assumptions beyond linearity), the practical payoff of
+    the q320-style covariate screening.  Here ρ² is measured on the
+    fixture's own pre/post split: one customer fold and scalar
+    algebra."""
+    od = _t(spark, sf_dir, "orders")
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    med = od.agg(
+        F.expr(
+            "percentile(unix_micros(CAST(o_orderdate AS TIMESTAMP)), 0.5)"
+        ).alias("ms")
+    )
+    u = (
+        od.crossJoin(F.broadcast(med))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(us < F.col("ms"), F.col("o_totalprice")).otherwise(
+                    0.0
+                )
+            ).alias("pre"),
+            F.sum(
+                F.when(us >= F.col("ms"), F.col("o_totalprice")).otherwise(
+                    0.0
+                )
+            ).alias("post"),
+        )
+    )
+    cnt = F.count(F.lit(1))
+    s = u.agg(
+        cnt.cast("double").alias("n"),
+        F.avg("pre").alias("mx"),
+        F.avg("post").alias("my"),
+        F.sum(F.col("pre") * F.col("post")).alias("sxy"),
+        F.sum(F.col("pre") * F.col("pre")).alias("sxx"),
+        F.var_samp("post").alias("vy"),
+        F.var_samp("pre").alias("vx"),
+    )
+    n = F.col("n")
+    cxy = F.col("sxy") - n * F.col("mx") * F.col("my")
+    cxx = F.col("sxx") - n * F.col("mx") * F.col("mx")
+    rho2 = F.pow(cxy, 2) / (cxx * (n - 1) * F.col("vy"))
+    return s.select(
+        n.cast("bigint").alias("n_customers"),
+        F.round(cxy / cxx, 6).alias("theta"),
+        F.round("vy", 2).alias("var_post"),
+        F.round(F.col("vy") * (1 - rho2), 2).alias("var_cuped"),
+        F.round(rho2, 6).alias("variance_reduction"),
+    )
+
+
+@register(
+    "q565_p90_ci",
+    """
+    WITH ranked AS (
+      SELECT o_totalprice AS x,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rk,
+             COUNT(*) OVER () AS n
+      FROM orders
+    ),
+    bounds AS (
+      SELECT MAX(n) AS n,
+             CAST(FLOOR(0.9 * MAX(n)
+                  - 1.96 * SQRT(MAX(n) * 0.9 * 0.1)) AS BIGINT)
+               AS lo_rank,
+             CAST(CEIL(0.9 * MAX(n)
+                  + 1.96 * SQRT(MAX(n) * 0.9 * 0.1)) + 1 AS BIGINT)
+               AS hi_rank,
+             CAST(CEIL(0.9 * MAX(n)) AS BIGINT) AS pt_rank
+      FROM ranked
+    )
+    SELECT CAST(b.n AS BIGINT) AS n_orders,
+           ROUND(m.x, 2) AS p90_estimate,
+           ROUND(l.x, 2) AS ci_lo,
+           ROUND(h.x, 2) AS ci_hi,
+           ROUND((h.x - l.x) / m.x, 6) AS relative_width
+    FROM bounds b
+    JOIN ranked m ON m.rk = b.pt_rank
+    JOIN ranked l ON l.rk = b.lo_rank
+    JOIN ranked h ON h.rk = b.hi_rank
+    """,
+)
+def q565_p90_ci(spark, sf_dir):
+    """Distribution-free 95% CI for the 90th percentile of order
+    value by order statistics: ranks 0.9n ∓ 1.96√(n·0.9·0.1)
+    bracket the true quantile with binomial coverage — q518's
+    median machinery shifted to the tail, where it matters more
+    (tail quantiles drive q304's VaR and q433's stocking, and their
+    CIs are MUCH wider than the median's at the same n — this query
+    shows exactly how much).  The rank over the fact table goes
+    through `sort.global_rank` (range-partitioned — no single-task
+    window); three rows selected by rank."""
+    import math
+
+    from graphmapreduce_spark.operators import sort as GS
+
+    od = _t(spark, sf_dir, "orders")
+    ranked = GS.global_rank(
+        od.select(F.col("o_totalprice").alias("x")), ["x"],
+        rank_col="rk",
+    )
+    n = ranked.count()
+    lo_rank = int(math.floor(0.9 * n - 1.96 * math.sqrt(n * 0.9 * 0.1)))
+    hi_rank = int(math.ceil(0.9 * n + 1.96 * math.sqrt(n * 0.9 * 0.1))) + 1
+    pt_rank = int(math.ceil(0.9 * n))
+    picked = ranked.filter(
+        F.col("rk").isin(lo_rank, hi_rank, pt_rank)
+    )
+    bounds = picked.agg(
+        F.max(F.when(F.col("rk") == pt_rank, F.col("x"))).alias("mx"),
+        F.max(F.when(F.col("rk") == lo_rank, F.col("x"))).alias("lx"),
+        F.max(F.when(F.col("rk") == hi_rank, F.col("x"))).alias("hx"),
+    )
+    return (
+        bounds.select(
+            F.lit(n).cast("bigint").alias("n_orders"),
+            F.round("mx", 2).alias("p90_estimate"),
+            F.round("lx", 2).alias("ci_lo"),
+            F.round("hx", 2).alias("ci_hi"),
+            F.round(
+                (F.col("hx") - F.col("lx")) / F.col("mx"), 6
+            ).alias("relative_width"),
+        )
+    )
+
+
+@register(
+    "q566_pps_inclusion",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice AS x FROM orders
+    ),
+    tot AS (SELECT SUM(x) AS tx, COUNT(*)::DOUBLE AS n FROM o),
+    p1 AS (
+      SELECT o.o_orderkey, o.x, 100 * o.x / t.tx AS pi1
+      FROM o CROSS JOIN tot t
+    ),
+    cert AS (
+      SELECT COUNT(*)::DOUBLE AS nc,
+             COALESCE(SUM(CASE WHEN pi1 >= 1 THEN x END), 0) AS cx
+      FROM p1 WHERE pi1 >= 1
+    ),
+    p2 AS (
+      SELECT p.o_orderkey, p.x,
+             CASE WHEN p.pi1 >= 1 THEN 1.0
+                  ELSE (100 - c.nc) * p.x / (t.tx - c.cx) END AS pi
+      FROM p1 p CROSS JOIN cert c CROSS JOIN tot t
+    )
+    SELECT CAST(100 AS BIGINT) AS target_sample,
+           CAST((SELECT nc FROM cert) AS BIGINT) AS certainty_units,
+           ROUND(SUM(pi), 2) AS sum_inclusion_prob,
+           ROUND(MAX(CASE WHEN pi < 1 THEN pi END), 6)
+             AS max_noncertainty_pi,
+           ROUND(SUM(pi * x) / SUM(x), 6)
+             AS expected_value_coverage
+    FROM p2
+    """,
+)
+def q566_pps_inclusion(spark, sf_dir):
+    """Probability-proportional-to-size audit design for a 100-order
+    sample: first-pass inclusion probabilities n·xᵢ/Σx, CERTAINTY
+    units (π≥1 — the whales you always audit) pulled out, and the
+    residual budget re-spread over the rest — the sampling design
+    that makes a 100-order audit cover the documented share of total
+    VALUE, versus the ~n/N a uniform sample would.  Same two-pass
+    cap-and-redistribute shape as q560's water-fill, applied to
+    inclusion probabilities."""
+    od = _t(spark, sf_dir, "orders")
+    o = od.select("o_orderkey", F.col("o_totalprice").alias("x"))
+    tot = o.agg(
+        F.sum("x").alias("tx"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    p1 = o.crossJoin(F.broadcast(tot)).select(
+        "o_orderkey", "x", (100 * F.col("x") / F.col("tx")).alias("pi1")
+    )
+    cert = p1.filter(F.col("pi1") >= 1).agg(
+        F.count(F.lit(1)).cast("double").alias("nc"),
+        F.coalesce(F.sum("x"), F.lit(0.0)).alias("cx"),
+    )
+    p2 = (
+        p1.crossJoin(F.broadcast(cert))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            F.when(F.col("pi1") >= 1, 1.0)
+            .otherwise(
+                (100 - F.col("nc"))
+                * F.col("x")
+                / (F.col("tx") - F.col("cx"))
+            )
+            .alias("pi"),
+            "nc",
+        )
+    )
+    return p2.agg(
+        F.lit(100).cast("bigint").alias("target_sample"),
+        F.max("nc").cast("bigint").alias("certainty_units"),
+        F.round(F.sum("pi"), 2).alias("sum_inclusion_prob"),
+        F.round(
+            F.max(F.when(F.col("pi") < 1, F.col("pi"))), 6
+        ).alias("max_noncertainty_pi"),
+        F.round(
+            F.sum(F.col("pi") * F.col("x")) / F.sum("x"), 6
+        ).alias("expected_value_coverage"),
+    )
+
+
+@register(
+    "q567_abc_migration",
+    """
+    WITH med AS (
+      SELECT quantile_cont(epoch_us(l_shipdate), 0.5) AS ms
+      FROM lineitem
+    ),
+    rev AS (
+      SELECT l.l_partkey,
+             CASE WHEN epoch_us(l.l_shipdate) < m.ms
+                  THEN 0 ELSE 1 END AS h,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM lineitem l CROSS JOIN med m
+      GROUP BY 1, 2
+    ),
+    classed AS (
+      SELECT l_partkey, h,
+             CASE WHEN SUM(r) OVER (PARTITION BY h
+                      ORDER BY r DESC, l_partkey)
+                      / SUM(r) OVER (PARTITION BY h) <= 0.8 THEN 'A'
+                  WHEN SUM(r) OVER (PARTITION BY h
+                      ORDER BY r DESC, l_partkey)
+                      / SUM(r) OVER (PARTITION BY h) <= 0.95 THEN 'B'
+                  ELSE 'C' END AS cls
+      FROM rev
+    )
+    SELECT a.cls AS class_h1, b.cls AS class_h2,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(COUNT(*)::DOUBLE
+                 / SUM(COUNT(*)) OVER (PARTITION BY a.cls), 6)
+             AS row_share
+    FROM classed a JOIN classed b
+      ON a.l_partkey = b.l_partkey AND a.h = 0 AND b.h = 1
+    GROUP BY a.cls, b.cls
+    """,
+)
+def q567_abc_migration(spark, sf_dir):
+    """ABC-class migration matrix between the first and second half
+    of the ship history: the 3×3 transition counts and row shares —
+    a stable assortment keeps its diagonal heavy; heavy A→C flow
+    means the revenue head churns and last year's 'count daily'
+    policy (q411/q540) is mis-aimed at yesterday's winners.  Two
+    half-partitioned cumulative-share windows and one self-join on
+    part."""
+    li = _t(spark, sf_dir, "lineitem")
+    med = li.agg(
+        F.expr(
+            "percentile(unix_micros(CAST(l_shipdate AS TIMESTAMP)), 0.5)"
+        ).alias("ms")
+    )
+    us = F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+    rev = (
+        li.crossJoin(F.broadcast(med))
+        .groupBy(
+            "l_partkey",
+            F.when(us < F.col("ms"), 0).otherwise(1).alias("h"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("r")
+        )
+    )
+    wcum = Window.partitionBy("h").orderBy(
+        F.col("r").desc(), "l_partkey"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wh = Window.partitionBy("h")
+    share = F.sum("r").over(wcum) / F.sum("r").over(wh)
+    classed = rev.select(
+        "l_partkey",
+        "h",
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("cls"),
+    )
+    a = classed.filter(F.col("h") == 0).select(
+        F.col("l_partkey").alias("pk"), F.col("cls").alias("class_h1")
+    )
+    b = classed.filter(F.col("h") == 1).select(
+        F.col("l_partkey").alias("pk2"), F.col("cls").alias("class_h2")
+    )
+    j = a.join(b, F.col("pk") == F.col("pk2"))
+    counts = j.groupBy("class_h1", "class_h2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    )
+    wrow = Window.partitionBy("class_h1")
+    return counts.select(
+        "class_h1",
+        "class_h2",
+        "n_parts",
+        F.round(
+            F.col("n_parts").cast("double")
+            / F.sum("n_parts").over(wrow),
+            6,
+        ).alias("row_share"),
+    )
+
+
+@register(
+    "q568_spectral_entropy",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT rev - AVG(rev) OVER () AS d,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS t
+      FROM daily
+    ),
+    periods AS (
+      SELECT CAST(p AS DOUBLE) AS period
+      FROM UNNEST(range(2, 29)) AS t(p)
+    ),
+    pw AS (
+      SELECT p.period,
+             POWER(SUM(s.d * COS(2 * 3.141592653589793
+                                 * s.t / p.period)), 2)
+             + POWER(SUM(s.d * SIN(2 * 3.141592653589793
+                                   * s.t / p.period)), 2) AS pwr
+      FROM seq s CROSS JOIN periods p
+      GROUP BY p.period
+    ),
+    norm AS (
+      SELECT period, pwr / SUM(pwr) OVER () AS ps FROM pw
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_periods,
+           ROUND(-SUM(ps * LN(ps)) / LN(COUNT(*)), 6)
+             AS spectral_entropy_norm,
+           ROUND(1 + SUM(ps * LN(ps)) / LN(COUNT(*)), 6)
+             AS forecastability,
+           CAST(MAX(CASE WHEN ps = (SELECT MAX(ps) FROM norm)
+                         THEN period END) AS BIGINT) AS peak_period
+    FROM norm
+    """,
+)
+def q568_spectral_entropy(spark, sf_dir):
+    """Normalized spectral entropy of daily revenue over periods
+    2–28 days: flat spectrum (entropy→1) means white-noise-like,
+    unforecastable beyond the mean; concentrated power (entropy→0)
+    means one rhythm dominates and even a naive seasonal model will
+    work — the single forecastability score that q458's four-period
+    probe generalizes, and the principled triage before spending on
+    any forecasting effort (q397's tournament).  27 trig-weighted
+    folds over the daily aggregate."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    wall = Window.partitionBy()
+    seq = daily.select(
+        (F.col("rev") - F.avg("rev").over(wall)).alias("d"),
+        F.row_number()
+        .over(Window.orderBy("day"))
+        .cast("double")
+        .alias("t"),
+    )
+    periods = od.sparkSession.createDataFrame(
+        [(float(p),) for p in range(2, 29)], "period double"
+    )
+    ang = F.lit(2 * 3.141592653589793) * F.col("t") / F.col("period")
+    pw = (
+        seq.crossJoin(F.broadcast(periods))
+        .groupBy("period")
+        .agg(
+            (
+                F.pow(F.sum(F.col("d") * F.cos(ang)), 2)
+                + F.pow(F.sum(F.col("d") * F.sin(ang)), 2)
+            ).alias("pwr")
+        )
+    )
+    norm = pw.select(
+        "period", (F.col("pwr") / F.sum("pwr").over(wall)).alias("ps")
+    )
+    maxps = norm.agg(F.max("ps").alias("mps"))
+    h = -F.sum(F.col("ps") * F.log("ps")) / F.log(
+        F.count(F.lit(1)).cast("double")
+    )
+    return norm.crossJoin(F.broadcast(maxps)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_periods"),
+        F.round(h, 6).alias("spectral_entropy_norm"),
+        F.round(1 - h, 6).alias("forecastability"),
+        F.max(
+            F.when(F.col("ps") == F.col("mps"), F.col("period"))
+        )
+        .cast("bigint")
+        .alias("peak_period"),
+    )
+
+
+@register(
+    "q569_survivorship_bias",
+    """
+    WITH maxy AS (
+      SELECT MAX(date_part('year', o_orderdate)) AS my FROM orders
+    ),
+    cust AS (
+      SELECT o.o_custkey,
+             MIN(date_part('year', o.o_orderdate)) AS cohort,
+             SUM(o.o_totalprice) AS lifetime,
+             MAX(CASE WHEN date_part('year', o.o_orderdate) = m.my
+                      THEN 1 ELSE 0 END) AS survivor
+      FROM orders o CROSS JOIN maxy m
+      GROUP BY o.o_custkey
+    )
+    SELECT CAST(cohort AS BIGINT) AS cohort_year,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(survivor) AS BIGINT) AS n_survivors,
+           ROUND(AVG(lifetime), 2) AS mean_lifetime_all,
+           ROUND(AVG(CASE WHEN survivor = 1 THEN lifetime END), 2)
+             AS mean_lifetime_survivors,
+           ROUND(AVG(CASE WHEN survivor = 1 THEN lifetime END)
+                 / AVG(lifetime) - 1, 6) AS survivorship_bias
+    FROM cust GROUP BY cohort
+    """,
+)
+def q569_survivorship_bias(spark, sf_dir):
+    """Survivorship bias, measured per acquisition cohort: mean
+    lifetime spend of customers still active in the FINAL year vs
+    the whole cohort — the inflation factor that silently enters any
+    analysis run on 'current customers' (dashboards filtered to
+    active accounts overstate historical LTV by exactly this
+    ratio).  Early cohorts show the largest bias because they've had
+    the longest to lose their small customers.  One customer fold
+    with a final-year flag."""
+    od = _t(spark, sf_dir, "orders")
+    maxy = od.agg(F.max(F.year("o_orderdate")).alias("my"))
+    cust = (
+        od.crossJoin(F.broadcast(maxy))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.year("o_orderdate")).alias("cohort"),
+            F.sum("o_totalprice").alias("lifetime"),
+            F.max(
+                F.when(F.year("o_orderdate") == F.col("my"), 1).otherwise(
+                    0
+                )
+            ).alias("survivor"),
+        )
+    )
+    surv_mean = F.avg(
+        F.when(F.col("survivor") == 1, F.col("lifetime"))
+    )
+    return cust.groupBy(
+        F.col("cohort").cast("bigint").alias("cohort_year")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("survivor").cast("bigint").alias("n_survivors"),
+        F.round(F.avg("lifetime"), 2).alias("mean_lifetime_all"),
+        F.round(surv_mean, 2).alias("mean_lifetime_survivors"),
+        F.round(surv_mean / F.avg("lifetime") - 1, 6).alias(
+            "survivorship_bias"
+        ),
+    )
+
+
+@register(
+    "q570_lindy_effect",
+    """
+    WITH life AS (
+      SELECT l_partkey,
+             date_diff('month',
+               MIN(CAST(date_trunc('month', l_shipdate) AS DATE)),
+               MAX(CAST(date_trunc('month', l_shipdate) AS DATE)))
+               AS span_m
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ages AS (
+      SELECT CAST(a AS BIGINT) AS age
+      FROM UNNEST([0, 6, 12, 18, 24, 36]) AS t(a)
+    )
+    SELECT a.age AS age_threshold_months,
+           CAST(COUNT(*) AS BIGINT) AS n_parts_alive,
+           ROUND(AVG(l.span_m - a.age), 4)
+             AS mean_remaining_life_months,
+           ROUND(AVG(l.span_m), 4) AS mean_total_life_months
+    FROM ages a JOIN life l ON l.span_m >= a.age
+    GROUP BY a.age
+    """,
+)
+def q570_lindy_effect(spark, sf_dir):
+    """Lindy-effect check on part sales lifespans: among parts that
+    have already survived a months, does expected REMAINING life grow
+    with a?  Increasing remaining life (heavy-tailed lifespans)
+    says longevity predicts longevity — keep old SKUs; decreasing
+    (light tails) says aging products die on schedule — sunset
+    them.  (Lifespans are measured within the observation window —
+    right-censoring inflates nothing here because every threshold
+    sees the same truncation; documented.)  One per-part span
+    aggregate, a 6-threshold broadcast sweep."""
+    li = _t(spark, sf_dir, "lineitem")
+    life = li.groupBy("l_partkey").agg(
+        F.months_between(
+            F.max(F.to_date(F.date_trunc("MONTH", "l_shipdate"))),
+            F.min(F.to_date(F.date_trunc("MONTH", "l_shipdate"))),
+        )
+        .cast("bigint")
+        .alias("span_m")
+    )
+    ages = li.sparkSession.createDataFrame(
+        [(a,) for a in (0, 6, 12, 18, 24, 36)], "age bigint"
+    )
+    j = ages.join(life, life.span_m >= ages.age)
+    return j.groupBy(F.col("age").alias("age_threshold_months")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts_alive"),
+        F.round(F.avg(F.col("span_m") - F.col("age")), 4).alias(
+            "mean_remaining_life_months"
+        ),
+        F.round(F.avg("span_m"), 4).alias("mean_total_life_months"),
+    )
+
+
+@register(
+    "q571_quartile_cv",
+    """
+    SELECT p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(quantile_cont(l.l_extendedprice, 0.25), 2) AS q1,
+           ROUND(quantile_cont(l.l_extendedprice, 0.75), 2) AS q3,
+           ROUND((quantile_cont(l.l_extendedprice, 0.75)
+                - quantile_cont(l.l_extendedprice, 0.25))
+                / (quantile_cont(l.l_extendedprice, 0.75)
+                 + quantile_cont(l.l_extendedprice, 0.25)), 6)
+             AS quartile_cv,
+           ROUND(STDDEV_SAMP(l.l_extendedprice)
+                 / AVG(l.l_extendedprice), 6) AS moment_cv
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q571_quartile_cv(spark, sf_dir):
+    """Coefficient of quartile variation (Q₃−Q₁)/(Q₃+Q₁) of line
+    prices per brand, beside the moment CV — the robust relative-
+    dispersion measure that one fat-fingered price can't move, and
+    the divergence between the two columns IS the outlier alarm (the
+    ratio-scale analogue of comparing q101's std to q145's MAD).
+    One grouped pass with two percentile aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q1 = F.expr("percentile(l_extendedprice, 0.25)")
+    q3 = F.expr("percentile(l_extendedprice, 0.75)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(q1, 2).alias("q1"),
+            F.round(q3, 2).alias("q3"),
+            F.round((q3 - q1) / (q3 + q1), 6).alias("quartile_cv"),
+            F.round(
+                F.stddev_samp("l_extendedprice")
+                / F.avg("l_extendedprice"),
+                6,
+            ).alias("moment_cv"),
+        )
+    )
+
+
+@register(
+    "q572_bowley_skewness",
+    """
+    SELECT p.p_brand AS brand,
+           ROUND(quantile_cont(l.l_quantity, 0.5), 2) AS median_qty,
+           ROUND((quantile_cont(l.l_quantity, 0.75)
+                + quantile_cont(l.l_quantity, 0.25)
+                - 2 * quantile_cont(l.l_quantity, 0.5))
+                / (quantile_cont(l.l_quantity, 0.75)
+                 - quantile_cont(l.l_quantity, 0.25)), 6)
+             AS bowley_skew,
+           ROUND((quantile_cont(l.l_quantity, 0.9)
+                + quantile_cont(l.l_quantity, 0.1)
+                - 2 * quantile_cont(l.l_quantity, 0.5))
+                / (quantile_cont(l.l_quantity, 0.9)
+                 - quantile_cont(l.l_quantity, 0.1)), 6)
+             AS kelley_skew
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q572_bowley_skewness(spark, sf_dir):
+    """Bowley (quartile) and Kelley (decile) skewness of quantity per
+    brand: (Q₃+Q₁−2·median)/(Q₃−Q₁), bounded in [−1,1] and immune to
+    tails — the robust counterparts of q454's moment skewness, and
+    the pair whose DISAGREEMENT with the moment version localizes
+    where the asymmetry lives (quartile-range vs decile-range vs
+    extreme tail).  One grouped percentile pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+
+    def pc(q):
+        return F.expr(f"percentile(l_quantity, {q})")
+
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.round(pc(0.5), 2).alias("median_qty"),
+            F.round(
+                (pc(0.75) + pc(0.25) - 2 * pc(0.5))
+                / (pc(0.75) - pc(0.25)),
+                6,
+            ).alias("bowley_skew"),
+            F.round(
+                (pc(0.9) + pc(0.1) - 2 * pc(0.5))
+                / (pc(0.9) - pc(0.1)),
+                6,
+            ).alias("kelley_skew"),
+        )
+    )
+
+
+@register(
+    "q573_overdispersion",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             COUNT(*)::DOUBLE AS c
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(c), 4) AS mean_orders,
+           ROUND(VAR_SAMP(c), 4) AS var_orders,
+           ROUND(VAR_SAMP(c) / AVG(c), 6) AS vmr,
+           ROUND((VAR_SAMP(c) / AVG(c) - 1)
+                 * SQRT((COUNT(*) - 1) / 2.0), 4) AS dispersion_z
+    FROM daily
+    """,
+)
+def q573_overdispersion(spark, sf_dir):
+    """Poisson overdispersion test on daily order counts: the
+    variance-to-mean ratio (VMR=1 under Poisson arrivals) with its
+    normal-approximation z — VMR>1 means orders arrive in BURSTS
+    beyond random traffic, which changes capacity planning (q537)
+    and makes Poisson-based alert thresholds fire constantly; the
+    count-data sibling of q306's inter-event burstiness.  One daily
+    fold."""
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    vmr = F.var_samp("c") / F.avg("c")
+    return daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.avg("c"), 4).alias("mean_orders"),
+        F.round(F.var_samp("c"), 4).alias("var_orders"),
+        F.round(vmr, 6).alias("vmr"),
+        F.round(
+            (vmr - 1)
+            * F.sqrt((F.count(F.lit(1)) - 1) / F.lit(2.0)),
+            4,
+        ).alias("dispersion_z"),
+    )
+
+
+@register(
+    "q574_peak_month_share",
+    """
+    WITH monthly AS (
+      SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+             date_part('month', o_orderdate) AS mth,
+             SUM(o_totalprice) AS r
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr AS year,
+           CAST(COUNT(*) AS BIGINT) AS n_months,
+           ROUND(MAX(r) / SUM(r), 6) AS peak_month_share,
+           CAST(MAX_BY(mth, r) AS BIGINT) AS peak_month,
+           ROUND(MAX(r) / (SUM(r) / COUNT(*)), 4)
+             AS peak_vs_avg_month
+    FROM monthly GROUP BY yr
+    """,
+)
+def q574_peak_month_share(spark, sf_dir):
+    """Seasonal concentration by year: the peak month's share of
+    annual revenue, which month it is, and its ratio to the average
+    month — the operational seasonality number (warehouse staffing
+    is sized to the peak, not the mean), trendable year over year to
+    see whether the business is getting MORE seasonal; a drifting
+    peak month flags a calendar change rather than demand.  MAX_BY
+    keeps the argmax in the same fold."""
+    od = _t(spark, sf_dir, "orders")
+    monthly = od.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+    ).agg(F.sum("o_totalprice").alias("r"))
+    return monthly.groupBy(F.col("yr").alias("year")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.round(F.max("r") / F.sum("r"), 6).alias("peak_month_share"),
+        F.expr("max_by(mth, r)").cast("bigint").alias("peak_month"),
+        F.round(
+            F.max("r") / (F.sum("r") / F.count(F.lit(1))), 4
+        ).alias("peak_vs_avg_month"),
+    )
+
+
+@register(
+    "q575_iqr_overlap",
+    """
+    WITH s AS (
+      SELECT CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS grp,
+             quantile_cont(l_quantity, 0.25) AS q1,
+             quantile_cont(l_quantity, 0.75) AS q3
+      FROM lineitem
+      GROUP BY CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN grp = 1 THEN q1 END) AS a1,
+             MAX(CASE WHEN grp = 1 THEN q3 END) AS a3,
+             MAX(CASE WHEN grp = 0 THEN q1 END) AS b1,
+             MAX(CASE WHEN grp = 0 THEN q3 END) AS b3
+      FROM s
+    )
+    SELECT ROUND(a1, 2) AS disc_q1, ROUND(a3, 2) AS disc_q3,
+           ROUND(b1, 2) AS full_q1, ROUND(b3, 2) AS full_q3,
+           ROUND(GREATEST(LEAST(a3, b3) - GREATEST(a1, b1), 0)
+                 / (GREATEST(a3, b3) - LEAST(a1, b1)), 6)
+             AS iqr_overlap_jaccard
+    FROM wide
+    """,
+)
+def q575_iqr_overlap(spark, sf_dir):
+    """Interquartile-range overlap (Jaccard of the two [Q₁,Q₃]
+    intervals) between discounted and full-price quantities: a
+    one-number 'do the two populations actually occupy different
+    ranges' check that calibrates the significance verdicts — q419's
+    z can be large while the IQRs overlap ~100% (big n, tiny shift),
+    and this number is what the stakeholder's boxplot intuition
+    actually reads.  One grouped percentile pass and interval
+    algebra."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy(
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("grp")
+    ).agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q1"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q3"),
+    )
+    wide = s.agg(
+        F.max(F.when(F.col("grp") == 1, F.col("q1"))).alias("a1"),
+        F.max(F.when(F.col("grp") == 1, F.col("q3"))).alias("a3"),
+        F.max(F.when(F.col("grp") == 0, F.col("q1"))).alias("b1"),
+        F.max(F.when(F.col("grp") == 0, F.col("q3"))).alias("b3"),
+    )
+    inter = F.greatest(
+        F.least(F.col("a3"), F.col("b3"))
+        - F.greatest(F.col("a1"), F.col("b1")),
+        F.lit(0.0),
+    )
+    union = F.greatest(F.col("a3"), F.col("b3")) - F.least(
+        F.col("a1"), F.col("b1")
+    )
+    return wide.select(
+        F.round("a1", 2).alias("disc_q1"),
+        F.round("a3", 2).alias("disc_q3"),
+        F.round("b1", 2).alias("full_q1"),
+        F.round("b3", 2).alias("full_q3"),
+        F.round(inter / union, 6).alias("iqr_overlap_jaccard"),
+    )
+
+
+def _dedup_corpus_oracle_sql(
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    est_margin: float = 0.2,
+    sample_mod: int = 4,
+    sample_margin: float = 0.1,
+    seed: int = 42,
+) -> str:
+    """Replicates pipeline.dedup_corpus end-to-end: exact dedup by
+    text (min-id representative), the q46 MinHash-LSH chain over
+    REPRESENTATIVES only, the est_margin signature-agreement prefilter,
+    the hash-mod sampled-shingle Jaccard prefilter (both deterministic
+    given the seed, so value-checkable), exact-Jaccard verification,
+    recursive-CTE min-label closure, and the final doc → canonical
+    mapping.  max_bucket_size=4096 cannot bind at sf0.01 (no band
+    bucket holds >4096 representatives), so the uncapped SQL is
+    exact."""
+    a, b = D._hash_coeffs(num_hashes, seed)
+    p = D._MERSENNE
+    mins = ",\n             ".join(
+        f"MIN(({int(a[i])} * x + {int(b[i])}) % {p}) AS m{i}"
+        for i in range(num_hashes)
+    )
+    r = num_hashes // bands
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, '{j}:' || {expr} AS bucket FROM sig".format(
+            j=j,
+            expr=" || '_' || ".join(f"m{j * r + i}" for i in range(r)),
+        )
+        for j in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    cut = max(0.0, threshold - est_margin)
+    return f"""
+    WITH RECURSIVE
+    reps AS MATERIALIZED (
+      SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+    ),
+    ex AS MATERIALIZED (
+      SELECT d.doc_id, r.doc_id AS rep
+      FROM documents d JOIN reps r ON r.text = d.text
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, GREATEST(length(text) - {shingle_n - 1}, 0) + 1),
+               i -> substr(text, i, {shingle_n}))) AS grams
+      FROM reps
+    ),
+    ids AS MATERIALIZED (
+      SELECT doc_id,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % {p} AS x
+      FROM (SELECT doc_id, UNNEST(grams) AS g FROM sh)
+    ),
+    sig AS MATERIALIZED (
+      SELECT doc_id,
+             {mins}
+      FROM ids GROUP BY doc_id
+    ),
+    bands AS MATERIALIZED (
+      {band_rows}
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    agreed AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN sig sa ON sa.doc_id = id_a
+      JOIN sig sb ON sb.doc_id = id_b
+      WHERE {agree} >= {cut} * {num_hashes}
+    ),
+    shs AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(
+               list_distinct(list_transform(grams,
+                 g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)),
+               h -> h % {sample_mod} = 0) AS sgrams
+      FROM sh
+    ),
+    sampled AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM agreed
+      JOIN shs xa ON xa.doc_id = id_a
+      JOIN shs xb ON xb.doc_id = id_b
+      WHERE (len(xa.sgrams) + len(xb.sgrams)
+             - len(list_filter(xa.sgrams,
+                   h -> list_contains(xb.sgrams, h)))) = 0
+         OR CAST(len(list_filter(xa.sgrams,
+                     h -> list_contains(xb.sgrams, h))) AS DOUBLE)
+            / (len(xa.sgrams) + len(xb.sgrams)
+               - len(list_filter(xa.sgrams,
+                     h -> list_contains(xb.sgrams, h))))
+            >= {max(0.0, threshold - sample_margin)}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM sampled
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+      WHERE CAST(len(list_filter(sa.grams,
+                     g -> list_contains(sb.grams, g))) AS DOUBLE)
+            / (len(sa.grams) + len(sb.grams)
+               - len(list_filter(sa.grams,
+                     g -> list_contains(sb.grams, g)))) >= {threshold}
+    ),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+    verts AS (SELECT DISTINCT src AS id FROM sym),
+    reach AS (
+      SELECT id, id AS lbl FROM verts
+      UNION
+      SELECT s.dst AS id, r.lbl AS lbl
+      FROM reach r JOIN sym s ON s.src = r.id
+    ),
+    clusters AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)
+    SELECT e.doc_id, COALESCE(c.cluster, e.rep) AS canonical_id
+    FROM ex e LEFT JOIN clusters c ON c.id = e.rep
+    """
+
+
+@register("q576_dedup_corpus", _dedup_corpus_oracle_sql())
+def q576_dedup_corpus(spark, sf_dir):
+    """[EXT] The production 100 TB dedup recipe as ONE composed,
+    value-oracled operator (pipeline.dedup_corpus): exact dedup →
+    MinHash-LSH over representatives with the measured cost knobs
+    (est_margin signature prefilter + bucket-capped star expansion) →
+    connected-component clustering → full doc→canonical mapping,
+    never materializing within-cluster all-pairs.  md5 hash variant so
+    the oracle replicates every stage bit-for-bit; production default
+    is xxhash64."""
+    from graphmapreduce_spark import pipeline as P
+
+    d = _t(spark, sf_dir, "documents")
+    return P.dedup_corpus(
+        d,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        num_hashes=32,
+        shingle_n=5,
+        hash_fn="md5",
+        max_bucket_size=4096,
+        est_margin=0.2,
+        verify_sample_mod=4,
+    )
