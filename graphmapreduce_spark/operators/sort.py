@@ -140,6 +140,56 @@ def global_ntile(
     ).drop("_gnr")
 
 
+def global_cumsum(
+    df: DataFrame,
+    cols: list[Column | str],
+    value_col: str,
+    cum_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``SUM(value) OVER (ORDER BY cols ROWS UNBOUNDED
+    PRECEDING)`` without a single-partition window: range-partition on
+    the order (ref samplesort's splitter step), per-partition local
+    running sum, then fold in each partition's prefix total — the same
+    two-level pattern as `global_rank` and the packing cumsum
+    (one p-row driver collect, every heavy stage partition-parallel).
+
+    This is the scale path for the dimension-collapsed cumulative
+    family (ABC / Lorenz / Pareto / cumulative-share plans): 'collapsed
+    to parts/users' is still billions of rows at 100 TB, where
+    ``Window.orderBy`` funnels the dimension through one task."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import spark_partition_id
+
+    d = global_sort(df, cols, num_partitions).withColumn(
+        "_pid", spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_lcs", F.sum(value_col).over(w))
+    # materialize before the two reads (offsets job + output job) —
+    # RangePartitioner re-samples per execution (see global_rank)
+    d = d.localCheckpoint(eager=True)
+    sums = sorted(
+        d.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    offsets, acc = [], 0.0
+    for r in sums:
+        offsets.append((r["_pid"], acc))
+        acc += r["s"] or 0.0
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets, "_pid int, _off double")
+    return (
+        d.join(F.broadcast(off), "_pid")
+        .withColumn(cum_col, F.col("_off") + F.col("_lcs"))
+        .drop("_pid", "_lcs", "_off")
+    )
+
+
 def equi_depth_histogram(
     df: DataFrame,
     value_col: str,

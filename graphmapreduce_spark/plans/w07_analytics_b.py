@@ -1242,24 +1242,27 @@ def q411_abc_classes(spark, sf_dir):
     """ABC inventory classification: parts ranked by revenue, class A
     carries the first 80% of cumulative share, B to 95%, C the tail —
     the warehouse-policy partition (count A parts daily, C parts
-    yearly).  The ordered cumulative window runs over the per-part
-    AGGREGATED revenue table (deterministic partkey tiebreak), and
-    the class rollup reuses one grand-total window."""
+    yearly).  The cumulative share over the per-part AGGREGATED
+    revenue table (parts-sized — billions at 100 TB) goes through
+    `sort.global_cumsum` (range-partitioned two-level running sum, no
+    single-task window); the grand total folds in as a broadcast
+    1-row scalar."""
+    from graphmapreduce_spark.operators import sort as GS
+
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(
             F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
         ).alias("r")
     )
-    wcum = Window.orderBy(F.col("r").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    cum = GS.global_cumsum(
+        rev, [F.col("r").desc(), F.col("l_partkey")], "r",
+        cum_col="_cum",
     )
+    tot = rev.agg(F.sum("r").alias("_tot"))
     wall = Window.partitionBy()
-    ranked = rev.select(
-        "r",
-        (F.sum("r").over(wcum) / F.sum("r").over(wall)).alias(
-            "cum_share"
-        ),
+    ranked = cum.crossJoin(F.broadcast(tot)).select(
+        "r", (F.col("_cum") / F.col("_tot")).alias("cum_share")
     )
     cls = (
         F.when(F.col("cum_share") <= 0.8, "A")

@@ -192,3 +192,63 @@ def test_orc_roundtrip(spark, tmp_path):
     back = spark.read.orc(path)
     assert back.count() == 50
     assert {r["g"] for r in back.select("g").distinct().collect()} == set(range(7))
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """global_ntile == F.ntile over a single-partition window on a
+    total order, including the uneven-tile boundary (n=103, k=5 ->
+    first 3 tiles hold 21 rows) and the n<k degenerate case."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from graphmapreduce_spark.operators.sort import global_ntile
+
+    df = spark.range(103).select(
+        F.col("id"), (F.pmod(F.col("id") * 37, F.lit(101))).alias("v")
+    )
+    want = {
+        r["id"]: r["t"]
+        for r in df.select(
+            "id", F.ntile(5).over(Window.orderBy("v", "id")).alias("t")
+        ).collect()
+    }
+    got = {
+        r["id"]: r["tile"]
+        for r in global_ntile(df, ["v", "id"], 5, num_partitions=7).collect()
+    }
+    assert got == want
+    tiny = spark.range(3)
+    got2 = {
+        r["id"]: r["tile"]
+        for r in global_ntile(tiny, ["id"], 5).collect()
+    }
+    assert got2 == {0: 1, 1: 2, 2: 3}
+
+
+def test_global_cumsum_matches_window_cumsum(spark):
+    """global_cumsum == SUM OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING) on a total order, across an arbitrary partition count,
+    descending order, and double values."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from graphmapreduce_spark.operators.sort import global_cumsum
+
+    df = spark.range(200).select(
+        F.col("id"),
+        (F.pmod(F.col("id") * 13, F.lit(97)) / 7.0).alias("v"),
+    )
+    w = Window.orderBy(F.col("v").desc(), F.col("id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["id"]: round(r["c"], 9)
+        for r in df.select("id", F.sum("v").over(w).alias("c")).collect()
+    }
+    got = {
+        r["id"]: round(r["cum"], 9)
+        for r in global_cumsum(
+            df, [F.col("v").desc(), F.col("id")], "v", num_partitions=9
+        ).collect()
+    }
+    assert got == want
