@@ -646,3 +646,37 @@ def test_bigram_surprisal_hand_checked(spark):
     assert out[1] == (3, round((2 * s_ab + s_ba) / 3, 6))
     assert out[2] == (1, round(s_ab, 6))
     assert 3 not in out  # single-token docs carry no bigrams
+
+
+def test_dedup_corpus_bucket_cap_keeps_clusters_connected(spark):
+    """The 100 TB path: when a near-dup cluster exceeds
+    max_bucket_size, star expansion verifies only hub pairs — LINEAR
+    in bucket size — and transitive clustering must still map every
+    member to one canonical id (connectivity through the hub), with
+    the same kept-set as the uncapped run."""
+    from graphmapreduce_spark.pipeline import dedup_corpus
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    rows = [(i, base + f"tail{i % 3}") for i in range(1, 41)]
+    rows.append((99, "entirely different text about catalyst plans "
+                     * 8))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_corpus(
+            docs, "doc_id", "text", threshold=0.5, num_hashes=32,
+            max_bucket_size=None,
+        ).collect()
+    }
+    capped = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_corpus(
+            docs, "doc_id", "text", threshold=0.5, num_hashes=32,
+            max_bucket_size=8,
+        ).collect()
+    }
+    # the 40 near-dups form one cluster under both; 99 stays itself
+    assert len(set(uncapped.values())) == len(set(capped.values()))
+    assert capped[99] == 99
+    assert len({v for k, v in capped.items() if k != 99}) == 1
+    assert capped == uncapped
