@@ -72,7 +72,7 @@ def dedup_corpus(
     shingle_n: int = 5,
     seed: int = 42,
     hash_fn: str = "xxhash64",
-    max_bucket_size: int | None = 4096,
+    max_bucket_size: int | None = 64,
     est_margin: float | None = 0.2,
     verify_sample_mod: int | None = 4,
     max_iter: int = 50,

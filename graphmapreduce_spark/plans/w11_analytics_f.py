@@ -1286,7 +1286,7 @@ def q576_dedup_corpus(spark, sf_dir):
         num_hashes=32,
         shingle_n=5,
         hash_fn="md5",
-        max_bucket_size=4096,
+        max_bucket_size=64,
         est_margin=0.2,
         verify_sample_mod=4,
     )
