@@ -1290,3 +1290,179 @@ def q576_dedup_corpus(spark, sf_dir):
         est_margin=0.2,
         verify_sample_mod=4,
     )
+
+
+@register(
+    "q577_rendezvous_sharding",
+    """
+    WITH h AS MATERIALIZED (
+      SELECT doc_id, CAST(t.s AS BIGINT) AS s,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                 CAST(t.s AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM documents, UNNEST(range(8)) AS t(s)
+    ),
+    m8 AS (SELECT doc_id, MAX(hv) AS mh FROM h GROUP BY doc_id),
+    a8 AS (SELECT h.doc_id, MAX(h.s) AS shard
+           FROM h JOIN m8 USING (doc_id) WHERE h.hv = m8.mh
+           GROUP BY h.doc_id),
+    m7 AS (SELECT doc_id, MAX(hv) AS mh FROM h WHERE s < 7
+           GROUP BY doc_id),
+    a7 AS (SELECT h.doc_id, MAX(h.s) AS shard
+           FROM h JOIN m7 USING (doc_id)
+           WHERE h.s < 7 AND h.hv = m7.mh
+           GROUP BY h.doc_id)
+    SELECT CAST(a8.shard AS BIGINT) AS from_shard,
+           CAST(a7.shard AS BIGINT) AS to_shard,
+           COUNT(*)::BIGINT AS n_moved
+    FROM a8 JOIN a7 USING (doc_id)
+    WHERE a8.shard <> a7.shard
+    GROUP BY 1, 2
+    """,
+)
+def q577_rendezvous_sharding(spark, sf_dir):
+    """[EXT] Rendezvous (highest-random-weight) sharding stability
+    audit: each document goes to the shard maximizing
+    md5(doc_id:shard), assignments computed for 8 shards and for 7
+    (shard 7 decommissioned), and the (from, to) migration matrix of
+    moved documents returned.  The HRW property — ONLY the removed
+    shard's documents move, and they spread evenly over survivors —
+    is what makes incremental shard rebalancing at 100 TB a 1/S
+    re-shuffle instead of a full one; this query IS the proof on real
+    data (every from_shard row = 7).  Pure narrow expressions: the
+    argmax over 8 seeded hashes is an in-row array_max of structs —
+    no shuffle until the tiny migration-matrix agg."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def assign(n_shards):
+        return F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        T._hash_col(
+                            F.concat_ws(
+                                ":", F.col("doc_id"), F.lit(s)
+                            ),
+                            "md5",
+                        ).alias("h"),
+                        F.lit(s).cast("bigint").alias("s"),
+                    )
+                    for s in range(n_shards)
+                ]
+            )
+        )["s"]
+
+    moved = d.select(
+        assign(8).alias("from_shard"), assign(7).alias("to_shard")
+    ).filter(F.col("from_shard") != F.col("to_shard"))
+    return moved.groupBy("from_shard", "to_shard").agg(
+        F.count(F.lit(1)).alias("n_moved")
+    )
+
+
+@register(
+    "q578_l_diversity",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             COUNT(*)::BIGINT AS n_rows,
+             COUNT(DISTINCT user_id)::BIGINT AS l
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CASE WHEN l < 2 THEN '1'
+                WHEN l < 5 THEN '2-4'
+                WHEN l < 20 THEN '5-19'
+                ELSE '20+' END AS l_band,
+           COUNT(*)::BIGINT AS n_groups,
+           SUM(n_rows)::BIGINT AS n_rows,
+           CAST(MIN(l) AS BIGINT) AS min_l
+    FROM g GROUP BY 1
+    """,
+)
+def q578_l_diversity(spark, sf_dir):
+    """[EXT] l-diversity audit — the sensitive-attribute complement of
+    q235's k-anonymity: per quasi-identifier class (event_type ×
+    hour-of-day), the number of DISTINCT users (l); a class can be
+    k-anonymous yet l=1 (every row the same person → attribute
+    disclosure).  Banded rollup of l with the minimum per band.  One
+    distinct-agg on the quasi-identifier partitioning; the bands are a
+    4-row second agg."""
+    e = _t(spark, sf_dir, "events")
+    g = e.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("l"),
+    )
+    band = (
+        F.when(F.col("l") < 2, "1")
+        .when(F.col("l") < 5, "2-4")
+        .when(F.col("l") < 20, "5-19")
+        .otherwise("20+")
+    )
+    return g.groupBy(band.alias("l_band")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_rows").alias("n_rows"),
+        F.min("l").cast("bigint").alias("min_l"),
+    )
+
+
+@register(
+    "q579_source_interleave",
+    """
+    WITH srcs AS (
+      SELECT source,
+             ROW_NUMBER() OVER (ORDER BY source) - 1 AS src_idx,
+             COUNT(*) OVER () AS n_sources
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                        1, 15))::BIGINT, d.doc_id
+             ) - 1 AS rk
+      FROM documents d
+    )
+    SELECT r.doc_id,
+           CAST(r.rk * s.n_sources + s.src_idx AS BIGINT)
+             AS interleave_pos
+    FROM ranked r JOIN srcs s USING (source)
+    """,
+)
+def q579_source_interleave(spark, sf_dir):
+    """[EXT] Deterministic source-stratified interleave — the
+    pretraining data-order op: documents are hash-shuffled WITHIN each
+    source (content-keyed md5 order, engine- and layout-stable, the
+    q78 sampling discipline) and round-robined across sources, so any
+    prefix of the stream carries every source in proportion and reruns
+    are bit-identical.  interleave_pos = within-source rank × n_sources
+    + source index.  The per-source rank is a PARTITIONED window (per
+    source, scale-safe); the source index table is |sources| rows,
+    broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    srcs = (
+        d.select("source")
+        .distinct()
+        .withColumn(
+            "src_idx",
+            F.row_number().over(Window.orderBy("source")) - 1,
+        )
+        .withColumn(
+            "n_sources", F.count(F.lit(1)).over(Window.partitionBy())
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        T._hash_col(F.col("doc_id").cast("string"), "md5"), "doc_id"
+    )
+    ranked = d.select(
+        "doc_id", "source", (F.row_number().over(w) - 1).alias("rk")
+    )
+    return ranked.join(F.broadcast(srcs), "source").select(
+        "doc_id",
+        (F.col("rk") * F.col("n_sources") + F.col("src_idx"))
+        .cast("bigint")
+        .alias("interleave_pos"),
+    )
