@@ -142,6 +142,47 @@ def minhash_signatures(
     )
 
 
+def _band_rows(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    num_hashes: int,
+    bands: int,
+    exact_buckets: bool,
+) -> DataFrame:
+    """(_id, band, bucket) rows: the signature split into ``bands``
+    slices, bucketed by (band index, slice content) — shared by the
+    self-join (lsh_candidate_pairs) and the batch-vs-corpus
+    (incremental_near_dup_pairs) candidate generators."""
+    rows_per_band = num_hashes // bands
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(
+                    F.col(sig_col), b * rows_per_band + 1, rows_per_band
+                ),
+            )
+        ).alias("band", "band_sig"),
+    )
+    if exact_buckets:
+        return banded.select(
+            "_id",
+            "band",
+            F.concat_ws(
+                "_", F.col("band_sig").cast("array<string>")
+            ).alias("bucket"),
+        )
+    return banded.select(
+        "_id",
+        "band",
+        F.xxhash64(
+            F.col("band_sig").cast("string"), F.col("band")
+        ).alias("bucket"),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -172,32 +213,9 @@ def lsh_candidate_pairs(
     boilerplate bucket is otherwise a quadratic straggler.  With a cap
     set, oversized-bucket detection runs eagerly (one small job at
     call time)."""
-    rows_per_band = num_hashes // bands
-    banded = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
-            )
-        ).alias("band", "band_sig"),
+    banded = _band_rows(
+        df, id_col, sig_col, num_hashes, bands, exact_buckets
     )
-    if exact_buckets:
-        banded = banded.select(
-            "_id",
-            "band",
-            F.concat_ws("_", F.col("band_sig").cast("array<string>")).alias(
-                "bucket"
-            ),
-        )
-    else:
-        banded = banded.select(
-            "_id",
-            "band",
-            F.xxhash64(F.col("band_sig").cast("string"), F.col("band")).alias(
-                "bucket"
-            ),
-        )
     if max_bucket_size is not None:
         # Oversized buckets are RARE by construction (a bucket is a
         # near-exact signature match), so detect them EAGERLY with one
@@ -419,6 +437,85 @@ def minhash_lsh_near_dup_pairs(
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     return verified
+
+
+def incremental_near_dup_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int | None = None,
+    shingle_n: int = 3,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an EXISTING corpus —
+    (batch_id, corpus_id, jaccard) — without ever pairing the corpus
+    against itself: the daily-increment production pattern.  A 100 TB
+    corpus is deduped ONCE (`pipeline.dedup_corpus`); each day's
+    arrivals then run this asymmetric check, whose cost scales with
+    the BATCH (signatures for the corpus are a linear scan that a real
+    deployment persists and reuses — the `sigs`/`sh` frames here are
+    exactly the tables to materialize as the index).
+
+    Candidates come from a band-bucket EQUI join of batch bands against
+    corpus bands (never a self-join side); verification intersects
+    hashed shingle sets only for candidates.  Banding defaults to the
+    q46 threshold-knee rule."""
+    if bands is None:
+        bands = 1
+        for b in range(1, num_hashes + 1):
+            if num_hashes % b:
+                continue
+            r = num_hashes // b
+            if (1.0 / b) ** (1.0 / r) >= threshold:
+                bands = b
+        bands = max(bands, 1)
+    exact = hash_fn == "md5"
+
+    def sigs_of(df):
+        return minhash_signatures(
+            df, id_col, text_col, num_hashes, shingle_n, seed, hash_fn
+        )
+
+    bb = _band_rows(
+        sigs_of(batch), id_col, "sig", num_hashes, bands, exact
+    ).select(F.col("_id").alias("batch_id"), "band", "bucket")
+    cb = _band_rows(
+        sigs_of(corpus), id_col, "sig", num_hashes, bands, exact
+    ).select(F.col("_id").alias("corpus_id"), "band", "bucket")
+    cands = bb.join(cb, ["band", "bucket"]).select(
+        "batch_id", "corpus_id"
+    ).distinct()
+
+    def sh_of(df, out):
+        return df.select(
+            F.col(id_col).alias(out),
+            F.array_distinct(
+                F.transform(
+                    T.char_shingles(text_col, n=shingle_n, distinct=True),
+                    lambda s: T._hash_col(s, hash_fn),
+                )
+            ).alias(f"_sh_{out}"),
+        )
+
+    return (
+        cands.join(sh_of(batch, "batch_id"), "batch_id")
+        .join(sh_of(corpus, "corpus_id"), "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.size(
+                F.array_intersect("_sh_batch_id", "_sh_corpus_id")
+            ).cast("double")
+            / F.size(F.array_union("_sh_batch_id", "_sh_corpus_id")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "batch_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+        )
+    )
 
 
 def winnowing_fingerprints(

@@ -1466,3 +1466,90 @@ def q579_source_interleave(spark, sf_dir):
         .cast("bigint")
         .alias("interleave_pos"),
     )
+
+
+def _incremental_dedup_oracle_sql(
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """Two-sided replica of incremental_near_dup_pairs (md5 variant):
+    batch = doc_id % 10 = 3, corpus = the rest; band buckets joined
+    ACROSS sides only, exact-Jaccard verification."""
+    a, b = D._hash_coeffs(num_hashes, seed)
+    p = D._MERSENNE
+    mins = ",\n             ".join(
+        f"MIN(({int(a[i])} * x + {int(b[i])}) % {p}) AS m{i}"
+        for i in range(num_hashes)
+    )
+    r = num_hashes // bands
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, '{j}:' || {expr} AS bucket FROM sig".format(
+            j=j,
+            expr=" || '_' || ".join(f"m{j * r + i}" for i in range(r)),
+        )
+        for j in range(bands)
+    )
+    return f"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id, doc_id % 10 = 3 AS is_batch,
+             list_distinct(list_transform(
+               range(1, GREATEST(length(text) - {shingle_n - 1}, 0) + 1),
+               i -> substr(text, i, {shingle_n}))) AS grams
+      FROM documents
+    ),
+    ids AS MATERIALIZED (
+      SELECT doc_id,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % {p} AS x
+      FROM (SELECT doc_id, UNNEST(grams) AS g FROM sh)
+    ),
+    sig AS MATERIALIZED (
+      SELECT doc_id,
+             {mins}
+      FROM ids GROUP BY doc_id
+    ),
+    bnd AS MATERIALIZED (
+      {band_rows}
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+      FROM bnd b
+      JOIN sh sb ON sb.doc_id = b.doc_id AND sb.is_batch
+      JOIN bnd c ON c.bucket = b.bucket
+      JOIN sh sc ON sc.doc_id = c.doc_id AND NOT sc.is_batch
+    )
+    SELECT batch_id, corpus_id,
+           ROUND(CAST(len(list_filter(sa.grams,
+                     g -> list_contains(sb.grams, g))) AS DOUBLE)
+            / (len(sa.grams) + len(sb.grams)
+               - len(list_filter(sa.grams,
+                     g -> list_contains(sb.grams, g)))), 6) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = batch_id
+    JOIN sh sb ON sb.doc_id = corpus_id
+    WHERE CAST(len(list_filter(sa.grams,
+                  g -> list_contains(sb.grams, g))) AS DOUBLE)
+          / (len(sa.grams) + len(sb.grams)
+             - len(list_filter(sa.grams,
+                   g -> list_contains(sb.grams, g)))) >= {threshold}
+    """
+
+
+@register("q580_incremental_dedup", _incremental_dedup_oracle_sql())
+def q580_incremental_dedup(spark, sf_dir):
+    """[EXT] Incremental batch-vs-corpus near-dup check
+    (`operators/dedup.py incremental_near_dup_pairs`): a synthetic
+    daily batch (doc_id % 10 = 3) screened against the rest of the
+    corpus via a band-bucket equi join that NEVER pairs the corpus
+    with itself — the production pattern whose cost scales with the
+    batch, not the corpus.  md5 variant; the oracle replicates both
+    sides' banding and the exact-Jaccard verify."""
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 10 == 3)
+    corpus = d.filter(F.col("doc_id") % 10 != 3)
+    return D.incremental_near_dup_pairs(
+        corpus, batch, "doc_id", "text",
+        threshold=0.5, num_hashes=32, shingle_n=5, hash_fn="md5",
+    )
