@@ -177,12 +177,23 @@ def global_cumsum(
         d.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect(),
         key=lambda r: r["_pid"],
     )
-    offsets, acc = [], 0.0
+    # offsets keep the SUM's own dtype: long sums stay exact integers
+    # (a double offset would silently lose exactness past 2^53 —
+    # reachable row/token counts at the 100 TB target), doubles stay
+    # doubles
+    sum_type = dict(
+        d.groupBy("_pid").agg(F.sum(value_col).alias("s")).dtypes
+    )["s"]
+    is_integral = sum_type in ("bigint", "int", "smallint", "tinyint")
+    offsets = []
+    acc = 0 if is_integral else 0.0
     for r in sums:
         offsets.append((r["_pid"], acc))
-        acc += r["s"] or 0.0
+        acc += r["s"] if r["s"] is not None else (0 if is_integral else 0.0)
     spark = df.sparkSession
-    off = spark.createDataFrame(offsets, "_pid int, _off double")
+    off = spark.createDataFrame(
+        offsets, f"_pid int, _off {'bigint' if is_integral else 'double'}"
+    )
     return (
         d.join(F.broadcast(off), "_pid")
         .withColumn(cum_col, F.col("_off") + F.col("_lcs"))

@@ -252,3 +252,16 @@ def test_global_cumsum_matches_window_cumsum(spark):
         ).collect()
     }
     assert got == want
+
+    # long-typed sums stay exact integers (no double round-trip):
+    # values near 2^53 would corrupt under a double offset
+    big = spark.range(6).select(
+        F.col("id"), (F.lit(1 << 53) + F.col("id")).alias("v")
+    )
+    out = global_cumsum(big, ["id"], "v", num_partitions=3)
+    rows = {r["id"]: r["cum"] for r in out.collect()}
+    acc = 0
+    for i in range(6):
+        acc += (1 << 53) + i
+        assert rows[i] == acc, (i, rows[i], acc)
+    assert dict(out.dtypes)["cum"] == "bigint"
