@@ -1553,3 +1553,188 @@ def q580_incremental_dedup(spark, sf_dir):
         corpus, batch, "doc_id", "text",
         threshold=0.5, num_hashes=32, shingle_n=5, hash_fn="md5",
     )
+
+
+@register(
+    "q581_bpe_merge_candidates",
+    r"""
+    WITH wc AS (
+      SELECT w, COUNT(*)::BIGINT AS cnt FROM (
+        SELECT UNNEST(list_filter(
+                 string_split_regex(trim(lower(text)), '\s+'),
+                 x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, cnt
+      FROM wc, UNNEST(range(1, length(w))) AS t(i)
+      WHERE length(w) >= 2
+    ),
+    scored AS (
+      SELECT pair, SUM(cnt)::BIGINT AS weighted_count
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, weighted_count
+    FROM scored
+    ORDER BY weighted_count DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def q581_bpe_merge_candidates(spark, sf_dir):
+    """[EXT] One BPE vocabulary-induction step: the top-20 adjacent
+    character pairs by corpus-frequency-weighted count — exactly the
+    merge-candidate table a byte-pair-encoding trainer scores each
+    round (subsequent rounds re-run the same plan over the merged
+    symbol stream).  Shape: word-count agg (Zipf-bounded) → in-array
+    pair build over the COLLAPSED vocab (pair work ∝ Σ|word|, not
+    corpus size) → pair agg → TakeOrdered."""
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(T.words(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = wc.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("weighted_count"))
+        .orderBy(F.desc("weighted_count"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+def _lsh_recall_oracle_sql(
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+    id_cap: int = 300,
+) -> str:
+    """Exact pair set (full inverted-index Jaccard) vs the banded LSH
+    pair set on the same slice — measured recall + candidate
+    efficiency, every stage md5-replicated."""
+    a, b = D._hash_coeffs(num_hashes, seed)
+    p = D._MERSENNE
+    mins = ",\n             ".join(
+        f"MIN(({int(a[i])} * x + {int(b[i])}) % {p}) AS m{i}"
+        for i in range(num_hashes)
+    )
+    r = num_hashes // bands
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, '{j}:' || {expr} AS bucket FROM sig".format(
+            j=j,
+            expr=" || '_' || ".join(f"m{j * r + i}" for i in range(r)),
+        )
+        for j in range(bands)
+    )
+    jac = (
+        "CAST(len(list_filter(sa.grams, g -> list_contains(sb.grams, g)))"
+        " AS DOUBLE) / (len(sa.grams) + len(sb.grams)"
+        " - len(list_filter(sa.grams, g -> list_contains(sb.grams, g))))"
+    )
+    return f"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, GREATEST(length(text) - {shingle_n - 1}, 0) + 1),
+               i -> substr(text, i, {shingle_n}))) AS grams
+      FROM documents WHERE doc_id < {id_cap}
+    ),
+    inv AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+    exact AS MATERIALIZED (
+      SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
+      FROM (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM inv a JOIN inv b
+              ON a.g = b.g AND a.doc_id < b.doc_id) c
+      JOIN sh sa ON sa.doc_id = c.ida
+      JOIN sh sb ON sb.doc_id = c.idb
+      WHERE {jac} >= {threshold}
+    ),
+    ids AS MATERIALIZED (
+      SELECT doc_id,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % {p} AS x
+      FROM inv
+    ),
+    sig AS MATERIALIZED (
+      SELECT doc_id,
+             {mins}
+      FROM ids GROUP BY doc_id
+    ),
+    bnd AS MATERIALIZED (
+      {band_rows}
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bnd a JOIN bnd b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    lsh AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+      WHERE {jac} >= {threshold}
+    )
+    SELECT (SELECT COUNT(*) FROM exact)::BIGINT AS n_exact,
+           (SELECT COUNT(*) FROM lsh)::BIGINT AS n_lsh,
+           (SELECT COUNT(*) FROM cand)::BIGINT AS n_candidates,
+           ROUND((SELECT COUNT(*) FROM lsh)
+                 / GREATEST((SELECT COUNT(*) FROM exact), 1)::DOUBLE, 6)
+             AS recall,
+           ROUND((SELECT COUNT(*) FROM lsh)
+                 / GREATEST((SELECT COUNT(*) FROM cand), 1)::DOUBLE, 6)
+             AS verify_efficiency
+    """
+
+
+@register("q582_lsh_measured_recall", _lsh_recall_oracle_sql())
+def q582_lsh_measured_recall(spark, sf_dir):
+    """[EXT] MEASURED banding recall on real data — the empirical
+    companion to q274's analytic S-curve: the exact ≥-threshold pair
+    set (full inverted-index Jaccard) vs the banded-LSH pair set on
+    the same 300-doc slice, plus candidate efficiency (verified /
+    candidates).  This is the audit a pipeline runs before trusting a
+    (num_hashes, bands) configuration at corpus scale; every stage is
+    deterministic md5, so recall itself is value-checked."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    exact = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=5, threshold=0.5, max_df=100000
+    ).select("id_a", "id_b")
+    sigs = D.minhash_signatures(
+        d, "doc_id", "text", 32, 5, 42, "md5"
+    ).withColumnRenamed("doc_id", "_id")
+    cand = D.lsh_candidate_pairs(
+        sigs, "_id", "sig", 32, 8, exact_buckets=True
+    )
+    lsh = D.minhash_lsh_near_dup_pairs(
+        d, "doc_id", "text", threshold=0.5, num_hashes=32,
+        shingle_n=5, hash_fn="md5",
+    ).select("id_a", "id_b")
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_cand = cand.count()
+    spark_ = d.sparkSession
+    return spark_.createDataFrame(
+        [(n_exact, n_lsh, n_cand)],
+        "n_exact long, n_lsh long, n_candidates long",
+    ).select(
+        "n_exact",
+        "n_lsh",
+        "n_candidates",
+        F.round(
+            F.col("n_lsh") / F.greatest(F.col("n_exact"), F.lit(1)), 6
+        ).alias("recall"),
+        F.round(
+            F.col("n_lsh") / F.greatest(F.col("n_candidates"), F.lit(1)),
+            6,
+        ).alias("verify_efficiency"),
+    )
