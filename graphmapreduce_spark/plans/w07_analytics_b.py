@@ -50,15 +50,19 @@ def q293_spearman_rank(spark, sf_dir):
     toks = toks.localCheckpoint(eager=False)
 
     def half_ranks(parity):
+        # a web-scale vocab is itself 10⁸+ terms: rank via the
+        # range-partitioned global_rank, not a single-task window
+        from graphmapreduce_spark.operators import sort as GS
+
         h = (
             toks.filter(F.col("doc_id") % 2 == parity)
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        w = Window.orderBy(F.col("c").desc(), F.col("term").asc())
-        return h.select(
-            "term", F.row_number().over(w).alias(f"r{parity}")
-        )
+        return GS.global_rank(
+            h, [F.col("c").desc(), F.col("term").asc()],
+            rank_col=f"r{parity}",
+        ).select("term", f"r{parity}")
 
     j = half_ranks(0).join(half_ranks(1), "term")
     return j.agg(
