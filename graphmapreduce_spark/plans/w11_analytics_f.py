@@ -1738,3 +1738,132 @@ def q582_lsh_measured_recall(spark, sf_dir):
             6,
         ).alias("verify_efficiency"),
     )
+
+
+def _streaming_ingest_oracle_sql(
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """Batch-equivalent of the streaming ingest filter: accepted =
+    batch docs with NO ≥threshold near-dup in the static corpus
+    (the q580 two-sided pipeline ending in an anti-join)."""
+    a, b = D._hash_coeffs(num_hashes, seed)
+    p = D._MERSENNE
+    mins = ",\n             ".join(
+        f"MIN(({int(a[i])} * x + {int(b[i])}) % {p}) AS m{i}"
+        for i in range(num_hashes)
+    )
+    r = num_hashes // bands
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, '{j}:' || {expr} AS bucket FROM sig".format(
+            j=j,
+            expr=" || '_' || ".join(f"m{j * r + i}" for i in range(r)),
+        )
+        for j in range(bands)
+    )
+    jac = (
+        "CAST(len(list_filter(sa.grams, g -> list_contains(sb.grams, g)))"
+        " AS DOUBLE) / (len(sa.grams) + len(sb.grams)"
+        " - len(list_filter(sa.grams, g -> list_contains(sb.grams, g))))"
+    )
+    return f"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id, doc_id % 10 = 3 AS is_batch,
+             list_distinct(list_transform(
+               range(1, GREATEST(length(text) - {shingle_n - 1}, 0) + 1),
+               i -> substr(text, i, {shingle_n}))) AS grams
+      FROM documents
+    ),
+    ids AS MATERIALIZED (
+      SELECT doc_id,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % {p} AS x
+      FROM (SELECT doc_id, UNNEST(grams) AS g FROM sh)
+    ),
+    sig AS MATERIALIZED (
+      SELECT doc_id,
+             {mins}
+      FROM ids GROUP BY doc_id
+    ),
+    bnd AS MATERIALIZED (
+      {band_rows}
+    ),
+    matched AS MATERIALIZED (
+      SELECT DISTINCT b.doc_id AS batch_id
+      FROM bnd b
+      JOIN sh xb ON xb.doc_id = b.doc_id AND xb.is_batch
+      JOIN bnd c ON c.bucket = b.bucket
+      JOIN sh xc ON xc.doc_id = c.doc_id AND NOT xc.is_batch
+      JOIN sh sa ON sa.doc_id = b.doc_id
+      JOIN sh sb ON sb.doc_id = c.doc_id
+      WHERE {jac} >= {threshold}
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id % 10 = 3
+      AND doc_id NOT IN (SELECT batch_id FROM matched)
+    """
+
+
+@register(
+    "q583_streaming_dedup_ingest", _streaming_ingest_oracle_sql()
+)
+def q583_streaming_dedup_ingest(spark, sf_dir):
+    """[EXT] Streaming ingest dedup — the daily-arrival pattern END TO
+    END: new documents arrive as a file stream (2 micro-batches via
+    maxFilesPerTrigger), each micro-batch is screened against the
+    STATIC deduped corpus with `incremental_near_dup_pairs`
+    (foreachBatch), and only documents with no ≥threshold near-dup in
+    the corpus reach the sink.  The oracle is the batch-equivalent
+    anti-join — valid because banding is per-document deterministic,
+    so the micro-batch split cannot change the accepted set.  A real
+    deployment persists the corpus band index; here it recomputes per
+    batch (the plan shape under test is the candidate equi join)."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = (
+        d.filter(F.col("doc_id") % 10 != 3)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    batch_docs = d.filter(F.col("doc_id") % 10 == 3).select(
+        "doc_id", "text"
+    )
+    srcdir = tempfile.mkdtemp(prefix="gmr_ingest_src_")
+    batch_docs.coalesce(2).write.mode("overwrite").parquet(srcdir)
+    outdir = tempfile.mkdtemp(prefix="gmr_ingest_out_")
+
+    def ingest(bdf, _bid):
+        hits = (
+            D.incremental_near_dup_pairs(
+                corpus, bdf, "doc_id", "text",
+                threshold=0.5, num_hashes=32, shingle_n=5,
+                hash_fn="md5",
+            )
+            .select(F.col("batch_id").alias("doc_id"))
+            .distinct()
+        )
+        bdf.join(hits, "doc_id", "left_anti").select(
+            "doc_id"
+        ).write.mode("append").parquet(outdir)
+
+    q = (
+        spark.readStream.schema(batch_docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcdir)
+        .writeStream.foreachBatch(ingest)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="gmr_ckpt_ingest_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not _glob.glob(_os.path.join(outdir, "*.parquet")):
+        return spark.createDataFrame([], "doc_id long")
+    return spark.read.parquet(outdir)
