@@ -1867,3 +1867,69 @@ def q583_streaming_dedup_ingest(spark, sf_dir):
     if not _glob.glob(_os.path.join(outdir, "*.parquet")):
         return spark.createDataFrame([], "doc_id long")
     return spark.read.parquet(outdir)
+
+
+@register(
+    "q584_dedup_token_accounting",
+    _dedup_corpus_oracle_sql().replace(
+        "(SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)\n"
+        "    SELECT e.doc_id, COALESCE(c.cluster, e.rep) AS canonical_id\n"
+        "    FROM ex e LEFT JOIN clusters c ON c.id = e.rep",
+        r"""(SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+    canon AS (
+      SELECT e.doc_id, COALESCE(c.cluster, e.rep) AS canonical_id
+      FROM ex e LEFT JOIN clusters c ON c.id = e.rep
+    )
+    SELECT d.source,
+           COUNT(*)::BIGINT AS n_docs_total,
+           SUM(CASE WHEN cn.canonical_id = d.doc_id
+                    THEN 1 ELSE 0 END)::BIGINT AS n_docs_kept,
+           SUM(CASE WHEN cn.canonical_id = d.doc_id
+                    THEN len(list_filter(
+                           string_split_regex(trim(d.text), '\s+'),
+                           x -> x <> ''))
+                    ELSE 0 END)::BIGINT AS tokens_kept,
+           ROUND(SUM(CASE WHEN cn.canonical_id = d.doc_id
+                          THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
+             AS kept_share
+    FROM documents d JOIN canon cn ON cn.doc_id = d.doc_id
+    GROUP BY d.source""",
+    ),
+)
+def q584_dedup_token_accounting(spark, sf_dir):
+    """[EXT] Dedup-aware per-source token accounting — the dataset-card
+    number: after the full `dedup_corpus` recipe, how many documents
+    and whitespace tokens each source actually CONTRIBUTES (its kept
+    canonical docs), and what fraction of its raw volume survives.  A
+    source whose kept_share is far below the others is mostly
+    duplicating the corpus — the budget-reallocation signal q231's
+    within-source inflation can't see.  One recipe pass + one
+    source-keyed agg."""
+    from graphmapreduce_spark import pipeline as P
+
+    d = _t(spark, sf_dir, "documents")
+    canon = P.dedup_corpus(
+        d, "doc_id", "text", threshold=0.5, num_hashes=32,
+        shingle_n=5, hash_fn="md5", max_bucket_size=64,
+        est_margin=0.2, verify_sample_mod=4,
+    )
+    kept = F.col("canonical_id") == F.col("doc_id")
+    return (
+        d.select("doc_id", "source", F.size(T.words("text")).alias("_nt"))
+        .join(canon, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_total"),
+            F.sum(F.when(kept, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_kept"),
+            F.sum(F.when(kept, F.col("_nt")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.round(
+                F.sum(F.when(kept, 1.0).otherwise(0.0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("kept_share"),
+        )
+    )
