@@ -439,8 +439,68 @@ def minhash_lsh_near_dup_pairs(
     return verified
 
 
-def incremental_near_dup_pairs(
+def _knee_bands(num_hashes: int, threshold: float) -> int:
+    """Largest divisor banding whose S-curve knee sits at ``threshold``
+    (the q46 rule, shared by all banded generators)."""
+    bands = 1
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        if (1.0 / b) ** (1.0 / r) >= threshold:
+            bands = b
+    return max(bands, 1)
+
+
+def build_near_dup_index(
     corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int | None = None,
+    shingle_n: int = 3,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> dict:
+    """The PERSISTABLE near-dup index of a corpus: a dict with two
+    DataFrames — ``bands`` (corpus_id, band, bucket) and ``shingles``
+    (corpus_id, _sh_corpus_id hashed shingle array) — plus the banding
+    parameters that arriving batches must reuse.  Write both frames to
+    parquet ONCE after corpus dedup; every daily
+    `incremental_near_dup_pairs(corpus_index=...)` call then skips the
+    corpus-side signature/shingle scans entirely — the 100 TB corpus
+    is never re-read for an arriving batch."""
+    if bands is None:
+        bands = _knee_bands(num_hashes, threshold)
+    sigs = minhash_signatures(
+        corpus, id_col, text_col, num_hashes, shingle_n, seed, hash_fn
+    )
+    bands_df = _band_rows(
+        sigs, id_col, "sig", num_hashes, bands, hash_fn == "md5"
+    ).select(F.col("_id").alias("corpus_id"), "band", "bucket")
+    shingles_df = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.array_distinct(
+            F.transform(
+                T.char_shingles(text_col, n=shingle_n, distinct=True),
+                lambda s: T._hash_col(s, hash_fn),
+            )
+        ).alias("_sh_corpus_id"),
+    )
+    return {
+        "bands": bands_df,
+        "shingles": shingles_df,
+        "num_hashes": num_hashes,
+        "bands_n": bands,
+        "shingle_n": shingle_n,
+        "seed": seed,
+        "hash_fn": hash_fn,
+    }
+
+
+def incremental_near_dup_pairs(
+    corpus: DataFrame | None,
     batch: DataFrame,
     id_col: str,
     text_col: str,
@@ -450,60 +510,65 @@ def incremental_near_dup_pairs(
     shingle_n: int = 3,
     seed: int = 42,
     hash_fn: str = "xxhash64",
+    corpus_index: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and an EXISTING corpus —
     (batch_id, corpus_id, jaccard) — without ever pairing the corpus
     against itself: the daily-increment production pattern.  A 100 TB
     corpus is deduped ONCE (`pipeline.dedup_corpus`); each day's
     arrivals then run this asymmetric check, whose cost scales with
-    the BATCH (signatures for the corpus are a linear scan that a real
-    deployment persists and reuses — the `sigs`/`sh` frames here are
-    exactly the tables to materialize as the index).
+    the BATCH.
+
+    Pass ``corpus_index`` (from `build_near_dup_index`, typically
+    re-read from parquet) to skip the corpus-side signature/shingle
+    scans — banding parameters then come FROM the index so batch and
+    corpus buckets stay compatible; ``corpus`` may be None.
 
     Candidates come from a band-bucket EQUI join of batch bands against
     corpus bands (never a self-join side); verification intersects
     hashed shingle sets only for candidates.  Banding defaults to the
     q46 threshold-knee rule."""
-    if bands is None:
-        bands = 1
-        for b in range(1, num_hashes + 1):
-            if num_hashes % b:
-                continue
-            r = num_hashes // b
-            if (1.0 / b) ** (1.0 / r) >= threshold:
-                bands = b
-        bands = max(bands, 1)
+    if corpus_index is not None:
+        num_hashes = corpus_index["num_hashes"]
+        bands = corpus_index["bands_n"]
+        shingle_n = corpus_index["shingle_n"]
+        seed = corpus_index["seed"]
+        hash_fn = corpus_index["hash_fn"]
+        cb = corpus_index["bands"]
+        corpus_sh = corpus_index["shingles"]
+    else:
+        if bands is None:
+            bands = _knee_bands(num_hashes, threshold)
+        idx = build_near_dup_index(
+            corpus, id_col, text_col, threshold, num_hashes, bands,
+            shingle_n, seed, hash_fn,
+        )
+        cb = idx["bands"]
+        corpus_sh = idx["shingles"]
     exact = hash_fn == "md5"
 
-    def sigs_of(df):
-        return minhash_signatures(
-            df, id_col, text_col, num_hashes, shingle_n, seed, hash_fn
-        )
-
     bb = _band_rows(
-        sigs_of(batch), id_col, "sig", num_hashes, bands, exact
+        minhash_signatures(
+            batch, id_col, text_col, num_hashes, shingle_n, seed, hash_fn
+        ),
+        id_col, "sig", num_hashes, bands, exact,
     ).select(F.col("_id").alias("batch_id"), "band", "bucket")
-    cb = _band_rows(
-        sigs_of(corpus), id_col, "sig", num_hashes, bands, exact
-    ).select(F.col("_id").alias("corpus_id"), "band", "bucket")
     cands = bb.join(cb, ["band", "bucket"]).select(
         "batch_id", "corpus_id"
     ).distinct()
 
-    def sh_of(df, out):
-        return df.select(
-            F.col(id_col).alias(out),
-            F.array_distinct(
-                F.transform(
-                    T.char_shingles(text_col, n=shingle_n, distinct=True),
-                    lambda s: T._hash_col(s, hash_fn),
-                )
-            ).alias(f"_sh_{out}"),
-        )
-
+    batch_sh = batch.select(
+        F.col(id_col).alias("batch_id"),
+        F.array_distinct(
+            F.transform(
+                T.char_shingles(text_col, n=shingle_n, distinct=True),
+                lambda s: T._hash_col(s, hash_fn),
+            )
+        ).alias("_sh_batch_id"),
+    )
     return (
-        cands.join(sh_of(batch, "batch_id"), "batch_id")
-        .join(sh_of(corpus, "corpus_id"), "corpus_id")
+        cands.join(batch_sh, "batch_id")
+        .join(corpus_sh, "corpus_id")
         .withColumn(
             "jaccard",
             F.size(

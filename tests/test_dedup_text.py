@@ -680,3 +680,39 @@ def test_dedup_corpus_bucket_cap_keeps_clusters_connected(spark):
     assert capped[99] == 99
     assert len({v for k, v in capped.items() if k != 99}) == 1
     assert capped == uncapped
+
+
+def test_incremental_near_dup_index_reuse(spark, docs, tmp_path):
+    """A parquet-persisted band index produces pair-for-pair the same
+    result as recomputing the corpus side — the daily-increment
+    contract: the corpus is scanned once at index-build time, never
+    per batch."""
+    corpus = docs.filter("doc_id <= 3")
+    batch = docs.filter("doc_id > 3")
+    direct = {
+        (r["batch_id"], r["corpus_id"]): r["jaccard"]
+        for r in D.incremental_near_dup_pairs(
+            corpus, batch, "doc_id", "text",
+            threshold=0.3, num_hashes=32, shingle_n=3, hash_fn="md5",
+        ).collect()
+    }
+    idx = D.build_near_dup_index(
+        corpus, "doc_id", "text",
+        threshold=0.3, num_hashes=32, shingle_n=3, hash_fn="md5",
+    )
+    bp, sp = str(tmp_path / "bands"), str(tmp_path / "shingles")
+    idx["bands"].write.parquet(bp)
+    idx["shingles"].write.parquet(sp)
+    reloaded = {
+        **idx,
+        "bands": spark.read.parquet(bp),
+        "shingles": spark.read.parquet(sp),
+    }
+    via_index = {
+        (r["batch_id"], r["corpus_id"]): r["jaccard"]
+        for r in D.incremental_near_dup_pairs(
+            None, batch, "doc_id", "text",
+            threshold=0.3, corpus_index=reloaded,
+        ).collect()
+    }
+    assert via_index == direct and len(direct) > 0
