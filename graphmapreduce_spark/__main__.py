@@ -98,7 +98,7 @@ def main(argv: list[str] | None = None) -> int:
             "labelprop", "louvain", "mis", "harmonic",
             "closeness", "betweenness", "edgebetweenness", "eccentricity",
             "hits", "katz", "eigenvector", "reciprocity",
-            "coloring", "adamicadar",
+            "coloring", "adamicadar", "matching",
         ],
     )
     p.add_argument(
@@ -183,6 +183,8 @@ def main(argv: list[str] | None = None) -> int:
         res = alg.maximal_independent_set(g).orderBy("id")
     elif args.algorithm == "coloring":
         res = alg.greedy_coloring(g).orderBy("id")
+    elif args.algorithm == "matching":
+        res = alg.maximal_matching(g).orderBy("a", "b")
     elif args.algorithm == "adamicadar":
         res = alg.adamic_adar(g).orderBy("id_a", "id_b")
     elif args.algorithm in (

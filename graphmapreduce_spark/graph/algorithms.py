@@ -1617,6 +1617,95 @@ def harmonic_centrality(
     )
 
 
+def maximal_matching(
+    graph: PropertyGraph, max_iter: int = 100
+) -> DataFrame:
+    """Distributed greedy MAXIMAL matching via the mutual-minimum
+    handshake (the classic BSP matching: Israeli–Itai shape with
+    deterministic id priorities): each round every still-unmatched
+    vertex proposes to its smallest unmatched neighbor, edges whose
+    endpoints propose to EACH OTHER join the matching, and both
+    endpoints leave the game.  At least the locally-minimal edges
+    shake hands every round (following smaller-neighbor pointers is
+    strictly decreasing, so a mutual pair always exists), giving
+    classical expected O(log n) rounds on id-spread graphs.  Returns
+    (a, b) matched edges with a < b — disjoint by construction, and
+    MAXIMAL: on exit no surviving edge has two unmatched endpoints.
+
+    Per round: one neighbor-min agg + one self-join of the proposal
+    table + two semi-join shrinks of the active edge set, lineage
+    truncated by eager localCheckpoints and the LineageSeverer past
+    the chain cliff; one O(1) driver emptiness probe.  Raises if
+    ``max_iter`` rounds don't drain the edge set — a silently partial
+    matching is not maximal."""
+    from graphmapreduce_spark.graph.sever import (
+        SEVER_INTERVAL as _SI,
+        LineageSeverer as _LS,
+    )
+
+    sym = (
+        graph.edges.select("src", "dst")
+        .unionByName(
+            graph.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = sym
+    matched_parts = []
+    severer = None
+    for rnd in range(max_iter):
+        if edges.isEmpty():
+            break
+        if rnd and rnd % _SI == 0:
+            if severer is None:
+                severer = _LS(edges.sparkSession, tag="matching")
+            edges = severer.sever(edges)
+        prop = edges.groupBy("src").agg(F.min("dst").alias("to"))
+        mutual = (
+            prop.join(
+                prop.select(
+                    F.col("src").alias("to"), F.col("to").alias("back")
+                ),
+                "to",
+            )
+            .filter(F.col("back") == F.col("src"))
+            .filter(F.col("src") < F.col("to"))
+            .select(F.col("src").alias("a"), F.col("to").alias("b"))
+            .localCheckpoint(eager=True)
+        )
+        matched_parts.append(mutual)
+        gone = mutual.select(F.col("a").alias("id")).unionByName(
+            mutual.select(F.col("b").alias("id"))
+        )
+        edges = (
+            edges.join(
+                gone.withColumnRenamed("id", "src"), "src", "left_anti"
+            )
+            .join(
+                gone.withColumnRenamed("id", "dst"), "dst", "left_anti"
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"maximal_matching did not drain in {max_iter} rounds"
+        )
+    if not matched_parts:
+        return (
+            graph.edges.select(
+                F.col("src").alias("a"), F.col("dst").alias("b")
+            ).limit(0)
+        )
+    out = matched_parts[0]
+    for p in matched_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def maximal_independent_set(graph: PropertyGraph, max_iter: int = 60) -> DataFrame:
     """Luby's parallel MIS with DETERMINISTIC priorities: vertex v joins
     the independent set when its priority (portable md5-60bit of the id)

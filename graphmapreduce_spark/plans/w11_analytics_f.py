@@ -1933,3 +1933,28 @@ def q584_dedup_token_accounting(spark, sf_dir):
             ).alias("kept_share"),
         )
     )
+
+
+@register("q585_maximal_matching", None)  # iterative — pytest-covered
+def q585_maximal_matching(spark, sf_dir):
+    """[EXT] Distributed maximal matching (mutual-minimum handshake,
+    `graph/algorithms.py maximal_matching`) over the derived
+    customer→order-priority edge table: disjoint matched pairs whose
+    maximality is pytest-gated (goldens + no-unmatched-edge invariant
+    in tests/test_graph_algorithms.py); rows-only by design like the
+    other data-dependent-round iterative algorithms."""
+    from graphmapreduce_spark.graph.property_graph import PropertyGraph
+
+    od = _t(spark, sf_dir, "orders")
+    edges = (
+        od.filter(F.col("o_orderkey") % 7 < 2)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (
+                F.col("o_orderkey") % 500 + 100000
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+    g = PropertyGraph.from_edges(edges)
+    return alg.maximal_matching(g).orderBy("a", "b")

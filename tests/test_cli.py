@@ -106,6 +106,7 @@ def test_cli_every_remaining_algorithm_branch():
         ("labelprop", []),
         ("louvain", []),
         ("mis", []),
+        ("matching", []),
     ):
         out = subprocess.run(
             [sys.executable, "-m", "graphmapreduce_spark",

@@ -932,3 +932,31 @@ def test_lineage_severer_close_and_atexit_registration(spark):
     s2 = sv.LineageSeverer(spark, tag="testatexit")
     sv._close_all()
     assert not os.path.exists(s2.dir)
+
+
+def test_maximal_matching_invariants_and_goldens(spark):
+    """Mutual-minimum handshake matching: disjoint edges, MAXIMALITY
+    (no surviving edge between two unmatched vertices), and exact
+    goldens on a path and a star."""
+    # path 1-2-3-4: round 1 matches (1,2); round 2 matches (3,4)
+    g = make_graph(spark, PATH5[:3])  # edges 1-2,2-3,3-4
+    m = {(r["a"], r["b"]) for r in alg.maximal_matching(g).collect()}
+    assert m == {(1, 2), (3, 4)}
+    # star 1-{2..6}: exactly one matched edge, (1,2)
+    star = make_graph(spark, [(1, i, 1.0) for i in range(2, 7)])
+    ms = {(r["a"], r["b"]) for r in alg.maximal_matching(star).collect()}
+    assert ms == {(1, 2)}
+    # K4 both directions: 2 disjoint edges, all 4 vertices covered
+    k4 = make_graph(spark, K4)
+    mk = {(r["a"], r["b"]) for r in alg.maximal_matching(k4).collect()}
+    touched = [v for e in mk for v in e]
+    assert len(mk) == 2 and len(touched) == len(set(touched)) == 4
+    # maximality on a random-ish graph: no edge joins two unmatched
+    rows = [(i, (i * 7) % 23 + 1, 1.0) for i in range(1, 23)
+            if i != (i * 7) % 23 + 1]
+    gr = make_graph(spark, rows)
+    mm = {(r["a"], r["b"]) for r in alg.maximal_matching(gr).collect()}
+    matched_v = {v for e in mm for v in e}
+    assert len(matched_v) == 2 * len(mm)  # disjoint
+    for s, d, _ in rows:
+        assert s in matched_v or d in matched_v, (s, d, mm)
