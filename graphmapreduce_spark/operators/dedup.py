@@ -528,6 +528,11 @@ def incremental_near_dup_pairs(
     corpus bands (never a self-join side); verification intersects
     hashed shingle sets only for candidates.  Banding defaults to the
     q46 threshold-knee rule."""
+    if corpus is None and corpus_index is None:
+        raise ValueError(
+            "incremental_near_dup_pairs needs either a corpus DataFrame"
+            " or a corpus_index from build_near_dup_index"
+        )
     if corpus_index is not None:
         num_hashes = corpus_index["num_hashes"]
         bands = corpus_index["bands_n"]
