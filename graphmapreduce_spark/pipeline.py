@@ -76,6 +76,7 @@ def dedup_corpus(
     est_margin: float | None = 0.2,
     verify_sample_mod: int | None = 4,
     max_iter: int = 50,
+    prefer: str | None = None,
 ) -> DataFrame:
     """The production 100 TB dedup recipe as ONE composed operator
     (BASELINE.md's prescription, previously prose): exact-dedup first,
@@ -150,7 +151,7 @@ def dedup_corpus(
         verify_sample_mod=verify_sample_mod,
     )
     clusters = dedup_clusters(pairs, max_iter=max_iter)
-    return (
+    base = (
         exact_map.join(
             clusters.withColumnRenamed("id", "_rep"), "_rep", "left"
         )
@@ -158,4 +159,29 @@ def dedup_corpus(
             id_col,
             F.coalesce("cluster", "_rep").alias("canonical_id"),
         )
+    )
+    if prefer is None:
+        return base
+    # quality-preferred canonical: within each cluster keep the member
+    # with the highest ``prefer`` value (smallest id on ties — the q77
+    # canonical_docs convention), and point EVERY member at it.  One
+    # max-struct agg on the cluster key + one broadcast-back join —
+    # the cluster-best table is one row per cluster.
+    best = (
+        base.join(docs.select(id_col, prefer), id_col)
+        .groupBy("canonical_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(prefer).alias("_q"),
+                    (-F.col(id_col)).alias("_nid"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            "canonical_id", (-F.col("_b._nid")).alias("_best_id")
+        )
+    )
+    return base.join(best, "canonical_id").select(
+        id_col, F.col("_best_id").alias("canonical_id")
     )

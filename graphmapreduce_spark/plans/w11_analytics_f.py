@@ -1958,3 +1958,45 @@ def q585_maximal_matching(spark, sf_dir):
     )
     g = PropertyGraph.from_edges(edges)
     return alg.maximal_matching(g).orderBy("a", "b")
+
+
+@register(
+    "q586_dedup_corpus_best",
+    _dedup_corpus_oracle_sql().replace(
+        "(SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)\n"
+        "    SELECT e.doc_id, COALESCE(c.cluster, e.rep) AS canonical_id\n"
+        "    FROM ex e LEFT JOIN clusters c ON c.id = e.rep",
+        """(SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+    canon AS (
+      SELECT e.doc_id, COALESCE(c.cluster, e.rep) AS canonical_id
+      FROM ex e LEFT JOIN clusters c ON c.id = e.rep
+    ),
+    best AS (
+      SELECT canonical_id, doc_id AS best_id FROM (
+        SELECT cn.canonical_id, d.doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY cn.canonical_id
+                 ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+        FROM canon cn JOIN documents d ON d.doc_id = cn.doc_id
+      ) WHERE rn = 1
+    )
+    SELECT cn.doc_id, b.best_id AS canonical_id
+    FROM canon cn JOIN best b USING (canonical_id)""",
+    ),
+)
+def q586_dedup_corpus_best(spark, sf_dir):
+    """[EXT] The dedup recipe with QUALITY-PREFERRED canonical
+    selection (`dedup_corpus(prefer="n_chars")`): every document maps
+    to its cluster's LONGEST member (smallest id on ties — the q77
+    canonical_docs convention) instead of the smallest id — what a
+    real pipeline keeps when near-dup copies differ in completeness.
+    One extra max-struct agg per cluster + a broadcast-back join on
+    top of the q576 plan."""
+    from graphmapreduce_spark import pipeline as P
+
+    d = _t(spark, sf_dir, "documents")
+    return P.dedup_corpus(
+        d, "doc_id", "text", threshold=0.5, num_hashes=32,
+        shingle_n=5, hash_fn="md5", max_bucket_size=64,
+        est_margin=0.2, verify_sample_mod=4, prefer="n_chars",
+    )
