@@ -294,8 +294,10 @@ def encode_video_gmrv(frames: list[tuple[int, np.ndarray]]) -> bytes:
     return b"".join(out)
 
 
-def decode_video_gmrv(payload: bytes) -> list[tuple[int, np.ndarray]]:
-    """Decode a GMRV payload to [(ts_ms, uint8 image), ...]."""
+def scan_video_gmrv(payload: bytes) -> list[tuple[int, int, int]]:
+    """Walk GMRV headers WITHOUT decoding pixels: [(ts_ms, offset,
+    length), ...] — keyframe-seek callers decode only the frames they
+    actually select (``decode_png(payload[off:off+length])``)."""
     if payload[:4] != _GMRV_MAGIC:
         raise NotImplementedError(
             "video format needs ffmpeg (not installed); the GMRV"
@@ -303,10 +305,18 @@ def decode_video_gmrv(payload: bytes) -> list[tuple[int, np.ndarray]]:
         )
     (n,) = struct.unpack(">I", payload[4:8])
     pos = 8
-    frames = []
+    index = []
     for _ in range(n):
         ts_ms, length = struct.unpack(">QI", payload[pos:pos + 12])
         pos += 12
-        frames.append((int(ts_ms), decode_png(payload[pos:pos + length])))
+        index.append((int(ts_ms), pos, length))
         pos += length
-    return frames
+    return index
+
+
+def decode_video_gmrv(payload: bytes) -> list[tuple[int, np.ndarray]]:
+    """Decode a GMRV payload to [(ts_ms, uint8 image), ...]."""
+    return [
+        (ts_ms, decode_png(payload[off:off + length]))
+        for ts_ms, off, length in scan_video_gmrv(payload)
+    ]

@@ -1690,7 +1690,12 @@ def maximal_matching(
             )
             .localCheckpoint(eager=True)
         )
-    else:
+    # post-loop emptiness check, NOT for/else: a matching that drains
+    # exactly during the final allowed round leaves the loop by range
+    # exhaustion with a complete maximal matching — only a genuinely
+    # non-empty residual edge set is a failure (O(1) probe on the
+    # checkpointed frame)
+    if not edges.isEmpty():
         raise RuntimeError(
             f"maximal_matching did not drain in {max_iter} rounds"
         )

@@ -419,10 +419,16 @@ def minhash_lsh_near_dup_pairs(
         sampled_j = (
             F.size(F.array_intersect("sm_a", "sm_b")).cast("double") / uni
         )
+        # short docs pass through un-prefiltered: with a sampled union
+        # below ~8·mod the sampling sd (≈ sqrt(J(1-J)/uni)) exceeds the
+        # margin and true near-dups would be false-dropped (e.g.
+        # |A∪B|≈50, mod=4, J=0.8 → sd≈0.11 > 0.1); the exact verify
+        # below still filters them, so this costs recall nothing
+        min_uni = 8 * m
         cands = (
             cands.join(sma, "id_a")
             .join(smb, "id_b")
-            .filter((uni == 0) | (sampled_j >= cut2))
+            .filter((uni < F.lit(min_uni)) | (sampled_j >= cut2))
             .select("id_a", "id_b")
         )
     verified = (

@@ -162,21 +162,31 @@ def sample_video_frames(
                         ).hexdigest()
                         rows.append((int(mid), i, i * every_ms, h))
                     continue
-                frames = codecs.decode_video_gmrv(bytes(payload or b""))
-                if not frames:
+                raw = bytes(payload or b"")
+                index = codecs.scan_video_gmrv(raw)
+                if not index:
                     continue
-                end_ms = int(dur) if dur else frames[-1][0] + every_ms
+                end_ms = int(dur) if dur else index[-1][0] + every_ms
+                # single two-pointer walk over headers × sampled
+                # timestamps; each selected keyframe is pixel-decoded
+                # AT MOST ONCE (lazy header scan — no upfront decode
+                # of keyframes the sampling stride skips)
                 i = 0
+                j = -1  # index of latest keyframe at-or-before ts
+                md5_cache = None  # digest of keyframe j
                 for ts in range(0, max(end_ms, 1), every_ms):
-                    # latest keyframe at-or-before the sampled ts
-                    cand = [f for f in frames if f[0] <= ts]
-                    if not cand:
+                    while j + 1 < len(index) and index[j + 1][0] <= ts:
+                        j += 1
+                        md5_cache = None
+                    if j < 0:
                         continue
-                    _, px = cand[-1]
-                    h = hashlib.md5(
-                        np.ascontiguousarray(px).tobytes()
-                    ).hexdigest()
-                    rows.append((int(mid), i, ts, h))
+                    if md5_cache is None:
+                        _, off, length = index[j]
+                        px = codecs.decode_png(raw[off:off + length])
+                        md5_cache = hashlib.md5(
+                            np.ascontiguousarray(px).tobytes()
+                        ).hexdigest()
+                    rows.append((int(mid), i, ts, md5_cache))
                     i += 1
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_idx", "ts_ms", "frame_md5"]

@@ -127,10 +127,14 @@ def global_ntile(
     cut = m * (q + 1)
     r = F.col("_gnr")
     if q > 0:
+        # integer `div`, not double division + cast: a correctly-
+        # rounded double quotient can round UP across an integer
+        # boundary for ranks near 2^53 and silently mis-tile — same
+        # exactness discipline as global_cumsum's >2^53 handling below
         tile = (
-            F.when(r <= cut, (r - 1) / (q + 1))
-            .otherwise(m + (r - cut - 1) / q)
-            .cast("long")
+            F.when(
+                r <= cut, F.expr(f"(_gnr - 1) div {q + 1}")
+            ).otherwise(F.lit(m) + F.expr(f"(_gnr - 1 - {cut}) div {q}"))
             + 1
         )
     else:

@@ -150,7 +150,57 @@ def dedup_corpus(
         est_margin=est_margin,
         verify_sample_mod=verify_sample_mod,
     )
-    clusters = dedup_clusters(pairs, max_iter=max_iter)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    if id_type in ("bigint", "int", "smallint", "tinyint"):
+        clusters = dedup_clusters(pairs, max_iter=max_iter)
+    else:
+        # string / uuid doc ids: the Pregel clustering needs LONG
+        # vertex ids, so rank the representatives into an ORDER-
+        # PRESERVING long surrogate (distributed sample-sort — no
+        # hashing, hence zero collision risk at any corpus size, and
+        # min-surrogate == min-id so the smallest-id canonical
+        # convention survives translation both ways)
+        from graphmapreduce_spark.operators.sort import global_rank
+
+        sidmap = global_rank(
+            rep_docs.select(id_col), [id_col], rank_col="_sid"
+        ).localCheckpoint(eager=True)
+        pairs_s = (
+            pairs.join(
+                sidmap.select(
+                    F.col(id_col).alias("id_a"), F.col("_sid").alias("_sa")
+                ),
+                "id_a",
+            )
+            .join(
+                sidmap.select(
+                    F.col(id_col).alias("id_b"), F.col("_sid").alias("_sb")
+                ),
+                "id_b",
+            )
+            .select(
+                F.col("_sa").alias("id_a"), F.col("_sb").alias("id_b")
+            )
+        )
+        clusters = (
+            dedup_clusters(pairs_s, max_iter=max_iter)
+            .join(
+                sidmap.select(
+                    F.col("_sid").alias("id"), F.col(id_col).alias("_oid")
+                ),
+                "id",
+            )
+            .join(
+                sidmap.select(
+                    F.col("_sid").alias("cluster"),
+                    F.col(id_col).alias("_ocl"),
+                ),
+                "cluster",
+            )
+            .select(
+                F.col("_oid").alias("id"), F.col("_ocl").alias("cluster")
+            )
+        )
     base = (
         exact_map.join(
             clusters.withColumnRenamed("id", "_rep"), "_rep", "left"
@@ -167,20 +217,24 @@ def dedup_corpus(
     # canonical_docs convention), and point EVERY member at it.  One
     # max-struct agg on the cluster key + one broadcast-back join —
     # the cluster-best table is one row per cluster.
+    # type-agnostic tiebreak (string / uuid doc ids work): pass 1 takes
+    # the cluster-max quality, pass 2 the MIN id among members at that
+    # quality — arithmetic id negation would be NULL for non-numeric
+    # ids and silently degrade the documented smallest-id-on-ties
+    # convention.  Null/non-numeric quality folds to -inf so clusters
+    # whose members all lack a score still keep a canonical.
+    q = F.coalesce(
+        F.col(prefer).cast("double"), F.lit(float("-inf"))
+    ).alias("_q")
+    members = base.join(docs.select(id_col, prefer), id_col).select(
+        id_col, "canonical_id", q
+    )
+    best_q = members.groupBy("canonical_id").agg(F.max("_q").alias("_mq"))
     best = (
-        base.join(docs.select(id_col, prefer), id_col)
+        members.join(best_q, "canonical_id")
+        .filter(F.col("_q") == F.col("_mq"))
         .groupBy("canonical_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col(prefer).alias("_q"),
-                    (-F.col(id_col)).alias("_nid"),
-                )
-            ).alias("_b")
-        )
-        .select(
-            "canonical_id", (-F.col("_b._nid")).alias("_best_id")
-        )
+        .agg(F.min(id_col).alias("_best_id"))
     )
     return base.join(best, "canonical_id").select(
         id_col, F.col("_best_id").alias("canonical_id")

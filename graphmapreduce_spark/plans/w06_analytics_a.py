@@ -626,7 +626,7 @@ def q218_time_to_convert(spark, sf_dir):
       JOIN sh sa ON sa.doc_id = id_a
       JOIN sh sb ON sb.doc_id = id_b
     ),
-    t AS (SELECT UNNEST([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+    t AS (SELECT UNNEST([0.5, 0.6, 0.7, 0.8, 0.9])::DOUBLE AS threshold)
     SELECT t.threshold, COUNT(CASE WHEN j.jac >= t.threshold THEN 1 END)
              ::BIGINT AS n_pairs
     FROM t LEFT JOIN j ON TRUE
@@ -3432,13 +3432,16 @@ def q262_matryoshka_audit(spark, sf_dir):
     ),
     grid AS (SELECT UNNEST(generate_series(1, (SELECT MAX(deg) - 1
                                                FROM deg))) AS k),
-    nk AS (SELECT k, SUM(CASE WHEN d > k THEN nd ELSE 0 END) AS n_nodes
+    nk AS (SELECT k, CAST(SUM(CASE WHEN d > k THEN nd ELSE 0 END)
+                          AS BIGINT) AS n_nodes
            FROM grid CROSS JOIN dh GROUP BY k),
-    ek AS (SELECT k, SUM(CASE WHEN m > k THEN ne ELSE 0 END) AS n_edges
+    ek AS (SELECT k, CAST(SUM(CASE WHEN m > k THEN ne ELSE 0 END)
+                          AS BIGINT) AS n_edges
            FROM grid CROSS JOIN em GROUP BY k)
     SELECT nk.k, nk.n_nodes, COALESCE(ek.n_edges, 0) AS n_edges,
-           ROUND(2.0 * COALESCE(ek.n_edges, 0)
-                 / (nk.n_nodes * (nk.n_nodes - 1)), 6) AS phi
+           CAST(ROUND(2000000.0 * COALESCE(ek.n_edges, 0)
+                      / (nk.n_nodes * (nk.n_nodes - 1))) AS BIGINT)
+             AS phi_micro
     FROM nk LEFT JOIN ek ON nk.k = ek.k
     WHERE nk.n_nodes >= 2
     """,
@@ -3509,12 +3512,17 @@ def q263_rich_club(spark, sf_dir):
             "k",
             "n_nodes",
             F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            # integer-scaled micro-units: the density ratio is a
+            # division of exact BIGINTs (deterministic IEEE double on
+            # any engine) rounded to an integer — no raw double ever
+            # reaches the driver's value hash (round-5 hash-fail fix)
             F.round(
-                2.0
+                2000000.0
                 * F.coalesce("n_edges", F.lit(0))
-                / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
-                6,
-            ).alias("phi"),
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1))
+            )
+            .cast("long")
+            .alias("phi_micro"),
         )
     )
 
@@ -3790,7 +3798,7 @@ def q268_dup_size_histogram(spark, sf_dir):
       SELECT UNNEST([4, 8, 16, 32]) AS b
     ),
     rows_ AS (SELECT UNNEST([2, 4, 8]) AS r),
-    sims AS (SELECT UNNEST([0.5, 0.7, 0.8, 0.9]) AS s)
+    sims AS (SELECT UNNEST([0.5, 0.7, 0.8, 0.9])::DOUBLE AS s)
     SELECT b, r, s,
            ROUND(1.0 - POWER(1.0 - POWER(s, r), b), 6) AS p_capture,
            ROUND(POWER(1.0 / b, 1.0 / r), 6) AS s_threshold
@@ -5417,10 +5425,10 @@ def q291_format_masks(spark, sf_dir):
     types AS (SELECT DISTINCT event_type FROM events)
     SELECT t.event_type,
            COUNT(*) AS days_in_range,
-           SUM(CASE WHEN p.day IS NULL THEN 0 ELSE 1 END)
-             AS days_present,
-           SUM(CASE WHEN p.day IS NULL THEN 1 ELSE 0 END)
-             AS n_missing_days
+           CAST(SUM(CASE WHEN p.day IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS days_present,
+           CAST(SUM(CASE WHEN p.day IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missing_days
     FROM types t CROSS JOIN cal
     LEFT JOIN present p
       ON p.event_type = t.event_type AND p.day = cal.day

@@ -1701,9 +1701,9 @@ def q312_lorenz_points(spark, sf_dir):
     n AS (SELECT MAX(doc_id) + 1 AS n_docs FROM toks),
     grid AS (SELECT UNNEST([10, 25, 50, 75, 100]) AS pct)
     SELECT grid.pct,
-           SUM(CASE WHEN firsts.first_doc
-                    < (SELECT n_docs FROM n) * grid.pct / 100.0
-                    THEN 1 ELSE 0 END) AS vocab_size
+           CAST(SUM(CASE WHEN firsts.first_doc
+                         < (SELECT n_docs FROM n) * grid.pct / 100.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS vocab_size
     FROM grid CROSS JOIN firsts
     GROUP BY grid.pct
     """,
@@ -1972,8 +1972,8 @@ def q308_depth_vs_conversion(spark, sf_dir):
     )
     SELECT f.entry_channel,
            COUNT(*) AS n_users,
-           SUM(CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
-             AS n_converted,
+           CAST(SUM(CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_converted,
            ROUND(SUM(CASE WHEN c.user_id IS NULL THEN 0.0 ELSE 1.0
                      END) / COUNT(*), 6) AS conversion_rate
     FROM firsts f LEFT JOIN conv c ON f.user_id = c.user_id

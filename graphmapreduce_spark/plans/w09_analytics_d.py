@@ -1326,11 +1326,11 @@ def q463_error_metric_suite(spark, sf_dir):
                       ELSE (1 - tau) * (fc - rev) END) AS pinball,
              AVG(CASE WHEN rev <= fc THEN 1.0 ELSE 0 END) AS coverage
       FROM (
-        SELECT rev, 0.1 AS tau, q10 AS fc FROM test
+        SELECT rev, 0.1::DOUBLE AS tau, q10 AS fc FROM test
         UNION ALL
-        SELECT rev, 0.5, q50 FROM test
+        SELECT rev, 0.5::DOUBLE, q50 FROM test
         UNION ALL
-        SELECT rev, 0.9, q90 FROM test
+        SELECT rev, 0.9::DOUBLE, q90 FROM test
       )
       GROUP BY tau, fc
     )
@@ -3229,7 +3229,7 @@ def q484_pca_2x2(spark, sf_dir):
            ROUND(MAX(q), 4) AS q_hat,
            ROUND(AVG(CASE WHEN ABS(rev - yhat) <= q
                           THEN 1.0 ELSE 0 END), 6) AS coverage,
-           0.9 AS target_coverage,
+           0.9::DOUBLE AS target_coverage,
            ROUND(2 * MAX(q), 4) AS interval_width
     FROM test
     """,

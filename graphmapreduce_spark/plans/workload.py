@@ -47,65 +47,64 @@ del _n, _fn, _sql
 
 
 _WINDOW_PRIORITY = [
-    # ROUND-5 WINDOW: the first 50 of the banked rotation queue
-    # (q248-q575, BASELINE.md) get their FIRST driver rows this
-    # round — value-oracled names only (rows-only q261 skipped; it
-    # carries pytest goldens).  q144-q247 landed driver-green in
-    # CORRECTNESS_r04; the rest of the registry is covered by this
-    # session's full-registry sweep (560/560 value-green at round
-    # start, rerun green after the module split) and the plan lint.
-    # NEXT ROUNDS: continue the queue at q299 (value-oracled names
-    # in qid order).
-    "q248_weighted_jaccard",
-    "q249_cusum_drift",
-    "q250_attribution",
-    "q251_cohort_ltv",
-    "q252_corr_matrix",
-    "q253_kn_bigram",
-    "q254_dow_seasonality",
-    "q255_tfidf_cosine",
-    "q256_adamic_adar",
-    "q257_ngram_novelty",
-    "q258_token_fertility",
-    "q259_windowed_funnel",
-    "q260_calibration_bins",
-    "q262_matryoshka_audit",
+    # ROUND-6 WINDOW: q263/q292 re-verify first (their round-5 driver
+    # rows were hash-only FAILs — DuckDB HUGEINT SUM(CASE) vs Spark
+    # LONG surface, hardened this round with BIGINT casts; a green
+    # driver row is the only proof that counts), then the rotation
+    # queue continues at q299 with the next 48 value-oracled names in
+    # qid order (rows-only ids skipped; q248-q298 landed driver rows
+    # in CORRECTNESS_r05, q144-q247 in r04, q01-q143 in r01-r03).
+    # NEXT ROUNDS: continue the queue at q347.
     "q263_rich_club",
-    "q264_simpson_audit",
-    "q265_transition_entropy",
-    "q266_replay_stream_agg",
-    "q267_fk_integrity",
-    "q268_dup_size_histogram",
-    "q269_lsh_planner",
-    "q270_effective_corpus_size",
-    "q271_behavior_editdist",
-    "q272_hhi_concentration",
-    "q273_open_triads",
-    "q274_expected_lsh_recall",
-    "q275_robust_trend",
-    "q276_keyword_extraction",
-    "q277_dynamic_session_window",
-    "q278_welch_ttest",
-    "q279_anova_oneway",
-    "q280_hyperplane_lsh",
-    "q281_haversine_join",
-    "q282_nearest_neighbor",
-    "q283_stream_semi_join",
-    "q284_rolling_percentile",
-    "q285_lead_time",
-    "q286_hourly_ohlc",
-    "q287_max_drawdown",
-    "q288_lead_lag_corr",
-    "q289_position_attribution",
-    "q290_column_profile",
-    "q291_format_masks",
     "q292_missing_days",
-    "q293_spearman_rank",
-    "q294_capture_recapture",
-    "q295_hill_tail_index",
-    "q296_wasserstein_drift",
-    "q297_cube_grouping_id",
-    "q298_acf",
+    "q299_audience_overlap",
+    "q300_concurrency_profile",
+    "q301_markov_stationary",
+    "q302_seasonal_naive_mape",
+    "q303_two_hop_reach",
+    "q304_value_at_risk",
+    "q305_entry_channel_conversion",
+    "q306_burstiness_param",
+    "q307_segment_migration",
+    "q308_depth_vs_conversion",
+    "q309_heaps_curve",
+    "q310_power_analysis",
+    "q311_retention_decay_fit",
+    "q312_lorenz_points",
+    "q313_user_feature_table",
+    "q314_dup_degree_profile",
+    "q315_lognormal_fit",
+    "q316_ece",
+    "q317_quantile_transform",
+    "q318_target_encoding",
+    "q319_temporal_split_audit",
+    "q320_feature_label_corr",
+    "q321_char_bigram_entropy",
+    "q322_exponential_gap_fit",
+    "q323_gini_mean_difference",
+    "q324_expected_steps_to_purchase",
+    "q325_weibull_fit",
+    "q326_early_value_signal",
+    "q327_binned_percentile_error",
+    "q328_negbin_fit",
+    "q329_scale_agreement",
+    "q330_ingest_order_drift",
+    "q331_time_hierarchy_rollup",
+    "q332_feature_hashing",
+    "q333_price_volume_decomposition",
+    "q334_brand_price_position",
+    "q335_single_source_risk",
+    "q336_price_dispersion",
+    "q337_supplier_scorecard",
+    "q338_return_rate_by_brand",
+    "q339_emptiness_audit",
+    "q340_conflicting_metadata",
+    "q341_order_aging",
+    "q342_discount_uplift",
+    "q343_top3_customer_share",
+    "q344_char_class_profile",
+    "q345_trade_matrix",
+    "q346_two_way_anova",
 ]
 
 

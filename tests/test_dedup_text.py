@@ -716,3 +716,53 @@ def test_incremental_near_dup_index_reuse(spark, docs, tmp_path):
         ).collect()
     }
     assert via_index == direct and len(direct) > 0
+
+
+def test_sampled_verify_passes_short_docs_through(spark):
+    """ADVICE r05: with a sampled union below ~8·mod the prefilter's
+    sampling sd exceeds the margin, so SHORT docs must bypass it —
+    the pair set with verify_sample_mod=4 equals the unprefiltered
+    one on a corpus of short near-dup pairs (no false drops)."""
+    rows = []
+    for i in range(12):
+        base = f"short doc number {i} about topic {i % 3} end"
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base + "!"))  # near-dup of its mate
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(threshold=0.5, num_hashes=32, bands=16)
+    exact = D.minhash_lsh_near_dup_pairs(docs, "doc_id", "text", **kw)
+    pre = D.minhash_lsh_near_dup_pairs(
+        docs, "doc_id", "text", verify_sample_mod=4,
+        verify_sample_margin=0.1, **kw
+    )
+    e = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
+    p = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pre.collect()}
+    assert p == e  # short docs: prefilter must drop NOTHING
+    assert all((2 * i, 2 * i + 1) in p for i in range(12))
+
+
+def test_dedup_corpus_prefer_with_string_ids(spark):
+    """ADVICE r05: the prefer= tiebreak negated the id arithmetically,
+    which is NULL for string ids — the quality-preferred canonical must
+    work (highest quality, smallest id on ties) for non-numeric ids."""
+    from graphmapreduce_spark.pipeline import dedup_corpus
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [
+        ("doc-a", base, 0.1),
+        ("doc-b", base, 0.9),          # highest quality in cluster
+        ("doc-c", base + "TAIL", 0.9), # ties doc-b, larger id loses
+        ("doc-z", "unrelated corpus about catalyst plans " * 6, 0.5),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, q double")
+    out = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_corpus(
+            docs, "doc_id", "text", threshold=0.5, num_hashes=32,
+            prefer="q",
+        ).collect()
+    }
+    assert out == {
+        "doc-a": "doc-b", "doc-b": "doc-b", "doc-c": "doc-b",
+        "doc-z": "doc-z",
+    }

@@ -960,3 +960,18 @@ def test_maximal_matching_invariants_and_goldens(spark):
     assert len(matched_v) == 2 * len(mm)  # disjoint
     for s, d, _ in rows:
         assert s in matched_v or d in matched_v, (s, d, mm)
+
+
+def test_maximal_matching_drains_on_final_round(spark):
+    """ADVICE r05: a matching that drains EXACTLY during the last
+    allowed round must return, not raise — the old for/else fired the
+    non-drain error even when the residual edge set was empty."""
+    g = make_graph(spark, [(1, 2, 1.0)])  # drains in exactly 1 round
+    m = {(r["a"], r["b"]) for r in alg.maximal_matching(g, max_iter=1).collect()}
+    assert m == {(1, 2)}
+    # a genuinely undrained graph still raises: path 1-2-3-4 needs 2
+    import pytest as _pytest
+
+    p = make_graph(spark, PATH5[:3])
+    with _pytest.raises(RuntimeError, match="did not drain"):
+        alg.maximal_matching(p, max_iter=1)

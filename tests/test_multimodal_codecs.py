@@ -295,3 +295,50 @@ def test_q55_q56_q67_run_real_codecs(spark):
     f56 = qs["q56_video_frames"](spark, sf).collect()
     assert len(f56) > 0
     assert all(len(r["frame_md5"]) == 32 for r in f56)
+
+
+def test_scan_video_gmrv_lazy_header_walk():
+    """ADVICE r05: the sampler must not decode keyframes the stride
+    skips.  scan_video_gmrv walks headers only; decoding the byte
+    ranges it reports reproduces decode_video_gmrv exactly."""
+    frames = [
+        (ts, ((np.arange(12).reshape(3, 4) + ts) % 256).astype(np.uint8))
+        for ts in (0, 250, 500, 750)
+    ]
+    payload = codecs.encode_video_gmrv(frames)
+    index = codecs.scan_video_gmrv(payload)
+    assert [ts for ts, _, _ in index] == [0, 250, 500, 750]
+    for (ts, off, length), (ets, img) in zip(index, frames):
+        assert ts == ets
+        assert np.array_equal(codecs.decode_png(payload[off:off + length]), img)
+
+
+def test_spark_video_frames_sparse_sampling_two_pointer(spark):
+    """Coarse every_ms over dense keyframes: the two-pointer sampler
+    must keyframe-seek identically to the brute-force definition
+    (latest keyframe at-or-before each sampled ts), repeating a
+    keyframe's digest when consecutive samples land on it."""
+    import hashlib
+
+    imgs = {
+        ts: ((np.arange(8).reshape(2, 4) * 3 + ts) % 256).astype(np.uint8)
+        for ts in (0, 100, 200, 300, 1500)
+    }
+    payload = codecs.encode_video_gmrv(sorted(imgs.items()))
+    df = spark.createDataFrame(
+        [(3, bytearray(payload), 3000)],
+        "media_id long, payload binary, duration_ms long",
+    )
+    rows = sorted(
+        M.sample_video_frames(df, every_ms=1000).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    # ts=0 -> kf 0; ts=1000 -> kf 300; ts=2000 -> kf 1500
+    want = [(0, 0, imgs[0]), (1, 1000, imgs[300]), (2, 2000, imgs[1500])]
+    assert [(r["frame_idx"], r["ts_ms"]) for r in rows] == [
+        (i, ts) for i, ts, _ in want
+    ]
+    for r, (_, _, img) in zip(rows, want):
+        assert r["frame_md5"] == hashlib.md5(
+            np.ascontiguousarray(img).tobytes()
+        ).hexdigest()
