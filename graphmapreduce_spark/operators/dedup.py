@@ -505,6 +505,44 @@ def build_near_dup_index(
     }
 
 
+def save_near_dup_index(index: dict, path: str) -> None:
+    """Persist a `build_near_dup_index` dict as ONE self-describing
+    parquet artifact: ``<path>/bands``, ``<path>/shingles``, and a
+    one-row ``<path>/params`` table carrying the banding parameters —
+    so a later session (or another cluster) reloads everything it
+    needs to keep batch buckets compatible with the corpus."""
+    spark = index["bands"].sparkSession
+    index["bands"].write.mode("overwrite").parquet(path + "/bands")
+    index["shingles"].write.mode("overwrite").parquet(path + "/shingles")
+    spark.createDataFrame(
+        [
+            (
+                int(index["num_hashes"]),
+                int(index["bands_n"]),
+                int(index["shingle_n"]),
+                int(index["seed"]),
+                str(index["hash_fn"]),
+            )
+        ],
+        "num_hashes int, bands_n int, shingle_n int, seed int,"
+        " hash_fn string",
+    ).write.mode("overwrite").parquet(path + "/params")
+
+
+def load_near_dup_index(spark, path: str) -> dict:
+    """Reload a `save_near_dup_index` artifact; inverse round-trip."""
+    p = spark.read.parquet(path + "/params").collect()[0]
+    return {
+        "bands": spark.read.parquet(path + "/bands"),
+        "shingles": spark.read.parquet(path + "/shingles"),
+        "num_hashes": p["num_hashes"],
+        "bands_n": p["bands_n"],
+        "shingle_n": p["shingle_n"],
+        "seed": p["seed"],
+        "hash_fn": p["hash_fn"],
+    }
+
+
 def incremental_near_dup_pairs(
     corpus: DataFrame | None,
     batch: DataFrame,

@@ -77,7 +77,8 @@ def dedup_corpus(
     verify_sample_mod: int | None = 4,
     max_iter: int = 50,
     prefer: str | None = None,
-) -> DataFrame:
+    emit_index: bool = False,
+) -> "DataFrame | tuple[DataFrame, dict]":
     """The production 100 TB dedup recipe as ONE composed operator
     (BASELINE.md's prescription, previously prose): exact-dedup first,
     MinHash-LSH with the measured cost knobs on the exact survivors
@@ -109,6 +110,12 @@ def dedup_corpus(
          corpus.
       4. map-back: doc → exact rep → cluster label, one left join on
          the representative id, coalescing unique docs to themselves.
+
+    ``emit_index=True`` returns ``(mapping, index)`` instead: the
+    persistable band index over the kept canonicals as a byproduct
+    (see `_with_index`) — persist with
+    `operators.dedup.save_near_dup_index` and feed later batches to
+    `incremental_near_dup_pairs(corpus_index=...)`.
     """
     from graphmapreduce_spark.operators.dedup import (
         dedup_clusters,
@@ -211,7 +218,11 @@ def dedup_corpus(
         )
     )
     if prefer is None:
-        return base
+        mapping = base
+        return _with_index(
+            mapping, None, docs, rep_docs, id_col, text_col, threshold,
+            num_hashes, bands, shingle_n, seed, hash_fn,
+        ) if emit_index else mapping
     # quality-preferred canonical: within each cluster keep the member
     # with the highest ``prefer`` value (smallest id on ties — the q77
     # canonical_docs convention), and point EVERY member at it.  One
@@ -236,6 +247,62 @@ def dedup_corpus(
         .groupBy("canonical_id")
         .agg(F.min(id_col).alias("_best_id"))
     )
-    return base.join(best, "canonical_id").select(
+    mapping = base.join(best, "canonical_id").select(
         id_col, F.col("_best_id").alias("canonical_id")
     )
+    if not emit_index:
+        return mapping
+    return _with_index(
+        mapping, prefer, docs, rep_docs, id_col, text_col, threshold,
+        num_hashes, bands, shingle_n, seed, hash_fn,
+    )
+
+
+def _with_index(
+    mapping: DataFrame,
+    prefer: str | None,
+    docs: DataFrame,
+    rep_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    num_hashes: int,
+    bands: int | None,
+    shingle_n: int,
+    seed: int,
+    hash_fn: str,
+):
+    """(mapping, index) for ``dedup_corpus(emit_index=True)``: the
+    persistable band index (`operators/dedup.py build_near_dup_index`)
+    over the SURVIVING canonical documents, built with the recipe's own
+    banding parameters so the corpus-dedup → daily-increment flow
+    (q576 → q580/q583) shares one artifact — write it once with
+    `save_near_dup_index`, and every later batch screens against the
+    kept corpus without re-reading it.
+
+    With the default min-id canonical, every kept doc is an exact-dedup
+    representative, so the index is a semi-join FILTER of the bands/
+    shingles the LSH stage already derives from the checkpointed
+    ``rep_docs`` — zero extra corpus scans.  With ``prefer=`` the
+    cluster-best member may not be a representative, so the index is
+    built over the kept docs' text instead (one extra scan of the KEPT
+    subset only; exact-dup members share text, so either member's
+    shingles are identical)."""
+    from graphmapreduce_spark.operators.dedup import build_near_dup_index
+
+    kept = (
+        mapping.select(F.col("canonical_id").alias(id_col)).distinct()
+    )
+    if prefer is None:
+        src = rep_docs
+    else:
+        src = docs.join(kept, id_col, "left_semi").select(id_col, text_col)
+    index = build_near_dup_index(
+        src, id_col, text_col, threshold=threshold,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        seed=seed, hash_fn=hash_fn,
+    )
+    kc = kept.withColumnRenamed(id_col, "corpus_id")
+    index["bands"] = index["bands"].join(kc, "corpus_id", "left_semi")
+    index["shingles"] = index["shingles"].join(kc, "corpus_id", "left_semi")
+    return mapping, index

@@ -1231,7 +1231,7 @@ def _dedup_corpus_oracle_sql(
       JOIN shs xb ON xb.doc_id = id_b
       WHERE (len(xa.sgrams) + len(xb.sgrams)
              - len(list_filter(xa.sgrams,
-                   h -> list_contains(xb.sgrams, h)))) = 0
+                   h -> list_contains(xb.sgrams, h)))) < {8 * sample_mod}
          OR CAST(len(list_filter(xa.sgrams,
                      h -> list_contains(xb.sgrams, h))) AS DOUBLE)
             / (len(xa.sgrams) + len(xb.sgrams)
@@ -1999,4 +1999,140 @@ def q586_dedup_corpus_best(spark, sf_dir):
         d, "doc_id", "text", threshold=0.5, num_hashes=32,
         shingle_n=5, hash_fn="md5", max_bucket_size=64,
         est_margin=0.2, verify_sample_mod=4, prefer="n_chars",
+    )
+
+
+def _corpus_index_batch_oracle_sql(
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """Composes the q576 recipe oracle (over the corpus slice) with the
+    q580 incremental oracle (batch vs the KEPT canonicals) — the SQL
+    replica of dedup_corpus(emit_index=True) → save/load index →
+    incremental_near_dup_pairs(corpus_index=...)."""
+    a, b = D._hash_coeffs(num_hashes, seed)
+    p = D._MERSENNE
+    bmins = ",\n             ".join(
+        f"MIN(({int(a[i])} * x + {int(b[i])}) % {p}) AS m{i}"
+        for i in range(num_hashes)
+    )
+    r = num_hashes // bands
+    bband_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, '{j}:' || {expr} AS bucket FROM bsig".format(
+            j=j,
+            expr=" || '_' || ".join(f"m{j * r + i}" for i in range(r)),
+        )
+        for j in range(bands)
+    )
+    base_sql = _dedup_corpus_oracle_sql(
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        threshold=threshold, seed=seed,
+    )
+    base_sql = (
+        base_sql.replace(
+            "WITH RECURSIVE\n    reps",
+            "WITH RECURSIVE\n"
+            "    corp AS MATERIALIZED (\n"
+            "      SELECT doc_id, text FROM documents"
+            " WHERE doc_id % 10 <> 3\n"
+            "    ),\n"
+            "    batchd AS MATERIALIZED (\n"
+            "      SELECT doc_id, text FROM documents"
+            " WHERE doc_id % 10 = 3\n"
+            "    ),\n"
+            "    reps",
+        )
+        .replace("FROM documents GROUP BY text", "FROM corp GROUP BY text")
+        .replace("FROM documents d JOIN reps", "FROM corp d JOIN reps")
+    )
+    tail = f"""(SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+    canon AS MATERIALIZED (
+      SELECT e.doc_id, COALESCE(c.cluster, e.rep) AS canonical_id
+      FROM ex e LEFT JOIN clusters c ON c.id = e.rep
+    ),
+    kept AS MATERIALIZED (
+      SELECT DISTINCT canonical_id AS doc_id FROM canon
+    ),
+    bsh AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, GREATEST(length(text) - {shingle_n - 1}, 0) + 1),
+               i -> substr(text, i, {shingle_n}))) AS grams
+      FROM batchd
+    ),
+    bids AS MATERIALIZED (
+      SELECT doc_id,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % {p} AS x
+      FROM (SELECT doc_id, UNNEST(grams) AS g FROM bsh)
+    ),
+    bsig AS MATERIALIZED (
+      SELECT doc_id,
+             {bmins}
+      FROM bids GROUP BY doc_id
+    ),
+    bbands AS MATERIALIZED (
+      {bband_rows}
+    ),
+    bcand AS MATERIALIZED (
+      SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+      FROM bbands b
+      JOIN bands c ON c.bucket = b.bucket
+      JOIN kept k ON k.doc_id = c.doc_id
+    )
+    SELECT batch_id, corpus_id,
+           ROUND(CAST(len(list_filter(ba.grams,
+                     g -> list_contains(ca.grams, g))) AS DOUBLE)
+            / (len(ba.grams) + len(ca.grams)
+               - len(list_filter(ba.grams,
+                     g -> list_contains(ca.grams, g)))), 6) AS jaccard
+    FROM bcand
+    JOIN bsh ba ON ba.doc_id = batch_id
+    JOIN sh ca ON ca.doc_id = corpus_id
+    WHERE CAST(len(list_filter(ba.grams,
+                  g -> list_contains(ca.grams, g))) AS DOUBLE)
+          / (len(ba.grams) + len(ca.grams)
+             - len(list_filter(ba.grams,
+                   g -> list_contains(ca.grams, g)))) >= {threshold}"""
+    return base_sql.replace(
+        "(SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)\n"
+        "    SELECT e.doc_id, COALESCE(c.cluster, e.rep) AS canonical_id\n"
+        "    FROM ex e LEFT JOIN clusters c ON c.id = e.rep",
+        tail,
+    )
+
+
+@register("q587_corpus_index_batch", _corpus_index_batch_oracle_sql())
+def q587_corpus_index_batch(spark, sf_dir):
+    """[EXT] The corpus-dedup → index → daily-increment flow as ONE
+    artifact chain (VERDICT r05 task 3): `dedup_corpus(emit_index=
+    True)` dedups the corpus slice (doc_id % 10 ≠ 3) AND emits the
+    band index over its kept canonicals; the index parquet
+    round-trips through `save_near_dup_index`/`load_near_dup_index`;
+    the synthetic daily batch (doc_id % 10 = 3) is then screened with
+    `incremental_near_dup_pairs(corpus_index=...)` — the corpus text
+    is never re-read on the batch path.  md5 variant so every stage
+    is oracle-replicable."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from graphmapreduce_spark import pipeline as P
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 3)
+    batch = d.filter(F.col("doc_id") % 10 == 3).select("doc_id", "text")
+    _, idx = P.dedup_corpus(
+        corpus, "doc_id", "text", threshold=0.5, num_hashes=32,
+        shingle_n=5, hash_fn="md5", max_bucket_size=64,
+        est_margin=0.2, verify_sample_mod=4, emit_index=True,
+    )
+    tmp = tempfile.mkdtemp(prefix="gmr_q587_index_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    D.save_near_dup_index(idx, tmp)
+    loaded = D.load_near_dup_index(spark, tmp)
+    return D.incremental_near_dup_pairs(
+        None, batch, "doc_id", "text", threshold=0.5,
+        corpus_index=loaded,
     )
