@@ -2653,18 +2653,29 @@ def q417_mixture_epochs(spark, sf_dir):
     """
     WITH daily AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-             SUM(o_totalprice) AS rev
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rev
       FROM orders GROUP BY 1
     ),
-    cum AS (
+    cumd AS (
       SELECT day,
              ROW_NUMBER() OVER (ORDER BY day) AS t,
-             SUM(rev) OVER (ORDER BY day) AS cs,
-             SUM(rev * rev) OVER (ORDER BY day) AS css,
+             SUM(rev) OVER (ORDER BY day) AS csd,
+             SUM(rev * rev) OVER (ORDER BY day) AS cssd,
              COUNT(*) OVER () AS n,
-             SUM(rev) OVER () AS ts,
-             SUM(rev * rev) OVER () AS tss
+             SUM(rev) OVER () AS tsd,
+             SUM(rev * rev) OVER () AS tssd
       FROM daily
+    ),
+    cum AS (
+      SELECT day, t, n,
+             CAST(CAST(csd AS DECIMAL(18,2)) AS DOUBLE) AS cs,
+             CAST(CAST(cssd - (cssd % 1) AS DECIMAL(38,0))
+                  AS DOUBLE) AS css,
+             CAST(CAST(tsd AS DECIMAL(18,2)) AS DOUBLE) AS ts,
+             CAST(CAST(tssd - (tssd % 1) AS DECIMAL(38,0))
+                  AS DOUBLE) AS tss
+      FROM cumd
     ),
     scored AS (
       SELECT day, t, n,
@@ -2676,8 +2687,8 @@ def q417_mixture_epochs(spark, sf_dir):
     SELECT day AS split_day,
            CAST(t AS BIGINT) AS n_left,
            CAST(n - t AS BIGINT) AS n_right,
-           ROUND(sse_total, 4) AS sse_total,
-           ROUND(sse_split, 4) AS sse_split,
+           sse_total,
+           sse_split,
            ROUND(1 - sse_split / sse_total, 6) AS var_reduction
     FROM scored
     ORDER BY sse_split, day
@@ -2691,21 +2702,50 @@ def q418_changepoint_split(spark, sf_dir):
     prefixes — SSE(1..t) = css_t − cs_t²/t, same for the suffix — so
     scoring every candidate split is one ordered cumulative window
     over the ~2.4k-row daily aggregate, not n² segment rescans.
-    Ties break to the earliest day."""
+    Ties break to the earliest day.
+
+    Float discipline: (Σx, Σx²) accumulate as EXACT decimals (money ×
+    money stays within DECIMAL(38,4); order-proof on both engines) and
+    convert to double only at the closed form — a double SUM is
+    partition-order-dependent in its last ulp, which at this magnitude
+    (~1e15) survives ROUND(,4) and would flip the driver's value hash
+    run to run.  The conversions ride the SAFE-CAST rule: a decimal is
+    rescaled to scale 0 (or a scale-2 int64) BEFORE the double cast,
+    because DuckDB casts DECIMAL(38,s>0) via int128→double THEN /10^s
+    (two roundings, observed 1 ulp off Spark's correctly-rounded
+    BigDecimal path)."""
     od = _t(spark, sf_dir, "orders")
     daily = od.groupBy(
         F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
     wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.partitionBy()
+    def _trunc_dbl(c):
+        # exact decimal truncation (x - x%1) BEFORE the scale-0 cast:
+        # Spark's decimal downscale rounds HALF_UP while DuckDB's
+        # truncates — stripping the fraction exactly makes the cast a
+        # no-op on both, and the integral int→double is then a single
+        # correct rounding (bit-equal cross-engine, probe-verified)
+        return (c - c % 1).cast("decimal(38,0)").cast("double")
+
     cum = daily.select(
         "day",
         F.row_number().over(Window.orderBy("day")).alias("t"),
-        F.sum("rev").over(wc).alias("cs"),
-        F.sum(F.col("rev") * F.col("rev")).over(wc).alias("css"),
+        F.sum("rev").over(wc).cast("decimal(18,2)")
+        .cast("double").alias("cs"),
+        _trunc_dbl(
+            F.sum(F.col("rev") * F.col("rev")).over(wc)
+        ).alias("css"),
         F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("rev").over(wall).alias("ts"),
-        F.sum(F.col("rev") * F.col("rev")).over(wall).alias("tss"),
+        F.sum("rev").over(wall).cast("decimal(18,2)")
+        .cast("double").alias("ts"),
+        _trunc_dbl(
+            F.sum(F.col("rev") * F.col("rev")).over(wall)
+        ).alias("tss"),
     ).filter(F.col("t") < F.col("n"))
     sse_total = F.col("tss") - F.col("ts") * F.col("ts") / F.col("n")
     sse_split = (
@@ -2721,8 +2761,8 @@ def q418_changepoint_split(spark, sf_dir):
             F.col("day").alias("split_day"),
             F.col("t").cast("bigint").alias("n_left"),
             (F.col("n") - F.col("t")).cast("bigint").alias("n_right"),
-            F.round(sse_total, 4).alias("sse_total"),
-            F.round(sse_split, 4).alias("sse_split"),
+            sse_total.alias("sse_total"),
+            sse_split.alias("sse_split"),
             F.round(F.lit(1) - sse_split / sse_total, 6).alias(
                 "var_reduction"
             ),
@@ -3773,7 +3813,8 @@ def q429_runs_test(spark, sf_dir):
     """
     WITH daily AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-             SUM(o_totalprice) AS rev
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rev
       FROM orders GROUP BY 1
     ),
     seq AS (
@@ -3782,26 +3823,42 @@ def q429_runs_test(spark, sf_dir):
     ),
     blocks AS (
       SELECT j.j, (s.rn - 1) // POWER(2, j.j - 1)::BIGINT AS g,
-             AVG(s.rev) AS mv
+             CAST(SUM(s.rev) AS DECIMAL(18,2)) AS sv
       FROM seq s CROSS JOIN (VALUES (1), (2), (3), (4)) AS j(j)
       GROUP BY 1, 2
     ),
     details AS (
       SELECT j, g // 2 AS parent,
-             (SUM(CASE WHEN g % 2 = 0 THEN mv ELSE 0 END)
-              - SUM(CASE WHEN g % 2 = 1 THEN mv ELSE 0 END)) / 2 AS d
+             CAST(SUM(CASE WHEN g % 2 = 0 THEN sv ELSE 0 END)
+                  - SUM(CASE WHEN g % 2 = 1 THEN sv ELSE 0 END)
+                  AS DECIMAL(18,2)) AS dnum
       FROM blocks GROUP BY j, g // 2
       HAVING COUNT(*) = 2
     ),
     energy AS (
-      SELECT j, COUNT(*) AS n_coeffs, SUM(d * d) AS e
+      SELECT j, COUNT(*) AS n_coeffs, SUM(dnum * dnum) AS sed
       FROM details GROUP BY j
+    ),
+    en AS (
+      SELECT j, n_coeffs,
+             CAST(CAST(sed - (sed % 1) AS DECIMAL(38,0)) AS DOUBLE)
+               / POWER(4.0, j) AS e
+      FROM energy
+    ),
+    one AS (
+      SELECT MAX(CASE WHEN j = 1 THEN e END) AS e1,
+             MAX(CASE WHEN j = 2 THEN e END) AS e2,
+             MAX(CASE WHEN j = 3 THEN e END) AS e3,
+             MAX(CASE WHEN j = 4 THEN e END) AS e4
+      FROM en
     )
     SELECT CAST(j AS BIGINT) AS level,
            CAST(n_coeffs AS BIGINT) AS n_coeffs,
-           ROUND(e, 4) AS energy,
-           ROUND(e / SUM(e) OVER (), 6) AS energy_share
-    FROM energy
+           e AS energy,
+           ROUND(e / ((COALESCE(e1, 0) + COALESCE(e2, 0))
+                      + (COALESCE(e3, 0) + COALESCE(e4, 0))), 6)
+             AS energy_share
+    FROM en CROSS JOIN one
     """,
 )
 def q430_haar_energy(spark, sf_dir):
@@ -3812,11 +3869,22 @@ def q430_haar_energy(spark, sf_dir):
     averages over the daily aggregate — no recursion, no UDF.  The
     energy-by-scale profile says WHERE the variance lives (day-to-day
     noise vs weekly vs fortnightly structure), the quantitative
-    companion to q412's fixed-period seasonal fit."""
+    companion to q412's fixed-period seasonal fit.
+
+    Float discipline (q418's): the detail numerators (block-sum
+    differences) and their squared sums accumulate as EXACT decimals;
+    the /4^j mean-and-half scaling is a power-of-two exponent shift
+    (exact on doubles), and the level total adds the four exact
+    energies in one fixed-shape expression — no order-dependent
+    double SUM anywhere."""
     od = _t(spark, sf_dir, "orders")
     daily = od.groupBy(
         F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
     seq = daily.select(
         "rev", F.row_number().over(Window.orderBy("day")).alias("rn")
     ).filter(F.col("rn") <= 2048)
@@ -3834,42 +3902,45 @@ def q430_haar_energy(spark, sf_dir):
             .cast("bigint")
             .alias("g"),
         )
-        .agg(F.avg("rev").alias("mv"))
+        .agg(F.sum("rev").cast("decimal(18,2)").alias("sv"))
     )
     details = (
         blocks.groupBy("j", (F.col("g") / 2).cast("bigint").alias("parent"))
         .agg(
             (
-                (
-                    F.sum(
-                        F.when(F.col("g") % 2 == 0, F.col("mv")).otherwise(
-                            0
-                        )
-                    )
-                    - F.sum(
-                        F.when(F.col("g") % 2 == 1, F.col("mv")).otherwise(
-                            0
-                        )
-                    )
+                F.sum(F.when(F.col("g") % 2 == 0, F.col("sv")).otherwise(0))
+                - F.sum(
+                    F.when(F.col("g") % 2 == 1, F.col("sv")).otherwise(0)
                 )
-                / 2
-            ).alias("d"),
+            )
+            .cast("decimal(18,2)")
+            .alias("dnum"),
             F.count(F.lit(1)).alias("cnt"),
         )
         .filter(F.col("cnt") == 2)
     )
-    energy = details.groupBy("j").agg(
+    sed = F.sum(F.col("dnum") * F.col("dnum"))
+    en = details.groupBy("j").agg(
         F.count(F.lit(1)).alias("n_coeffs"),
-        F.sum(F.col("d") * F.col("d")).alias("e"),
+        (
+            (sed - sed % 1).cast("decimal(38,0)").cast("double")
+            / F.pow(F.lit(4.0), F.col("j"))
+        ).alias("e"),
     )
-    wall = Window.partitionBy()
-    return energy.select(
+    one = en.agg(
+        *[
+            F.max(F.when(F.col("j") == i, F.col("e"))).alias(f"e{i}")
+            for i in (1, 2, 3, 4)
+        ]
+    )
+    total = (
+        F.coalesce("e1", F.lit(0.0)) + F.coalesce("e2", F.lit(0.0))
+    ) + (F.coalesce("e3", F.lit(0.0)) + F.coalesce("e4", F.lit(0.0)))
+    return en.crossJoin(F.broadcast(one)).select(
         F.col("j").cast("bigint").alias("level"),
         F.col("n_coeffs").cast("bigint").alias("n_coeffs"),
-        F.round("e", 4).alias("energy"),
-        F.round(F.col("e") / F.sum("e").over(wall), 6).alias(
-            "energy_share"
-        ),
+        F.col("e").alias("energy"),
+        F.round(F.col("e") / total, 6).alias("energy_share"),
     )
 
 

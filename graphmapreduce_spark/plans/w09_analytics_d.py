@@ -753,13 +753,19 @@ def q457_granger_cause(spark, sf_dir):
     """
     WITH daily AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-             SUM(o_totalprice) AS rev
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rev
       FROM orders GROUP BY 1
     ),
-    seq AS (
-      SELECT rev - AVG(rev) OVER () AS d,
-             CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS t
+    mu AS (
+      SELECT CAST(CAST(SUM(rev) AS DECIMAL(18,2)) AS DOUBLE)
+               / COUNT(*) AS m
       FROM daily
+    ),
+    seq AS (
+      SELECT CAST(rev AS DOUBLE) - m AS d,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS t
+      FROM daily CROSS JOIN mu
     ),
     terms AS (
       SELECT p.period,
@@ -772,13 +778,22 @@ def q457_granger_cause(spark, sf_dir):
       FROM seq s CROSS JOIN (VALUES (7.0), (30.0), (91.0), (365.0))
         AS p(period)
       GROUP BY p.period
+    ),
+    p0 AS (
+      SELECT period, c, sn, n, m2,
+             (c * c + sn * sn) / n AS praw
+      FROM terms
     )
     SELECT CAST(period AS BIGINT) AS period_days,
-           ROUND((c * c + sn * sn) / n, 4) AS power,
+           CASE WHEN praw = 0 THEN 0.0
+                ELSE ROUND(praw / POWER(10,
+                             FLOOR(LOG10(ABS(praw))) - 8))
+                     * POWER(10, FLOOR(LOG10(ABS(praw))) - 8)
+           END AS power,
            ROUND(2 * SQRT(c * c + sn * sn) / n, 4) AS amplitude,
            ROUND(POWER(2 * SQRT(c * c + sn * sn) / n, 2) / 2 / m2, 6)
              AS var_share
-    FROM terms
+    FROM p0
     """,
 )
 def q458_periodogram(spark, sf_dir):
@@ -790,14 +805,32 @@ def q458_periodogram(spark, sf_dir):
     each period 'how much signal is at exactly your frequency' with
     one trig-weighted fold per period, so an unexpected spike (e.g.
     a 14-day invoicing echo) shows up without being modeled first.
-    Four periods × one pass over the daily aggregate."""
+    Four periods × one pass over the daily aggregate.
+
+    Float discipline: daily revenue accumulates as an exact decimal
+    and centers on an explicit safe-cast double mean, so the only
+    engine-divergent inputs left are the trig ulps (JVM Math.cos vs
+    libm differ on ~27% of cells, probe-measured) — power is
+    therefore emitted on a 9-significant-digit lattice (scale to
+    [1e8,1e9), round to an integer, scale back; every step exact or
+    correctly rounded), which absorbs the ~1e-14 relative drift that
+    a 16-digit ROUND(,4) at this magnitude cannot."""
     od = _t(spark, sf_dir, "orders")
     daily = od.groupBy(
         F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
-    ).agg(F.sum("o_totalprice").alias("rev"))
-    wall = Window.partitionBy()
-    seq = daily.select(
-        (F.col("rev") - F.avg("rev").over(wall)).alias("d"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    mu = daily.agg(
+        (
+            F.sum("rev").cast("decimal(18,2)").cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    seq = daily.crossJoin(F.broadcast(mu)).select(
+        (F.col("rev").cast("double") - F.col("m")).alias("d"),
         F.row_number()
         .over(Window.orderBy("day"))
         .cast("double")
@@ -822,9 +855,13 @@ def q458_periodogram(spark, sf_dir):
     )
     p2 = F.col("c") * F.col("c") + F.col("sn") * F.col("sn")
     amp = 2 * F.sqrt(p2) / F.col("n")
+    praw = p2 / F.col("n")
+    sc = F.pow(F.lit(10.0), F.floor(F.log10(F.abs(praw))) - 8)
     return terms.select(
         F.col("period").cast("bigint").alias("period_days"),
-        F.round(p2 / F.col("n"), 4).alias("power"),
+        F.when(praw == 0, F.lit(0.0))
+        .otherwise(F.round(praw / sc) * sc)
+        .alias("power"),
         F.round(amp, 4).alias("amplitude"),
         F.round(F.pow(amp, 2) / 2 / F.col("m2"), 6).alias("var_share"),
     )
@@ -835,20 +872,34 @@ def q458_periodogram(spark, sf_dir):
     """
     WITH daily AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-             SUM(o_totalprice) AS rev
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rev
       FROM orders GROUP BY 1
     ),
-    sq AS (
-      SELECT day, POWER(rev - AVG(rev) OVER (), 2) AS e2
+    mu AS (
+      SELECT CAST(ROUND(CAST(CAST(SUM(rev) AS DECIMAL(18,2)) AS DOUBLE)
+                        / COUNT(*), 2) AS DECIMAL(18,2)) AS m
       FROM daily
     ),
-    cum AS (
+    dev AS (
+      SELECT day, CAST(rev - m AS DECIMAL(18,2)) AS dv
+      FROM daily CROSS JOIN mu
+    ),
+    cumd AS (
       SELECT day,
              ROW_NUMBER() OVER (ORDER BY day) AS k,
-             SUM(e2) OVER (ORDER BY day) AS ck,
-             SUM(e2) OVER () AS cn,
+             SUM(dv * dv) OVER (ORDER BY day) AS ckd,
+             SUM(dv * dv) OVER () AS cnd,
              COUNT(*) OVER () AS n
-      FROM sq
+      FROM dev
+    ),
+    cum AS (
+      SELECT day, k, n,
+             CAST(CAST(ckd - (ckd % 1) AS DECIMAL(38,0)) AS DOUBLE)
+               AS ck,
+             CAST(CAST(cnd - (cnd % 1) AS DECIMAL(38,0)) AS DOUBLE)
+               AS cn
+      FROM cumd
     ),
     scored AS (
       SELECT day, k, n,
@@ -861,8 +912,8 @@ def q458_periodogram(spark, sf_dir):
            CAST(k AS BIGINT) AS n_left,
            CAST(n - k AS BIGINT) AS n_right,
            ROUND(dk, 6) AS d_k,
-           ROUND(var_left, 4) AS var_left,
-           ROUND(var_right, 4) AS var_right,
+           var_left,
+           var_right,
            ROUND(var_right / var_left, 4) AS var_ratio
     FROM scored
     ORDER BY ABS(dk) DESC, day
@@ -876,22 +927,47 @@ def q459_variance_changepoint(spark, sf_dir):
     changed even when the mean never moved (the split q456's ARCH
     test motivates).  Same closed-form prefix discipline: one ordered
     cumulative window over the daily aggregate, a top-1 with an
-    earliest-day tiebreak."""
+    earliest-day tiebreak.
+
+    Float discipline (q418's): deviations center on the CENT-ROUNDED
+    mean so Σ(x−μ)² accumulates as an EXACT decimal (order-proof on
+    both engines, immune to double-SUM partition-order ulp drift at
+    the ~1e14 magnitudes ROUND(,4) can't absorb), truncated to its
+    integral part and safe-cast to double only at the closed form."""
     od = _t(spark, sf_dir, "orders")
     daily = od.groupBy(
         F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
-    ).agg(F.sum("o_totalprice").alias("rev"))
-    wall = Window.partitionBy()
-    sq = daily.select(
-        "day",
-        F.pow(F.col("rev") - F.avg("rev").over(wall), 2).alias("e2"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
     )
+    mu = daily.agg(
+        F.round(
+            F.sum("rev").cast("decimal(18,2)").cast("double")
+            / F.count(F.lit(1)),
+            2,
+        )
+        .cast("decimal(18,2)")
+        .alias("m")
+    )
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "day", (F.col("rev") - F.col("m")).cast("decimal(18,2)").alias("dv")
+    )
+    wall = Window.partitionBy()
     wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    cum = sq.select(
+
+    def _trunc_dbl(c):
+        # exact decimal truncation before the scale-0 cast (Spark
+        # rounds HALF_UP on downscale, DuckDB truncates) — then one
+        # correctly-rounded int->double on both engines
+        return (c - c % 1).cast("decimal(38,0)").cast("double")
+
+    cum = dev.select(
         "day",
         F.row_number().over(Window.orderBy("day")).alias("k"),
-        F.sum("e2").over(wc).alias("ck"),
-        F.sum("e2").over(wall).alias("cn"),
+        _trunc_dbl(F.sum(F.col("dv") * F.col("dv")).over(wc)).alias("ck"),
+        _trunc_dbl(F.sum(F.col("dv") * F.col("dv")).over(wall)).alias("cn"),
         F.count(F.lit(1)).over(wall).alias("n"),
     ).filter(F.col("k") < F.col("n"))
     dk = F.col("ck") / F.col("cn") - F.col("k").cast("double") / F.col("n")
@@ -903,8 +979,8 @@ def q459_variance_changepoint(spark, sf_dir):
             F.col("k").cast("bigint").alias("n_left"),
             (F.col("n") - F.col("k")).cast("bigint").alias("n_right"),
             F.round(dk, 6).alias("d_k"),
-            F.round(vl, 4).alias("var_left"),
-            F.round(vr, 4).alias("var_right"),
+            vl.alias("var_left"),
+            vr.alias("var_right"),
             F.round(vr / vl, 4).alias("var_ratio"),
             F.abs(dk).alias("_a"),
         )
