@@ -1669,10 +1669,49 @@ def q236_mrr_eval(spark, sf_dir):
     )
 
 
-@register("q237_coreness", None)  # run-to-fixpoint peel per level — no
-# fixed-depth SQL form; verified by the pytest golden + the
-# coreness(v)>=k <=> k_core membership cross-invariant against the
-# value-oracled q84 peel (tests/test_graph_algorithms.py)
+def _coreness_oracle_sql(rounds: int = 30) -> str:
+    """Unrolled h-index propagation (Lü et al. 2016): c₀ = degree,
+    cₜ(v) = H(cₜ₋₁(u) : u∈N(v)) — the fixpoint IS coreness, and extra
+    rounds past convergence are no-ops, so a fixed unroll with margin
+    (measured 25 rounds at sf0.01) is value-exact.  H computed as
+    COUNT(nc >= rank-desc) — the same #{i : xs[i] >= i} expression the
+    Spark plan evaluates in codegen."""
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(
+            f"""n{k} AS (
+      SELECT s.src AS id, c.c AS nc,
+             ROW_NUMBER() OVER (PARTITION BY s.src
+                                ORDER BY c.c DESC) AS rn
+      FROM sym s JOIN c{k - 1} c ON c.id = s.dst
+    ),
+    c{k} AS MATERIALIZED (
+      SELECT id, CAST(COUNT(*) FILTER (WHERE nc >= rn) AS BIGINT) AS c
+      FROM n{k} GROUP BY id
+    )"""
+        )
+    body = ",\n    ".join(steps)
+    return f"""
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT LEAST(l_orderkey % 5000, l_partkey % 5000) AS src,
+                      GREATEST(l_orderkey % 5000,
+                               l_partkey % 5000) AS dst
+      FROM lineitem
+      WHERE l_orderkey % 5000 <> l_partkey % 5000
+    ),
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und
+    ),
+    c0 AS MATERIALIZED (
+      SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM sym GROUP BY src
+    ),
+    {body}
+    SELECT id, c AS coreness FROM c{rounds}
+    """
+
+
+@register("q237_coreness", _coreness_oracle_sql())
 def q237_coreness(spark, sf_dir):
     """Full k-core decomposition (coreness per vertex) of the
     lineitem-derived graph — the degeneracy profile that tells you
@@ -1693,9 +1732,55 @@ def q237_coreness(spark, sf_dir):
     return alg.coreness(g, assume_simple=True)
 
 
-@register("q238_diameter_double_sweep", None)  # two chained data-dependent
-# BFS runs — no fixed-depth SQL form; verified by pytest goldens
-# (exact on trees; cycle/star fixtures) in tests/test_graph_algorithms.py
+_DIAMETER_ORACLE_SQL = """
+    WITH RECURSIVE und AS MATERIALIZED (
+      SELECT DISTINCT LEAST(l_orderkey % 5000, l_partkey % 5000) AS src,
+                      GREATEST(l_orderkey % 5000,
+                               l_partkey % 5000) AS dst
+      FROM lineitem
+      WHERE l_orderkey % 5000 <> l_partkey % 5000
+    ),
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und
+    ),
+    s1 AS MATERIALIZED (SELECT MIN(src) AS s FROM sym),
+    b1(id, d) AS (
+      SELECT s, 0 FROM s1
+      UNION
+      SELECT e.dst, b.d + 1
+      FROM b1 b JOIN sym e ON e.src = b.id
+      WHERE b.d < 12
+    ),
+    lv1 AS MATERIALIZED (
+      SELECT id, MIN(d) AS level FROM b1 GROUP BY id
+    ),
+    far AS MATERIALIZED (
+      SELECT id FROM lv1 ORDER BY level DESC, id ASC LIMIT 1
+    ),
+    b2(id, d) AS (
+      SELECT id, 0 FROM far
+      UNION
+      SELECT e.dst, b.d + 1
+      FROM b2 b JOIN sym e ON e.src = b.id
+      WHERE b.d < 12
+    ),
+    lv2 AS MATERIALIZED (
+      SELECT id, MIN(d) AS level FROM b2 GROUP BY id
+    )
+    SELECT CAST((SELECT s FROM s1) AS BIGINT) AS start_id,
+           CAST((SELECT id FROM far) AS BIGINT) AS peripheral_id,
+           CAST(MAX(level) AS BIGINT) AS diameter_lb
+    FROM lv2
+    """
+
+
+@register("q238_diameter_double_sweep", _DIAMETER_ORACLE_SQL)
+# Two chained frontier-BFS runs, each a recursive CTE bounded by a
+# depth cap (measured eccentricity 4 at sf0.01; cap 12 = 3x margin —
+# levels past the true eccentricity add no (id, d) pairs with a
+# smaller MIN, so the cap is value-exact whenever it exceeds the true
+# eccentricity).  Peripheral pick replicates the (max level, min id)
+# tiebreak.  Pytest goldens (trees/cycle/star) remain.
 def q238_diameter_double_sweep(spark, sf_dir):
     """Double-sweep BFS diameter lower bound of the (symmetrized)
     lineitem-derived graph — the two-BFS heuristic that replaces the

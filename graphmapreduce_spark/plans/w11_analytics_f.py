@@ -1935,14 +1935,62 @@ def q584_dedup_token_accounting(spark, sf_dir):
     )
 
 
-@register("q585_maximal_matching", None)  # iterative — pytest-covered
+def _maximal_matching_oracle_sql(rounds: int = 9) -> str:
+    """Unrolled mutual-minimum handshake (measured 7 drain rounds at
+    sf0.01; rounds past drain operate on an empty edge set, so a fixed
+    unroll with margin is value-exact): per round, every vertex
+    proposes to its minimum neighbour, mutual proposals with src < dst
+    match, and both endpoints' edges leave the residual set."""
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(
+            f"""p{k} AS MATERIALIZED (
+      SELECT src, MIN(dst) AS t FROM s{k - 1} GROUP BY src
+    ),
+    m{k} AS MATERIALIZED (
+      SELECT p1.src AS a, p1.t AS b
+      FROM p{k} p1 JOIN p{k} p2 ON p2.src = p1.t AND p2.t = p1.src
+      WHERE p1.src < p1.t
+    ),
+    g{k} AS MATERIALIZED (SELECT a AS id FROM m{k}
+             UNION ALL SELECT b AS id FROM m{k}),
+    s{k} AS MATERIALIZED (
+      SELECT s.src, s.dst FROM s{k - 1} s
+      WHERE s.src NOT IN (SELECT id FROM g{k})
+        AND s.dst NOT IN (SELECT id FROM g{k})
+    )"""
+        )
+    body = ",\n    ".join(steps)
+    matches = "\n      UNION ALL ".join(
+        f"SELECT a, b FROM m{k}" for k in range(1, rounds + 1)
+    )
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS src,
+                      o_orderkey % 500 + 100000 AS dst
+      FROM orders WHERE o_orderkey % 7 < 2
+    ),
+    s0 AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e0
+        UNION ALL SELECT dst AS src, src AS dst FROM e0
+      ) WHERE src <> dst
+    ),
+    {body}
+    SELECT a, b FROM ({matches})
+    ORDER BY a, b
+    """
+
+
+@register("q585_maximal_matching", _maximal_matching_oracle_sql())
 def q585_maximal_matching(spark, sf_dir):
     """[EXT] Distributed maximal matching (mutual-minimum handshake,
     `graph/algorithms.py maximal_matching`) over the derived
-    customer→order-priority edge table: disjoint matched pairs whose
-    maximality is pytest-gated (goldens + no-unmatched-edge invariant
-    in tests/test_graph_algorithms.py); rows-only by design like the
-    other data-dependent-round iterative algorithms."""
+    customer→order-priority edge table: disjoint matched pairs.
+    Value-oracled via a fixed unroll of the handshake rounds
+    (deterministic given min-proposal + id tiebreaks); the pytest
+    goldens + no-unmatched-edge invariant in
+    tests/test_graph_algorithms.py remain as the structural gate."""
     from graphmapreduce_spark.graph.property_graph import PropertyGraph
 
     od = _t(spark, sf_dir, "orders")
