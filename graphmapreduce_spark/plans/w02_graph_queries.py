@@ -284,13 +284,89 @@ def q36_scc(spark, sf_dir):
     return scc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
 
 
-@register("q37_mst", None)  # iterative — golden-graph pytest coverage
+def _mst_oracle_sql(rounds: int = 9, jumps: int = 5) -> str:
+    """Borůvka unrolled: measured 6 contraction rounds / 3 pointer
+    jumps at sf0.01, unrolled with margin — a round past convergence
+    sees an empty cross-component edge set and every CTE in it is a
+    no-op, so the fixed unroll is value-exact.  Mirrors
+    ``alg.boruvka_mst`` choice-for-choice: per-component minimum
+    outgoing edge with the same (weight, src, dst) tiebreak, union of
+    chosen component pairs, min-label closure via the same
+    pointer-jump recurrence.  Weights are MIN(l_quantity) — integer-
+    valued doubles, so SUM is order-proof and the BIGINT emission is
+    byte-exact on both engines."""
+    rnds = []
+    for k in range(1, rounds + 1):
+        jump_ctes = []
+        for i in range(1, jumps + 1):
+            jump_ctes.append(f"""j{k}_{i} AS MATERIALIZED (
+      SELECT m1.c, COALESCE(m2.t, m1.t) AS t
+      FROM j{k}_{i - 1} m1 LEFT JOIN j{k}_{i - 1} m2 ON m1.t = m2.c
+    )""")
+        jump_body = ",\n    ".join(jump_ctes)
+        rnds.append(f"""ec{k} AS MATERIALIZED (
+      SELECT e.src, e.dst, e.weight, cs.comp AS cs, cd.comp AS cd
+      FROM e JOIN c{k - 1} cs ON e.src = cs.id
+             JOIN c{k - 1} cd ON e.dst = cd.id
+      WHERE cs.comp <> cd.comp
+    ),
+    ch{k} AS MATERIALIZED (
+      SELECT DISTINCT src, dst, weight, cs, cd FROM (
+        SELECT t.*, ROW_NUMBER() OVER (
+                 PARTITION BY c ORDER BY weight, src, dst) AS rn
+        FROM (SELECT cs AS c, src, dst, weight, cs, cd FROM ec{k}
+              UNION ALL
+              SELECT cd AS c, src, dst, weight, cs, cd FROM ec{k}) t
+      ) WHERE rn = 1
+    ),
+    m{k} AS MATERIALIZED (
+      SELECT DISTINCT src, dst, weight FROM (
+        SELECT src, dst, weight FROM m{k - 1}
+        UNION ALL SELECT src, dst, weight FROM ch{k})
+    ),
+    j{k}_0 AS MATERIALIZED (
+      SELECT b AS c, MIN(a) AS t FROM (
+        SELECT DISTINCT LEAST(cs, cd) AS a, GREATEST(cs, cd) AS b
+        FROM ch{k}) GROUP BY b
+    ),
+    {jump_body},
+    c{k} AS MATERIALIZED (
+      SELECT c.id, COALESCE(m.t, c.comp) AS comp
+      FROM c{k - 1} c LEFT JOIN j{k}_{jumps} m ON c.comp = m.c
+    )""")
+    body = ",\n    ".join(rnds)
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT l_suppkey AS s, -l_partkey AS p, MIN(l_quantity) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (
+      SELECT LEAST(s, p) AS src, GREATEST(s, p) AS dst, MIN(w) AS weight
+      FROM base WHERE LEAST(s, p) < GREATEST(s, p) GROUP BY 1, 2
+    ),
+    c0 AS MATERIALIZED (
+      SELECT id, id AS comp FROM (
+        SELECT src AS id FROM e UNION SELECT dst FROM e)
+    ),
+    m0 AS MATERIALIZED (SELECT src, dst, weight FROM e WHERE 1 = 0),
+    {body}
+    SELECT COUNT(*)::BIGINT AS n_edges,
+           CAST(SUM(weight) AS BIGINT) AS total_weight
+    FROM m{rounds}
+    """
+
+
+@register("q37_mst", _mst_oracle_sql())
 def q37_mst(spark, sf_dir):
+    """Borůvka MSF (ref stub `Prime` algorithms.h:200) over the
+    part–supplier graph; value-oracled via the unrolled contraction
+    rounds (weights integer-valued, emission BIGINT-exact); edge-level
+    structure stays pinned by the golden-graph pytests."""
     g = _ps_graph(spark, sf_dir)
     mst = alg.boruvka_mst(g)
     return mst.agg(
         F.count(F.lit(1)).alias("n_edges"),
-        F.round(F.sum("weight"), 4).alias("total_weight"),
+        F.sum("weight").cast("bigint").alias("total_weight"),
     )
 
 
