@@ -3212,15 +3212,98 @@ def q258_token_fertility(spark, sf_dir):
     )
 
 
-@register("q261_graph_coloring", None)  # MIS peeling runs to a
-# data-dependent fixpoint per color — no fixed-depth SQL form; verified
-# by the properness/Δ+1/determinism pytest goldens
-# (tests/test_graph_algorithms.py::test_greedy_coloring_proper_and_bounded)
+def _greedy_coloring_oracle_sql(colors: int = 6, rounds: int = 5) -> str:
+    """Unrolled MIS-peeling mirror of ``alg.greedy_coloring`` (measured
+    at sf0.01: 4 colors, MIS drains in [3, 3, 2, 1] rounds — unrolled
+    with margin; a color past peel-out sees an empty vertex set and a
+    MIS round past drain sees an empty active set, so every extra
+    block is a no-op and the fixed unroll is value-exact).  Priorities
+    replicate ``md5_hash60(id || ':mis')`` bit-for-bit via DuckDB
+    ``('0x' || substr(md5(...), 1, 15))::BIGINT``."""
+    blocks = []
+    for c in range(colors):
+        blocks.append(f"""a{c}_0 AS MATERIALIZED (
+      SELECT id,
+             ('0x' || substr(md5(id::VARCHAR || ':mis'), 1, 15))::BIGINT
+               AS pri
+      FROM v{c}
+    ),
+    se{c}_0 AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM g{c}
+        UNION ALL SELECT dst AS src, src AS dst FROM g{c}
+      ) WHERE src <> dst
+    )""")
+        for r in range(1, rounds + 1):
+            blocks.append(f"""w{c}_{r} AS MATERIALIZED (
+      SELECT a.id FROM a{c}_{r - 1} a LEFT JOIN (
+        SELECT s.dst AS id, MIN(a2.pri) AS mn
+        FROM se{c}_{r - 1} s JOIN a{c}_{r - 1} a2 ON a2.id = s.src
+        GROUP BY s.dst) m ON m.id = a.id
+      WHERE m.mn IS NULL OR a.pri < m.mn
+    ),
+    rm{c}_{r} AS MATERIALIZED (
+      SELECT DISTINCT id FROM (
+        SELECT id FROM w{c}_{r}
+        UNION ALL
+        SELECT s.dst AS id
+        FROM se{c}_{r - 1} s JOIN w{c}_{r} w ON w.id = s.src)
+    ),
+    a{c}_{r} AS MATERIALIZED (
+      SELECT a.* FROM a{c}_{r - 1} a
+      WHERE a.id NOT IN (SELECT id FROM rm{c}_{r})
+    ),
+    se{c}_{r} AS MATERIALIZED (
+      SELECT s.* FROM se{c}_{r - 1} s
+      WHERE s.src IN (SELECT id FROM a{c}_{r})
+        AND s.dst IN (SELECT id FROM a{c}_{r})
+    )""")
+        mis_union = "\n        UNION ALL ".join(
+            f"SELECT id FROM w{c}_{r}" for r in range(1, rounds + 1)
+        )
+        blocks.append(f"""mis{c} AS MATERIALIZED (
+      SELECT DISTINCT id FROM ({mis_union})
+    ),
+    v{c + 1} AS MATERIALIZED (
+      SELECT id FROM v{c} WHERE id NOT IN (SELECT id FROM mis{c})
+    ),
+    g{c + 1} AS MATERIALIZED (
+      SELECT g.* FROM g{c} g
+      WHERE g.src IN (SELECT id FROM v{c + 1})
+        AND g.dst IN (SELECT id FROM v{c + 1})
+    )""")
+    body = ",\n    ".join(blocks)
+    hist = "\n      UNION ALL ".join(
+        f"SELECT {c} AS color, COUNT(*)::BIGINT AS n_vertices "
+        f"FROM mis{c} HAVING COUNT(*) > 0"
+        for c in range(colors)
+    )
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey % 4000 AS src, l_partkey % 4000 AS dst
+      FROM lineitem
+      WHERE l_quantity <= 2 AND l_orderkey % 4000 <> l_partkey % 4000
+    ),
+    v0 AS MATERIALIZED (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0)
+    ),
+    g0 AS MATERIALIZED (SELECT src, dst FROM e0),
+    {body}
+    SELECT color, n_vertices FROM ({hist})
+    ORDER BY color
+    """
+
+
+@register("q261_graph_coloring", _greedy_coloring_oracle_sql())
 def q261_graph_coloring(spark, sf_dir):
     """Distributed greedy vertex coloring (iterative deterministic-MIS
     peeling) of the sparse lineitem graph, reported as a color
     histogram — the conflict-free scheduling primitive (a color class
-    is a set of vertices safe to update concurrently)."""
+    is a set of vertices safe to update concurrently).  Value-oracled
+    via the unrolled MIS-peel mirror (hash priorities make the peel a
+    pure function of the graph); the properness/Δ+1 invariants stay
+    pinned by tests/test_graph_algorithms.py."""
     li = _t(spark, sf_dir, "lineitem")
     # mod-4000 keeps the fixture graph SPARSE at every sf (a dense
     # remainder graph approaches a clique, where Δ+1 coloring is the
