@@ -195,6 +195,119 @@ def sample_video_frames(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def _resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Half-pixel-center nearest-neighbor resize (the OpenCV/PIL
+    NEAREST convention): output pixel i samples the source pixel whose
+    center is nearest to (i + 0.5) * in/out.  Pure integer index math —
+    bit-deterministic for any size pair, up or down."""
+    in_h, in_w = px.shape[:2]
+    rows = np.minimum(
+        ((np.arange(out_h) + 0.5) * in_h / out_h).astype(np.int64), in_h - 1
+    )
+    cols = np.minimum(
+        ((np.arange(out_w) + 0.5) * in_w / out_w).astype(np.int64), in_w - 1
+    )
+    return px[rows][:, cols]
+
+
+def _resize_area(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Exact box-average downscale: output pixel = mean of its
+    (in_h/out_h) × (in_w/out_w) source box.  Requires integer factors
+    (the exactness contract — fractional boxes need resampling weights
+    whose float order would not be bit-stable); raises ValueError
+    otherwise, pointing at mode='nearest'."""
+    in_h, in_w = px.shape[:2]
+    if in_h % out_h or in_w % out_w:
+        raise ValueError(
+            f"area resize needs integer factors, got {in_h}x{in_w} -> "
+            f"{out_h}x{out_w}; use mode='nearest' for fractional resizes"
+        )
+    fh, fw = in_h // out_h, in_w // out_w
+    shaped = px.reshape(out_h, fh, out_w, fw, *px.shape[2:])
+    # sum in int64 then one division — no accumulation-order float drift
+    return shaped.sum(axis=(1, 3), dtype=np.int64) // (fh * fw)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    payload_col: str = "payload",
+    mode: str = "nearest",
+    fake: bool = False,
+) -> DataFrame:
+    """Batch image resize via ``mapInPandas`` — the missing third leg of
+    the decode / feature-extract / resize / frame-sample quartet.
+
+    Decodes each payload (stdlib PNG codec, PIL if installed), resizes
+    to (out_w, out_h) with ``mode``:
+
+    - ``nearest`` — half-pixel-center nearest neighbor, any size pair;
+    - ``area`` — exact integer-factor box average (the thumbnail /
+      training-resolution downscale path; int64 sums, so the result is
+      bit-deterministic across partitionings and engines).
+
+    Re-encodes the result as PNG.  Output: input columns minus the
+    payload, plus ``payload`` (resized PNG), ``width``/``height`` (the
+    new dims, overwriting any metadata columns of those names — they
+    describe the payload) and ``pixel_md5`` (digest of the RESIZED
+    pixel bytes, the cheap equality handle for dedup/tests).  Arrow
+    batches in, Arrow batches out; Spark never deserializes pixels.
+
+    ``fake=True`` routes through the deterministic stand-in decoder and
+    emits digest-only rows (payload NULL) — the plumbing contract for
+    formats with no codec."""
+    if mode not in ("nearest", "area"):
+        raise ValueError(f"unknown resize mode {mode!r}")
+    keep = [f for f in df.schema.fields
+            if f.name not in (payload_col, "width", "height")]
+    out_schema = StructType(
+        keep
+        + [
+            StructField("payload", BinaryType(), True),
+            StructField("width", LongType(), False),
+            StructField("height", LongType(), False),
+            StructField("pixel_md5", StringType(), True),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, digests = [], []
+            for payload, w, h in zip(
+                pdf[payload_col],
+                pdf.get("width", [4] * len(pdf)),
+                pdf.get("height", [4] * len(pdf)),
+            ):
+                if fake:
+                    px = (_fake_decode(payload, w or 4, h or 4) * 255).astype(
+                        np.uint8
+                    )
+                else:
+                    px = codecs.decode_image(bytes(payload or b""))
+                small = (
+                    _resize_nearest(px, out_w, out_h)
+                    if mode == "nearest"
+                    else _resize_area(px, out_w, out_h)
+                ).astype(np.uint8)
+                digests.append(
+                    hashlib.md5(np.ascontiguousarray(small).tobytes())
+                    .hexdigest()
+                )
+                payloads.append(
+                    None if fake else codecs.encode_png(small)
+                )
+            out = pdf[keep_names].copy()
+            out["payload"] = payloads
+            out["width"] = out_w
+            out["height"] = out_h
+            out["pixel_md5"] = digests
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def extract_audio_features(
     df: DataFrame,
     payload_col: str = "payload",

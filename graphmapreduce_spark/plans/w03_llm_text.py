@@ -632,6 +632,53 @@ def q55_image_features(spark, sf_dir):
     )
 
 
+@register("q588_image_resize", None)  # binary codec — not SQL-expressible
+def q588_image_resize(spark, sf_dir):
+    """Batch image resize (`operators/multimodal.py resize_images`) —
+    the training-resolution downscale pass: deterministic 12×8 PNG
+    payloads synthesized worker-side (q55 pattern), then REAL decode →
+    resize → PNG re-encode through mapInPandas under both modes
+    (exact box-average 'area' 12×8→4×4 and half-pixel-center
+    'nearest' 12×8→5×3), digesting the RESIZED pixels.  Pixel-exact
+    resize semantics are pinned against plain-numpy references in
+    tests/test_multimodal_codecs.py."""
+    import numpy as np  # worker-side
+    import pandas as pd
+
+    from graphmapreduce_spark.functions import codecs as C
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].tolist():
+                arr = (
+                    (np.arange(8)[:, None] * 13 + np.arange(12)[None, :] * 3
+                     + i * 5) % 256
+                ).astype(np.uint8)
+                rows.append((i, C.encode_png(arr), 12, 8))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "width", "height"]
+            )
+
+    media = d.select("doc_id").mapInPandas(
+        encode,
+        schema="media_id long, payload binary, width long, height long",
+    )
+    area = M.resize_images(media, 4, 4, mode="area").select(
+        "media_id", F.lit("area").alias("mode"),
+        "width", "height", "pixel_md5",
+        F.octet_length("payload").alias("png_bytes"),
+    )
+    near = M.resize_images(media, 5, 3, mode="nearest").select(
+        "media_id", F.lit("nearest").alias("mode"),
+        "width", "height", "pixel_md5",
+        F.octet_length("payload").alias("png_bytes"),
+    )
+    return area.unionByName(near)
+
+
 @register("q56_video_frames", None)  # binary codec — not SQL-expressible
 def q56_video_frames(spark, sf_dir):
     """Video frame sampling with REAL decode end-to-end: deterministic

@@ -342,3 +342,72 @@ def test_spark_video_frames_sparse_sampling_two_pointer(spark):
         assert r["frame_md5"] == hashlib.md5(
             np.ascontiguousarray(img).tobytes()
         ).hexdigest()
+
+
+def test_resize_nearest_matches_reference():
+    """Half-pixel-center nearest must equal the brute per-pixel
+    definition for an awkward (non-integer-factor) size pair."""
+    px = ((np.arange(7)[:, None] * 17 + np.arange(5)[None, :] * 3) % 256
+          ).astype(np.uint8)
+    out = M._resize_nearest(px, 3, 4)  # 7x5 -> 4x3
+    assert out.shape == (4, 3)
+    for i in range(4):
+        for j in range(3):
+            si = min(int((i + 0.5) * 7 / 4), 6)
+            sj = min(int((j + 0.5) * 5 / 3), 4)
+            assert out[i, j] == px[si, sj]
+
+
+def test_resize_area_exact_box_mean():
+    """Integer-factor box average is the exact floored mean, computed
+    in int64 (no float accumulation)."""
+    px = ((np.arange(8)[:, None] * 31 + np.arange(12)[None, :] * 7) % 256
+          ).astype(np.uint8)
+    out = M._resize_area(px, 4, 4)  # 8x12 -> 4x4: 2x3 boxes
+    assert out.shape == (4, 4)
+    for i in range(4):
+        for j in range(4):
+            box = px[i * 2:(i + 1) * 2, j * 3:(j + 1) * 3]
+            assert out[i, j] == int(box.sum()) // 6
+    with pytest.raises(ValueError):
+        M._resize_area(px, 5, 4)  # 12 % 5 != 0
+
+
+def test_resize_area_multichannel():
+    rgb = ((np.arange(4 * 6 * 3).reshape(4, 6, 3) * 11) % 256).astype(
+        np.uint8
+    )
+    out = M._resize_area(rgb, 3, 2)  # 4x6 -> 2x3, per-channel
+    assert out.shape == (2, 3, 3)
+    assert out[0, 0, 1] == int(rgb[0:2, 0:2, 1].sum()) // 4
+
+
+def test_spark_resize_images_round_trip(spark):
+    """resize_images end-to-end: decode -> resize -> re-encode; the
+    emitted payload must DECODE back to exactly the resized pixels and
+    pixel_md5 must digest them."""
+    import hashlib
+
+    src = ((np.arange(8)[:, None] * 13 + np.arange(12)[None, :] * 3) % 256
+           ).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(codecs.encode_png(src)), 12, 8)],
+        "media_id long, payload binary, width long, height long",
+    )
+    row = M.resize_images(df, 4, 4, mode="area").collect()[0]
+    want = M._resize_area(src, 4, 4).astype(np.uint8)
+    assert (row["width"], row["height"]) == (4, 4)
+    got = codecs.decode_png(bytes(row["payload"]))
+    assert np.array_equal(got, want)
+    assert row["pixel_md5"] == hashlib.md5(
+        np.ascontiguousarray(want).tobytes()
+    ).hexdigest()
+
+
+def test_spark_resize_images_rejects_bad_mode(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b""), 4, 4)],
+        "media_id long, payload binary, width long, height long",
+    )
+    with pytest.raises(ValueError):
+        M.resize_images(df, 2, 2, mode="bilinear")
