@@ -952,3 +952,41 @@ def q58_scalar_subquery(spark, sf_dir):
             "c_custkey", "c_nationkey", F.round("c_acctbal", 2).alias("c_acctbal")
         )
     )
+
+
+@register(
+    "q589_xml_roundtrip",
+    """
+    SELECT CAST(n_regionkey AS BIGINT) AS region_key,
+           COUNT(*)::BIGINT AS n_nations,
+           MIN(n_name) AS first_name,
+           MIN(md5(n_name)) AS name_md5_min
+    FROM nation
+    GROUP BY 1
+    """,
+)
+def q589_xml_roundtrip(spark, sf_dir):
+    """XML source/sink (Spark 4 native ``format("xml")``,
+    `sources/xml_io.py`): write the nation table as XML, read it back,
+    aggregate the ROUND-TRIPPED rows.  The oracle computes the same
+    aggregate from the original parquet, so a value match proves the
+    write→read cycle is byte-faithful (the md5-of-name aggregate pins
+    string fidelity through the tag escaping, not just counts).  XML is
+    the land-once ingestion format — see the module docstring for why
+    the production pattern is XML → parquet, never XML as the working
+    format."""
+    import tempfile
+
+    from graphmapreduce_spark.sources import read_xml, write_xml
+
+    n = _t(spark, sf_dir, "nation")
+    d = tempfile.mkdtemp(prefix="gmr_xml_")
+    write_xml(n, d, row_tag="nation")
+    back = read_xml(spark, d, row_tag="nation")
+    return back.groupBy(
+        F.col("n_regionkey").alias("region_key")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+        F.min(F.md5(F.col("n_name").cast("binary"))).alias("name_md5_min"),
+    )

@@ -265,3 +265,46 @@ def test_global_cumsum_matches_window_cumsum(spark):
         acc += (1 << 53) + i
         assert rows[i] == acc, (i, rows[i], acc)
     assert dict(out.dtypes)["cum"] == "bigint"
+
+
+def test_xml_roundtrip_fidelity(spark, tmp_path):
+    """write_xml -> read_xml must be value-identical (ints widen to
+    LONG under inference; values unchanged)."""
+    from graphmapreduce_spark.sources import read_xml, write_xml
+
+    n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    d = str(tmp_path / "nation_xml")
+    write_xml(n, d, row_tag="nation")
+    back = read_xml(spark, d, row_tag="nation")
+    a = sorted(tuple(r) for r in n.collect())
+    b = sorted(tuple(r) for r in back.select(*n.columns).collect())
+    assert a == b
+
+
+def test_xml_roundtrip_escapes_special_chars(spark, tmp_path):
+    """Tag-significant characters in values must survive the writer's
+    escaping and the reader's unescaping."""
+    from graphmapreduce_spark.sources import read_xml, write_xml
+
+    rows = [
+        (1, "a<b&c>d"),
+        (2, 'quote" and \'apostrophe\''),
+        (3, "plain"),
+    ]
+    df = spark.createDataFrame(rows, "id long, txt string")
+    d = str(tmp_path / "esc_xml")
+    write_xml(df, d)
+    back = read_xml(spark, d)
+    assert sorted(tuple(r) for r in back.select("id", "txt").collect()) \
+        == sorted(rows)
+
+
+def test_xml_explicit_schema_skips_inference(spark, tmp_path):
+    from graphmapreduce_spark.sources import read_xml, write_xml
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, txt string")
+    d = str(tmp_path / "schema_xml")
+    write_xml(df, d)
+    back = read_xml(spark, d, schema="id long, txt string")
+    assert back.schema.simpleString() == "struct<id:bigint,txt:string>"
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "x"), (2, "y")]
