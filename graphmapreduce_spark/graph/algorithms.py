@@ -322,6 +322,117 @@ def connected_components(
 
 
 # ---------------------------------------------------------------------------
+# WCC by alternating star contraction — the HIGH-DIAMETER complement of
+# `connected_components`.  Min-label propagation needs O(diameter)
+# supersteps (a 1M-vertex path would need 1M); the large-star/small-star
+# alternation (Kiveris et al., "Connected Components in MapReduce and
+# Beyond") converges in O(log n) rounds on ANY topology, each round two
+# groupBy-join passes over the current (shrinking) edge set.  Same output
+# contract as `connected_components`: (id, component = min id).
+# ---------------------------------------------------------------------------
+def connected_components_contract(
+    graph: PropertyGraph, max_rounds: int = 60, stats: dict | None = None
+) -> DataFrame:
+    """(id, component) via alternating large-star / small-star
+    contraction.
+
+    Per round:
+
+    - large-star: every vertex u computes m = min(N(u) ∪ {u}) over the
+      symmetrized neighborhood and rewires each LARGER neighbor v > u
+      to m — long tails collapse toward minima without ever growing the
+      edge count;
+    - small-star: edges orient (max, min); every u rewires its
+      smaller-side neighbors (and itself) to their minimum — stars
+      flatten.
+
+    At the fixpoint the edge set is a star forest (child → component
+    minimum), read off as the label table; vertices absent from it
+    (roots, isolated) label themselves.  Rounds are O(log n) in the
+    component size regardless of diameter — use this instead of
+    `connected_components` when the graph may contain long paths
+    (road networks, provenance chains, event successions); on
+    low-diameter graphs the min-label frontier variant does less work
+    per round and stays the default.  Convergence is detected by an
+    edge-set fixpoint probe (`exceptAll ... limit(1)` — O(1) rows to
+    the driver); raises if ``max_rounds`` rounds don't converge rather
+    than returning wrong labels.
+    """
+    from graphmapreduce_spark.graph.sever import (
+        SEVER_INTERVAL as _SEVER_INTERVAL,
+        LineageSeverer as _LineageSeverer,
+    )
+
+    e = (
+        graph.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    _severer = None
+    converged = False
+    for _cc_rnd in range(max_rounds):
+        if _cc_rnd and _cc_rnd % _SEVER_INTERVAL == 0:
+            # graph/sever.py: keep the per-round checkpoint chain below
+            # the measured ~16-round cliff
+            if _severer is None:
+                _severer = _LineageSeverer(e.sparkSession, tag="ccstar")
+            e = _severer.sever(e)
+        # --- large-star ---------------------------------------------
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(F.min("dst").alias("_mn")).select(
+            "src", F.least(F.col("src"), F.col("_mn")).alias("m")
+        )
+        ls = (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # --- small-star ---------------------------------------------
+        orient = ls.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        smins = orient.groupBy("src").agg(F.min("dst").alias("m"))
+        new_e = (
+            orient.join(smins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(
+                smins.select(F.col("src"), F.col("m").alias("dst"))
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_e.exceptAll(e).limit(1).count()
+            + e.exceptAll(new_e).limit(1).count()
+        )
+        e = new_e
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_contract: no fixpoint in "
+            f"{max_rounds} rounds"
+        )
+    if stats is not None:
+        stats["rounds"] = _cc_rnd + 1
+    labels = e.groupBy("src").agg(F.min("dst").alias("component")).select(
+        F.col("src").alias("id"), "component"
+    )
+    selfs = graph.vertices.select("id").join(
+        labels.select("id"), "id", "left_anti"
+    ).select("id", F.col("id").alias("component"))
+    return labels.unionByName(selfs)
+
+
+# ---------------------------------------------------------------------------
 # SCC — ref stub algorithms.h:207.  Forward/backward min-label propagation
 # with two peel rules per round:
 #

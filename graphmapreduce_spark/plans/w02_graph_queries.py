@@ -405,3 +405,56 @@ def q39_kmeans(spark, sf_dir):
         emb, k=4, max_iter=5, id_col="vec_id", vec_col="embedding"
     )
     return assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+@register(
+    "q590_wcc_high_diameter",
+    """
+    WITH k AS (
+      SELECT DISTINCT o_orderkey AS id FROM orders
+      WHERE o_orderkey % 97 <> 0
+    ),
+    g AS (
+      SELECT id,
+             CASE WHEN id - LAG(id) OVER (ORDER BY id) = 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM k
+    ),
+    i AS (
+      SELECT id,
+             SUM(brk) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS grp
+      FROM g
+    )
+    SELECT id, MIN(id) OVER (PARTITION BY grp) AS component FROM i
+    """,
+)
+def q590_wcc_high_diameter(spark, sf_dir):
+    """WCC on a HIGH-DIAMETER graph via alternating star contraction
+    (`alg.connected_components_contract` — Kiveris-style large/small
+    star, O(log n) rounds on any topology).  The graph is the
+    consecutive-orderkey path with breaks at multiples of 97: ~96-long
+    path components whose diameter would cost min-label propagation
+    ~96 supersteps each, while contraction lands the fixpoint in a
+    handful of rounds.  The oracle is the classic non-iterative
+    gaps-and-islands form — correct for ANY key density, so the value
+    hash checks the contraction against an independent formulation,
+    not a mirror of itself."""
+    od = _t(spark, sf_dir, "orders")
+    keys = (
+        od.filter(F.col("o_orderkey") % 97 != 0)
+        .select(F.col("o_orderkey").alias("id"))
+        .distinct()
+    )
+    edges = (
+        keys.alias("a")
+        .join(keys.alias("b"), F.col("a.id") + 1 == F.col("b.id"))
+        .select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    g = PropertyGraph(
+        keys.withColumn("value", F.lit(0.0)), edges, prepartition=False
+    )
+    return alg.connected_components_contract(g)

@@ -975,3 +975,56 @@ def test_maximal_matching_drains_on_final_round(spark):
     p = make_graph(spark, PATH5[:3])
     with _pytest.raises(RuntimeError, match="did not drain"):
         alg.maximal_matching(p, max_iter=1)
+
+
+# ---------------------------------------------------------------------------
+# connected_components_contract — alternating star contraction
+# ---------------------------------------------------------------------------
+def _labels(df):
+    return sorted((r["id"], r["component"]) for r in df.collect())
+
+
+def test_cc_contract_matches_min_label_on_random_graphs(spark):
+    """Same (id, component=min id) contract as connected_components,
+    checked on three seeded random graphs."""
+    import random
+
+    for seed in (7, 42, 99):
+        rng = random.Random(seed)
+        rows = [
+            (rng.randrange(40), rng.randrange(40), 1.0) for _ in range(60)
+        ]
+        rows = [(a, b, w) for a, b, w in rows if a != b] or [(0, 1, 1.0)]
+        g = make_graph(spark, rows)
+        want = _labels(alg.connected_components(g))
+        got = _labels(alg.connected_components_contract(g))
+        assert got == want, f"seed {seed}"
+
+
+def test_cc_contract_long_path_few_rounds(spark):
+    """The raison d'etre: a 200-vertex path is diameter 199 — min-label
+    would need ~200 supersteps; contraction must land the single
+    component well inside 60 rounds (O(log n))."""
+    rows = [(i, i + 1, 1.0) for i in range(1, 200)]
+    g = make_graph(spark, rows)
+    out = alg.connected_components_contract(g)
+    comps = {r["component"] for r in out.collect()}
+    assert comps == {1}
+    assert out.count() == 200
+
+
+def test_cc_contract_disconnected_and_isolated(spark):
+    """Two chains + an isolated vertex: labels are per-component minima
+    and the isolated vertex labels itself."""
+    rows = [(1, 2, 1.0), (2, 3, 1.0), (10, 11, 1.0)]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    v = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "id long")
+    g = PropertyGraph(v.withColumn("value", F.lit(0.0)), e)
+    got = _labels(alg.connected_components_contract(g))
+    assert got == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (99, 99)]
+
+
+def test_cc_contract_raises_without_fixpoint(spark):
+    g = make_graph(spark, [(i, i + 1, 1.0) for i in range(1, 40)])
+    with pytest.raises(RuntimeError):
+        alg.connected_components_contract(g, max_rounds=1)
