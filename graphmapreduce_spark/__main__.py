@@ -98,7 +98,7 @@ def main(argv: list[str] | None = None) -> int:
             "labelprop", "louvain", "mis", "harmonic",
             "closeness", "betweenness", "edgebetweenness", "eccentricity",
             "hits", "katz", "eigenvector", "reciprocity",
-            "coloring", "adamicadar", "matching",
+            "coloring", "adamicadar", "matching", "wcccontract",
         ],
     )
     p.add_argument(
@@ -165,6 +165,9 @@ def main(argv: list[str] | None = None) -> int:
         res = alg.bfs(g, args.source, max_iter=args.max_iter).orderBy("id")
     elif args.algorithm == "wcc":
         res = alg.connected_components(g, max_iter=args.max_iter).orderBy("id")
+    elif args.algorithm == "wcccontract":
+        # the high-diameter WCC variant (star contraction)
+        res = alg.connected_components_contract(g).orderBy("id")
     elif args.algorithm == "scc":
         res = alg.strongly_connected_components(
             g, max_outer=args.max_iter

@@ -107,6 +107,7 @@ def test_cli_every_remaining_algorithm_branch():
         ("louvain", []),
         ("mis", []),
         ("matching", []),
+        ("wcccontract", []),
     ):
         out = subprocess.run(
             [sys.executable, "-m", "graphmapreduce_spark",
