@@ -166,8 +166,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.algorithm == "wcc":
         res = alg.connected_components(g, max_iter=args.max_iter).orderBy("id")
     elif args.algorithm == "wcccontract":
-        # the high-diameter WCC variant (star contraction)
-        res = alg.connected_components_contract(g).orderBy("id")
+        # the high-diameter WCC variant (star contraction); --max-iter
+        # bounds contraction ROUNDS here (each O(log n), not O(diameter))
+        res = alg.connected_components_contract(
+            g, max_rounds=args.max_iter
+        ).orderBy("id")
     elif args.algorithm == "scc":
         res = alg.strongly_connected_components(
             g, max_outer=args.max_iter

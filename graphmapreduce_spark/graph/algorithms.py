@@ -408,14 +408,18 @@ def connected_components_contract(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_e.exceptAll(e).limit(1).count()
-            + e.exceptAll(new_e).limit(1).count()
-        )
-        e = new_e
-        if changed == 0:
+        # fixpoint probe: both sides are DISTINCT sets, so equal counts
+        # plus an empty one-direction difference imply set equality —
+        # one exceptAll shuffle per round, not two (counts on the
+        # localCheckpoint'd frames are cheap)
+        if (
+            new_e.count() == e.count()
+            and new_e.exceptAll(e).limit(1).count() == 0
+        ):
+            e = new_e
             converged = True
             break
+        e = new_e
     if not converged:
         raise RuntimeError(
             f"connected_components_contract: no fixpoint in "

@@ -3212,13 +3212,15 @@ def q258_token_fertility(spark, sf_dir):
     )
 
 
-def _greedy_coloring_oracle_sql(colors: int = 6, rounds: int = 5) -> str:
-    """Unrolled MIS-peeling mirror of ``alg.greedy_coloring`` (measured
-    at sf0.01: 4 colors, MIS drains in [3, 3, 2, 1] rounds — unrolled
-    with margin; a color past peel-out sees an empty vertex set and a
+def _greedy_coloring_oracle_sql(colors: int = 12, rounds: int = 7) -> str:
+    """Unrolled MIS-peeling mirror of ``alg.greedy_coloring`` (measured:
+    sf0.01 needs 4 colors with MIS drains [3, 3, 2, 1]; sf0.1 needs 9
+    colors with max drain 5 — unrolled to 12×7 so BOTH validated scales
+    carry margin; a color past peel-out sees an empty vertex set and a
     MIS round past drain sees an empty active set, so every extra
-    block is a no-op and the fixed unroll is value-exact).  Priorities
-    replicate ``md5_hash60(id || ':mis')`` bit-for-bit via DuckDB
+    block is a no-op and the fixed unroll is value-exact at any scale
+    whose depth fits the unroll).  Priorities replicate
+    ``md5_hash60(id || ':mis')`` bit-for-bit via DuckDB
     ``('0x' || substr(md5(...), 1, 15))::BIGINT``."""
     blocks = []
     for c in range(colors):
