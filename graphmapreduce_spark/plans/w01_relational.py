@@ -773,8 +773,11 @@ def q59_window_range_frame(spark, sf_dir):
            RANK()         OVER w AS rnk,
            DENSE_RANK()   OVER w AS drnk,
            NTILE(4)       OVER w AS quartile,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST()    OVER w, 6) AS cume
+           -- RAW emission: both are exact integer-ratio doubles
+           -- (bit-identical cross-engine); ROUND(,6) diverged at a
+           -- true decimal halfway point (333/640 at sf0.1)
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey
                  ORDER BY c_acctbal DESC, c_custkey)
@@ -794,8 +797,8 @@ def q70_ranking_suite(spark, sf_dir):
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
 
 

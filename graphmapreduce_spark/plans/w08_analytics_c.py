@@ -2661,10 +2661,15 @@ def q417_mixture_epochs(spark, sf_dir):
       SELECT day,
              ROW_NUMBER() OVER (ORDER BY day) AS t,
              SUM(rev) OVER (ORDER BY day) AS csd,
-             SUM(rev * rev) OVER (ORDER BY day) AS cssd,
+             -- widen ONE operand: DuckDB multiplies same-width
+             -- decimals on the int64 fast path and overflows at
+             -- sf>=0.1 daily revenues; 19+18=37 <= 38 forces int128
+             -- (values unchanged -- decimal arithmetic is exact)
+             SUM(CAST(rev AS DECIMAL(19,2)) * rev)
+               OVER (ORDER BY day) AS cssd,
              COUNT(*) OVER () AS n,
              SUM(rev) OVER () AS tsd,
-             SUM(rev * rev) OVER () AS tssd
+             SUM(CAST(rev AS DECIMAL(19,2)) * rev) OVER () AS tssd
       FROM daily
     ),
     cum AS (
@@ -3836,7 +3841,10 @@ def q429_runs_test(spark, sf_dir):
       HAVING COUNT(*) = 2
     ),
     energy AS (
-      SELECT j, COUNT(*) AS n_coeffs, SUM(dnum * dnum) AS sed
+      -- DECIMAL(19,2) widening: see q418 (int64-path multiply
+      -- overflows at sf>=0.1; int128 path is value-identical)
+      SELECT j, COUNT(*) AS n_coeffs,
+             SUM(CAST(dnum AS DECIMAL(19,2)) * dnum) AS sed
       FROM details GROUP BY j
     ),
     en AS (

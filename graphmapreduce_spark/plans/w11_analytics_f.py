@@ -852,9 +852,12 @@ def q569_survivorship_bias(spark, sf_dir):
     )
     SELECT a.age AS age_threshold_months,
            CAST(COUNT(*) AS BIGINT) AS n_parts_alive,
-           ROUND(AVG(l.span_m - a.age), 4)
-             AS mean_remaining_life_months,
-           ROUND(AVG(l.span_m), 4) AS mean_total_life_months
+           -- RAW emission: AVG of BIGINTs is an exact integer sum
+           -- followed by one correctly-rounded division on both
+           -- engines (bit-identical); ROUND(,4) diverged at a true
+           -- halfway point (40.59065 at sf0.1)
+           AVG(l.span_m - a.age) AS mean_remaining_life_months,
+           AVG(l.span_m) AS mean_total_life_months
     FROM ages a JOIN life l ON l.span_m >= a.age
     GROUP BY a.age
     """,
@@ -884,10 +887,10 @@ def q570_lindy_effect(spark, sf_dir):
     j = ages.join(life, life.span_m >= ages.age)
     return j.groupBy(F.col("age").alias("age_threshold_months")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_parts_alive"),
-        F.round(F.avg(F.col("span_m") - F.col("age")), 4).alias(
+        F.avg(F.col("span_m") - F.col("age")).alias(
             "mean_remaining_life_months"
         ),
-        F.round(F.avg("span_m"), 4).alias("mean_total_life_months"),
+        F.avg("span_m").alias("mean_total_life_months"),
     )
 
 
@@ -896,12 +899,17 @@ def q570_lindy_effect(spark, sf_dir):
     """
     SELECT p.p_brand AS brand,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(quantile_cont(l.l_extendedprice, 0.25), 2) AS q1,
-           ROUND(quantile_cont(l.l_extendedprice, 0.75), 2) AS q3,
-           ROUND((quantile_cont(l.l_extendedprice, 0.75)
+           -- RAW quantiles + ratio: both engines interpolate with the
+           -- same formula on the same sorted values (bit-identical);
+           -- ROUND(,2) diverged at a money halfway point (79140.275
+           -- at sf0.1).  moment_cv keeps ROUND: its double sums are
+           -- order-dependent in the last ulp but tiny vs 6 digits.
+           quantile_cont(l.l_extendedprice, 0.25) AS q1,
+           quantile_cont(l.l_extendedprice, 0.75) AS q3,
+           (quantile_cont(l.l_extendedprice, 0.75)
                 - quantile_cont(l.l_extendedprice, 0.25))
                 / (quantile_cont(l.l_extendedprice, 0.75)
-                 + quantile_cont(l.l_extendedprice, 0.25)), 6)
+                 + quantile_cont(l.l_extendedprice, 0.25))
              AS quartile_cv,
            ROUND(STDDEV_SAMP(l.l_extendedprice)
                  / AVG(l.l_extendedprice), 6) AS moment_cv
@@ -925,9 +933,9 @@ def q571_quartile_cv(spark, sf_dir):
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
-            F.round(q1, 2).alias("q1"),
-            F.round(q3, 2).alias("q3"),
-            F.round((q3 - q1) / (q3 + q1), 6).alias("quartile_cv"),
+            q1.alias("q1"),
+            q3.alias("q3"),
+            ((q3 - q1) / (q3 + q1)).alias("quartile_cv"),
             F.round(
                 F.stddev_samp("l_extendedprice")
                 / F.avg("l_extendedprice"),
