@@ -748,10 +748,20 @@ def boruvka_mst(graph: PropertyGraph, max_rounds: int = 64) -> DataFrame:
 
     _severer = None
     for _bv_rnd in range(max_rounds):
-        if _bv_rnd and _bv_rnd % _SEVER_INTERVAL == 0:
-            # see graph/sever.py — the per-round checkpoint chain (comp,
-            # mst, and the inner pointer-jump) must stay below the
-            # measured ~16-round cliff
+        if _bv_rnd:
+            # sever the loop-carried frames EVERY round, not every
+            # SEVER_INTERVAL: localCheckpoint truncates lineage but
+            # PROPAGATES ESTIMATED STATS (LogicalRDD rewrites
+            # sizeInBytes from the pre-checkpoint plan), and Borůvka's
+            # round multiplies comp's estimate through ec's double
+            # join plus the pointer-jump SELF-joins — the BigInt
+            # bit-length grows ~17× per round, so by round ~6 at
+            # sf0.1 the driver grinds multi-megabit
+            # BigInteger.multiply inside stats estimation and by
+            # ~round 10 BigInteger.checkRange throws ("BigInteger
+            # would overflow supported range").  The parquet
+            # round-trip resets stats to REAL file sizes each round
+            # (vertex-sized tables — the write is negligible).
             if _severer is None:
                 _severer = _LineageSeverer(comp.sparkSession, tag="boruvka")
             comp = _severer.sever(comp)

@@ -22,6 +22,22 @@ tables in these loops (vertex values, community labels, core degrees)
 are the SMALL side of each superstep by design, so the write is noise
 next to one superstep's shuffle; on a cluster, point
 ``spark.graphmapreduce.severDir`` at shared storage.
+
+Second measured pathology (round 6, root-caused via jstack on the
+driver): ``localCheckpoint`` truncates lineage but PROPAGATES
+ESTIMATED STATS — ``LogicalRDD.rewriteStatsAndConstraints`` re-derives
+``sizeInBytes`` from the pre-checkpoint plan, and
+``SizeInBytesOnlyStatsPlanVisitor`` MULTIPLIES child sizes at every
+join.  A loop whose round JOINS the loop-carried frame with itself (or
+uses it several times — Borůvka's double comp join + pointer-jump
+self-joins) therefore grows the estimate's BigInt BIT-LENGTH
+geometrically per round: the driver ends up grinding multi-megabit
+``BigInteger.multiply`` inside stats estimation (160 s rounds), then
+``BigInteger.checkRange`` throws "BigInteger would overflow supported
+range".  The parquet re-scan resets stats to REAL file sizes, so the
+discriminator is: rounds that SELF-join the carried frame must sever
+EVERY round (``boruvka_mst``); linear message-join rounds are fine at
+``SEVER_INTERVAL``.
 """
 
 from __future__ import annotations
