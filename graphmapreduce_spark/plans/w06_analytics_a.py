@@ -3212,16 +3212,20 @@ def q258_token_fertility(spark, sf_dir):
     )
 
 
-def _greedy_coloring_oracle_sql(colors: int = 12, rounds: int = 7) -> str:
-    """Unrolled MIS-peeling mirror of ``alg.greedy_coloring`` (measured:
-    sf0.01 needs 4 colors with MIS drains [3, 3, 2, 1]; sf0.1 needs 9
-    colors with max drain 5 — unrolled to 12×7 so BOTH validated scales
-    carry margin; a color past peel-out sees an empty vertex set and a
-    MIS round past drain sees an empty active set, so every extra
-    block is a no-op and the fixed unroll is value-exact at any scale
-    whose depth fits the unroll).  Priorities replicate
-    ``md5_hash60(id || ':mis')`` bit-for-bit via DuckDB
-    ``('0x' || substr(md5(...), 1, 15))::BIGINT``."""
+def _greedy_coloring_oracle_sql(colors: int = 18, rounds: int = 8) -> str:
+    """Unrolled MIS-peeling mirror of ``alg.greedy_coloring``.
+
+    Measured depths (the mod-4000 fixture graph DENSIFIES with scale,
+    so the peel deepens): sf0.01 → 4 colors / max 3 MIS rounds;
+    sf0.1 → 9 / 5; sf1 → 13 / 6.  Unrolled to 18×8 so every validated
+    scale carries margin — a color past peel-out sees an empty vertex
+    set and a MIS round past drain sees an empty active set, so every
+    extra block is a no-op and the fixed unroll is value-exact at any
+    scale whose depth fits it (scales beyond sf1 need re-measuring:
+    the fixture approaches a dense graph whose chromatic depth keeps
+    growing).  Priorities replicate ``md5_hash60(id || ':mis')``
+    bit-for-bit via DuckDB ``('0x' || substr(md5(...), 1, 15))::
+    BIGINT``."""
     blocks = []
     for c in range(colors):
         blocks.append(f"""a{c}_0 AS MATERIALIZED (
