@@ -27,10 +27,12 @@ def prepare_corpus(
     text_col: str = "text",
     capacity: int = 2048,
     range_size: int = 100_000,
+    near_dup: bool = False,
+    near_kwargs: dict | None = None,
     **gate_kwargs,
 ) -> DataFrame:
     """Normalize text, drop documents failing the Gopher quality gates,
-    exact-dedup on the normalized form (keep the smallest id), count
+    dedup on the normalized form (keep the smallest id), count
     tokens, and lay the survivors out into ``capacity``-token context
     windows.  Returns (id_col, n_tokens, bin, offset) — the loader
     manifest for a pretraining run.  ``gate_kwargs`` pass through to
@@ -38,11 +40,16 @@ def prepare_corpus(
     carries the paper defaults; terse technical corpora need looser
     word-count/stopword floors).
 
-    Shuffle budget: ONE dedup agg (group on normalized text, min id) +
-    the packing cumsum's range window; everything else is scan-fused
-    expressions.  At 100 TB swap the exact-dedup stage for the MinHash
-    path (`operators/dedup.py`) by deduping ids first and semi-joining
-    here — the stage boundary is the contract.
+    ``near_dup=False``: exact dedup — ONE agg (group on normalized
+    text, min id) + the packing cumsum's range window; everything else
+    is scan-fused expressions.  ``near_dup=True``: the 100 TB path —
+    the exact-dedup stage is replaced by the FULL `dedup_corpus`
+    recipe (exact reps → capped MinHash-LSH → cluster → canonical
+    mapping) over the gated documents, and only cluster canonicals
+    (``id == canonical_id``) flow into tokenize/pack.  ``near_kwargs``
+    pass through to `dedup_corpus` (threshold, num_hashes, hash_fn,
+    max_bucket_size, est_margin, verify_sample_mod, …).  Stage costs
+    are exactly the measured q576 recipe + the one packing window.
     """
     norm = docs.select(
         F.col(id_col),
@@ -52,7 +59,21 @@ def prepare_corpus(
         norm, id_col, "_ntext", **gate_kwargs
     ).filter(F.col("keep")).select(id_col)
     kept = norm.join(gated, id_col, "left_semi")
-    canonical = kept.groupBy("_ntext").agg(F.min(id_col).alias(id_col))
+    if near_dup:
+        mapping = dedup_corpus(
+            kept, id_col, "_ntext", **(near_kwargs or {})
+        )
+        canonical = kept.join(
+            mapping.filter(
+                F.col(id_col) == F.col("canonical_id")
+            ).select(id_col),
+            id_col,
+            "left_semi",
+        )
+    else:
+        canonical = kept.groupBy("_ntext").agg(
+            F.min(id_col).alias(id_col)
+        )
     toks = canonical.select(
         F.col(id_col),
         T.token_count("_ntext").cast("long").alias("n_tokens"),

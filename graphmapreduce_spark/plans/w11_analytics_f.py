@@ -1146,7 +1146,7 @@ def q575_iqr_overlap(spark, sf_dir):
     )
 
 
-def _dedup_corpus_oracle_sql(
+def _dedup_corpus_cte_body(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 5,
@@ -1155,8 +1155,12 @@ def _dedup_corpus_oracle_sql(
     sample_mod: int = 4,
     sample_margin: float = 0.1,
     seed: int = 42,
+    src: str = "documents",
+    text: str = "text",
 ) -> str:
-    """Replicates pipeline.dedup_corpus end-to-end: exact dedup by
+    """Replicates pipeline.dedup_corpus end-to-end as a CTE chain (no
+    leading WITH — callers compose it) ending in
+    ``mapping(doc_id, canonical_id)``: exact dedup by
     text (min-id representative), the q46 MinHash-LSH chain over
     REPRESENTATIVES only, the est_margin signature-agreement prefilter,
     the hash-mod sampled-shingle Jaccard prefilter (both deterministic
@@ -1164,7 +1168,8 @@ def _dedup_corpus_oracle_sql(
     recursive-CTE min-label closure, and the final doc → canonical
     mapping.  max_bucket_size=4096 cannot bind at sf0.01 (no band
     bucket holds >4096 representatives), so the uncapped SQL is
-    exact."""
+    exact.  ``src``/``text`` let the chain run over an upstream CTE
+    (q591 feeds it the Gopher-gated normalized corpus)."""
     a, b = D._hash_coeffs(num_hashes, seed)
     p = D._MERSENNE
     mins = ",\n             ".join(
@@ -1185,13 +1190,13 @@ def _dedup_corpus_oracle_sql(
     )
     cut = max(0.0, threshold - est_margin)
     return f"""
-    WITH RECURSIVE
     reps AS MATERIALIZED (
-      SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+      SELECT MIN(doc_id) AS doc_id, {text} AS text
+      FROM {src} GROUP BY {text}
     ),
     ex AS MATERIALIZED (
       SELECT d.doc_id, r.doc_id AS rep
-      FROM documents d JOIN reps r ON r.text = d.text
+      FROM {src} d JOIN reps r ON r.text = d.{text}
     ),
     sh AS MATERIALIZED (
       SELECT doc_id, list_distinct(list_transform(
@@ -1267,10 +1272,19 @@ def _dedup_corpus_oracle_sql(
       SELECT s.dst AS id, r.lbl AS lbl
       FROM reach r JOIN sym s ON s.src = r.id
     ),
-    clusters AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)
-    SELECT e.doc_id, COALESCE(c.cluster, e.rep) AS canonical_id
-    FROM ex e LEFT JOIN clusters c ON c.id = e.rep
-    """
+    clusters AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+    mapping AS (
+      SELECT e.doc_id, COALESCE(c.cluster, e.rep) AS canonical_id
+      FROM ex e LEFT JOIN clusters c ON c.id = e.rep
+    )"""
+
+
+def _dedup_corpus_oracle_sql(**kw) -> str:
+    return (
+        "\n    WITH RECURSIVE"
+        + _dedup_corpus_cte_body(**kw)
+        + "\n    SELECT doc_id, canonical_id FROM mapping\n    "
+    )
 
 
 @register("q576_dedup_corpus", _dedup_corpus_oracle_sql())
@@ -1879,15 +1893,9 @@ def q583_streaming_dedup_ingest(spark, sf_dir):
 
 @register(
     "q584_dedup_token_accounting",
-    _dedup_corpus_oracle_sql().replace(
-        "(SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)\n"
-        "    SELECT e.doc_id, COALESCE(c.cluster, e.rep) AS canonical_id\n"
-        "    FROM ex e LEFT JOIN clusters c ON c.id = e.rep",
-        r"""(SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
-    canon AS (
-      SELECT e.doc_id, COALESCE(c.cluster, e.rep) AS canonical_id
-      FROM ex e LEFT JOIN clusters c ON c.id = e.rep
-    )
+    "\n    WITH RECURSIVE"
+    + _dedup_corpus_cte_body()
+    + r"""
     SELECT d.source,
            COUNT(*)::BIGINT AS n_docs_total,
            SUM(CASE WHEN cn.canonical_id = d.doc_id
@@ -1900,9 +1908,8 @@ def q583_streaming_dedup_ingest(spark, sf_dir):
            ROUND(SUM(CASE WHEN cn.canonical_id = d.doc_id
                           THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
              AS kept_share
-    FROM documents d JOIN canon cn ON cn.doc_id = d.doc_id
+    FROM documents d JOIN mapping cn ON cn.doc_id = d.doc_id
     GROUP BY d.source""",
-    ),
 )
 def q584_dedup_token_accounting(spark, sf_dir):
     """[EXT] Dedup-aware per-source token accounting — the dataset-card
@@ -2018,27 +2025,20 @@ def q585_maximal_matching(spark, sf_dir):
 
 @register(
     "q586_dedup_corpus_best",
-    _dedup_corpus_oracle_sql().replace(
-        "(SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)\n"
-        "    SELECT e.doc_id, COALESCE(c.cluster, e.rep) AS canonical_id\n"
-        "    FROM ex e LEFT JOIN clusters c ON c.id = e.rep",
-        """(SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
-    canon AS (
-      SELECT e.doc_id, COALESCE(c.cluster, e.rep) AS canonical_id
-      FROM ex e LEFT JOIN clusters c ON c.id = e.rep
-    ),
+    "\n    WITH RECURSIVE"
+    + _dedup_corpus_cte_body()
+    + """,
     best AS (
       SELECT canonical_id, doc_id AS best_id FROM (
         SELECT cn.canonical_id, d.doc_id,
                ROW_NUMBER() OVER (
                  PARTITION BY cn.canonical_id
                  ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
-        FROM canon cn JOIN documents d ON d.doc_id = cn.doc_id
+        FROM mapping cn JOIN documents d ON d.doc_id = cn.doc_id
       ) WHERE rn = 1
     )
     SELECT cn.doc_id, b.best_id AS canonical_id
-    FROM canon cn JOIN best b USING (canonical_id)""",
-    ),
+    FROM mapping cn JOIN best b USING (canonical_id)""",
 )
 def q586_dedup_corpus_best(spark, sf_dir):
     """[EXT] The dedup recipe with QUALITY-PREFERRED canonical
@@ -2191,4 +2191,98 @@ def q587_corpus_index_batch(spark, sf_dir):
     return D.incremental_near_dup_pairs(
         None, batch, "doc_id", "text", threshold=0.5,
         corpus_index=loaded,
+    )
+
+
+@register(
+    "q591_corpus_pipeline_neardup",
+    "\n    WITH RECURSIVE "
+    + r"""norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[\x00-\x1f\x7f]', ' ', 'g'), '\s{2,}', ' ', 'g')) AS ntext
+      FROM documents
+    ),
+    gbase AS (
+      SELECT doc_id, ntext,
+             list_filter(string_split_regex(trim(ntext), '\s+'),
+                         w -> w <> '') AS ws,
+             string_split(ntext, chr(10)) AS lines,
+             length(regexp_replace(ntext, '\s', '', 'g')) AS nonspace
+      FROM norm
+    ),
+    gm AS (
+      SELECT doc_id, ntext,
+             len(ws)::BIGINT AS n_words,
+             ROUND(CASE WHEN len(ws) > 0
+                        THEN nonspace::DOUBLE / len(ws) ELSE 0.0 END, 6)
+               AS avg_word_len,
+             ROUND(CASE WHEN len(ws) > 0
+                        THEN len(list_filter(ws,
+                             w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                             / len(ws) ELSE 0.0 END, 6) AS alpha_frac,
+             ROUND(CASE WHEN len(lines) > 0
+                        THEN len(list_filter(lines,
+                             x -> regexp_matches(x, '^\s*[-*•]')))::DOUBLE
+                             / len(lines) ELSE 0.0 END, 6) AS bullet_frac,
+             (list_contains(ws, 'the')::INT + list_contains(ws, 'be')::INT
+              + list_contains(ws, 'to')::INT + list_contains(ws, 'of')::INT
+              + list_contains(ws, 'and')::INT + list_contains(ws, 'that')::INT
+              + list_contains(ws, 'have')::INT
+              + list_contains(ws, 'with')::INT) AS stop_hits
+      FROM gbase
+    ),
+    gated AS MATERIALIZED (
+      SELECT doc_id, ntext FROM gm
+      WHERE n_words BETWEEN 20 AND 100000
+        AND avg_word_len BETWEEN 3.0 AND 10.0
+        AND alpha_frac >= 0.8 AND bullet_frac <= 0.9 AND stop_hits >= 1
+    ),"""
+    + _dedup_corpus_cte_body(src="gated", text="ntext")
+    + r""",
+    canon AS (
+      SELECT g.doc_id, g.ntext
+      FROM gated g JOIN mapping mp ON mp.doc_id = g.doc_id
+      WHERE mp.canonical_id = g.doc_id
+    ),
+    toks AS (
+      SELECT doc_id,
+             len(regexp_extract_all(ntext,
+                 '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS n_tokens
+      FROM canon
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS "offset"
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST("offset" // 2048 AS BIGINT) AS bin, "offset"
+    FROM cum
+    """,
+)
+def q591_corpus_pipeline_neardup(spark, sf_dir):
+    """[EXT] The corpus-prep pipeline with the 100 TB dedup stage wired
+    in (`pipeline.prepare_corpus(near_dup=True)`): normalize → Gopher
+    gate → FULL `dedup_corpus` recipe over the gated normalized text
+    (exact reps → capped MinHash-LSH → clusters → canonical mapping,
+    only cluster canonicals survive) → tokenize → pack into 2048-token
+    windows.  q141 is this flow with exact dedup only; this is the
+    production swap its docstring promised, value-checked end-to-end
+    by composing the q141 gate CTEs with the q576 recipe CTEs.  md5
+    variant so every stage is oracle-replicable."""
+    from graphmapreduce_spark.pipeline import prepare_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return prepare_corpus(
+        d, "doc_id", "text", capacity=2048,
+        near_dup=True,
+        near_kwargs=dict(
+            threshold=0.5, num_hashes=32, shingle_n=5, hash_fn="md5",
+            max_bucket_size=64, est_margin=0.2, verify_sample_mod=4,
+        ),
+        # fixture register: terse technical docs (10-99 words)
+        min_words=20, min_stopword_hits=1,
     )

@@ -547,6 +547,43 @@ def test_prepare_corpus_pipeline_stages(spark):
     assert rows[2]["bin"] == rows[2]["offset"] // 64
 
 
+def test_prepare_corpus_near_dup_collapses_clusters(spark):
+    """near_dup=True swaps the exact-dedup stage for the full
+    dedup_corpus recipe: near-dup variants that exact dedup keeps
+    collapse to their cluster's min-id canonical, gating still applies,
+    and the packing cumsum stays contiguous over the survivors."""
+    from graphmapreduce_spark.pipeline import prepare_corpus
+
+    good = "the quick brown fox jumps over the lazy dog again and again "
+    docs = spark.createDataFrame(
+        [
+            (1, good * 5),
+            (2, good * 5 + "one tiny extra tail"),  # near dup of 1
+            (3, good.upper() * 5),                  # exact dup of 1 (norm)
+            (4, "an entirely different body of prose about the spark "
+                "engine with plenty of distinct and varied wording to "
+                "clear the word floor and the stopword gate easily"),
+            (5, "zz " * 60),                        # no stopwords -> gated
+        ],
+        "doc_id long, text string",
+    )
+    kwargs = dict(capacity=64, min_words=20, min_stopword_hits=1)
+    exact = prepare_corpus(docs, **kwargs).collect()
+    near = prepare_corpus(
+        docs,
+        near_dup=True,
+        near_kwargs=dict(threshold=0.5, hash_fn="md5"),
+        **kwargs,
+    ).collect()
+    # exact dedup keeps the near-dup doc 2; the recipe collapses it
+    assert sorted(r["doc_id"] for r in exact) == [1, 2, 4]
+    assert sorted(r["doc_id"] for r in near) == [1, 4]
+    rows = {r["doc_id"]: r for r in near}
+    assert rows[1]["offset"] == 0
+    assert rows[4]["offset"] == rows[1]["n_tokens"]
+    assert rows[4]["bin"] == rows[4]["offset"] // 64
+
+
 def test_containment_detects_embedded_quote(spark):
     """A short doc fully contained in a long one: containment(A in B)=1
     while symmetric Jaccard stays below the near-dup bar."""
