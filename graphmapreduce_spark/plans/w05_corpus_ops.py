@@ -4198,32 +4198,60 @@ def q176_edge_betweenness(spark, sf_dir):
     WITH m AS (
       SELECT date_part('year', l_shipdate)::BIGINT AS y,
              date_part('month', l_shipdate)::BIGINT AS m,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             -- price has 2dp and (1-discount) 2dp, so the true product
+             -- is a <=4dp value the double approximates within an ulp:
+             -- the DECIMAL(18,4) cast recovers it EXACTLY, and the
+             -- decimal SUM is order-proof (q418 float discipline) --
+             -- the double SUM + ROUND(,2) this replaces hit a cent
+             -- tie at sf1 monthly magnitudes
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4))) AS rev4
       FROM lineitem GROUP BY 1, 2
+    ),
+    md AS (
+      SELECT y, m,
+             CAST(CAST(ROUND(rev4, 2) * 100 AS DECIMAL(38,0)) AS DOUBLE)
+               / 100 AS revenue
+      FROM m
     )
     SELECT y, m, revenue,
            ROUND((revenue - LAG(revenue) OVER (ORDER BY y, m))
                  / LAG(revenue) OVER (ORDER BY y, m), 6) AS pct_change
-    FROM m
+    FROM md
     """,
 )
 def q177_period_over_period(spark, sf_dir):
     """Month-over-month revenue change — the reporting staple: the lag
     window runs over the COLLAPSED monthly table (tens of rows at any
     fact volume), so the single-partition order is bounded by the
-    calendar, never the data."""
+    calendar, never the data.  Revenue accumulates as an exact
+    DECIMAL(18,4) (the per-row product is a true <=4dp value) and
+    converts to double via the cents-integer SAFE-CAST, so the emitted
+    bytes are partition-order-proof at any scale."""
     li = _t(spark, sf_dir, "lineitem")
     m = li.groupBy(
         F.year("l_shipdate").cast("long").alias("y"),
         F.month("l_shipdate").cast("long").alias("m"),
     ).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+        F.sum(
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).cast("decimal(18,4)")
+        ).alias("rev4")
+    )
+    md = m.select(
+        "y",
+        "m",
+        (
+            (F.round(F.col("rev4"), 2) * 100)
+            .cast("decimal(38,0)")
+            .cast("double")
+            / 100
+        ).alias("revenue"),
     )
     w = Window.orderBy("y", "m")
     prev = F.lag("revenue").over(w)
-    return m.withColumn(
+    return md.withColumn(
         "pct_change", F.round((F.col("revenue") - prev) / prev, 6)
     )
 

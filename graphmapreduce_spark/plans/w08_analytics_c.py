@@ -359,9 +359,19 @@ def q330_ingest_order_drift(spark, sf_dir):
         F.round(F.avg("alpha_ratio"), 6).alias("mean_alpha"),
     )
     per = per.localCheckpoint(eager=False)
+
+    # F.corr under ANSI mode THROWS DIVIDE_BY_ZERO when either side has
+    # zero variance (sf1's replicated deciles make mean_len constant);
+    # DuckDB's corr returns NULL there.  Same co-moment computation,
+    # with try_divide supplying the NULL-on-degenerate contract.
+    def _corr(x: str, y: str):
+        return F.try_divide(
+            F.covar_samp(x, y), F.stddev_samp(x) * F.stddev_samp(y)
+        )
+
     drift = per.agg(
-        F.round(F.corr("decile", "mean_len"), 6).alias("c_len"),
-        F.round(F.corr("decile", "mean_alpha"), 6).alias("c_alpha"),
+        F.round(_corr("decile", "mean_len"), 6).alias("c_len"),
+        F.round(_corr("decile", "mean_alpha"), 6).alias("c_alpha"),
     )
     return per.crossJoin(F.broadcast(drift)).select(
         "decile",
