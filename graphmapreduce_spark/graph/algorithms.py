@@ -2214,8 +2214,13 @@ def degree_assortativity(graph: PropertyGraph) -> DataFrame:
     degrees over the symmetrized undirected edge set (Newman 2002).
     Positive = hubs link hubs; negative = hub-leaf (most real webs).
 
-    Degrees via one agg; the correlation via the built-in ``corr`` over
-    the degree-annotated edges — two hash joins, no iteration."""
+    Degrees via one agg; the correlation from co-moment aggregates over
+    the degree-annotated edges — two hash joins, no iteration.  NOT the
+    built-in ``corr``: under ANSI mode it throws DIVIDE_BY_ZERO when a
+    side has zero variance, and a k-REGULAR graph has exactly that
+    (every endpoint degree equal); this returns NULL there, matching
+    SQL ``corr`` semantics (assortativity is undefined on regular
+    graphs)."""
     und = _directed_canonical(graph)
     sym = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -2228,7 +2233,12 @@ def degree_assortativity(graph: PropertyGraph) -> DataFrame:
     return (
         sym.join(da, "a")
         .join(db, "b")
-        .agg(F.corr("_da", "_db").alias("assortativity"))
+        .agg(
+            F.try_divide(
+                F.covar_samp("_da", "_db"),
+                F.stddev_samp("_da") * F.stddev_samp("_db"),
+            ).alias("assortativity")
+        )
     )
 
 

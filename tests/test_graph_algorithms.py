@@ -671,6 +671,16 @@ def test_degree_assortativity_star_is_negative(spark):
     assert abs(r - (-1.0)) < 1e-9
 
 
+def test_degree_assortativity_regular_graph_is_null(spark):
+    # 4-cycle: 2-regular, every endpoint degree equal -> zero variance
+    # on both sides; assortativity is undefined and must come back
+    # NULL (SQL corr semantics), NOT an ANSI DIVIDE_BY_ZERO throw
+    g = make_graph(
+        spark, [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (4, 1, 1.0)]
+    )
+    assert alg.degree_assortativity(g).first()[0] is None
+
+
 def test_modularity_two_cliques(spark):
     # two triangles joined by one bridge edge; the 2-community split
     # along the bridge: m=7, e_c=3 each, a_c=7 each
