@@ -3745,7 +3745,12 @@ def q428_taxonomy_branching(spark, sf_dir):
     """
     WITH daily AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-             SUM(o_totalprice) AS rev
+             -- exact decimal accumulation + cents-integer safe cast
+             -- (q418 discipline): at sf1 two days' revenues tie within
+             -- ONE ULP, so an order-dependent double SUM flips the
+             -- strict above/below-median comparison between engines
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS DECIMAL(38,0)) AS DOUBLE) / 100 AS rev
       FROM orders GROUP BY 1
     ),
     med AS (SELECT quantile_cont(rev, 0.5) AS m FROM daily),
@@ -3779,11 +3784,21 @@ def q429_runs_test(spark, sf_dir):
     positive serial dependence (trending/regime-y demand), too many
     means oscillation.  The distribution-free cousin of q194's ACF:
     it needs only signs, so a single heavy-tailed day can't move it.
-    One ordered lag over the daily aggregate, then scalar algebra."""
+    One ordered lag over the daily aggregate, then scalar algebra.
+    Daily revenue accumulates as an exact decimal (q418 discipline):
+    at sf1 two days tie within one ulp, so an order-dependent double
+    SUM flips the strict median comparison between engines."""
     od = _t(spark, sf_dir, "orders")
     daily = od.groupBy(
         F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(
+        (
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("decimal(38,0)")
+            .cast("double")
+            / 100
+        ).alias("rev")
+    )
     med = daily.agg(F.expr("percentile(rev, 0.5)").alias("m"))
     s = F.when(F.col("rev") > F.col("m"), 1).otherwise(0)
     signs = daily.crossJoin(F.broadcast(med)).select(

@@ -2083,34 +2083,24 @@ def _corpus_index_batch_oracle_sql(
         )
         for j in range(bands)
     )
-    base_sql = _dedup_corpus_oracle_sql(
+    body = _dedup_corpus_cte_body(
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-        threshold=threshold, seed=seed,
+        threshold=threshold, seed=seed, src="corp",
     )
-    base_sql = (
-        base_sql.replace(
-            "WITH RECURSIVE\n    reps",
-            "WITH RECURSIVE\n"
-            "    corp AS MATERIALIZED (\n"
-            "      SELECT doc_id, text FROM documents"
-            " WHERE doc_id % 10 <> 3\n"
-            "    ),\n"
-            "    batchd AS MATERIALIZED (\n"
-            "      SELECT doc_id, text FROM documents"
-            " WHERE doc_id % 10 = 3\n"
-            "    ),\n"
-            "    reps",
-        )
-        .replace("FROM documents GROUP BY text", "FROM corp GROUP BY text")
-        .replace("FROM documents d JOIN reps", "FROM corp d JOIN reps")
+    head = (
+        "\n    WITH RECURSIVE\n"
+        "    corp AS MATERIALIZED (\n"
+        "      SELECT doc_id, text FROM documents"
+        " WHERE doc_id % 10 <> 3\n"
+        "    ),\n"
+        "    batchd AS MATERIALIZED (\n"
+        "      SELECT doc_id, text FROM documents"
+        " WHERE doc_id % 10 = 3\n"
+        "    ),"
     )
-    tail = f"""(SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
-    canon AS MATERIALIZED (
-      SELECT e.doc_id, COALESCE(c.cluster, e.rep) AS canonical_id
-      FROM ex e LEFT JOIN clusters c ON c.id = e.rep
-    ),
+    tail = f""",
     kept AS MATERIALIZED (
-      SELECT DISTINCT canonical_id AS doc_id FROM canon
+      SELECT DISTINCT canonical_id AS doc_id FROM mapping
     ),
     bsh AS MATERIALIZED (
       SELECT doc_id, list_distinct(list_transform(
@@ -2151,12 +2141,7 @@ def _corpus_index_batch_oracle_sql(
           / (len(ba.grams) + len(ca.grams)
              - len(list_filter(ba.grams,
                    g -> list_contains(ca.grams, g)))) >= {threshold}"""
-    return base_sql.replace(
-        "(SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)\n"
-        "    SELECT e.doc_id, COALESCE(c.cluster, e.rep) AS canonical_id\n"
-        "    FROM ex e LEFT JOIN clusters c ON c.id = e.rep",
-        tail,
-    )
+    return head + body + tail
 
 
 @register("q587_corpus_index_batch", _corpus_index_batch_oracle_sql())
