@@ -395,7 +395,12 @@ def q213_trending_terms(spark, sf_dir):
     """
     WITH r AS (
       SELECT l_returnflag,
-             SUM(l_extendedprice) AS rev,
+             -- exact integer cents (q429/q418 discipline): the
+             -- unordered partition total and the cumulative sum feed
+             -- a strict 80%-threshold comparison, which double-SUM
+             -- ulp noise can flip when a part lands on the boundary
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS rev,
              l_partkey
       FROM lineitem GROUP BY l_returnflag, l_partkey
     ),
@@ -410,9 +415,9 @@ def q213_trending_terms(spark, sf_dir):
       FROM r
     )
     SELECT l_returnflag, COUNT(*)::BIGINT AS n_parts,
-           MIN(CASE WHEN cum >= 0.8 * tot THEN rn END)::BIGINT
+           MIN(CASE WHEN 5 * cum >= 4 * tot THEN rn END)::BIGINT
              AS parts_for_80pct,
-           ROUND(MIN(CASE WHEN cum >= 0.8 * tot THEN rn END)
+           ROUND(MIN(CASE WHEN 5 * cum >= 4 * tot THEN rn END)
                  / COUNT(*)::DOUBLE, 6) AS concentration
     FROM c GROUP BY l_returnflag
     """,
@@ -425,7 +430,9 @@ def q214_pareto_coverage(spark, sf_dir):
     flag partitioning, one final agg."""
     li = _t(spark, sf_dir, "lineitem")
     r = li.groupBy("l_returnflag", "l_partkey").agg(
-        F.sum("l_extendedprice").alias("rev")
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("rev")
     )
     order = [F.desc("rev"), F.asc("l_partkey")]
     wc = (
@@ -441,7 +448,7 @@ def q214_pareto_coverage(spark, sf_dir):
         F.sum("rev").over(wt).alias("tot"),
         F.row_number().over(wr).alias("rn"),
     )
-    hit = F.when(F.col("cum") >= 0.8 * F.col("tot"), F.col("rn"))
+    hit = F.when(5 * F.col("cum") >= 4 * F.col("tot"), F.col("rn"))
     return c.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_parts"),
         F.min(hit).alias("parts_for_80pct"),

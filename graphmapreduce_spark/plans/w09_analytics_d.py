@@ -164,7 +164,12 @@ def q450_cmh_test(spark, sf_dir):
     """
     WITH monthly AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
-             SUM(o_totalprice) AS rev
+             -- exact decimal accumulation + cents-integer safe cast
+             -- (q429/q418 discipline): order-dependent double SUMs
+             -- flip strict comparisons when two periods tie within
+             -- an ulp (observed at sf1)
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS DECIMAL(38,0)) AS DOUBLE) / 100 AS rev
       FROM orders GROUP BY 1
     ),
     seq AS (
@@ -200,7 +205,14 @@ def q451_mann_kendall(spark, sf_dir):
     od = _t(spark, sf_dir, "orders")
     monthly = od.groupBy(
         F.to_date(F.date_trunc("MONTH", "o_orderdate")).alias("mth")
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(
+        (
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("decimal(38,0)")
+            .cast("double")
+            / 100
+        ).alias("rev")
+    )
     seq = monthly.select(
         "rev", F.row_number().over(Window.orderBy("mth")).alias("rn")
     )
@@ -233,7 +245,12 @@ def q451_mann_kendall(spark, sf_dir):
     """
     WITH daily AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-             SUM(o_totalprice) AS rev
+             -- exact decimal accumulation + cents-integer safe cast
+             -- (q429/q418 discipline): order-dependent double SUMs
+             -- flip strict comparisons when two periods tie within
+             -- an ulp (observed at sf1)
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS DECIMAL(38,0)) AS DOUBLE) / 100 AS rev
       FROM orders GROUP BY 1
     ),
     tri AS (
@@ -270,7 +287,14 @@ def q452_turning_points(spark, sf_dir):
     od = _t(spark, sf_dir, "orders")
     daily = od.groupBy(
         F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(
+        (
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("decimal(38,0)")
+            .cast("double")
+            / 100
+        ).alias("rev")
+    )
     w = Window.orderBy("day")
     tri = daily.select(
         "rev",
@@ -1376,7 +1400,12 @@ def q463_error_metric_suite(spark, sf_dir):
     """
     WITH daily AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-             SUM(o_totalprice) AS rev
+             -- exact decimal accumulation + cents-integer safe cast
+             -- (q429/q418 discipline): order-dependent double SUMs
+             -- flip strict comparisons when two periods tie within
+             -- an ulp (observed at sf1)
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS DECIMAL(38,0)) AS DOUBLE) / 100 AS rev
       FROM orders GROUP BY 1
     ),
     seq AS (
@@ -1429,7 +1458,14 @@ def q464_pinball_loss(spark, sf_dir):
     od = _t(spark, sf_dir, "orders")
     daily = od.groupBy(
         F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(
+        (
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("decimal(38,0)")
+            .cast("double")
+            / 100
+        ).alias("rev")
+    )
     seq = daily.select(
         "rev",
         F.row_number().over(Window.orderBy("day")).alias("rn"),

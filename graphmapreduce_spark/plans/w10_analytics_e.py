@@ -170,7 +170,12 @@ def q509_yuen_trimmed_t(spark, sf_dir):
     """
     WITH monthly AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
-             SUM(o_totalprice) AS rev
+             -- exact decimal accumulation + cents-integer safe cast
+             -- (q429/q418 discipline): order-dependent double SUMs
+             -- flip strict comparisons when two periods tie within
+             -- an ulp (observed at sf1)
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS DECIMAL(38,0)) AS DOUBLE) / 100 AS rev
       FROM orders GROUP BY 1
     ),
     seq AS (
@@ -232,7 +237,14 @@ def q510_peak_prominence(spark, sf_dir):
     od = _t(spark, sf_dir, "orders")
     monthly = od.groupBy(
         F.to_date(F.date_trunc("MONTH", "o_orderdate")).alias("mth")
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(
+        (
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("decimal(38,0)")
+            .cast("double")
+            / 100
+        ).alias("rev")
+    )
     seq = monthly.select(
         "mth", "rev", F.row_number().over(Window.orderBy("mth")).alias("i")
     ).localCheckpoint(eager=True)
@@ -4211,7 +4223,12 @@ def q548_gini_decomposition(spark, sf_dir):
     """
     WITH daily AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-             SUM(o_totalprice) AS rev
+             -- exact decimal accumulation + cents-integer safe cast
+             -- (q429/q418 discipline): order-dependent double SUMs
+             -- flip strict comparisons when two periods tie within
+             -- an ulp (observed at sf1)
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS DECIMAL(38,0)) AS DOUBLE) / 100 AS rev
       FROM orders GROUP BY 1
     ),
     seq AS (
@@ -4249,7 +4266,14 @@ def q549_record_counts(spark, sf_dir):
     od = _t(spark, sf_dir, "orders")
     daily = od.groupBy(
         F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(
+        (
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("decimal(38,0)")
+            .cast("double")
+            / 100
+        ).alias("rev")
+    )
     wprior = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, -1
     )
