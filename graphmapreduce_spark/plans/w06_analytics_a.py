@@ -766,7 +766,7 @@ def q221_whitened_norms(spark, sf_dir):
       FROM events e JOIN fit f USING (user_id)
     )
     SELECT event_id, user_id, ROUND(abs_resid, 6) AS abs_resid
-    FROM res ORDER BY abs_resid DESC, event_id ASC LIMIT 25
+    FROM res ORDER BY ROUND(abs_resid, 6) DESC, event_id ASC LIMIT 25
     """,
 )
 def q222_regression_outliers(spark, sf_dir):
@@ -774,7 +774,10 @@ def q222_regression_outliers(spark, sf_dir):
     their user's own OLS trend line — q205's sufficient-statistics fit
     broadcast back onto the scan, residuals ranked by TakeOrdered.
     Flags the 'right value, wrong trajectory' anomalies a global
-    z-score misses."""
+    z-score misses.  The top-k rank runs on the ROUNDED residual
+    (+ event_id) on both sides: sf1's replicated users produce
+    residual ties that differ only in last-ulp float noise, so a
+    raw-value order is engine-dependent at the k boundary."""
     e = _t(spark, sf_dir, "events")
     x = F.col("ts").cast("double")
     fit = e.groupBy("user_id").agg(
@@ -790,9 +793,10 @@ def q222_regression_outliers(spark, sf_dir):
         ).alias("_r"),
     )
     return (
-        res.orderBy(F.desc("_r"), F.asc("event_id"))
+        res.withColumn("_r6", F.round("_r", 6))
+        .orderBy(F.desc("_r6"), F.asc("event_id"))
         .limit(25)
-        .select("event_id", "user_id", F.round("_r", 6).alias("abs_resid"))
+        .select("event_id", "user_id", F.col("_r6").alias("abs_resid"))
     )
 
 
