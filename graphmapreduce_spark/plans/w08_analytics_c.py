@@ -4350,7 +4350,12 @@ def q434_revenue_beta(spark, sf_dir):
     """
     WITH per_order AS (
       SELECT l_orderkey, COUNT(*)::DOUBLE AS n_items,
-             SUM(l_extendedprice * (1 - l_discount)) AS price
+             -- exact <=4dp product + decimal SUM + cents safe cast
+             -- (q429/q177 discipline): the q90 threshold comparison
+             -- is knife-edge and double-SUM ulps flip it at sf1
+             CAST(CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                      AS DECIMAL(18,4))), 2) * 100
+                       AS DECIMAL(38,0)) AS DOUBLE) / 100 AS price
       FROM lineitem GROUP BY l_orderkey
     ),
     thr AS (
@@ -4384,8 +4389,22 @@ def q435_tail_dependence(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     po = li.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).cast("double").alias("n_items"),
-        F.sum(
-            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        (
+            (
+                F.round(
+                    F.sum(
+                        (
+                            F.col("l_extendedprice")
+                            * (F.lit(1) - F.col("l_discount"))
+                        ).cast("decimal(18,4)")
+                    ),
+                    2,
+                )
+                * 100
+            )
+            .cast("decimal(38,0)")
+            .cast("double")
+            / 100
         ).alias("price"),
     )
     thr = po.agg(

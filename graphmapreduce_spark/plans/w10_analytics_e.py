@@ -28,17 +28,28 @@ from graphmapreduce_spark.plans.w05_corpus_ops import _MD5_BUCKET  # noqa: F401
              CAST(FLOOR(0.2 * MAX(n)) AS BIGINT) AS g
       FROM ranked GROUP BY grp
     ),
+    lov AS (
+      -- boundary ROWS first (tiny), never ranked JOIN ranked on the
+      -- 2-value grp key: that shape probes ~n^2/2 pairs per group
+      -- and is intractable at sf1
+      SELECT r.grp, r.x AS lox FROM ranked r
+      JOIN bounds b ON b.grp = r.grp AND r.rk = b.g + 1
+    ),
+    hiv AS (
+      SELECT r.grp, r.x AS hix FROM ranked r
+      JOIN bounds b ON b.grp = r.grp AND r.rk = b.n - b.g
+    ),
     wins AS (
       SELECT r.grp, b.n, b.g,
-             CASE WHEN r.rk <= b.g THEN lo.x
-                  WHEN r.rk > b.n - b.g THEN hi.x
+             CASE WHEN r.rk <= b.g THEN lo.lox
+                  WHEN r.rk > b.n - b.g THEN hi.hix
                   ELSE r.x END AS wx,
              CASE WHEN r.rk > b.g AND r.rk <= b.n - b.g
                   THEN r.x END AS tx
       FROM ranked r
       JOIN bounds b ON r.grp = b.grp
-      JOIN ranked lo ON lo.grp = r.grp AND lo.rk = b.g + 1
-      JOIN ranked hi ON hi.grp = r.grp AND hi.rk = b.n - b.g
+      JOIN lov lo ON lo.grp = r.grp
+      JOIN hiv hi ON hi.grp = r.grp
     ),
     s AS (
       SELECT grp, MAX(n)::DOUBLE AS n, MAX(g)::DOUBLE AS g,
@@ -70,54 +81,59 @@ def q509_yuen_trimmed_t(spark, sf_dir):
     variances — the robust two-sample test that q419's Welch z is
     not: a heavy tail or clerical outliers move Welch but barely
     touch Yuen, so divergence between the two IS the outlier alarm.
-    Order statistics come from one rank window per group; the
-    winsorization bounds are two rank-selected rows joined back, so
+    Order statistics come from the DISTRIBUTED global sample-sort rank
+    over (grp, x, tiebreak) — a 2-value PARTITION BY window would
+    funnel half the fact table through one task, the q555 shape with a
+    fig leaf — with per-group ranks recovered by subtracting the
+    2-row group-offset table.  The winsorization bounds are two
+    rank-selected ROWS (not the ranked table) broadcast back, so
     no percentile interpolation and full engine parity."""
+    from graphmapreduce_spark.operators.sort import global_rank
+
     li = _t(spark, sf_dir, "lineitem")
     grp = F.when(F.col("l_discount") >= 0.05, 1).otherwise(0)
-    ranked = li.select(
-        grp.alias("grp"),
-        F.col("l_quantity").alias("x"),
-        F.row_number()
-        .over(
-            Window.partitionBy(grp).orderBy(
-                "l_quantity", "l_orderkey", "l_linenumber"
-            )
+    ranked_g = global_rank(
+        li.select(
+            grp.alias("grp"),
+            F.col("l_quantity").alias("x"),
+            "l_orderkey",
+            "l_linenumber",
+        ),
+        ["grp", "x", "l_orderkey", "l_linenumber"],
+        rank_col="_gr",
+    )
+    counts = ranked_g.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    woff = Window.orderBy("grp").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bounds = counts.select(
+        "grp",
+        F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("off"),
+        "n",
+        F.floor(0.2 * F.col("n")).cast("bigint").alias("g"),
+    )
+    ranked = (
+        ranked_g.join(F.broadcast(bounds), "grp")
+        .select(
+            "grp",
+            "x",
+            (F.col("_gr") - F.col("off")).alias("rk"),
+            F.col("n").alias("bn"),
+            F.col("g").alias("bg"),
         )
-        .alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy(grp)).alias("n"),
+        .localCheckpoint(eager=True)
     )
-    bounds = ranked.groupBy("grp").agg(
-        F.max("n").alias("n"),
-        F.floor(0.2 * F.max("n")).cast("bigint").alias("g"),
+    lo = (
+        ranked.filter(F.col("rk") == F.col("bg") + 1)
+        .select("grp", F.col("x").alias("lox"))
     )
-    lo = ranked.select(
-        F.col("grp").alias("lg"),
-        F.col("rk").alias("lrk"),
-        F.col("x").alias("lox"),
-    )
-    hi = ranked.select(
-        F.col("grp").alias("hg"),
-        F.col("rk").alias("hrk"),
-        F.col("x").alias("hix"),
+    hi = (
+        ranked.filter(F.col("rk") == F.col("bn") - F.col("bg"))
+        .select("grp", F.col("x").alias("hix"))
     )
     wins = (
-        ranked.join(
-            bounds.withColumnRenamed("n", "bn").withColumnRenamed(
-                "g", "bg"
-            ),
-            "grp",
-        )
-        .join(
-            F.broadcast(lo),
-            (F.col("lg") == F.col("grp"))
-            & (F.col("lrk") == F.col("bg") + 1),
-        )
-        .join(
-            F.broadcast(hi),
-            (F.col("hg") == F.col("grp"))
-            & (F.col("hrk") == F.col("bn") - F.col("bg")),
-        )
+        ranked.join(F.broadcast(lo), "grp")
+        .join(F.broadcast(hi), "grp")
         .select(
             "grp",
             F.col("bn").alias("n"),
