@@ -681,7 +681,9 @@ def q567_abc_migration(spark, sf_dir):
     """
     WITH daily AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-             SUM(o_totalprice) AS rev
+             -- q429/q418 discipline: exact decimal + cents safe cast
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS DECIMAL(38,0)) AS DOUBLE) / 100 AS rev
       FROM orders GROUP BY 1
     ),
     seq AS (
@@ -704,15 +706,21 @@ def q567_abc_migration(spark, sf_dir):
     ),
     norm AS (
       SELECT period, pwr / SUM(pwr) OVER () AS ps FROM pw
+    ),
+    best AS (
+      -- argmax by rank, never ps = (SELECT MAX(ps) ...): the subquery
+      -- re-evaluates norm and its windowed double SUM can differ in
+      -- the last ulp between evaluations, failing the self-equality
+      -- (observed at sf1: peak_period NULL)
+      SELECT period FROM norm ORDER BY ps DESC, period ASC LIMIT 1
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_periods,
            ROUND(-SUM(ps * LN(ps)) / LN(COUNT(*)), 6)
              AS spectral_entropy_norm,
            ROUND(1 + SUM(ps * LN(ps)) / LN(COUNT(*)), 6)
              AS forecastability,
-           CAST(MAX(CASE WHEN ps = (SELECT MAX(ps) FROM norm)
-                         THEN period END) AS BIGINT) AS peak_period
-    FROM norm
+           CAST(MAX(b.period) AS BIGINT) AS peak_period
+    FROM norm CROSS JOIN best b
     """,
 )
 def q568_spectral_entropy(spark, sf_dir):
@@ -727,7 +735,14 @@ def q568_spectral_entropy(spark, sf_dir):
     od = _t(spark, sf_dir, "orders")
     daily = od.groupBy(
         F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(
+        (
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("decimal(38,0)")
+            .cast("double")
+            / 100
+        ).alias("rev")
+    )
     wall = Window.partitionBy()
     seq = daily.select(
         (F.col("rev") - F.avg("rev").over(wall)).alias("d"),
@@ -753,19 +768,19 @@ def q568_spectral_entropy(spark, sf_dir):
     norm = pw.select(
         "period", (F.col("pwr") / F.sum("pwr").over(wall)).alias("ps")
     )
-    maxps = norm.agg(F.max("ps").alias("mps"))
+    best = (
+        norm.orderBy(F.desc("ps"), F.asc("period"))
+        .limit(1)
+        .select(F.col("period").alias("_pp"))
+    )
     h = -F.sum(F.col("ps") * F.log("ps")) / F.log(
         F.count(F.lit(1)).cast("double")
     )
-    return norm.crossJoin(F.broadcast(maxps)).agg(
+    return norm.crossJoin(F.broadcast(best)).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_periods"),
         F.round(h, 6).alias("spectral_entropy_norm"),
         F.round(1 - h, 6).alias("forecastability"),
-        F.max(
-            F.when(F.col("ps") == F.col("mps"), F.col("period"))
-        )
-        .cast("bigint")
-        .alias("peak_period"),
+        F.max("_pp").cast("bigint").alias("peak_period"),
     )
 
 

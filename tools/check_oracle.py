@@ -245,7 +245,11 @@ def main():
     import __spark_entry__ as entrymod
 
     spark = get_spark(
-        master="local[8]", shuffle_partitions=8, app_name="oracle-check"
+        master="local[8]", shuffle_partitions=8, app_name="oracle-check",
+        # contract-quadratic outputs (q186's pair table is ~18M rows at
+        # sf1) exceed the 1g default during the harness's own collect —
+        # a harness limit, not a plan property
+        extra_conf={"spark.driver.maxResultSize": "8g"},
     )
     con = duckdb.connect()
     for t in TABLES:
