@@ -184,7 +184,10 @@ def q295_hill_tail_index(spark, sf_dir):
            GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
              AS grouping_id,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(l_extendedprice), 2) AS revenue
+           -- exact decimal + cents safe cast (q429/q418 discipline):
+           -- the grand-total double SUM landed on a cent tie at sf1
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                     AS DECIMAL(38,0)) AS DOUBLE) / 100 AS revenue
     FROM lineitem
     GROUP BY CUBE(l_returnflag, l_linestatus)
     """,
@@ -202,7 +205,12 @@ def q297_cube_grouping_id(spark, sf_dir):
         .agg(
             F.grouping_id().alias("grouping_id"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            (
+                (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+                .cast("decimal(38,0)")
+                .cast("double")
+                / 100
+            ).alias("revenue"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("<all>")).alias(

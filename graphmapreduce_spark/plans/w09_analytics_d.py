@@ -4854,7 +4854,9 @@ def q501_anderson_darling(spark, sf_dir):
     """
     WITH daily AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-             SUM(o_totalprice) AS rev
+             -- q429/q418 discipline: exact decimal + cents safe cast
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS DECIMAL(38,0)) AS DOUBLE) / 100 AS rev
       FROM orders GROUP BY 1
     ),
     trend AS (
@@ -4876,8 +4878,11 @@ def q501_anderson_darling(spark, sf_dir):
              d.rev - i.eff AS deseason
       FROM det d JOIN dow_idx i ON d.dow = i.dow
     )
-    SELECT ROUND(VAR_SAMP(rev), 2) AS var_raw,
-           ROUND(VAR_SAMP(resid), 2) AS var_resid,
+    -- STDDEV, not variance: at sf1 Var(rev) ~ 5e14 where one double
+    -- ulp is 0.06 > a cent, so ROUND(VAR,2) is engine-noise; the same
+    -- noise on the sd is ~1e-9 and ROUND(,2) is rock-solid
+    SELECT ROUND(STDDEV_SAMP(rev), 2) AS sd_raw,
+           ROUND(STDDEV_SAMP(resid), 2) AS sd_resid,
            ROUND(GREATEST(0, 1 - VAR_SAMP(resid) / VAR_SAMP(dt)), 6)
              AS seasonal_strength,
            ROUND(GREATEST(0, 1 - VAR_SAMP(resid) / VAR_SAMP(deseason)),
@@ -4896,7 +4901,14 @@ def q502_seasonal_strength(spark, sf_dir):
     od = _t(spark, sf_dir, "orders")
     daily = od.groupBy(
         F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(
+        (
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("decimal(38,0)")
+            .cast("double")
+            / 100
+        ).alias("rev")
+    )
     wma = Window.orderBy("day").rowsBetween(-3, 3)
     trend = daily.select(
         "day",
@@ -4913,8 +4925,8 @@ def q502_seasonal_strength(spark, sf_dir):
         (F.col("rev") - F.col("eff")).alias("deseason"),
     )
     return parts.agg(
-        F.round(F.var_samp("rev"), 2).alias("var_raw"),
-        F.round(F.var_samp("resid"), 2).alias("var_resid"),
+        F.round(F.stddev_samp("rev"), 2).alias("sd_raw"),
+        F.round(F.stddev_samp("resid"), 2).alias("sd_resid"),
         F.round(
             F.greatest(
                 F.lit(0.0),
