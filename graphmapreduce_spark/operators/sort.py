@@ -183,21 +183,33 @@ def global_cumsum(
     )
     # offsets keep the SUM's own dtype: long sums stay exact integers
     # (a double offset would silently lose exactness past 2^53 —
-    # reachable row/token counts at the 100 TB target), doubles stay
-    # doubles
+    # reachable row/token counts at the 100 TB target), DECIMAL sums
+    # stay exact decimals (the q411 sf10 lesson: a double running sum
+    # over fact-scale money accumulates summation-order noise past the
+    # emitted cent precision), doubles stay doubles
     sum_type = dict(
         d.groupBy("_pid").agg(F.sum(value_col).alias("s")).dtypes
     )["s"]
     is_integral = sum_type in ("bigint", "int", "smallint", "tinyint")
+    is_decimal = sum_type.startswith("decimal")
     offsets = []
-    acc = 0 if is_integral else 0.0
+    if is_integral:
+        zero = 0
+    elif is_decimal:
+        import decimal as _dec
+
+        zero = _dec.Decimal(0)
+    else:
+        zero = 0.0
+    acc = zero
     for r in sums:
         offsets.append((r["_pid"], acc))
-        acc += r["s"] if r["s"] is not None else (0 if is_integral else 0.0)
+        acc += r["s"] if r["s"] is not None else zero
     spark = df.sparkSession
-    off = spark.createDataFrame(
-        offsets, f"_pid int, _off {'bigint' if is_integral else 'double'}"
+    off_type = "bigint" if is_integral else (
+        sum_type if is_decimal else "double"
     )
+    off = spark.createDataFrame(offsets, f"_pid int, _off {off_type}")
     return (
         d.join(F.broadcast(off), "_pid")
         .withColumn(cum_col, F.col("_off") + F.col("_lcs"))

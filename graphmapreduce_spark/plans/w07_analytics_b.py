@@ -1228,22 +1228,28 @@ def q410_price_index(spark, sf_dir):
     "q411_abc_classes",
     """
     WITH rev AS (
+      -- exact decimal accumulation (q429/q418 discipline, found at
+      -- sf10): a double SUM at 2.4e12 magnitude carries more
+      -- summation-order noise than the emitted cent precision
       SELECT l_partkey,
-             SUM(l_extendedprice * (1 - l_discount)) AS r
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
       FROM lineitem GROUP BY l_partkey
     ),
     ranked AS (
       SELECT l_partkey, r,
-             SUM(r) OVER (ORDER BY r DESC, l_partkey) /
-               SUM(r) OVER () AS cum_share
+             CAST(SUM(r) OVER (ORDER BY r DESC, l_partkey) AS DOUBLE) /
+               CAST(SUM(r) OVER () AS DOUBLE) AS cum_share
       FROM rev
     )
     SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
                 WHEN cum_share <= 0.95 THEN 'B'
                 ELSE 'C' END AS abc_class,
            CAST(COUNT(*) AS BIGINT) AS n_parts,
-           ROUND(SUM(r), 2) AS revenue,
-           ROUND(SUM(r) / SUM(SUM(r)) OVER (), 6) AS revenue_share
+           CAST(ROUND(SUM(r), 2) AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(r) AS DOUBLE)
+                 / CAST(SUM(SUM(r)) OVER () AS DOUBLE), 6)
+             AS revenue_share
     FROM ranked
     GROUP BY CASE WHEN cum_share <= 0.8 THEN 'A'
                   WHEN cum_share <= 0.95 THEN 'B'
@@ -1262,9 +1268,18 @@ def q411_abc_classes(spark, sf_dir):
     from graphmapreduce_spark.operators import sort as GS
 
     li = _t(spark, sf_dir, "lineitem")
+    # exact decimal accumulation end-to-end (the sf10 lesson): r is an
+    # exact DECIMAL per part, the cumulative share and total divide as
+    # doubles built from identical exact sums on both engines, and the
+    # emitted revenue is the exact sum rounded to cents — no
+    # summation-order noise anywhere a strict comparison can see
     rev = li.groupBy("l_partkey").agg(
         F.sum(
-            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (
+                F.lit(1).cast("decimal(18,2)")
+                - F.col("l_discount").cast("decimal(18,2)")
+            )
         ).alias("r")
     )
     cum = GS.global_cumsum(
@@ -1274,7 +1289,10 @@ def q411_abc_classes(spark, sf_dir):
     tot = rev.agg(F.sum("r").alias("_tot"))
     wall = Window.partitionBy()
     ranked = cum.crossJoin(F.broadcast(tot)).select(
-        "r", (F.col("_cum") / F.col("_tot")).alias("cum_share")
+        "r",
+        (
+            F.col("_cum").cast("double") / F.col("_tot").cast("double")
+        ).alias("cum_share"),
     )
     cls = (
         F.when(F.col("cum_share") <= 0.8, "A")
@@ -1283,12 +1301,16 @@ def q411_abc_classes(spark, sf_dir):
     )
     per = ranked.groupBy(cls.alias("abc_class")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
-        F.round(F.sum("r"), 2).alias("revenue"),
+        F.round(F.sum("r"), 2).cast("double").alias("revenue"),
         F.sum("r").alias("raw_r"),
     )
     return per.withColumn(
         "revenue_share",
-        F.round(F.col("raw_r") / F.sum("raw_r").over(wall), 6),
+        F.round(
+            F.col("raw_r").cast("double")
+            / F.sum("raw_r").over(wall).cast("double"),
+            6,
+        ),
     ).drop("raw_r")
 
 

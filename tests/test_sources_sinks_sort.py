@@ -266,6 +266,25 @@ def test_global_cumsum_matches_window_cumsum(spark):
         assert rows[i] == acc, (i, rows[i], acc)
     assert dict(out.dtypes)["cum"] == "bigint"
 
+    # DECIMAL sums stay exact decimals (the q411 sf10 lesson): cent
+    # values that a double offset would carry as binary fractions must
+    # come back exactly, and the output keeps the decimal dtype
+    import decimal
+
+    cents = spark.range(7).select(
+        F.col("id"),
+        (F.col("id").cast("decimal(18,2)") + F.lit(0.01).cast(
+            "decimal(18,2)"
+        )).alias("v"),
+    )
+    outd = global_cumsum(cents, ["id"], "v", num_partitions=3)
+    rowsd = {r["id"]: r["cum"] for r in outd.collect()}
+    accd = decimal.Decimal(0)
+    for i in range(7):
+        accd += decimal.Decimal(i) + decimal.Decimal("0.01")
+        assert rowsd[i] == accd, (i, rowsd[i], accd)
+    assert dict(outd.dtypes)["cum"].startswith("decimal")
+
 
 def test_xml_roundtrip_fidelity(spark, tmp_path):
     """write_xml -> read_xml must be value-identical (ints widen to
