@@ -11,12 +11,25 @@ from graphmapreduce_spark.plans._shared import *  # noqa: F401,F403
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
+           -- money sums as exact decimals (q429/q418 discipline, found
+           -- at sf10: a double SUM at 5e11 magnitude carries more
+           -- summation-order noise than the emitted cent precision).
+           -- Small bounded casts — (12,2) price, (3,2) disc/tax — keep
+           -- every product/sum inside BOTH engines' 38-digit cap with
+           -- no precision-loss truncation.  Quantity sums stay double:
+           -- integer-valued doubles sum exactly in any order.
            ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)  AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(3,2)))), 2)
+                AS DOUBLE)                                              AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(3,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(3,2)))), 2)
+                AS DOUBLE)                                              AS sum_charge,
            ROUND(AVG(l_quantity), 6)                                    AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6)                               AS avg_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                      AS DOUBLE) / COUNT(*), 6)                         AS avg_price,
            ROUND(AVG(l_discount), 6)                                    AS avg_disc,
            COUNT(*)                                                     AS count_order
     FROM lineitem
@@ -25,24 +38,31 @@ from graphmapreduce_spark.plans._shared import *  # noqa: F401,F403
 )
 def q01_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: full-scan groupBy-agg with arithmetic — partial
-    (map-side) aggregation + whole-stage codegen carry it at any scale."""
+    (map-side) aggregation + whole-stage codegen carry it at any scale.
+    Money columns accumulate as exact decimals (the sf10 lesson: at
+    10M-row groups the double sums' summation-order noise crosses the
+    emitted cent precision on both engines, differently)."""
     li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    one_m_disc = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast(
+        "decimal(3,2)"
+    )
+    one_p_tax = F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast(
+        "decimal(3,2)"
+    )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "sum_disc_price"
-        ),
-        F.round(
-            F.sum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
-            ),
-            2,
-        ).alias("sum_charge"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.round(F.sum(price * one_m_disc), 2)
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.round(F.sum(price * one_m_disc * one_p_tax), 2)
+        .cast("double")
+        .alias("sum_charge"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(
+            F.sum(price).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_price"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )

@@ -327,10 +327,15 @@ def q329_scale_agreement(spark, sf_dir):
              corr(decile, mean_alpha) AS c_alpha
       FROM per
     )
+    -- CROSS JOIN, not scalar subqueries: with the outer query ALSO
+    -- reading per, DuckDB 1.0.0 re-evaluates the (SELECT ... FROM
+    -- drift) scalar path differently and corr over a zero-variance
+    -- column comes back nonzero garbage instead of NULL (found at
+    -- sf10, where replication makes mean_len constant across deciles)
     SELECT per.decile, per.n_docs, per.mean_len, per.mean_alpha,
-           ROUND((SELECT c_len FROM drift), 6) AS len_drift_corr,
-           ROUND((SELECT c_alpha FROM drift), 6) AS alpha_drift_corr
-    FROM per
+           ROUND(drift.c_len, 6) AS len_drift_corr,
+           ROUND(drift.c_alpha, 6) AS alpha_drift_corr
+    FROM per CROSS JOIN drift
     """,
 )
 def q330_ingest_order_drift(spark, sf_dir):
