@@ -2992,13 +2992,20 @@ def q375_new_vs_returning_revenue(spark, sf_dir):
                 WHEN l_discount <= 0.05 THEN '1_light'
                 ELSE '2_deep' END AS discount_band,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
-             AS net_revenue,
-           ROUND(SUM(l_extendedprice * l_discount), 2)
-             AS discount_given,
-           ROUND(SUM(l_extendedprice * (1 - l_discount))
-                 / SUM(SUM(l_extendedprice * (1 - l_discount)))
-                   OVER (), 6) AS revenue_share
+           -- exact decimal money sums (q01/q411 sf10 class): 30M-row
+           -- bands at 1.5e12 magnitude out-noise the cent emission
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(3,2)))), 2)
+                AS DOUBLE) AS net_revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_discount AS DECIMAL(3,2))), 2)
+                AS DOUBLE) AS discount_given,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(3,2))))
+                      AS DOUBLE)
+                 / CAST(SUM(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * (1 - CAST(l_discount AS DECIMAL(3,2)))))
+                        OVER () AS DOUBLE), 6) AS revenue_share
     FROM lineitem
     GROUP BY CASE WHEN l_discount = 0 THEN '0_none'
                   WHEN l_discount <= 0.05 THEN '1_light'
@@ -3016,13 +3023,16 @@ def q376_discount_exposure(spark, sf_dir):
         .when(F.col("l_discount") <= 0.05, "1_light")
         .otherwise("2_deep")
     )
-    net = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # exact decimal money sums (q01/q411 sf10 class)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    net = F.sum(price * (F.lit(1).cast("decimal(3,2)") - disc))
     agg = li.groupBy(band.alias("discount_band")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-        F.round(net, 2).alias("net_revenue"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-        ).alias("discount_given"),
+        F.round(net, 2).cast("double").alias("net_revenue"),
+        F.round(F.sum(price * disc), 2)
+        .cast("double")
+        .alias("discount_given"),
         net.alias("_net_raw"),
     )
     w = Window.partitionBy()
@@ -3032,7 +3042,9 @@ def q376_discount_exposure(spark, sf_dir):
         "net_revenue",
         "discount_given",
         F.round(
-            F.col("_net_raw") / F.sum("_net_raw").over(w), 6
+            F.col("_net_raw").cast("double")
+            / F.sum("_net_raw").over(w).cast("double"),
+            6,
         ).alias("revenue_share"),
     )
 
@@ -3328,7 +3340,10 @@ def q369_duplicate_order_audit(spark, sf_dir):
     "q370_cross_domain_summary",
     r"""
     WITH commerce AS (
-      SELECT (SELECT ROUND(SUM(o_totalprice), 2) FROM orders)
+      -- exact decimal money sum (q01/q411 sf10 class): the 6M-row
+      -- grand total at 3.7e12 magnitude out-noises the cent emission
+      SELECT (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                          AS DOUBLE) FROM orders)
                AS revenue,
              (SELECT COUNT(DISTINCT o_custkey) FROM orders)
                AS n_buyers
@@ -3359,7 +3374,9 @@ def q370_cross_domain_summary(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     d = _t(spark, sf_dir, "documents")
     commerce = od.agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("revenue"),
         F.count_distinct("o_custkey").alias("n_buyers"),
     )
     behavior = ev.agg(F.count_distinct("user_id").alias("n_users"))
@@ -5055,7 +5072,10 @@ def q344_char_class_profile(spark, sf_dir):
                 WHEN age_days < 365 THEN '90-364'
                 ELSE '365+' END AS age_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS value
+           -- exact decimal money sum (q01/q411 sf10 class): 4M-row
+           -- buckets at 1e12 magnitude out-noise the cent emission
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS value
     FROM aged
     GROUP BY o_orderstatus, CASE WHEN age_days < 30 THEN '0-29'
                 WHEN age_days < 90 THEN '30-89'
@@ -5088,7 +5108,9 @@ def q341_order_aging(spark, sf_dir):
         "o_orderstatus", bucket.alias("age_bucket")
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("value"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("value"),
     )
 
 
