@@ -1911,7 +1911,10 @@ def q122_variant_json(spark, sf_dir):
     """
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT)        AS n,
-           ROUND(sum(o_totalprice), 2)     AS total,
+           -- exact decimal money sum (q01/q411 sf10 class); min/max
+           -- don't accumulate and stay double
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                                           AS total,
            ROUND(min(o_totalprice), 2)     AS lo,
            ROUND(max(o_totalprice), 2)     AS hi
     FROM orders GROUP BY o_orderpriority
@@ -1927,9 +1930,13 @@ def q123_incremental_agg(spark, sf_dir):
     cutoff = "1997-01-01"
 
     def agg_at_grain(df):
+        # decimal partial sums stay algebraic through the merge and
+        # exact at any scale (q01/q411 sf10 class)
         return df.groupBy("o_orderpriority").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("o_totalprice").alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias(
+                "total"
+            ),
             F.min("o_totalprice").alias("lo"),
             F.max("o_totalprice").alias("hi"),
         )
@@ -1948,7 +1955,7 @@ def q123_incremental_agg(spark, sf_dir):
     return merged.select(
         "o_orderpriority",
         "n",
-        F.round("total", 2).alias("total"),
+        F.col("total").cast("double").alias("total"),
         F.round("lo", 2).alias("lo"),
         F.round("hi", 2).alias("hi"),
     )

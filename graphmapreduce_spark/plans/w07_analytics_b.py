@@ -4013,10 +4013,12 @@ def q360_ttr_length_confound(spark, sf_dir):
       FROM orders
     ),
     rev AS (
+      -- exact decimal money sums (q01/q411 sf10 class): per-nation
+      -- halves are ~2.4M rows at 1e11 magnitude at sf10
       SELECT c.c_nationkey AS nation,
              CASE WHEN epoch(o.o_orderdate) < (SELECT t FROM mid)
                   THEN 'h1' ELSE 'h2' END AS half,
-             SUM(o.o_totalprice) AS r
+             SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS r
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1, 2
     ),
@@ -4026,11 +4028,14 @@ def q360_ttr_length_confound(spark, sf_dir):
              SUM(CASE WHEN half = 'h2' THEN r ELSE 0 END) AS r2
       FROM rev GROUP BY nation
     ),
-    g AS (SELECT SUM(r2) / SUM(r1) - 1.0 AS g_tot FROM wide)
+    g AS (SELECT CAST(SUM(r2) AS DOUBLE) / CAST(SUM(r1) AS DOUBLE)
+                 - 1.0 AS g_tot FROM wide)
     SELECT nation,
-           ROUND(r2 - r1, 2) AS actual_growth,
-           ROUND(r1 * (SELECT g_tot FROM g), 2) AS expected_growth,
-           ROUND((r2 - r1) - r1 * (SELECT g_tot FROM g), 2)
+           CAST(r2 - r1 AS DOUBLE) AS actual_growth,
+           ROUND(CAST(r1 AS DOUBLE) * (SELECT g_tot FROM g), 2)
+             AS expected_growth,
+           ROUND(CAST(r2 - r1 AS DOUBLE)
+                 - CAST(r1 AS DOUBLE) * (SELECT g_tot FROM g), 2)
              AS competitive_effect
     FROM wide WHERE r1 > 0
     """,
@@ -4065,33 +4070,38 @@ def q357_shift_share(spark, sf_dir):
             F.sum(
                 F.when(
                     F.unix_micros(F.col("o_orderdate").cast("timestamp")) < F.col("t"),
-                    F.col("o_totalprice"),
-                ).otherwise(0.0)
+                    F.col("o_totalprice").cast("decimal(12,2)"),
+                ).otherwise(F.lit(0).cast("decimal(12,2)"))
             ).alias("r1"),
             F.sum(
                 F.when(
                     F.unix_micros(F.col("o_orderdate").cast("timestamp")) >= F.col("t"),
-                    F.col("o_totalprice"),
-                ).otherwise(0.0)
+                    F.col("o_totalprice").cast("decimal(12,2)"),
+                ).otherwise(F.lit(0).cast("decimal(12,2)"))
             ).alias("r2"),
         )
     )
     rev = rev.localCheckpoint(eager=False)
-    g = rev.agg((F.sum("r2") / F.sum("r1") - 1.0).alias("g_tot"))
+    g = rev.agg(
+        (
+            F.sum("r2").cast("double") / F.sum("r1").cast("double")
+            - 1.0
+        ).alias("g_tot")
+    )
     return (
         rev.crossJoin(F.broadcast(g))
         .filter(F.col("r1") > 0)
         .select(
             "nation",
-            F.round(F.col("r2") - F.col("r1"), 2).alias(
-                "actual_growth"
-            ),
-            F.round(F.col("r1") * F.col("g_tot"), 2).alias(
-                "expected_growth"
-            ),
+            (F.col("r2") - F.col("r1"))
+            .cast("double")
+            .alias("actual_growth"),
             F.round(
-                (F.col("r2") - F.col("r1"))
-                - F.col("r1") * F.col("g_tot"),
+                F.col("r1").cast("double") * F.col("g_tot"), 2
+            ).alias("expected_growth"),
+            F.round(
+                (F.col("r2") - F.col("r1")).cast("double")
+                - F.col("r1").cast("double") * F.col("g_tot"),
                 2,
             ).alias("competitive_effect"),
         )
@@ -4604,15 +4614,18 @@ def q352_clark_evans(spark, sf_dir):
     "q349_unit_economics",
     """
     WITH o AS (
+      -- exact decimal money sum (q01/q411 sf10 class): the grand
+      -- total at 3.7e12 out-noises the cent emission as a double
       SELECT COUNT(*)::DOUBLE AS n_orders,
              COUNT(DISTINCT o_custkey)::DOUBLE AS n_customers,
-             SUM(o_totalprice) AS revenue
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS revenue
       FROM orders
     ),
     l AS (SELECT COUNT(*)::DOUBLE AS n_lines FROM lineitem)
     SELECT CAST(n_orders AS BIGINT) AS n_orders,
            CAST(n_customers AS BIGINT) AS n_customers,
-           ROUND(revenue, 2) AS revenue,
+           revenue,
            ROUND(revenue / n_orders, 4) AS aov,
            ROUND((SELECT n_lines FROM l) / n_orders, 6)
              AS lines_per_order,
@@ -4633,13 +4646,15 @@ def q349_unit_economics(spark, sf_dir):
         F.count_distinct("o_custkey").cast("double").alias(
             "n_customers"
         ),
-        F.sum("o_totalprice").alias("revenue"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("revenue"),
     )
     l = li.agg(F.count(F.lit(1)).cast("double").alias("n_lines"))
     return o.crossJoin(F.broadcast(l)).select(
         F.col("n_orders").cast("bigint").alias("n_orders"),
         F.col("n_customers").cast("bigint").alias("n_customers"),
-        F.round("revenue", 2).alias("revenue"),
+        "revenue",
         F.round(F.col("revenue") / F.col("n_orders"), 4).alias("aov"),
         F.round(F.col("n_lines") / F.col("n_orders"), 6).alias(
             "lines_per_order"

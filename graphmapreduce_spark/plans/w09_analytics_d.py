@@ -2566,13 +2566,17 @@ def q475_weighted_kappa(spark, sf_dir):
     "q476_bullwhip_ratio",
     """
     WITH od AS (
+      -- exact decimal money sums (q01/q411 sf10 class)
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-             SUM(o_totalprice) AS v
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS v
       FROM orders GROUP BY 1
     ),
     sh AS (
       SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
-             SUM(l_extendedprice * (1 - l_discount)) AS v
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(3,2))))
+                  AS DOUBLE) AS v
       FROM lineitem GROUP BY 1
     ),
     s AS (
@@ -2581,8 +2585,12 @@ def q475_weighted_kappa(spark, sf_dir):
              (SELECT VAR_SAMP(v) FROM sh) AS vs,
              (SELECT AVG(v) FROM sh) AS ms
     )
-    SELECT ROUND(vo, 2) AS var_order_value,
-           ROUND(vs, 2) AS var_ship_value,
+    -- magnitude-appropriate emission (q502 discipline): the raw
+    -- variances reach 5e16 at sf10 where the engines' variance
+    -- algorithms differ past the cent; the SDs carry the same
+    -- information with ~1e-7 noise
+    SELECT ROUND(SQRT(vo), 2) AS sd_order_value,
+           ROUND(SQRT(vs), 2) AS sd_ship_value,
            ROUND(vs / vo, 4) AS variance_ratio,
            ROUND((vs / (ms * ms)) / (vo / (mo * mo)), 4)
              AS bullwhip_cv2_ratio
@@ -2601,13 +2609,23 @@ def q476_bullwhip_ratio(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     odd = od.groupBy(
         F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
-    ).agg(F.sum("o_totalprice").alias("v"))
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("v")
+    )
     shd = li.groupBy(
         F.to_date(F.date_trunc("DAY", "l_shipdate")).alias("day")
     ).agg(
         F.sum(
-            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-        ).alias("v")
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (
+                F.lit(1).cast("decimal(3,2)")
+                - F.col("l_discount").cast("decimal(3,2)")
+            )
+        )
+        .cast("double")
+        .alias("v")
     )
     so = odd.agg(
         F.var_samp("v").alias("vo"), F.avg("v").alias("mo")
@@ -2616,9 +2634,10 @@ def q476_bullwhip_ratio(spark, sf_dir):
         F.var_samp("v").alias("vs"), F.avg("v").alias("ms")
     )
     s = so.crossJoin(F.broadcast(ss))
+    # SD emission, not raw variance (q502 discipline — see oracle)
     return s.select(
-        F.round("vo", 2).alias("var_order_value"),
-        F.round("vs", 2).alias("var_ship_value"),
+        F.round(F.sqrt("vo"), 2).alias("sd_order_value"),
+        F.round(F.sqrt("vs"), 2).alias("sd_ship_value"),
         F.round(F.col("vs") / F.col("vo"), 4).alias("variance_ratio"),
         F.round(
             (F.col("vs") / (F.col("ms") * F.col("ms")))
@@ -4115,16 +4134,20 @@ def q493_gumbel_copula(spark, sf_dir):
       FROM orders GROUP BY o_custkey
     ),
     rev AS (
+      -- exact decimal money sum (q01/q411 sf10 class): cohort-year
+      -- cells reach 4e11 at sf10 and out-noise the cent emission
       SELECT f.cohort,
              date_part('year', o.o_orderdate) AS yr,
-             SUM(o.o_totalprice) AS r
+             SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS r
       FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
       GROUP BY 1, 2
     )
     SELECT CAST(cohort AS BIGINT) AS cohort_year,
            CAST(yr AS BIGINT) AS year,
-           ROUND(r, 2) AS revenue,
-           ROUND(r / LAG(r) OVER (PARTITION BY cohort ORDER BY yr), 6)
+           CAST(r AS DOUBLE) AS revenue,
+           ROUND(CAST(r AS DOUBLE)
+                 / CAST(LAG(r) OVER (PARTITION BY cohort ORDER BY yr)
+                        AS DOUBLE), 6)
              AS retention_vs_prev_year
     FROM rev
     """,
@@ -4144,16 +4167,22 @@ def q494_revenue_retention(spark, sf_dir):
     rev = (
         od.join(firsts, "o_custkey")
         .groupBy("cohort", F.year("o_orderdate").alias("yr"))
-        .agg(F.sum("o_totalprice").alias("r"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias(
+                "r"
+            )
+        )
     )
     w = Window.partitionBy("cohort").orderBy("yr")
     return rev.select(
         F.col("cohort").cast("bigint").alias("cohort_year"),
         F.col("yr").cast("bigint").alias("year"),
-        F.round("r", 2).alias("revenue"),
-        F.round(F.col("r") / F.lag("r").over(w), 6).alias(
-            "retention_vs_prev_year"
-        ),
+        F.col("r").cast("double").alias("revenue"),
+        F.round(
+            F.col("r").cast("double")
+            / F.lag("r").over(w).cast("double"),
+            6,
+        ).alias("retention_vs_prev_year"),
     )
 
 

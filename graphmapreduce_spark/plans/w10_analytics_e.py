@@ -1802,8 +1802,11 @@ def q524_fractional_knapsack(spark, sf_dir):
     "q525_interval_score",
     """
     WITH daily AS (
+      -- exact decimal money sum (q01/q411 sf10 class), surfaced as a
+      -- double so every downstream lag/abs/compare is identical
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-             SUM(o_totalprice) AS rev
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS rev
       FROM orders GROUP BY 1
     ),
     seq AS (
@@ -1828,20 +1831,25 @@ def q524_fractional_knapsack(spark, sf_dir):
       SELECT s.rev AS y, s.yhat - q.q AS lo, s.yhat + q.q AS hi
       FROM seq s CROSS JOIN qhat q
       WHERE s.yhat IS NOT NULL AND s.rn > s.n / 2
+    ),
+    -- quantized-term exact sums: the scored terms are identical
+    -- doubles on both engines, but a double AVG over them at 1e9
+    -- magnitude still picks up engine-specific summation order —
+    -- quantize each term to 1e-6 and sum exactly instead
+    terms AS (
+      SELECT CAST(hi - lo AS DECIMAL(24,6)) AS w_t,
+             CAST(20 * GREATEST(lo - y, 0)
+                  + 20 * GREATEST(y - hi, 0) AS DECIMAL(24,6)) AS p_t
+      FROM test
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
-           ROUND(AVG(hi - lo), 4) AS mean_width,
-           ROUND(AVG((hi - lo)
-                 + 20 * GREATEST(lo - y, 0)
-                 + 20 * GREATEST(y - hi, 0)), 4)
+           ROUND(CAST(SUM(w_t) AS DOUBLE) / COUNT(*), 4) AS mean_width,
+           ROUND(CAST(SUM(w_t + p_t) AS DOUBLE) / COUNT(*), 4)
              AS mean_interval_score,
-           ROUND(AVG(20 * GREATEST(lo - y, 0)
-                   + 20 * GREATEST(y - hi, 0))
-                 / AVG((hi - lo)
-                     + 20 * GREATEST(lo - y, 0)
-                     + 20 * GREATEST(y - hi, 0)), 6)
+           ROUND(CAST(SUM(p_t) AS DOUBLE)
+                 / CAST(SUM(w_t + p_t) AS DOUBLE), 6)
              AS penalty_share
-    FROM test
+    FROM terms
     """,
 )
 def q525_interval_score(spark, sf_dir):
@@ -1855,7 +1863,11 @@ def q525_interval_score(spark, sf_dir):
     od = _t(spark, sf_dir, "orders")
     daily = od.groupBy(
         F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("rev")
+    )
     w = Window.orderBy("day")
     seq = daily.select(
         "rev",
@@ -1888,17 +1900,27 @@ def q525_interval_score(spark, sf_dir):
             (F.col("yhat") + F.col("q")).alias("hi"),
         )
     )
+    # quantized-term exact sums (see oracle comment): the per-row
+    # scores are identical doubles, but a plain double AVG at 1e9
+    # magnitude re-introduces engine-specific summation order
     width = F.col("hi") - F.col("lo")
     pen = 20 * F.greatest(F.col("lo") - F.col("y"), F.lit(0.0)) + 20 * F.greatest(
         F.col("y") - F.col("hi"), F.lit(0.0)
     )
+    w_t = width.cast("decimal(24,6)")
+    p_t = pen.cast("decimal(24,6)")
     return test.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_test"),
-        F.round(F.avg(width), 4).alias("mean_width"),
-        F.round(F.avg(width + pen), 4).alias("mean_interval_score"),
-        F.round(F.avg(pen) / F.avg(width + pen), 6).alias(
-            "penalty_share"
-        ),
+        F.round(
+            F.sum(w_t).cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_width"),
+        F.round(
+            F.sum(w_t + p_t).cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_interval_score"),
+        F.round(
+            F.sum(p_t).cast("double") / F.sum(w_t + p_t).cast("double"),
+            6,
+        ).alias("penalty_share"),
     )
 
 
@@ -3696,46 +3718,81 @@ def q543_breusch_pagan(spark, sf_dir):
     "q544_chow_test",
     """
     WITH daily AS (
+      -- exact decimal money sum (q01/q411 sf10 class); kept DECIMAL
+      -- so the co-moment sums below stay exact too — the SSE formula
+      -- cancels ~7 orders of magnitude and sees every summation-order
+      -- ulp of a double SUM(y*y)
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-             SUM(o_totalprice) AS rev
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                  AS DECIMAL(16,2)) AS rev
       FROM orders GROUP BY 1
     ),
     seq AS (
       SELECT rev AS y,
-             CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS t,
+             ROW_NUMBER() OVER (ORDER BY day) AS t,
              COUNT(*) OVER () AS n
       FROM daily
     ),
     grouped AS (
+      -- exact integer/decimal sufficient statistics per half; the
+      -- widening casts keep every DuckDB product inside int128
       SELECT CASE WHEN t <= n / 2 THEN 0 ELSE 1 END AS g,
-             COUNT(*)::DOUBLE AS cnt, AVG(t) AS mt, AVG(y) AS my,
-             SUM(t * y) AS sty, SUM(t * t) AS stt, SUM(y * y) AS syy
+             COUNT(*) AS cnt,
+             SUM(t) AS st,
+             CAST(SUM(y) AS DECIMAL(19,2)) AS sy,
+             SUM(t * t) AS stt,
+             CAST(SUM(CAST(t AS DECIMAL(9,0)) * y) AS DECIMAL(25,2))
+               AS sty,
+             CAST(SUM(CAST(y AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2)))
+                  AS DECIMAL(32,4)) AS syy
       FROM seq GROUP BY 1
     ),
+    -- cancel EXACTLY in decimal (n·Syy − Sy², n·Sty − St·Sy,
+    -- n·Stt − St²), then drop to double: casting the RAW 1e21-scale
+    -- moments to double first loses ~30 ulps to the engines'
+    -- different decimal→double conversions, which the 7-orders-of-
+    -- magnitude SSE cancellation amplifies into visible cents
     sses AS (
-      SELECT g,
-             (syy - cnt * my * my)
-             - POWER(sty - cnt * mt * my, 2)
-               / (stt - cnt * mt * mt) AS sse,
-             cnt
+      SELECT SUM(sse) AS ssesplit FROM (
+        SELECT (CAST(CAST(cnt AS DECIMAL(6,0)) * syy - sy * sy
+                     AS DOUBLE)
+                - CAST(CAST(cnt AS DECIMAL(6,0)) * sty
+                       - CAST(st AS DECIMAL(8,0)) * sy AS DOUBLE)
+                  * CAST(CAST(cnt AS DECIMAL(6,0)) * sty
+                         - CAST(st AS DECIMAL(8,0)) * sy AS DOUBLE)
+                  / CAST(cnt * stt - st * st AS DOUBLE))
+               / cnt AS sse
+        FROM grouped
+      )
+    ),
+    tot AS (
+      SELECT SUM(cnt) AS n, SUM(st) AS st,
+             CAST(SUM(sy) AS DECIMAL(19,2)) AS sy,
+             SUM(stt) AS stt,
+             CAST(SUM(sty) AS DECIMAL(25,2)) AS sty,
+             CAST(SUM(syy) AS DECIMAL(32,4)) AS syy
       FROM grouped
     ),
     pooled AS (
-      SELECT (SUM(syy) - SUM(cnt) * POWER(SUM(cnt * my) / SUM(cnt), 2)
-              - POWER(SUM(sty) - SUM(cnt)
-                      * (SUM(cnt * mt) / SUM(cnt))
-                      * (SUM(cnt * my) / SUM(cnt)), 2)
-                / (SUM(stt) - SUM(cnt)
-                   * POWER(SUM(cnt * mt) / SUM(cnt), 2))) AS ssep,
-             SUM(cnt) AS n
-      FROM grouped
+      SELECT (CAST(CAST(n AS DECIMAL(6,0)) * syy - sy * sy AS DOUBLE)
+              - CAST(CAST(n AS DECIMAL(6,0)) * sty
+                     - CAST(st AS DECIMAL(8,0)) * sy AS DOUBLE)
+                * CAST(CAST(n AS DECIMAL(6,0)) * sty
+                       - CAST(st AS DECIMAL(8,0)) * sy AS DOUBLE)
+                / CAST(n * stt - st * st AS DOUBLE))
+             / n AS ssep,
+             n
+      FROM tot
     )
+    -- magnitude-appropriate emission (q502 discipline): the absolute
+    -- SSEs demand ~14 significant digits at sf10 where engine
+    -- decimal→double conversion ulps still differ; their RATIO (the
+    -- actual break signal, like chow_f) is stable to ~1e-12
     SELECT CAST(p.n AS BIGINT) AS n_days,
-           ROUND(p.ssep / 1000000, 2) AS sse_pooled_m,
-           ROUND((SELECT SUM(sse) FROM sses) / 1000000, 2)
-             AS sse_split_m,
-           ROUND(((p.ssep - (SELECT SUM(sse) FROM sses)) / 2)
-                 / ((SELECT SUM(sse) FROM sses) / (p.n - 4)), 4)
+           ROUND(p.ssep / (SELECT ssesplit FROM sses), 6)
+             AS sse_pooled_over_split,
+           ROUND(((p.ssep - (SELECT ssesplit FROM sses)) / 2)
+                 / ((SELECT ssesplit FROM sses) / (p.n - 4)), 4)
              AS chow_f
     FROM pooled p
     """,
@@ -3750,53 +3807,80 @@ def q544_chow_test(spark, sf_dir):
     (weighted means recombine exactly), so ONE grouped pass feeds
     all three regressions."""
     od = _t(spark, sf_dir, "orders")
+    # exact decimal daily sums kept DECIMAL into the co-moments (see
+    # oracle comment): the SSE cancellation sees every ulp of a double
+    # SUM(y*y)
     daily = od.groupBy(
         F.to_date(F.date_trunc("DAY", "o_orderdate")).alias("day")
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(16,2)")
+        .alias("rev")
+    )
     seq = daily.select(
         F.col("rev").alias("y"),
-        F.row_number()
-        .over(Window.orderBy("day"))
-        .cast("double")
-        .alias("t"),
+        F.row_number().over(Window.orderBy("day")).alias("t"),
         F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
     )
+    # exact sufficient statistics; cancel exactly in decimal, then
+    # drop to double (see the oracle comment on decimal→double ulps)
     grouped = seq.groupBy(
         F.when(F.col("t") <= F.col("n") / 2, 0).otherwise(1).alias("g")
     ).agg(
-        F.count(F.lit(1)).cast("double").alias("cnt"),
-        F.avg("t").alias("mt"),
-        F.avg("y").alias("my"),
-        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("t").alias("st"),
+        F.sum("y").cast("decimal(19,2)").alias("sy"),
         F.sum(F.col("t") * F.col("t")).alias("stt"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("t").cast("decimal(9,0)") * F.col("y"))
+        .cast("decimal(25,2)")
+        .alias("sty"),
+        F.sum(
+            F.col("y").cast("decimal(19,2)")
+            * F.col("y").cast("decimal(19,2)")
+        )
+        .cast("decimal(32,4)")
+        .alias("syy"),
     )
-    sse_g = (
-        F.col("syy") - F.col("cnt") * F.col("my") * F.col("my")
-    ) - F.pow(
-        F.col("sty") - F.col("cnt") * F.col("mt") * F.col("my"), 2
-    ) / (
-        F.col("stt") - F.col("cnt") * F.col("mt") * F.col("mt")
-    )
+
+    def _sse(cnt, st, sy, stt, sty, syy):
+        a = (cnt.cast("decimal(6,0)") * syy - sy * sy).cast("double")
+        b = (
+            cnt.cast("decimal(6,0)") * sty
+            - st.cast("decimal(8,0)") * sy
+        ).cast("double")
+        c = (cnt * stt - st * st).cast("double")
+        return (a - b * b / c) / cnt
+
     sses = grouped.agg(
-        F.sum(sse_g).alias("ssesplit"),
+        F.sum(
+            _sse(
+                F.col("cnt"), F.col("st"), F.col("sy"),
+                F.col("stt"), F.col("sty"), F.col("syy"),
+            )
+        ).alias("ssesplit"),
     )
-    gmt = F.sum(F.col("cnt") * F.col("mt")) / F.sum("cnt")
-    gmy = F.sum(F.col("cnt") * F.col("my")) / F.sum("cnt")
-    pooled = grouped.agg(
-        (
-            F.sum("syy")
-            - F.sum("cnt") * F.pow(gmy, 2)
-            - F.pow(F.sum("sty") - F.sum("cnt") * gmt * gmy, 2)
-            / (F.sum("stt") - F.sum("cnt") * F.pow(gmt, 2))
-        ).alias("ssep"),
+    tot = grouped.agg(
         F.sum("cnt").alias("n"),
+        F.sum("st").alias("st"),
+        F.sum("sy").cast("decimal(19,2)").alias("sy"),
+        F.sum("stt").alias("stt"),
+        F.sum("sty").cast("decimal(25,2)").alias("sty"),
+        F.sum("syy").cast("decimal(32,4)").alias("syy"),
+    )
+    pooled = tot.select(
+        _sse(
+            F.col("n"), F.col("st"), F.col("sy"),
+            F.col("stt"), F.col("sty"), F.col("syy"),
+        ).alias("ssep"),
+        F.col("n"),
     )
     j = pooled.crossJoin(F.broadcast(sses))
+    # ratio emission, not absolute SSEs (q502 discipline — see oracle)
     return j.select(
         F.col("n").cast("bigint").alias("n_days"),
-        F.round(F.col("ssep") / 1000000, 2).alias("sse_pooled_m"),
-        F.round(F.col("ssesplit") / 1000000, 2).alias("sse_split_m"),
+        F.round(F.col("ssep") / F.col("ssesplit"), 6).alias(
+            "sse_pooled_over_split"
+        ),
         F.round(
             ((F.col("ssep") - F.col("ssesplit")) / 2)
             / (F.col("ssesplit") / (F.col("n") - 4)),
@@ -4333,7 +4417,11 @@ def q549_record_counts(spark, sf_dir):
     "q550_tail_model_contest",
     """
     WITH cust AS (
-      SELECT SUM(o_totalprice) AS x
+      -- exact decimal money sum (q01/q411 sf10 class): noisy double
+      -- per-customer sums flip boundary customers across the p90
+      -- threshold differently per engine
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS x
       FROM orders GROUP BY o_custkey
     ),
     thr AS (SELECT quantile_cont(x, 0.9) AS xmin FROM cust),
@@ -4408,7 +4496,9 @@ def q550_tail_model_contest(spark, sf_dir):
     complement; everything is folds over the ~150-row tail."""
     od = _t(spark, sf_dir, "orders")
     cust = od.groupBy("o_custkey").agg(
-        F.sum("o_totalprice").alias("x")
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("x")
     )
     thr = cust.agg(F.expr("percentile(x, 0.9)").alias("xmin"))
     lnfit = cust.agg(
