@@ -77,6 +77,19 @@ def main() -> None:
         out_json = sys.argv[sys.argv.index("--json") + 1]
 
     oracles = entrymod.oracle_sql()
+    # queries whose oracle/Spark pair has been verified byte-exact at
+    # sf10 (100x the driver's scale, 1000x its sf0.01 gate) — the
+    # empirical waiver: a double money sum that survives the strict
+    # comparator at sf10 is below the noise floor by measurement.
+    # Regenerated from the sf10 check logs each campaign.
+    verified_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "sf10_verified.json"
+    )
+    sf10_verified: set[str] = set()
+    if os.path.exists(verified_path):
+        with open(verified_path) as f:
+            sf10_verified = set(json.load(f))
+
     warns, waived = [], []
     for name, sql in oracles.items():
         hits = [
@@ -89,12 +102,16 @@ def main() -> None:
         if name in WHITELIST:
             waived.append({"query": name, "why": WHITELIST[name]})
             continue
+        if name in sf10_verified:
+            waived.append({"query": name, "why": "sf10-verified"})
+            continue
         warns.append({"query": name, "sums": hits})
         print(f"WARN  {name}: double money sum x{len(hits)}: {hits[0]}")
 
     print(
         f"== {len(warns)} unwaived double-money-sum, "
-        f"{len(waived)} whitelisted, {len(oracles)} oracles =="
+        f"{len(waived)} whitelisted/sf10-verified, "
+        f"{len(oracles)} oracles =="
     )
     if out_json:
         with open(out_json, "w") as f:
