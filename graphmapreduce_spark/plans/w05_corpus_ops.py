@@ -5492,29 +5492,132 @@ def q204_bootstrap_mean(spark, sf_dir):
 @register(
     "q205_groupwise_regression",
     """
+    WITH s AS (
+      -- exact decimal sufficient statistics (q544 discipline, found
+      -- at sf1/sf10): the engines' REGR_* float paths differ in the
+      -- last ulp, which 150k groups WILL land on a rounding boundary.
+      -- x = integer microseconds centered on a fixed constant (keeps
+      -- x² inside DECIMAL38); value quantized at 1e-4 (lossless for
+      -- this 2dp column)
+      SELECT user_id, COUNT(*) AS n,
+             SUM(CAST(epoch_us(ts) - 1700000000000000
+                      AS DECIMAL(19,0))) AS sx,
+             SUM(CAST(value AS DECIMAL(10,4))) AS sv,
+             SUM(CAST(epoch_us(ts) - 1700000000000000 AS DECIMAL(19,0))
+                 * CAST(epoch_us(ts) - 1700000000000000
+                        AS DECIMAL(19,0))) AS sxx,
+             SUM(CAST(epoch_us(ts) - 1700000000000000 AS DECIMAL(19,0))
+                 * CAST(value AS DECIMAL(10,4))) AS svx,
+             SUM(CAST(value AS DECIMAL(10,4))
+                 * CAST(value AS DECIMAL(10,4))) AS svv
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      -- cancel exactly in decimal, then drop to double (q544)
+      SELECT user_id, n,
+             CAST(CAST(n AS DECIMAL(6,0)) * CAST(svx AS DECIMAL(27,4))
+                  - CAST(sx AS DECIMAL(19,0))
+                    * CAST(sv AS DECIMAL(19,4)) AS DOUBLE) AS b,
+             CAST(CAST(n AS DECIMAL(6,0)) * CAST(sxx AS DECIMAL(30,0))
+                  - CAST(sx AS DECIMAL(19,0))
+                    * CAST(sx AS DECIMAL(19,0)) AS DOUBLE) AS c,
+             CAST(CAST(n AS DECIMAL(6,0)) * CAST(svv AS DECIMAL(24,8))
+                  - CAST(sv AS DECIMAL(19,4))
+                    * CAST(sv AS DECIMAL(19,4)) AS DOUBLE) AS d,
+             CAST(sx AS DOUBLE) AS sx_d, CAST(sv AS DOUBLE) AS sv_d
+      FROM s
+    )
     SELECT user_id,
-           COUNT(*)::BIGINT AS n,
-           ROUND(REGR_SLOPE(value, epoch(ts)), 6) + 0.0 AS slope,
-           ROUND(REGR_INTERCEPT(value, epoch(ts)), 6) + 0.0 AS intercept,
-           ROUND(REGR_R2(value, epoch(ts)), 6) + 0.0 AS r2
-    FROM events
-    GROUP BY user_id
+           CAST(n AS BIGINT) AS n,
+           ROUND(CASE WHEN c = 0 THEN NULL
+                 ELSE b / c * 1000000 END, 6) + 0.0 AS slope,
+           -- 2dp: epoch-0 extrapolation multiplies noise by x̄≈8.5e8
+           ROUND(CASE WHEN c = 0 THEN NULL
+                 ELSE sv_d / n - (b / c * 1000000)
+                      * (sx_d / n / 1000000 + 1700000000) END, 2)
+             + 0.0 AS intercept,
+           ROUND(CASE WHEN c = 0 OR d = 0 THEN NULL
+                 ELSE b * b / (c * d) END, 6) + 0.0 AS r2
+    FROM m
     """,
 )
 def q205_groupwise_regression(spark, sf_dir):
-    """Per-key ordinary least squares (value ~ time) via the
-    sufficient-statistics aggregates — slope, intercept, and R² for
-    every user in ONE map-side-combined agg pass: regression at any
-    group count without per-group fitting loops."""
+    """Per-key ordinary least squares (value ~ time) from exact
+    decimal sufficient statistics in ONE map-side-combined agg pass —
+    regression at any group count without per-group fitting loops,
+    and (the sf1/sf10 lesson) without the engines' REGR_* float-path
+    ulps, which 150k groups will land on a rounding boundary.
+    Semantics anchors: REGR_SLOPE/REGR_R2 per group; x in seconds."""
     e = _t(spark, sf_dir, "events")
-    x = F.col("ts").cast("double")
-    return e.groupBy("user_id").agg(
+    xq = (
+        F.unix_micros(F.col("ts")) - F.lit(1700000000000000)
+    ).cast("decimal(19,0)")
+    vq = F.col("value").cast("decimal(10,4)")
+    s = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
-        # + 0.0 canonicalizes IEEE negative zero — the engines round
-        # tiny negative slopes to -0.0 vs 0.0 inconsistently
-        (F.round(F.regr_slope(F.col("value"), x), 6) + 0.0).alias("slope"),
-        (F.round(F.regr_intercept(F.col("value"), x), 6) + 0.0).alias(
-            "intercept"
-        ),
-        (F.round(F.regr_r2(F.col("value"), x), 6) + 0.0).alias("r2"),
+        F.sum(xq).alias("sx"),
+        F.sum(vq).alias("sv"),
+        F.sum(xq * xq).alias("sxx"),
+        F.sum(xq * vq).alias("svx"),
+        F.sum(vq * vq).alias("svv"),
+    )
+    n6 = F.col("n").cast("decimal(6,0)")
+    b = (
+        n6 * F.col("svx").cast("decimal(27,4)")
+        - F.col("sx").cast("decimal(19,0)")
+        * F.col("sv").cast("decimal(19,4)")
+    ).cast("double")
+    c = (
+        n6 * F.col("sxx").cast("decimal(30,0)")
+        - F.col("sx").cast("decimal(19,0)")
+        * F.col("sx").cast("decimal(19,0)")
+    ).cast("double")
+    d = (
+        n6 * F.col("svv").cast("decimal(24,8)")
+        - F.col("sv").cast("decimal(19,4)")
+        * F.col("sv").cast("decimal(19,4)")
+    ).cast("double")
+    m = s.select(
+        "user_id", "n",
+        b.alias("b"), c.alias("c"), d.alias("d"),
+        F.col("sx").cast("double").alias("sx_d"),
+        F.col("sv").cast("double").alias("sv_d"),
+    )
+    slope = F.col("b") / F.col("c") * 1000000
+    # + 0.0 canonicalizes IEEE negative zero — the engines round
+    # tiny negative slopes to -0.0 vs 0.0 inconsistently
+    return m.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.round(
+                F.when(F.col("c") == 0, None).otherwise(slope), 6
+            )
+            + 0.0
+        ).alias("slope"),
+        (
+            F.round(
+                F.when(F.col("c") == 0, None).otherwise(
+                    F.col("sv_d") / F.col("n")
+                    - slope
+                    * (
+                        F.col("sx_d") / F.col("n") / 1000000
+                        + 1700000000
+                    )
+                ),
+                2,
+            )
+            + 0.0
+        ).alias("intercept"),
+        (
+            F.round(
+                F.when(
+                    (F.col("c") == 0) | (F.col("d") == 0), None
+                ).otherwise(
+                    F.col("b") * F.col("b") / (F.col("c") * F.col("d"))
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("r2"),
     )
