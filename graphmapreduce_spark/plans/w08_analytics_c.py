@@ -11,9 +11,14 @@ from graphmapreduce_spark.plans._shared import *  # noqa: F401,F403
     "q333_price_volume_decomposition",
     """
     WITH monthly AS (
+      -- exact decimal money sum (q01/q411 sf10 class): the ~800k-row
+      -- monthly price sums at 1.6e9 carry ~0.05 of summation-order
+      -- noise, which the cent-rounded bridge columns can see.
+      -- Quantity sums are integer-valued doubles — exact as is.
       SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
              SUM(l_quantity) AS q,
-             SUM(l_extendedprice) / SUM(l_quantity) AS p
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               / SUM(l_quantity) AS p
       FROM lineitem GROUP BY 1
     ),
     lagged AS (
@@ -42,7 +47,11 @@ def q333_price_volume_decomposition(spark, sf_dir):
         F.to_date(F.date_trunc("month", "l_shipdate")).alias("month")
     ).agg(
         F.sum("l_quantity").alias("q"),
-        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            / F.sum("l_quantity")
+        ).alias("p"),
     )
     w = Window.orderBy("month")
     lagged = monthly.select(
