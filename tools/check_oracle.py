@@ -247,9 +247,14 @@ def main():
     spark = get_spark(
         master="local[8]", shuffle_partitions=8, app_name="oracle-check",
         # contract-quadratic outputs (q186's pair table is ~18M rows at
-        # sf1) exceed the 1g default during the harness's own collect —
-        # a harness limit, not a plan property
-        extra_conf={"spark.driver.maxResultSize": "8g"},
+        # sf1) exceed the 1g default during the harness's own collect,
+        # and sf10 streaming-state collects (q69) exceed the default
+        # driver HEAP — harness limits, not plan properties; in local
+        # mode the driver JVM is the only JVM, and the box has 128 GiB
+        extra_conf={
+            "spark.driver.maxResultSize": "8g",
+            "spark.driver.memory": "24g",
+        },
     )
     con = duckdb.connect()
     for t in TABLES:
