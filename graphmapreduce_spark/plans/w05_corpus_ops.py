@@ -1860,7 +1860,11 @@ def q121_recursive_cte(spark, sf_dir):
     traversal over the implicit digit-prefix forest (parent(k) = k
     div 10) — the BOM-explosion / org-chain shape, expressed the same
     way on both engines; each recursion level is one hash join, depth
-    bounded by the key width."""
+    bounded by the key width.  The recursion's OUTPUT is corpus-sized
+    (every customer appears once), so the default 1M-row recursion
+    guard trips at sf10 — raise it; the LEVEL limit (the actual
+    runaway guard, depth = key width ≈ 8) stays at its default."""
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
     _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
     return spark.sql(
         """
