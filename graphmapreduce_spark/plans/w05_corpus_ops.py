@@ -1862,22 +1862,44 @@ def q121_recursive_cte(spark, sf_dir):
     way on both engines; each recursion level is one hash join, depth
     bounded by the key width.  The recursion's OUTPUT is corpus-sized
     (every customer appears once), so the default 1M-row recursion
-    guard trips at sf10 — raise it; the LEVEL limit (the actual
-    runaway guard, depth = key width ≈ 8) stays at its default."""
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
-    return spark.sql(
-        """
-        WITH RECURSIVE chain(id, root, depth) AS (
-          SELECT c_custkey, c_custkey, 0 FROM customer_v WHERE c_custkey < 10
-          UNION ALL
-          SELECT c.c_custkey, chain.root, chain.depth + 1
-          FROM customer_v c JOIN chain ON chain.id = c.c_custkey div 10
-          WHERE c.c_custkey >= 10
-        )
-        SELECT id, root, depth FROM chain
-        """
-    )
+    guard trips at sf10.  The guard is derived from the INPUT
+    cardinality (one metadata-only parquet count, no fixture-derived
+    constant): total recursion output ≤ |customer| rows, so 4·n is a
+    real runaway bound at every scale.  Because the guard is a shared
+    session conf, the raised value is scoped to THIS query's execution:
+    the recursion is materialized eagerly (localCheckpoint) under the
+    raised limit and the prior value restored in ``finally``, so later
+    recursive CTEs in the same session keep the default 1M-row guard.
+    The LEVEL limit (the actual depth guard, depth = key width ≈ 8)
+    stays at its default throughout."""
+    cust = _t(spark, sf_dir, "customer")
+    n = cust.count()  # metadata-only count over parquet footers
+    guard = str(max(1_000_000, 4 * n))
+    key = "spark.sql.cteRecursionRowLimit"
+    prev = spark.conf.get(key, None)
+    cust.createOrReplaceTempView("customer_v")
+    spark.conf.set(key, guard)
+    try:
+        # eager=True: the recursion executes HERE, under the raised
+        # guard; the returned plan reads the checkpointed blocks.
+        return spark.sql(
+            """
+            WITH RECURSIVE chain(id, root, depth) AS (
+              SELECT c_custkey, c_custkey, 0 FROM customer_v
+              WHERE c_custkey < 10
+              UNION ALL
+              SELECT c.c_custkey, chain.root, chain.depth + 1
+              FROM customer_v c JOIN chain ON chain.id = c.c_custkey div 10
+              WHERE c.c_custkey >= 10
+            )
+            SELECT id, root, depth FROM chain
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 @register(
@@ -5517,15 +5539,25 @@ def q204_bootstrap_mean(spark, sf_dir):
       FROM events GROUP BY user_id
     ),
     m AS (
-      -- cancel exactly in decimal, then drop to double (q544)
+      -- cancel exactly in decimal, then drop to double (q544).
+      -- Cap audit (both engines overflow/NULL past these, and they
+      -- fail DIFFERENTLY — DuckDB raises, non-ANSI Spark NULLs — so
+      -- the bounds are documented, widened to the DECIMAL38 ceiling):
+      --   n: DECIMAL(7,0) on the sxx product (7+30+1=38 is the
+      --      ceiling), DECIMAL(10,0) elsewhere -> group size < 1e7;
+      --   sxx < 1e30 -> group_size * x_max^2 < 1e30; this corpus is a
+      --      30-day us-centered window (|x| <= 6.7e12, x^2 <= 4.5e25)
+      --      -> group size <= ~22k.  Measured max group = 99, and
+      --      key-offset replication keeps per-key group sizes CONSTANT
+      --      across scale factors, so the bound holds at every SF.
       SELECT user_id, n,
-             CAST(CAST(n AS DECIMAL(6,0)) * CAST(svx AS DECIMAL(27,4))
+             CAST(CAST(n AS DECIMAL(10,0)) * CAST(svx AS DECIMAL(27,4))
                   - CAST(sx AS DECIMAL(19,0))
                     * CAST(sv AS DECIMAL(19,4)) AS DOUBLE) AS b,
-             CAST(CAST(n AS DECIMAL(6,0)) * CAST(sxx AS DECIMAL(30,0))
+             CAST(CAST(n AS DECIMAL(7,0)) * CAST(sxx AS DECIMAL(30,0))
                   - CAST(sx AS DECIMAL(19,0))
                     * CAST(sx AS DECIMAL(19,0)) AS DOUBLE) AS c,
-             CAST(CAST(n AS DECIMAL(6,0)) * CAST(svv AS DECIMAL(24,8))
+             CAST(CAST(n AS DECIMAL(10,0)) * CAST(svv AS DECIMAL(24,8))
                   - CAST(sv AS DECIMAL(19,4))
                     * CAST(sv AS DECIMAL(19,4)) AS DOUBLE) AS d,
              CAST(sx AS DOUBLE) AS sx_d, CAST(sv AS DOUBLE) AS sv_d
@@ -5565,19 +5597,25 @@ def q205_groupwise_regression(spark, sf_dir):
         F.sum(xq * vq).alias("svx"),
         F.sum(vq * vq).alias("svv"),
     )
-    n6 = F.col("n").cast("decimal(6,0)")
+    # cap audit mirrors the oracle comment: n widened to the DECIMAL38
+    # ceiling per product (7,0 against sxx's 30 digits, 10,0 elsewhere);
+    # bounds: group size < 1e7 and group_size * x_max^2 < 1e30 (this
+    # corpus: |x| <= 6.7e12 us -> <= ~22k rows/group; measured max 99,
+    # constant across SFs by key-offset replication)
+    n10 = F.col("n").cast("decimal(10,0)")
+    n7 = F.col("n").cast("decimal(7,0)")
     b = (
-        n6 * F.col("svx").cast("decimal(27,4)")
+        n10 * F.col("svx").cast("decimal(27,4)")
         - F.col("sx").cast("decimal(19,0)")
         * F.col("sv").cast("decimal(19,4)")
     ).cast("double")
     c = (
-        n6 * F.col("sxx").cast("decimal(30,0)")
+        n7 * F.col("sxx").cast("decimal(30,0)")
         - F.col("sx").cast("decimal(19,0)")
         * F.col("sx").cast("decimal(19,0)")
     ).cast("double")
     d = (
-        n6 * F.col("svv").cast("decimal(24,8)")
+        n10 * F.col("svv").cast("decimal(24,8)")
         - F.col("sv").cast("decimal(19,4)")
         * F.col("sv").cast("decimal(19,4)")
     ).cast("double")

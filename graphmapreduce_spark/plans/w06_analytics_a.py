@@ -1935,9 +1935,14 @@ def q239_ndcg_eval(spark, sf_dir):
     scored AS (
       SELECT q.vec_id AS qid, q.label AS true_label,
              corpus.vec_id AS nid, corpus.label AS pred,
-             ROUND(list_sum(list_transform(range(1, len(q.v) + 1),
-                              i -> q.v[i] * corpus.v[i]))
-               / (q.nrm * corpus.nrm), 4)
+             -- zero-norm guard mirrors V.cosine on the Spark side:
+             -- a zero embedding scores 0.0 on BOTH engines instead
+             -- of NULL/inf here vs 0.0 there
+             ROUND(CASE WHEN q.nrm > 0 AND corpus.nrm > 0
+                   THEN list_sum(list_transform(range(1, len(q.v) + 1),
+                                   i -> q.v[i] * corpus.v[i]))
+                        / (q.nrm * corpus.nrm)
+                   ELSE 0.0 END, 4)
                AS cosine
       FROM corpus CROSS JOIN q
     ),

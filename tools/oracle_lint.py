@@ -29,10 +29,17 @@ Usage: python tools/oracle_lint.py [--json out.json]
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
 import sys
+
+
+def oracle_sha(sql: str) -> str:
+    """Whitespace-insensitive fingerprint of an oracle SQL string —
+    reformatting must not drop a waiver, any token change must."""
+    return hashlib.sha256(" ".join(sql.split()).encode()).hexdigest()[:16]
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -81,14 +88,28 @@ def main() -> None:
     # sf10 (100x the driver's scale, 1000x its sf0.01 gate) — the
     # empirical waiver: a double money sum that survives the strict
     # comparator at sf10 is below the noise floor by measurement.
-    # Regenerated from the sf10 check logs each campaign.
+    # The waiver is keyed on (name, sha256 of the oracle SQL at the
+    # time it was verified): editing a verified oracle drops its
+    # waiver automatically, forcing re-verification — a name-only
+    # waiver could never catch a regression re-introduced into an
+    # already-verified query.  Legacy list-format files (name only)
+    # are honored hashlessly until the next campaign rewrites them.
+    # Written by tools/sweep_oracles.py --update-verified.
     verified_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "sf10_verified.json"
     )
     sf10_verified: set[str] = set()
     if os.path.exists(verified_path):
         with open(verified_path) as f:
-            sf10_verified = set(json.load(f))
+            v = json.load(f)
+        if isinstance(v, dict):
+            sf10_verified = {
+                name
+                for name, sha in v.items()
+                if name in oracles and oracle_sha(oracles[name]) == sha
+            }
+        else:  # legacy list format (pre-round-7)
+            sf10_verified = set(v)
 
     warns, waived = [], []
     for name, sql in oracles.items():
