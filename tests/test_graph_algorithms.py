@@ -1038,3 +1038,49 @@ def test_cc_contract_raises_without_fixpoint(spark):
     g = make_graph(spark, [(i, i + 1, 1.0) for i in range(1, 40)])
     with pytest.raises(RuntimeError):
         alg.connected_components_contract(g, max_rounds=1)
+
+
+# ---------------------------------------------------------------------------
+# connected_components(auto=True) — round-budget handoff between the
+# min-label frontier loop (low diameter) and star contraction (high
+# diameter), VERDICT r06 task 4
+# ---------------------------------------------------------------------------
+def test_cc_auto_low_diameter_stays_on_min_label(spark):
+    """Diameter-3 chains converge well inside the default budget: the
+    auto path must stay on min-label (no contraction rounds) and match
+    the golden labels."""
+    g = make_graph(spark, TWO_CC)
+    stats = {}
+    c = {
+        r["id"]: r["component"]
+        for r in alg.connected_components(g, stats=stats).collect()
+    }
+    assert c == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 5}
+    assert stats["path"] == "minlabel"
+    assert "rounds" not in stats  # contraction never ran
+
+
+def test_cc_auto_high_diameter_hands_off_to_contraction(spark):
+    """A 120-vertex path (diameter 119) under a 5-superstep budget must
+    hand off to star contraction and still produce exact labels."""
+    rows = [(i, i + 1, 1.0) for i in range(1, 120)]
+    g = make_graph(spark, rows)
+    stats = {}
+    out = alg.connected_components(g, auto_budget=5, stats=stats)
+    comps = {r["component"] for r in out.collect()}
+    assert comps == {1}
+    assert out.count() == 120
+    assert stats["path"] == "contract"
+    assert stats["minlabel_supersteps"] <= 5
+    assert stats["rounds"] > 0  # contraction rounds recorded
+
+
+def test_cc_auto_off_truncates_like_before(spark):
+    """auto=False restores the bare frontier loop: a budgeted run on a
+    long path returns partial labels (the pre-auto contract) rather
+    than falling back."""
+    rows = [(i, i + 1, 1.0) for i in range(1, 60)]
+    g = make_graph(spark, rows)
+    out = alg.connected_components(g, max_iter=3, auto=False)
+    comps = {r["component"] for r in out.collect()}
+    assert len(comps) > 1  # truncated: not yet a single component
