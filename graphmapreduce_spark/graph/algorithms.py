@@ -879,6 +879,7 @@ def kmeans(
     max_iter: int = 10,
     id_col: str = "id",
     vec_col: str = "vec",
+    exact: bool = False,
 ) -> DataFrame:
     """Lloyd's algorithm over an array<double> column.
 
@@ -891,22 +892,44 @@ def kmeans(
     input, so sorted-clustered data doesn't hand all k seeds to one
     true cluster the way first-k-by-id would (first-k degenerates to
     one-seed-per-run-of-ids when ids correlate with position).
+
+    ``exact=True`` makes every iteration CROSS-ENGINE byte-exact (the
+    q39 value-oracle mode — an ANSI-SQL engine running the unrolled
+    iterations reproduces the assignment bit-for-bit):
+
+    - seeds order by ``md5(cast(id as string))`` instead of xxhash64
+      (same hash spread property; computable verbatim in any engine,
+      xxhash64 is Spark-private);
+    - centroid updates are exact-decimal means — per-dim
+      ``cast(sum(cast(x as DECIMAL(20,14))) as double) / n`` instead
+      of a double AVG, whose partial-sum order differs run-to-run and
+      engine-to-engine in the last ulp (a boundary point then flips
+      cells; bounds: |x| < 1e6, n·x̄ < 1e24 — float32-sourced
+      embeddings are quantized losslessly at 14dp);
+    - the argmin key is ``round(d², 6)`` with the cid tiebreak (the
+      q48/q240 ranking discipline, sf10-verified there).
     """
     spark = points.sparkSession
     pts = points.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    seeds = pts.orderBy(F.xxhash64("id"), F.col("id")).limit(k).collect()
+    seed_key = (
+        F.md5(F.col("id").cast("string").cast("binary"))
+        if exact
+        else F.xxhash64("id")
+    )
+    seeds = pts.orderBy(seed_key, F.col("id")).limit(k).collect()
     centroids = [(i, row["vec"]) for i, row in enumerate(seeds)]
 
     def dist2(vec: F.Column, cen: list[float]) -> F.Column:
         c = F.array(*[F.lit(float(x)) for x in cen])
-        return F.aggregate(
+        d = F.aggregate(
             F.zip_with("vec", c, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+        return F.round(d, 6) if exact else d
 
     assign = None
     for _ in range(max_iter):
@@ -920,10 +943,18 @@ def kmeans(
             "id", "vec", F.array_min(dist_structs)["cid"].alias("cluster")
         )
         # recompute centroids: per-dimension mean via posexplode
+        mean_expr = (
+            (
+                F.sum(F.col("x").cast("decimal(20,14)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            if exact
+            else F.avg("x")
+        )
         dims = (
             assign.select("cluster", F.posexplode("vec").alias("pos", "x"))
             .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(mean_expr.alias("m"))
         )
         new_rows = (
             dims.groupBy("cluster")

@@ -398,11 +398,73 @@ def q38_matmul(spark, sf_dir):
     return out.select("i", "j", F.round("v", 2).alias("v"))
 
 
-@register("q39_kmeans", None)  # iterative — pytest-covered; deterministic seeds
+def _kmeans_oracle_sql(k: int = 4, iters: int = 5) -> str:
+    """Unrolled Lloyd's algorithm in ANSI SQL, byte-exact against
+    ``alg.kmeans(..., exact=True)`` (rows-only → value oracle, VERDICT
+    r06 task 7):
+
+    - same seeds: k smallest ``md5(cast(id as varchar))`` (id tiebreak);
+    - same assignment: argmin of ``round(d², 6)`` with cid tiebreak —
+      the d² fold runs left-to-right over the same doubles on both
+      engines (list_sum ≡ Spark's aggregate fold), the q48/q240
+      ranking discipline;
+    - same update: per-dim ``cast(sum(cast(x as DECIMAL(20,14))) as
+      double) / n`` — exact decimal cancellation, no summation-order
+      ulps;
+    - empty cells keep their previous centroid (LEFT JOIN + COALESCE,
+      mirroring the Spark carry), and the unroll needs no early-break:
+      a converged iteration is a fixpoint, so extra rounds are no-ops.
+    """
+    parts = [
+        "WITH pts AS (SELECT vec_id AS id,"
+        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        f"c0 AS (SELECT (ROW_NUMBER() OVER (ORDER BY"
+        f" md5(CAST(id AS VARCHAR)), id)) - 1 AS cid, v AS cen"
+        f" FROM pts ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {k}),",
+    ]
+    for r in range(1, iters + 1):
+        prev = f"c{r - 1}"
+        parts.append(
+            f"a{r} AS (SELECT id, v, cid AS cluster FROM ("
+            f" SELECT p.id, p.v, c.cid,"
+            f" ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY"
+            f" ROUND(list_sum(list_transform(range(1, len(p.v) + 1),"
+            f" i -> (p.v[i] - c.cen[i]) * (p.v[i] - c.cen[i]))), 6) ASC,"
+            f" c.cid ASC) AS rn"
+            f" FROM pts p CROSS JOIN {prev} c) t WHERE rn = 1),"
+        )
+        if r < iters:
+            parts.append(
+                f"m{r} AS (SELECT cluster AS cid, pos,"
+                f" CAST(SUM(CAST(x AS DECIMAL(20,14))) AS DOUBLE)"
+                f" / COUNT(*) AS m"
+                f" FROM (SELECT cluster, generate_subscripts(v, 1) AS pos,"
+                f" unnest(v) AS x FROM a{r}) u GROUP BY 1, 2),"
+            )
+            parts.append(
+                f"c{r} AS (SELECT {prev}.cid,"
+                f" COALESCE(nm.cen, {prev}.cen) AS cen FROM {prev}"
+                f" LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS cen"
+                f" FROM m{r} GROUP BY cid) nm USING (cid)),"
+            )
+    sql = "\n".join(parts).rstrip(",") + "\n"
+    sql += (
+        f"SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members"
+        f" FROM a{iters} GROUP BY cluster"
+    )
+    return sql
+
+
+@register("q39_kmeans", _kmeans_oracle_sql(k=4, iters=5))
 def q39_kmeans(spark, sf_dir):
+    """Lloyd's k-means cluster sizes over the embedding table, in the
+    cross-engine exact mode (md5 seeding, exact-decimal centroid means,
+    rounded-argmin assignment) so the unrolled-SQL oracle reproduces
+    the assignment bit-for-bit — see ``alg.kmeans(exact=True)``."""
     emb = _t(spark, sf_dir, "embeddings")
     assign = alg.kmeans(
-        emb, k=4, max_iter=5, id_col="vec_id", vec_col="embedding"
+        emb, k=4, max_iter=5, id_col="vec_id", vec_col="embedding",
+        exact=True,
     )
     return assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
 

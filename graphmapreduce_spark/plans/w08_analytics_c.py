@@ -82,14 +82,19 @@ def q333_price_volume_decomposition(spark, sf_dir):
     "q334_brand_price_position",
     """
     WITH type_avg AS (
-      SELECT p_type, AVG(p_retailprice) AS type_mean,
+      -- exact-decimal money means (sf10 class): a double AVG's
+      -- summation-order ulp lands the 4dp ROUND on a half-boundary
+      SELECT p_type,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(*) AS type_mean,
              COUNT(*) AS n_in_type
       FROM part GROUP BY p_type
     ),
     pos AS (
       SELECT p.p_brand, p.p_type,
              COUNT(*) AS n_parts,
-             AVG(p.p_retailprice) AS brand_mean,
+             CAST(SUM(CAST(p.p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(*) AS brand_mean,
              MAX(t.type_mean) AS type_mean
       FROM part p JOIN type_avg t ON p.p_type = t.p_type
       WHERE t.n_in_type >= 5
@@ -109,10 +114,16 @@ def q334_brand_price_position(spark, sf_dir):
     both levels so thin cells don't masquerade as positioning.  Two
     grouped passes over the part dimension; type means broadcast."""
     pa = _t(spark, sf_dir, "part")
+    # exact-decimal money means (mirrors the oracle): sum at (12,2),
+    # one cast to double, THEN divide — no summation-order ulps
+    exact_mean = (
+        F.sum(F.col("p_retailprice").cast("decimal(12,2)")).cast("double")
+        / F.count(F.lit(1))
+    )
     type_avg = (
         pa.groupBy("p_type")
         .agg(
-            F.avg("p_retailprice").alias("type_mean"),
+            exact_mean.alias("type_mean"),
             F.count(F.lit(1)).alias("n_in_type"),
         )
         .filter(F.col("n_in_type") >= 5)
@@ -122,7 +133,7 @@ def q334_brand_price_position(spark, sf_dir):
         .groupBy("p_brand", "p_type")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.avg("p_retailprice").alias("brand_mean"),
+            exact_mean.alias("brand_mean"),
             F.max("type_mean").alias("type_mean"),
         )
         .filter(F.col("n_parts") >= 3)
@@ -1836,7 +1847,12 @@ def q310_power_analysis(spark, sf_dir):
       FROM events WHERE event_type = 'purchase'
     ),
     spend AS (
-      SELECT user_id, half, SUM(value) AS s
+      -- exact-decimal sum, then ONE cast to double: a per-user double
+      -- SUM's last-ulp order noise flips the s >= median comparison
+      -- for users sitting exactly on the segment boundary (sf10 find);
+      -- identical doubles in -> identical median + comparison out
+      SELECT user_id, half,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s
       FROM halves GROUP BY user_id, half
     ),
     med AS (
@@ -1893,7 +1909,13 @@ def q307_segment_migration(spark, sf_dir):
             "value",
         )
         .groupBy("user_id", "half")
-        .agg(F.sum("value").alias("s"))
+        # exact decimal sum -> one cast to double (mirrors the oracle):
+        # kills the last-ulp boundary flip at the half-median (sf10)
+        .agg(
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("s")
+        )
     )
     spend = spend.localCheckpoint(eager=False)
     med = spend.groupBy("half").agg(
