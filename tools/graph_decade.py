@@ -74,7 +74,13 @@ def small_world(spark, n: int) -> PropertyGraph:
 
 
 def main() -> int:
-    sizes = [int(a) for a in sys.argv[1:]] or [1_200_000, 12_000_000]
+    argv = sys.argv[1:]
+    stages = {"pagerank", "wcc", "triangles"}
+    if "--stages" in argv:
+        i = argv.index("--stages")
+        argv.pop(i)
+        stages = set(argv.pop(i).split(","))
+    sizes = [int(a) for a in argv] or [1_200_000, 12_000_000]
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
         app_name="gmr-graph-decade",
@@ -90,22 +96,50 @@ def main() -> int:
         out["build_s"] = round(time.perf_counter() - t0, 1)
         assert nv == n, (nv, n)
 
-        t0 = time.perf_counter()
-        pr = alg.pagerank(g, max_iter=5)
-        mass = pr.agg(F.sum("rank")).first()[0]
-        out["pagerank5_s"] = round(time.perf_counter() - t0, 1)
-        out["pagerank_mass"] = round(float(mass), 4)
+        if "pagerank" in stages:
+            t0 = time.perf_counter()
+            pr = alg.pagerank(g, max_iter=5)
+            mass = pr.agg(F.sum("rank")).first()[0]
+            out["pagerank5_s"] = round(time.perf_counter() - t0, 1)
+            out["pagerank_mass"] = round(float(mass), 4)
 
-        t0 = time.perf_counter()
-        comp = alg.connected_components(g)
-        ncomp = comp.select("component").distinct().count()
-        out["wcc_s"] = round(time.perf_counter() - t0, 1)
-        out["n_components"] = int(ncomp)
+        if "wcc" in stages:
+            t0 = time.perf_counter()
+            comp = alg.connected_components(g)
+            ncomp = comp.select("component").distinct().count()
+            out["wcc_s"] = round(time.perf_counter() - t0, 1)
+            out["n_components"] = int(ncomp)
 
-        t0 = time.perf_counter()
-        tri = alg.triangle_count(g)
-        out["triangles_s"] = round(time.perf_counter() - t0, 1)
-        out["n_triangles"] = int(tri)
+        if "wcc_contract" in stages:
+            # q590's engine path on the SAME small-world generator the
+            # min-label row uses (BASELINE.md previously had ring
+            # numbers only for contraction — VERDICT r06 task 4)
+            t0 = time.perf_counter()
+            st: dict = {}
+            comp = alg.connected_components_contract(g, stats=st)
+            ncomp = comp.select("component").distinct().count()
+            out["wcc_contract_s"] = round(time.perf_counter() - t0, 1)
+            out["wcc_contract_rounds"] = st.get("rounds")
+            out["n_components_contract"] = int(ncomp)
+
+        if "triangles" in stages:
+            t0 = time.perf_counter()
+            tri = alg.triangle_count(g)
+            out["triangles_s"] = round(time.perf_counter() - t0, 1)
+            out["n_triangles"] = int(tri)
+
+        if "betweenness" in stages:
+            # sampled-source Brandes (q168's operator): FIXED 8-source
+            # panel so the decade ratio isolates graph volume — the
+            # estimator's cost is 2·max_depth supersteps regardless of
+            # |V|, so the expectation is floor-bound scaling
+            t0 = time.perf_counter()
+            sources = [1 + (n // 8) * i for i in range(8)]
+            bc = alg.betweenness_centrality(g, sources, max_depth=40)
+            out["betweenness_nnz"] = int(
+                bc.filter(F.col("betweenness") > 0).count()
+            )
+            out["betweenness8_s"] = round(time.perf_counter() - t0, 1)
 
         out["peak_jvm_rss_mib"] = rss.stop()
         print(json.dumps(out), flush=True)
