@@ -257,6 +257,14 @@ def main():
         },
     )
     con = duckdb.connect()
+    # cap DuckDB and spill to disk rather than OOM-ing the box — the
+    # sf10 campaign lost a sweeper to a 58 GiB unbounded materialization
+    con.execute(
+        f"SET memory_limit='{os.environ.get('SWEEP_DUCK_MEM', '28GB')}'"
+    )
+    _spill = os.environ.get("SWEEP_DUCK_SPILL", "/tmp/duck_spill")
+    os.makedirs(_spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{_spill}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 

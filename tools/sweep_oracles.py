@@ -52,8 +52,15 @@ VERIFIED_PATH = os.path.join(
 # table already breaks the harness's single-task collect — both are
 # *output contracts* (the scale-safe production paths are q576/q580's
 # banded recipe and the bucketed equi-join); their strictness ceiling
-# is sf0.1 (q186) / sf1 (q46), recorded in BASELINE.md.
-SF10_CONTRACT_EXCEPTIONS = {"q46_minhash_lsh", "q186_band_join"}
+# is sf0.1 (q186) / sf1 (q46), recorded in BASELINE.md.  q165's oracle
+# is the textbook O(n²) NOT-EXISTS — deliberately independent of the
+# Spark cummax plan, and intractable for DUCKDB at 20M parts (hours);
+# its strictness ceiling is sf1 (BASELINE.md Round-8 addendum).
+SF10_CONTRACT_EXCEPTIONS = {
+    "q46_minhash_lsh",
+    "q186_band_join",
+    "q165_skyline",
+}
 
 
 def load_verified() -> dict[str, str]:
@@ -134,6 +141,15 @@ def main() -> int:
     )
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.environ.get('SWEEP_DUCK_THREADS', '16')}")
+    # unbounded DuckDB materialization OOM-killed the first sf10 A-half
+    # sweeper at 58 GiB anon RSS (q34's unrolled min-label CTE levels):
+    # cap the allocator and let heavy oracles SPILL instead of dying
+    con.execute(
+        f"SET memory_limit='{os.environ.get('SWEEP_DUCK_MEM', '28GB')}'"
+    )
+    spill = os.environ.get("SWEEP_DUCK_SPILL", "/tmp/duck_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
