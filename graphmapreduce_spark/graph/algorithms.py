@@ -693,7 +693,12 @@ def _enumerate_triangles(edges: DataFrame) -> DataFrame:
     (deg, id) order the only wedge is (x→y, x→z), closed by y→z, so no
     dedup pass is needed; the output is re-canonicalized to id order so
     downstream per-edge/per-vertex credit logic is orientation-free."""
-    o = _degree_oriented(edges)
+    # materialize the oriented table once: it is scanned THREE ways
+    # (both wedge sides + the closing-edge lookup), and each alias would
+    # otherwise re-run the degree agg + two degree joins from the edge
+    # set.  It is exactly as large as the (already materialized) edge
+    # input — 3 longs/row — so the checkpoint costs one narrow pass.
+    o = _degree_oriented(edges).localCheckpoint(eager=True)
     w1, w2 = o.alias("w1"), o.alias("w2")
     wedge_order = (F.col("w1.dv") < F.col("w2.dv")) | (
         (F.col("w1.dv") == F.col("w2.dv")) & (F.col("w1.v") < F.col("w2.v"))

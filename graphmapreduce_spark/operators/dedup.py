@@ -357,6 +357,21 @@ def minhash_lsh_near_dup_pairs(
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_n, seed, hash_fn
     ).withColumnRenamed(id_col, "_id")
+    # Production (staged) path only — see the `staged` comment below:
+    # materialize signatures ONCE: downstream they are scanned up to
+    # four times (banding for the self-join — twice without exchange
+    # reuse — plus the est-margin sides), and every scan would re-run
+    # the whole shingle-explode + num_hashes-min-agg pipeline from the
+    # corpus.  The table is (id, num_hashes longs) — the narrowest
+    # artifact of the whole recipe, so its materialization cost is a
+    # fraction of ONE recomputation; localCheckpoint (not persist) is
+    # GC-scoped, so repeated calls don't accumulate session cache.
+    if (
+        max_bucket_size is not None
+        or est_margin is not None
+        or verify_sample_mod is not None
+    ):
+        sigs = sigs.localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(
         sigs, "_id", "sig", num_hashes, bands,
         exact_buckets=(hash_fn == "md5"),
@@ -385,12 +400,52 @@ def minhash_lsh_near_dup_pairs(
             .filter(agree >= F.lit(cut * num_hashes))
             .select("id_a", "id_b")
         )
+    # The production path (any of the candidate-thinning knobs set —
+    # the q576 recipe) is STAGED: the surviving pair table is
+    # materialized once (both the id prefilter below and the verify
+    # joins scan it, and each scan would re-run the banded self-join +
+    # est-margin signature joins), shingle sets are built for CANDIDATE
+    # ids only (an inner join on the pair table restricts to those ids
+    # anyway, but Spark would still shingle the whole corpus on both
+    # join sides), spread across cores before the per-shingle hash
+    # fan-out (few-file corpora scan as few partitions), and
+    # materialized ONCE — the a/b verify sides and the two sampled
+    # sides would otherwise each re-shingle from the raw text.
+    #
+    # The uncapped exact-contract path (q46: every knob None) keeps the
+    # original single lazy plan: its candidate set is by-design
+    # super-linear (VERDICT r06), so materializing it + the id-set
+    # semi-join costs MORE than the exchange reuse Catalyst already
+    # finds in the one-plan shape (measured 4.5 s → 9.9 s at sf0.1 when
+    # staged — the staging is a win only when candidates are thinned).
+    staged = (
+        max_bucket_size is not None
+        or est_margin is not None
+        or verify_sample_mod is not None
+    )
+    if staged:
+        cands = cands.localCheckpoint(eager=True)
+        cand_ids = (
+            cands.select(F.col("id_a").alias("_sid"))
+            .unionByName(cands.select(F.col("id_b").alias("_sid")))
+            .distinct()
+        )
+        n_part = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        sh_src = (
+            df.select(F.col(id_col).alias("_sid"), F.col(text_col))
+            .join(cand_ids, "_sid", "left_semi")
+            .repartition(n_part, F.col("_sid"))
+        )
+    else:
+        sh_src = df.select(F.col(id_col).alias("_sid"), F.col(text_col))
     # verify on hashed shingle-id sets — value-identical to raw-shingle
     # Jaccard (full 60/64-bit hash space: within-doc collision p < 1e-12,
     # NOT the 31-bit signature space, whose ~2e-4/doc collision rate
     # would visibly shrink sets) and ~40% narrower than string arrays
-    sh = df.select(
-        F.col(id_col).alias("_sid"),
+    sh = sh_src.select(
+        "_sid",
         F.array_distinct(
             F.transform(
                 T.char_shingles(text_col, n=shingle_n, distinct=True),
@@ -398,6 +453,8 @@ def minhash_lsh_near_dup_pairs(
             )
         ).alias("_sh"),
     )
+    if staged:
+        sh = sh.localCheckpoint(eager=True)
     a = sh.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("sh_b"))
     if verify_sample_mod is not None:
@@ -1342,6 +1399,15 @@ def duplicate_ngram_spans(
     explodes of one scan) — recomputation is deliberately cheaper than
     exchanging it once.
     """
+    # spread rows across cores BEFORE the per-position md5 fan-out
+    # (same rule as minhash_signatures): a corpus read from few/large
+    # files scans as few partitions, and the gram hashing — the
+    # dominant cost of this operator — would otherwise run serially.
+    # One narrow shuffle of (id, text); every downstream branch reuses
+    # the exchange (ReusedExchange), so the hashing parallelizes in all
+    # three consumers of the gram stream.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    df = df.select(id_col, text_col).repartition(n_part, F.col(id_col))
     # bind the token array ONCE via a lambda variable (the per-index
     # slice lambda would otherwise re-evaluate the split per element —
     # quadratic per document; same trick as hashed_ngram_score)

@@ -156,12 +156,19 @@ def dedup_corpus(
     )
     # materialize once: the LSH stage scans representatives three ways
     # (signatures, sampled shingles, full shingles) — without the
-    # checkpoint each scan would re-run the exact-dedup shuffle
+    # checkpoint each scan would re-run the exact-dedup shuffle.
+    # Repartition BEFORE the checkpoint: the semi-join output inherits
+    # the scan partitioning (a few-file corpus checkpoints into a few
+    # blocks), and every downstream shingle/signature pass would run at
+    # that parallelism; spreading by id here costs one narrow shuffle
+    # of (id, text) and parallelizes all of them.
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     rep_docs = (
         docs.join(
             reps.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
         )
         .select(id_col, text_col)
+        .repartition(n_part, F.col(id_col))
         .localCheckpoint(eager=True)
     )
     pairs = minhash_lsh_near_dup_pairs(

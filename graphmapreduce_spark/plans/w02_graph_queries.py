@@ -208,9 +208,15 @@ def q34_wcc(spark, sf_dir):
     same min-label propagation unrolled as SQL CTEs past the diameter."""
     g = _ps_graph(spark, sf_dir)
     # min-propagation is idempotent past the fixpoint, so chunking the
-    # vote-to-halt to every 2 supersteps is safe (AQE broadcasts the
-    # small vertex state at runtime; no explicit hint needed)
-    cc = alg.connected_components(g, check_interval=2)
+    # vote-to-halt is safe at any interval (AQE broadcasts the small
+    # vertex state at runtime; no explicit hint needed).  Chunk 6
+    # supersteps per convergence action: low-diameter graphs (this
+    # bipartite co-purchase graph converges in ~6 labels-steps at every
+    # measured scale) then pay ONE action instead of three, and on a
+    # higher-diameter input the only cost is ≤5 idempotent overshoot
+    # steps per chunk — r07 measured 5.2 s (interval 2) → 4.6 s
+    # (interval 6) at sf0.1 with identical output.
+    cc = alg.connected_components(g, check_interval=6)
     return cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
 
 
