@@ -186,7 +186,18 @@ def pagerank(
         )
     else:
         deg = graph.out_degrees().localCheckpoint(eager=True)
-    n = deg.count()
+    # one O(1) action reads BOTH the vertex count and the dangling
+    # count off the checkpointed degree table.  When the graph has no
+    # dangling vertices the per-superstep dangling-mass aggregate is
+    # identically 0.0 for EVERY iteration regardless of rank values —
+    # so the agg + broadcast-exchange job it costs per superstep (one
+    # extra job × max_iter) is dropped up front; the rank expression is
+    # bit-identical (base + d/n·0.0 == base in IEEE doubles).
+    n, n_dangling = deg.agg(
+        F.count(F.lit(1)),
+        F.sum((F.col("out_degree") == 0).cast("long")),
+    ).first()
+    handle_dangling = bool(handle_dangling and (n_dangling or 0) > 0)
     # ranks carries its degree to avoid a second join per superstep
     ranks = deg.withColumn("rank", F.lit(1.0 / n))
 
