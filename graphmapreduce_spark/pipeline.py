@@ -144,10 +144,15 @@ def dedup_corpus(
     )
 
     key = F.md5(F.col(text_col).cast("binary")).alias("_ck")
+    # materialize the (content-hash → representative) table once: it is
+    # scanned by the doc→rep mapping AND the representative semi-join,
+    # and each would otherwise re-hash + re-shuffle the corpus.  The
+    # table is (16-byte hash, id) — corpus-linear but payload-free.
     reps = (
         docs.select(key, F.col(id_col))
         .groupBy("_ck")
         .agg(F.min(id_col).alias("_rep"))
+        .localCheckpoint(eager=True)
     )
     exact_map = (
         docs.select(F.col(id_col), key)
