@@ -211,47 +211,34 @@ def lsh_candidate_pairs(
     all-pairs semantics (the SQL-oracle-comparable contract); pass a
     cap EXPLICITLY for corpus-scale runs — at 100 TB a single viral
     boilerplate bucket is otherwise a quadratic straggler.  With a cap
-    set, oversized-bucket detection runs eagerly (one small job at
-    call time)."""
+    set, bucket sizes are annotated lazily by a window over the one
+    (band, bucket) exchange — no extra detection job."""
+    from pyspark.sql.window import Window
+
     banded = _band_rows(
         df, id_col, sig_col, num_hashes, bands, exact_buckets
     )
     if max_bucket_size is not None:
-        # Oversized buckets are RARE by construction (a bucket is a
-        # near-exact signature match), so detect them EAGERLY with one
-        # partial agg + collect — bounded at one tiny row per
-        # degenerate bucket.  The common (no-degenerate-bucket) case
-        # then needs no cache and no split: the plan stays the same
-        # single-branch self-join as the uncapped path, whose two
-        # scans of `banded` collapse into one shuffle via
-        # ReusedExchange.
-        big_rows = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") > max_bucket_size)
-            .select("band", "bucket")
-            .collect()
+        # ONE lazy plan for both the common and the degenerate case:
+        # a whole-partition window over the (band, bucket) exchange
+        # annotates every banded row with its bucket size and bucket
+        # min id, so the cap is a plain filter — no eager bucket-scan
+        # job, no driver collect, no checkpoint + broadcast branch
+        # (the previous shape paid a separate banding shuffle just to
+        # DETECT oversized buckets).  The window's exchange is the
+        # only (band, bucket) shuffle: the self-join and the star
+        # branch below inherit its partitioning, so capping is now
+        # strictly cheaper than not capping.
+        w = Window.partitionBy("band", "bucket")
+        annotated = banded.select(
+            "_id",
+            "band",
+            "bucket",
+            F.count(F.lit(1)).over(w).alias("_bn"),
+            F.min("_id").over(w).alias("_hub"),
         )
-        if big_rows:
-            # Degenerate buckets exist: split via a broadcast of the
-            # collected key set.  localCheckpoint (eager) materializes
-            # `banded` once for the two split branches and, unlike
-            # persist(), is GC-scoped — the ContextCleaner releases
-            # its blocks when the returned plan is dropped, so
-            # repeated calls don't accumulate session-lifetime cache
-            # (round-3 advisor finding).
-            banded = banded.localCheckpoint(eager=True)
-            big_keys = banded.sparkSession.createDataFrame(
-                big_rows, schema=banded.select("band", "bucket").schema
-            )
-            small = banded.join(
-                F.broadcast(big_keys), ["band", "bucket"], "left_anti"
-            )
-            big = banded.join(
-                F.broadcast(big_keys), ["band", "bucket"], "left_semi"
-            )
-        else:
-            small, big = banded, None
+        small = annotated.filter(F.col("_bn") <= max_bucket_size)
+        big = annotated.filter(F.col("_bn") > max_bucket_size)
     else:
         small, big = banded, None
     l, r = small.alias("l"), small.alias("r")
@@ -265,13 +252,11 @@ def lsh_candidate_pairs(
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
     )
     if big is not None:
-        hub = big.groupBy("band", "bucket").agg(F.min("_id").alias("_hub"))
-        star = (
-            big.join(hub, ["band", "bucket"])
-            .filter(F.col("_id") != F.col("_hub"))
-            .select(
-                F.col("_hub").alias("id_a"), F.col("_id").alias("id_b")
-            )
+        # star expansion: every member of an oversized bucket pairs
+        # with the bucket min only — id_a < id_b holds because _hub is
+        # the bucket minimum
+        star = big.filter(F.col("_id") != F.col("_hub")).select(
+            F.col("_hub").alias("id_a"), F.col("_id").alias("id_b")
         )
         pairs = pairs.unionByName(star)
     return pairs.distinct()
