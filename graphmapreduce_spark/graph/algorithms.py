@@ -727,20 +727,70 @@ def _enumerate_triangles(edges: DataFrame) -> DataFrame:
     )
 
 
+def _oriented_intersections(edges: DataFrame) -> DataFrame:
+    """(u, v, cs) — for each degree-oriented edge (u, v), the array
+    ``cs`` of common out-neighbors N⁺(u) ∩ N⁺(v): exactly the third
+    corners of the triangles whose (deg, id)-minimal corner pair is
+    (u, v), so every triangle of the canonical edge set appears in
+    exactly one row's array.
+
+    This is the adjacency-intersection ("compact forward") counting
+    shape: compared to the wedge self-join (`_enumerate_triangles`) it
+    shuffles the m adjacency-list entries once instead of
+    materializing Σ deg_out² wedge rows — on dense graphs the wedge
+    table is orders of magnitude larger than the edge set (sf0.1's
+    Z₅₀₀ graph: 20.3M wedges from 124k edges).  Out-degrees stay
+    O(sqrt m) under the orientation, so no array exceeds ~sqrt(m)
+    entries and the per-row intersection is hub-safe.  Use the wedge
+    join only where the (a, b, c) triangle *tuples* are needed
+    (k-truss edge support)."""
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # repartition BEFORE the checkpoint: a tiny edge table otherwise
+    # checkpoints into one block and the per-row intersections run
+    # serially (measured 3.1 s → 0.5 s at sf0.1).  Hashing on u also
+    # pre-aligns the adjacency groupBy and the u-join — the only
+    # exchange left is the v-side adjacency attach.
+    o = (
+        _degree_oriented(edges)
+        .select("u", "v")
+        .repartition(n_part, "u")
+        .localCheckpoint(eager=True)
+    )
+    adj = o.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    adj_v = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    return (
+        o.join(adj, "u")
+        .join(adj_v, "v", "left")  # v may have no out-edges
+        .select("u", "v", F.array_intersect("nbrs", "nbrs_v").alias("cs"))
+    )
+
+
 def triangle_count(graph: PropertyGraph) -> int:
     """Total number of triangles in the undirected graph."""
-    return _enumerate_triangles(_directed_canonical(graph)).count()
+    row = (
+        _oriented_intersections(_directed_canonical(graph))
+        .agg(F.sum(F.size("cs")).alias("n"))
+        .first()
+    )
+    return int(row["n"] or 0)
 
 
 def triangles_per_vertex(graph: PropertyGraph) -> DataFrame:
     """(id, triangles) — number of triangles each vertex participates in.
     Matches the reference's per-vertex accumulate-update (algorithms.h:152-155
-    accu onto vertex a) generalized to all three corners."""
-    tri = _enumerate_triangles(_directed_canonical(graph))
-    corners = tri.select(
-        F.explode(F.array("a", "b", "c")).alias("id")
+    accu onto vertex a) generalized to all three corners: for each
+    intersection row (u, v, cs), u and v each close |cs| triangles and
+    every c ∈ cs closes one."""
+    inter = _oriented_intersections(_directed_canonical(graph)).filter(
+        F.size("cs") > 0  # null (v without out-edges) sizes to null → dropped
     )
-    counts = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+    uv = inter.select(
+        F.explode(F.array("u", "v")).alias("id"), F.size("cs").alias("k")
+    )
+    cs = inter.select(F.explode("cs").alias("id"), F.lit(1).alias("k"))
+    counts = uv.unionByName(cs).groupBy("id").agg(
+        F.sum("k").alias("triangles")
+    )
     return (
         graph.vertices.select("id")
         .join(counts, "id", "left")

@@ -81,9 +81,11 @@ def q30_degrees(spark, sf_dir):
 )
 def q31_triangle_count(spark, sf_dir):
     """TriangleCount (ref algorithms.h:97-180) on the degree-ordered
-    orientation (`algorithms._enumerate_triangles`): wedges pair the
-    out-edges of each triangle's lowest-degree corner, so hub vertices
-    can't go quadratic in the wedge join."""
+    orientation, counted by adjacency intersection
+    (`algorithms._oriented_intersections`): each oriented edge (u, v)
+    closes |N⁺(u) ∩ N⁺(v)| triangles, so the count never materializes
+    the wedge table (20.3M rows at sf0.1 — the Z₅₀₀ graph is 99%
+    dense) and the only wide shuffle carries the m adjacency entries."""
     li = _t(spark, sf_dir, "lineitem")
     e = (
         li.select(
@@ -92,12 +94,14 @@ def q31_triangle_count(spark, sf_dir):
         .select(F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b"))
         .filter(F.col("a") < F.col("b"))
         .distinct()
-        # materialize once: the orientation + 3-way self-join must not
-        # re-derive the (scan + distinct shuffle) edge set per branch
+        # materialize once: the orientation derives degrees + two
+        # degree joins from this edge set; don't re-run the scan +
+        # distinct shuffle per branch
         .localCheckpoint(eager=True)
     )
-    return alg._enumerate_triangles(e).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    return (
+        alg._oriented_intersections(e)
+        .agg(F.coalesce(F.sum(F.size("cs")), F.lit(0)).cast("long").alias("n_triangles"))
     )
 
 
