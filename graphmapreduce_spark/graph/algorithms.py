@@ -2676,35 +2676,43 @@ def _brandes_sweep(
     if not sources:
         raise ValueError("the Brandes sweep needs at least one source")
     we_cached = graph.edges.storageLevel == StorageLevel.NONE
-    edges = graph.edges.select("src", "dst")
     if we_cached:
-        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-        edges.count()
+        # persist graph.edges ITSELF, not a projection of it: the cache
+        # manager substitutes persisted plans by exact subtree match, so
+        # caching the full edge table lets the frontier job (whose
+        # vertex set from_edges derives from the same subtree) read the
+        # cache instead of re-running the upstream scan + dedup.  Lazy:
+        # the first forward-level join populates it while computing.
+        graph.edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges = graph.edges.select("src", "dst")
 
     src_list = [int(s) for s in sources]
     frontier = (
         graph.vertices.filter(F.col("id").isin(src_list))
         .select(F.col("id").alias("s"), "id", F.lit(1.0).alias("sigma"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     level_tables = [frontier]
     seen = frontier.select("s", "id")
     depth = 0
     while depth < max_depth:
+        # lazy checkpoint + count(): ONE job per level both materializes
+        # the level table (severing lineage) and answers the emptiness
+        # probe — the eager-checkpoint + isEmpty pair cost two.  `seen`
+        # is a union of ≤ max_depth checkpointed leaves, already flat;
+        # re-checkpointing it per level was a third O(|seen|) job.
         nxt = (
             frontier.join(edges, frontier["id"] == edges["src"])
             .select("s", F.col("dst").alias("id"), "sigma")
             .join(seen, ["s", "id"], "left_anti")
             .groupBy("s", "id")
             .agg(F.sum("sigma").alias("sigma"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
         level_tables.append(nxt)
-        seen = seen.unionByName(nxt.select("s", "id")).localCheckpoint(
-            eager=True
-        )
+        seen = seen.unionByName(nxt.select("s", "id"))
         frontier = nxt
         depth += 1
     # backward sweep: δ at each source's deepest level is 0 — those
@@ -2748,6 +2756,10 @@ def _brandes_sweep(
                 terms.select("s", F.col("id").alias("src"), "dst", "_c")
             )
         contrib = terms.groupBy("s", "id").agg(F.sum("_c").alias("_d"))
+        # lazy: no action runs inside the backward sweep, so the whole
+        # deepest-first chain materializes in the ONE final-agg job (each
+        # level persisted on first compute, shared by the next level and
+        # by acc/eacc) instead of one eager job per level
         deltas = (
             cur.join(contrib, ["s", "id"], "left")
             .select(
@@ -2756,7 +2768,7 @@ def _brandes_sweep(
                 "sigma",
                 F.coalesce("_d", F.lit(0.0)).alias("delta"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if lvl > 0:  # the source itself never scores
             acc.append(deltas.select("s", "id", "delta"))
@@ -2776,7 +2788,7 @@ def _brandes_sweep(
     if result is not None:
         result = result.localCheckpoint(eager=True)
     if we_cached:
-        edges.unpersist()
+        graph.edges.unpersist()
     return result
 
 
