@@ -317,7 +317,10 @@ def connected_components(
     # the vertex-set derivation all contain this plan as a subtree
     we_cached = graph.edges.storageLevel == StorageLevel.NONE
     if we_cached:
-        graph.edges.persist(StorageLevel.MEMORY_AND_DISK).count()
+        # lazy: the first Pregel job materializes this cache while
+        # computing the symmetrized table — an upfront count() would be
+        # a whole extra pass over the edge-derivation pipeline
+        graph.edges.persist(StorageLevel.MEMORY_AND_DISK)
     sym = graph.edges.select("src", "dst").unionByName(
         graph.edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")

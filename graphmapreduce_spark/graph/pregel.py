@@ -151,8 +151,11 @@ class Pregel:
             self.persist_edges and edges.storageLevel == StorageLevel.NONE
         )
         if we_cached:
+            # lazy: the first chunk's message join materializes the
+            # cache while computing (later supersteps in the same job
+            # already read the cached blocks); an eager count() here
+            # would be one extra full pass over the edge pipeline
             edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-            edges.count()
         v = vertices.select("id", "value").withColumn(
             "delta", F.lit(float("inf"))
         )

@@ -449,22 +449,30 @@ def minhash_lsh_near_dup_pairs(
     )
     if staged:
         sh = sh.localCheckpoint(eager=True)
-    a = sh.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("sh_a"))
-    b = sh.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("sh_b"))
     if verify_sample_mod is not None:
+        # attach the sampled AND full shingle arrays in ONE join per
+        # pair side (the sampled set is a projection of the full array,
+        # so a separate sm table costs two extra joins over the pair
+        # table for nothing); the sampled prefilter then runs ahead of
+        # the full intersection inside the same codegen stage
         m = int(verify_sample_mod)
         cut2 = max(0.0, threshold - verify_sample_margin)
-        sm = sh.select(
+        sh2 = sh.select(
             "_sid",
+            "_sh",
             F.filter(
                 "_sh", lambda h: F.pmod(h, F.lit(m)) == 0
             ).alias("_shs"),
         )
-        sma = sm.select(
-            F.col("_sid").alias("id_a"), F.col("_shs").alias("sm_a")
+        a = sh2.select(
+            F.col("_sid").alias("id_a"),
+            F.col("_sh").alias("sh_a"),
+            F.col("_shs").alias("sm_a"),
         )
-        smb = sm.select(
-            F.col("_sid").alias("id_b"), F.col("_shs").alias("sm_b")
+        b = sh2.select(
+            F.col("_sid").alias("id_b"),
+            F.col("_sh").alias("sh_b"),
+            F.col("_shs").alias("sm_b"),
         )
         uni = F.size(F.array_union("sm_a", "sm_b"))
         sampled_j = (
@@ -476,16 +484,20 @@ def minhash_lsh_near_dup_pairs(
         # |A∪B|≈50, mod=4, J=0.8 → sd≈0.11 > 0.1); the exact verify
         # below still filters them, so this costs recall nothing
         min_uni = 8 * m
-        cands = (
-            cands.join(sma, "id_a")
-            .join(smb, "id_b")
-            .filter((uni < F.lit(min_uni)) | (sampled_j >= cut2))
-            .select("id_a", "id_b")
+        prefilter = (uni < F.lit(min_uni)) | (sampled_j >= cut2)
+        joined = (
+            cands.join(a, "id_a").join(b, "id_b").filter(prefilter)
         )
+    else:
+        a = sh.select(
+            F.col("_sid").alias("id_a"), F.col("_sh").alias("sh_a")
+        )
+        b = sh.select(
+            F.col("_sid").alias("id_b"), F.col("_sh").alias("sh_b")
+        )
+        joined = cands.join(a, "id_a").join(b, "id_b")
     verified = (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn(
+        joined.withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
             / F.size(F.array_union("sh_a", "sh_b")),

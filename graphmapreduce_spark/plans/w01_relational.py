@@ -306,10 +306,23 @@ def q11_cube(spark, sf_dir):
 )
 def q12_distinct_agg(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_suppkey").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_orderkey").alias("n_orders"),
-        F.count(F.lit(1)).alias("n_rows"),
+    # spread by the group key before the multi-distinct: Catalyst plans
+    # two countDistincts as Expand(×3) + partial agg FUSED INTO THE SCAN,
+    # and a single-row-group file runs that serially; one narrow shuffle
+    # of the 3 projected columns moves the ×3 expansion and both
+    # aggregate passes behind the exchange where they parallelize
+    # (r07: 1.16 → 0.67 s at sf0.1, plan: Expand now above the exchange)
+    return (
+        li.select("l_suppkey", "l_partkey", "l_orderkey")
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "l_suppkey"
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
     )
 
 
