@@ -1401,9 +1401,9 @@ def duplicate_ngram_spans(
     broadcasts whenever the dup vocabulary is small (it is, unless the
     corpus is mostly duplicated — and then the join is the point).
     Gram keys are 60-bit md5 longs, so every shuffled row is
-    fixed-width.  The position stream is computed twice (two narrow
-    explodes of one scan) — recomputation is deliberately cheaper than
-    exchanging it once.
+    fixed-width.  The position stream is re-derived per consumer by a
+    narrow explode of the checkpointed gram-array table — the arrays
+    are hashed once, and only the cheap explode repeats.
     """
     # spread rows across cores BEFORE the per-position md5 fan-out
     # (same rule as minhash_signatures): a corpus read from few/large
@@ -1433,6 +1433,15 @@ def duplicate_ngram_spans(
     docs = df.select(F.col(id_col).alias("id"), grams.alias("_g")).filter(
         F.size("_g") > 0
     )
+    # materialize the gram-array table once (lazy checkpoint; the first
+    # consumer's job populates it): the per-position md5 hashing is the
+    # dominant cost and THREE consumers sit above the reused exchange
+    # (the vocab agg's position stream, the semi-join's position stream,
+    # and the final per-doc size projection) — each would re-hash the
+    # corpus.  The artifact is (id, array<long>) ≈ 8 bytes per token —
+    # bounded by corpus text size, MEMORY_AND_DISK so big corpora spill
+    # instead of recomputing (r07: 1.17 → 0.44 s warm at sf0.1)
+    docs = docs.localCheckpoint(eager=False)
     pos = docs.select("id", F.explode("_g").alias("g"))
     dup_set = (
         pos.groupBy("g")
