@@ -169,8 +169,8 @@ def pagerank(
     we_cached = graph.edges.storageLevel == StorageLevel.NONE
     edges = graph.edges
     if we_cached:
-        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-        edges.count()
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)  # lazy: the
+        # first consumer job populates the cache while computing
     # one job builds the (id, out_degree) state; the vertex count is then
     # a near-free count() on the checkpointed RDD instead of a separate
     # scan of the vertex-derivation pipeline
@@ -1580,8 +1580,8 @@ def personalized_pagerank(
     we_cached = graph.edges.storageLevel == StorageLevel.NONE
     edges = graph.edges
     if we_cached:
-        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-        edges.count()
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)  # lazy: the
+        # first consumer job populates the cache while computing
     deg = graph.out_degrees().localCheckpoint(eager=True)
     restart = F.when(F.col("id").isin(srcs), F.lit(e_v)).otherwise(0.0)
     ranks = deg.withColumn("rank", restart)
@@ -1678,8 +1678,8 @@ def label_propagation(
         ).distinct()
     we_cached = graph.edges.storageLevel == StorageLevel.NONE
     if we_cached:
-        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-        edges.count()
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)  # lazy: the
+        # first consumer job populates the cache while computing
     labels = graph.vertices.select("id", F.col("id").alias("label"))
     for _ in range(max_iter):
         cnt = (
@@ -2458,8 +2458,8 @@ def hits(
     we_cached = graph.edges.storageLevel == StorageLevel.NONE
     edges = graph.edges
     if we_cached:
-        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-        edges.count()
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)  # lazy: the
+        # first consumer job populates the cache while computing
     v = graph.vertices.select("id").localCheckpoint(eager=True)
 
     hub = v.select("id", F.lit(1.0).alias("hub"))
@@ -2563,8 +2563,8 @@ def multi_source_levels(
     we_cached = graph.edges.storageLevel == StorageLevel.NONE
     edges = graph.edges.select("src", "dst")
     if we_cached:
-        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-        edges.count()
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)  # lazy: the
+        # first consumer job populates the cache while computing
     src_list = [int(s) for s in sources]
     frontier = (
         graph.vertices.filter(F.col("id").isin(src_list))
@@ -2891,8 +2891,8 @@ def katz_centrality(
     we_cached = graph.edges.storageLevel == StorageLevel.NONE
     edges = graph.edges
     if we_cached:
-        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-        edges.count()
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)  # lazy: the
+        # first consumer job populates the cache while computing
     v = graph.vertices.select("id").localCheckpoint(eager=True)
     x = v.select("id", F.lit(beta).alias("katz"))
     interval = max(1, check_interval)
@@ -2936,8 +2936,8 @@ def eigenvector_centrality(
     we_cached = graph.edges.storageLevel == StorageLevel.NONE
     edges = graph.edges
     if we_cached:
-        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-        edges.count()
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)  # lazy: the
+        # first consumer job populates the cache while computing
     v = graph.vertices.select("id").localCheckpoint(eager=True)
     x = v.select("id", F.lit(1.0).alias("x"))
     interval = max(1, check_interval)

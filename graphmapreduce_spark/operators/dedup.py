@@ -449,6 +449,13 @@ def minhash_lsh_near_dup_pairs(
     )
     if staged:
         sh = sh.localCheckpoint(eager=True)
+    else:
+        # the uncapped path keeps ONE lazy plan end-to-end (see above),
+        # but the shingle arrays still deserve a LAZY checkpoint: both
+        # verify sides sit above the (id, text) ReusedExchange, so the
+        # per-shingle hashing — not just the scan — ran once per side;
+        # materializing (id, array<long>) on first use halves it
+        sh = sh.localCheckpoint(eager=False)
     if verify_sample_mod is not None:
         # attach the sampled AND full shingle arrays in ONE join per
         # pair side (the sampled set is a projection of the full array,
