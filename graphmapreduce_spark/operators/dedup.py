@@ -356,7 +356,10 @@ def minhash_lsh_near_dup_pairs(
         or est_margin is not None
         or verify_sample_mod is not None
     ):
-        sigs = sigs.localCheckpoint(eager=True)
+        # lazy: materialized by the first action that reaches it (the
+        # verify/cluster chain), then every later scan reads the
+        # checkpointed blocks — eager cost one standalone driver job
+        sigs = sigs.localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(
         sigs, "_id", "sig", num_hashes, bands,
         exact_buckets=(hash_fn == "md5"),
@@ -409,7 +412,7 @@ def minhash_lsh_near_dup_pairs(
         or verify_sample_mod is not None
     )
     if staged:
-        cands = cands.localCheckpoint(eager=True)
+        cands = cands.localCheckpoint(eager=False)
         cand_ids = (
             cands.select(F.col("id_a").alias("_sid"))
             .unionByName(cands.select(F.col("id_b").alias("_sid")))
@@ -448,7 +451,7 @@ def minhash_lsh_near_dup_pairs(
         ).alias("_sh"),
     )
     if staged:
-        sh = sh.localCheckpoint(eager=True)
+        sh = sh.localCheckpoint(eager=False)
     else:
         # the uncapped path keeps ONE lazy plan end-to-end (see above),
         # but the shingle arrays still deserve a LAZY checkpoint: both
@@ -764,18 +767,71 @@ def dedup_clusters(
     non-transitive variant).
 
     Scale shape: the pair graph holds only near-dup ids — a small
-    fraction of a 100 TB corpus — and the closure is min-label
-    propagation via the Pregel driver: one hash join + min-agg per
-    superstep, lineage truncated per chunk, converging in O(cluster
-    diameter) supersteps (dup clusters are short chains in practice).
+    fraction of a 100 TB corpus.  The closure is size-adaptive, the
+    same budget logic Spark applies to broadcast joins:
+
+    - If the materialized pair table is within
+      ``spark.graphmapreduce.clusterBroadcastMaxPairs`` rows (default
+      1M ≈ 16 MB of long pairs — well under the broadcast-relation
+      budget the session already grants every BHJ build side), the
+      closure runs as an exact min-id union-find over the collected
+      pairs and ships back as one small mapping table.  An iterative
+      Pregel loop on a graph this size is pure superstep overhead:
+      every superstep costs a full stage wave regardless of row count
+      (measured: ~6 s for a 241-pair graph at sf0.1 vs ~0.3 s via the
+      broadcast path — and on a real cluster each superstep is a
+      cluster-wide barrier).
+    - Above the cap — corpora whose near-dup pair set itself is beyond
+      broadcast scale — the distributed path is unchanged: min-label
+      propagation via the Pregel driver, one hash join + min-agg per
+      superstep, lineage truncated per chunk, converging in O(cluster
+      diameter) supersteps (dup clusters are short chains in practice).
+
+    Both paths produce the identical (id, cluster = min id in the
+    connected component) mapping; the count action that picks the path
+    also materializes the pair table's lazy checkpoint, so the Pregel
+    fallback never recomputes the (expensive) pair derivation.
     """
     from graphmapreduce_spark.graph.algorithms import connected_components
     from graphmapreduce_spark.graph.property_graph import PropertyGraph
 
+    spark = pairs.sparkSession
     edges = pairs.select(
         F.col(id_a).cast("long").alias("src"),
         F.col(id_b).cast("long").alias("dst"),
+    ).localCheckpoint(eager=False)
+    cap = int(
+        spark.conf.get("spark.graphmapreduce.clusterBroadcastMaxPairs", "1000000")
     )
+    if edges.count() <= cap:
+        # driver union-find — exactly the data volume a broadcast-join
+        # build side would collect, and the pair rows are (long, long)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.collect():
+            a, b = row[0], row[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN ROOT so the final root is the component
+                # min — the documented smallest-id canonical convention
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        rows = [(x, find(x)) for x in parent]
+        return spark.createDataFrame(rows, "id long, cluster long")
     graph = PropertyGraph.from_edges(edges)
     comp = connected_components(graph, max_iter=max_iter, check_interval=4)
     return comp.select(F.col("id"), F.col("component").alias("cluster"))

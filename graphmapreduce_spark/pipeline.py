@@ -152,7 +152,9 @@ def dedup_corpus(
         docs.select(key, F.col(id_col))
         .groupBy("_ck")
         .agg(F.min(id_col).alias("_rep"))
-        .localCheckpoint(eager=True)
+        # lazy: the first downstream action (the LSH/cluster chain)
+        # materializes it; eager here was one extra blocking driver job
+        .localCheckpoint(eager=False)
     )
     exact_map = (
         docs.select(F.col(id_col), key)
@@ -174,7 +176,9 @@ def dedup_corpus(
         )
         .select(id_col, text_col)
         .repartition(n_part, F.col(id_col))
-        .localCheckpoint(eager=True)
+        # lazy for the same reason as `reps`: materialized on first use,
+        # shared by every later consumer, no standalone driver job
+        .localCheckpoint(eager=False)
     )
     pairs = minhash_lsh_near_dup_pairs(
         rep_docs,

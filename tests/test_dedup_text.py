@@ -316,6 +316,33 @@ def test_dedup_clusters_transitive_closure(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_dedup_clusters_pregel_fallback_matches_broadcast_path(spark):
+    """The size-adaptive closure must produce the identical mapping on
+    both sides of the broadcast cap: a deep chain + a star + a cycle,
+    run once under the cap (driver union-find) and once with the cap
+    forced to 0 (distributed Pregel min-label)."""
+    rows = (
+        [(i, i + 1) for i in range(1, 9)]  # chain 1..9 (diameter 8)
+        + [(100, k) for k in (101, 102, 103)]  # star
+        + [(200, 201), (201, 202), (202, 200)]  # cycle
+    )
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    expect = {i: 1 for i in range(1, 10)}
+    expect.update({100: 100, 101: 100, 102: 100, 103: 100})
+    expect.update({200: 200, 201: 200, 202: 200})
+    got_bc = {r["id"]: r["cluster"] for r in D.dedup_clusters(pairs).collect()}
+    assert got_bc == expect
+    key = "spark.graphmapreduce.clusterBroadcastMaxPairs"
+    spark.conf.set(key, "0")
+    try:
+        got_pregel = {
+            r["id"]: r["cluster"] for r in D.dedup_clusters(pairs).collect()
+        }
+    finally:
+        spark.conf.unset(key)
+    assert got_pregel == expect
+
+
 def test_canonical_docs_prefers_quality_and_passes_uniques(spark):
     df = spark.createDataFrame(
         [(1, 5.0), (2, 9.0), (3, 9.0), (10, 1.0), (11, 1.0), (42, 0.0)],
