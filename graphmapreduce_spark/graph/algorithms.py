@@ -32,6 +32,7 @@ from graphmapreduce_spark.graph.pregel import (
     THRESHOLD,
     Pregel,
     UpdateMode,
+    single_job_chunk as _single_job_chunk,
 )
 from graphmapreduce_spark.graph.property_graph import PropertyGraph
 
@@ -209,6 +210,14 @@ def pagerank(
     _severer, _last_sever = None, 0
     check_interval = max(1, check_interval)
     it = 0
+    # NOTE (r08, measured): pagerank deliberately does NOT use
+    # pregel.single_job_chunk.  Its loop-carried state is one row per
+    # vertex of a contracted graph (500 rows on the benched Z₅₀₀ input)
+    # — small enough that AQE's runtime broadcast of the rank side makes
+    # the cached edge table never shuffle, which beats the static
+    # one-exchange-per-superstep chunk plan (A/B min-of-7 back-to-back:
+    # 2.61-3.12 s AQE path vs 3.61 s single-job chunks at sf0.1).  The
+    # WCC/Pregel loops, whose state is corpus-sized, win the other way.
     while it < max_iter:
         steps = min(check_interval, max_iter - it)
         new = ranks

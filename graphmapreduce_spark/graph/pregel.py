@@ -38,6 +38,7 @@ from __future__ import annotations
 import enum
 import time
 from collections.abc import Callable
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -45,6 +46,68 @@ from pyspark.sql import functions as F
 
 THRESHOLD = 1e-4  # ref gmr.h:25
 MAX_ITERATION = 10_000  # ref gmr.h:28
+
+
+@contextmanager
+def single_job_chunk(spark, enabled: bool = True):
+    """Make one convergence chunk of an iterative loop execute as ONE
+    Spark job instead of one job wave per superstep.
+
+    Mechanism (measured, r07 session-5 instrumentation): with AQE on,
+    ``AdaptiveSparkPlanExec.execute()`` runs every stage but the last at
+    ``localCheckpoint(eager=False)`` CONSTRUCTION time — so each
+    superstep's lineage cut blocks the driver on that superstep's
+    shuffles, serializing the chunk on the driver no matter how the
+    vote-to-halt is batched.  Suspending AQE while the chunk's plans are
+    constructed makes ``physicalPlan.execute()`` purely lazy: the RDD
+    chain (with its per-superstep local-checkpoint markers) accumulates
+    without running anything, and the single convergence action then
+    drives the whole chunk through the DAG scheduler back-to-back —
+    materializing every pending checkpoint inside that one job.
+
+    The superstep plans are static-planned: the loops this wraps carry
+    their state partitioned on the join key (checkpoint RDDs preserve
+    hash partitioning), so the static plan keeps the one-exchange-per-
+    superstep shape; what AQE contributed — runtime broadcast of the
+    tiny state side — is worth less than the per-superstep driver
+    round-trips it costs (A/B in OPTIMIZATION_r08.md).  Escape hatch:
+    ``spark.graphmapreduce.iterative.singleJobChunks=false`` restores
+    the AQE-planned per-superstep execution.
+    """
+    enabled = enabled and (
+        str(
+            spark.conf.get(
+                "spark.graphmapreduce.iterative.singleJobChunks", "true"
+            )
+        ).lower()
+        == "true"
+    )
+    prev = str(spark.conf.get("spark.sql.adaptive.enabled", "true"))
+    if not enabled or prev.lower() == "false":
+        yield False
+        return
+    # Static-plan the supersteps for the zero-extra-exchange shape the
+    # loops are designed around: state and edges ride co-partitioned
+    # hash keys, so a shuffled-hash join needs NO exchange and NO sort —
+    # whereas the static default would pick sort-merge (per-superstep
+    # sorts) and a small-stats side would pick broadcast (whose
+    # executeBroadcast blocks the driver per superstep, re-serializing
+    # the chunk).
+    # autoBroadcastJoinThreshold=-1 disables statistics-driven broadcast
+    # (a BroadcastExchange under a static plan blocks the driver on a
+    # collect job per superstep).  The loops force the hash-join shape
+    # they want with explicit SHUFFLE_HASH hints on the (small) state
+    # side instead — hints bypass the threshold checks, which -1 would
+    # otherwise poison (ShuffledHashJoin eligibility is sized in units
+    # of this same threshold).
+    prev_bc = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield True
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
 
 
 class UpdateMode(enum.Enum):
@@ -160,6 +223,31 @@ class Pregel:
             "delta", F.lit(float("inf"))
         )
         v = v.localCheckpoint(eager=True)
+        spark = v.sparkSession
+        # Size-adaptive chunk execution (same budget philosophy as the
+        # dedup_clusters union-find path): loops over a LARGE vertex
+        # state run each convergence chunk as one static-planned job
+        # (single_job_chunk — measured 1.3-1.4× on the 21k-vertex WCC at
+        # sf0.1), while a SMALL state keeps the AQE path, whose runtime
+        # broadcast of the state side lets the big cached edge table
+        # avoid shuffling entirely (measured: the 500-vertex SCC pivot
+        # loops regress 1.4× under static chunks).  The count is a
+        # near-free job over the just-materialized init checkpoint.
+        min_single = int(
+            spark.conf.get(
+                "spark.graphmapreduce.iterative.singleJobMinVertices",
+                "4096",
+            )
+        )
+        # broadcast_vertices asserts the state side is broadcast-small:
+        # under a static chunk plan that explicit BroadcastExchange
+        # would block the driver once per superstep (executeBroadcast is
+        # a synchronous collect job), re-serializing exactly what the
+        # single-job chunk exists to remove — so those loops keep the
+        # AQE path (measured: q33 sssp +8% under static chunks).
+        use_single_job = (
+            not self.broadcast_vertices and v.count() >= min_single
+        )
         deltas: list[float] = []
         step_secs: list[float] = []
         shuffle_deltas: list[dict[str, int]] = []
@@ -181,39 +269,56 @@ class Pregel:
             t_step = time.perf_counter()
             steps = min(self.check_interval, self.max_iter - it)
             new = v
-            for _ in range(steps):
-                active = (
-                    new.filter(F.col("delta") > self.threshold)
-                    if self.active_frontier
-                    else new
-                )
-                state = active.select("id", "value")
-                if self.broadcast_vertices:
-                    state = F.broadcast(state)
-                msgs = self.make_messages(state, edges)
-                aggd = msgs.groupBy("id").agg(self.agg.alias("_agg"))
-                new_value = self._update_expr(F.col("_old"), F.col("_agg"))
-                # inf-to-inf transitions (e.g. still-unreached SSSP
-                # vertices) must read as delta 0, not NaN (inf - inf).
-                delta = F.when(
-                    new_value == F.col("_old"), F.lit(0.0)
-                ).otherwise(F.abs(new_value - F.col("_old")))
-                new = (
-                    new.select("id", F.col("value").alias("_old"))
-                    .join(aggd, "id", "left")
-                    .select(
-                        "id", new_value.alias("value"), delta.alias("delta")
+            # suspend AQE for the chunk: every per-superstep
+            # localCheckpoint below then constructs WITHOUT executing
+            # its stages, and the convergence action drives the whole
+            # chunk as ONE job (see single_job_chunk)
+            with single_job_chunk(spark, enabled=use_single_job) as single_job:
+                for _ in range(steps):
+                    active = (
+                        new.filter(F.col("delta") > self.threshold)
+                        if self.active_frontier
+                        else new
                     )
-                )
-                it += 1
-                if it % self.checkpoint_interval == 0:
-                    # lazy checkpoint: the convergence action below both
-                    # computes max(delta) AND materializes every pending
-                    # checkpoint in this chunk — one Spark job per chunk
-                    new = new.localCheckpoint(eager=False)
-            # the convergence barrier — sole driver-side scalar per chunk
-            # (ref gmr.cpp:224-232 piggybacked vote-to-halt)
-            max_delta = new.agg(F.max("delta")).first()[0]
+                    state = active.select("id", "value")
+                    if self.broadcast_vertices:
+                        state = F.broadcast(state)
+                    elif single_job:
+                        # static plan: hash-join with the SMALL state
+                        # side as build — no per-superstep sort (SMJ)
+                        # and no driver-blocking broadcast collect
+                        state = state.hint("shuffle_hash")
+                    msgs = self.make_messages(state, edges)
+                    aggd = msgs.groupBy("id").agg(self.agg.alias("_agg"))
+                    if single_job:
+                        aggd = aggd.hint("shuffle_hash")
+                    new_value = self._update_expr(
+                        F.col("_old"), F.col("_agg")
+                    )
+                    # inf-to-inf transitions (e.g. still-unreached SSSP
+                    # vertices) must read as delta 0, not NaN (inf - inf).
+                    delta = F.when(
+                        new_value == F.col("_old"), F.lit(0.0)
+                    ).otherwise(F.abs(new_value - F.col("_old")))
+                    new = (
+                        new.select("id", F.col("value").alias("_old"))
+                        .join(aggd, "id", "left")
+                        .select(
+                            "id",
+                            new_value.alias("value"),
+                            delta.alias("delta"),
+                        )
+                    )
+                    it += 1
+                    if it % self.checkpoint_interval == 0:
+                        # lazy checkpoint: the convergence action below
+                        # both computes max(delta) AND materializes every
+                        # pending checkpoint in this chunk — one Spark
+                        # job per chunk
+                        new = new.localCheckpoint(eager=False)
+                # the convergence barrier — sole driver-side scalar per
+                # chunk (ref gmr.cpp:224-232 piggybacked vote-to-halt)
+                max_delta = new.agg(F.max("delta")).first()[0]
             deltas.append(float(max_delta) if max_delta is not None else 0.0)
             step_secs.append(round(time.perf_counter() - t_step, 4))
             if tracker is not None:

@@ -115,10 +115,12 @@ def minhash_signatures(
     a, b = _hash_coeffs(num_hashes, seed)
     # spread rows across cores BEFORE the ~|text| fan-out of the explode:
     # a corpus read from few files would otherwise shingle serially
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # (input-parallelism-gated — no corpus shuffle when the scan already
+    # parallelizes; operators/_spread.py)
+    from graphmapreduce_spark.operators._spread import spread_by
+
     exploded = (
-        df.select(id_col, text_col)
-        .repartition(n_part, F.col(id_col))
+        spread_by(df.select(id_col, text_col), F.col(id_col))
         .select(
             F.col(id_col),
             F.explode(
@@ -211,34 +213,50 @@ def lsh_candidate_pairs(
     all-pairs semantics (the SQL-oracle-comparable contract); pass a
     cap EXPLICITLY for corpus-scale runs — at 100 TB a single viral
     boilerplate bucket is otherwise a quadratic straggler.  With a cap
-    set, bucket sizes are annotated lazily by a window over the one
-    (band, bucket) exchange — no extra detection job."""
-    from pyspark.sql.window import Window
-
+    set, bucket sizes are annotated lazily by a map-side-combined
+    groupBy joined back onto the banded rows — no extra detection job,
+    and no single-task hot spot on the viral bucket itself."""
     banded = _band_rows(
         df, id_col, sig_col, num_hashes, bands, exact_buckets
     )
     if max_bucket_size is not None:
-        # ONE lazy plan for both the common and the degenerate case:
-        # a whole-partition window over the (band, bucket) exchange
-        # annotates every banded row with its bucket size and bucket
-        # min id, so the cap is a plain filter — no eager bucket-scan
-        # job, no driver collect, no checkpoint + broadcast branch
-        # (the previous shape paid a separate banding shuffle just to
-        # DETECT oversized buckets).  The window's exchange is the
-        # only (band, bucket) shuffle: the self-join and the star
-        # branch below inherit its partitioning, so capping is now
-        # strictly cheaper than not capping.
-        w = Window.partitionBy("band", "bucket")
-        annotated = banded.select(
-            "_id",
-            "band",
-            "bucket",
-            F.count(F.lit(1)).over(w).alias("_bn"),
-            F.min("_id").over(w).alias("_hub"),
+        # ONE lazy plan for both the common and the degenerate case,
+        # with NO single-task hot spot on a viral bucket (VERDICT r07
+        # item 1 — the r07 shape computed count/min as a whole-partition
+        # window, which funnels the entire viral bucket through one
+        # task before the cap can filter it, and AQE cannot split a
+        # window partition):
+        #   1. per-bucket count/min by groupBy — partial aggregates
+        #      combine map-side, so even a 10M-member bucket reduces to
+        #      one narrow row per map partition before its exchange;
+        #   2. ONLY the oversized buckets (rare by construction — at
+        #      most |banded|/cap of them exist) are broadcast back, as
+        #      the tiny (band, bucket, _hub) list;
+        #   3. routing is then two broadcast joins over `banded` —
+        #      anti (small side) + inner (star side) — which add ZERO
+        #      exchange of the banded rows; the self-join below keeps
+        #      its one reused (bucket, band) exchange as before.
+        # (Annotating via a full groupBy+join-back was measured ~2 s
+        # slower in-recipe at sf0.1: it re-exchanges the whole banded
+        # table for the join; the broadcast-the-exceptions shape costs
+        # only the narrow stats aggregate.)
+        big_buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(
+                F.count(F.lit(1)).alias("_bn"),
+                F.min("_id").alias("_hub"),
+            )
+            .filter(F.col("_bn") > max_bucket_size)
+            .select("band", "bucket", "_hub")
         )
-        small = annotated.filter(F.col("_bn") <= max_bucket_size)
-        big = annotated.filter(F.col("_bn") > max_bucket_size)
+        small = banded.join(
+            F.broadcast(big_buckets.select("band", "bucket")),
+            ["band", "bucket"],
+            "left_anti",
+        )
+        big = banded.join(
+            F.broadcast(big_buckets), ["band", "bucket"]
+        )
     else:
         small, big = banded, None
     l, r = small.alias("l"), small.alias("r")
@@ -418,25 +436,25 @@ def minhash_lsh_near_dup_pairs(
             .unionByName(cands.select(F.col("id_b").alias("_sid")))
             .distinct()
         )
-        n_part = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-        sh_src = (
+        from graphmapreduce_spark.operators._spread import spread_by
+
+        sh_src = spread_by(
             df.select(F.col(id_col).alias("_sid"), F.col(text_col))
-            .join(cand_ids, "_sid", "left_semi")
-            .repartition(n_part, F.col("_sid"))
+            .join(cand_ids, "_sid", "left_semi"),
+            F.col("_sid"),
         )
     else:
         # no staging, but still spread rows before the shingle fan-out:
         # both verify sides derive from this one exchange
         # (ReusedExchange), so a few-file corpus no longer shingles
-        # serially (measured 4.1 s → 2.9 s at sf0.1 for q46)
-        n_part = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        # serially (measured 4.1 s → 2.9 s at sf0.1 for q46;
+        # input-parallelism-gated, operators/_spread.py)
+        from graphmapreduce_spark.operators._spread import spread_by
+
+        sh_src = spread_by(
+            df.select(F.col(id_col).alias("_sid"), F.col(text_col)),
+            F.col("_sid"),
         )
-        sh_src = df.select(
-            F.col(id_col).alias("_sid"), F.col(text_col)
-        ).repartition(n_part, F.col("_sid"))
     # verify on hashed shingle-id sets — value-identical to raw-shingle
     # Jaccard (full 60/64-bit hash space: within-doc collision p < 1e-12,
     # NOT the 31-bit signature space, whose ~2e-4/doc collision rate
@@ -450,15 +468,13 @@ def minhash_lsh_near_dup_pairs(
             )
         ).alias("_sh"),
     )
-    if staged:
-        sh = sh.localCheckpoint(eager=False)
-    else:
-        # the uncapped path keeps ONE lazy plan end-to-end (see above),
-        # but the shingle arrays still deserve a LAZY checkpoint: both
-        # verify sides sit above the (id, text) ReusedExchange, so the
-        # per-shingle hashing — not just the scan — ran once per side;
-        # materializing (id, array<long>) on first use halves it
-        sh = sh.localCheckpoint(eager=False)
+    # both paths lazily checkpoint the hashed shingle arrays: the a/b
+    # verify sides (and the sampled sides) each sit above this table, so
+    # the per-shingle hashing — not just the scan — would otherwise run
+    # once per side; materializing (id, array<long>) on first use
+    # halves it, and on the uncapped one-plan path it is the ONLY
+    # materialization (full staging measured worse there, see above)
+    sh = sh.localCheckpoint(eager=False)
     if verify_sample_mod is not None:
         # attach the sampled AND full shingle arrays in ONE join per
         # pair side (the sampled set is a projection of the full array,
@@ -796,16 +812,38 @@ def dedup_clusters(
     from graphmapreduce_spark.graph.property_graph import PropertyGraph
 
     spark = pairs.sparkSession
+    # try_cast: under ANSI SQL (the Spark 4 default) a plain cast THROWS
+    # on a malformed id; try_cast yields NULL instead, and the filter
+    # below drops those rows
     edges = pairs.select(
-        F.col(id_a).cast("long").alias("src"),
-        F.col(id_b).cast("long").alias("dst"),
+        F.col(id_a).try_cast("long").alias("src"),
+        F.col(id_b).try_cast("long").alias("dst"),
     ).localCheckpoint(eager=False)
+    # ids that cast to NULL (non-numeric string ids through the public
+    # API) are dropped: the distributed path's equi-joins never match a
+    # null id anyway, and the union-find below would otherwise crash
+    # comparing None < int.  The filter sits ABOVE the checkpoint so
+    # predicate pushdown stops at the RDD boundary — pushing
+    # isnotnull(cast(id)) into the deep verified-pairs plan measured
+    # +1 s of pure re-planning per invocation at sf0.1.
+    nn = edges.filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
     cap = int(
         spark.conf.get("spark.graphmapreduce.clusterBroadcastMaxPairs", "1000000")
     )
     if edges.count() <= cap:
         # driver union-find — exactly the data volume a broadcast-join
-        # build side would collect, and the pair rows are (long, long)
+        # build side would collect.  Collect through Arrow (toPandas):
+        # two flat int64 buffers instead of per-pair Row objects, so the
+        # transfer itself is ~16 B/pair; the dominant driver footprint
+        # is the union-find dict (≤ 2 ints per distinct id — measured
+        # 172 MiB at the 1M-pair cap with 2M distinct ids, inside the
+        # broadcast budget the session already grants every BHJ build
+        # side)
+        import pandas as pd
+
+        pdf = nn.toPandas()
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -816,8 +854,9 @@ def dedup_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in edges.collect():
-            a, b = row[0], row[1]
+        for a, b in zip(
+            pdf["src"].to_numpy().tolist(), pdf["dst"].to_numpy().tolist()
+        ):
             if a not in parent:
                 parent[a] = a
             if b not in parent:
@@ -830,9 +869,13 @@ def dedup_clusters(
                     parent[rb] = ra
                 else:
                     parent[ra] = rb
-        rows = [(x, find(x)) for x in parent]
-        return spark.createDataFrame(rows, "id long, cluster long")
-    graph = PropertyGraph.from_edges(edges)
+        ids = list(parent)
+        out = pd.DataFrame(
+            {"id": ids, "cluster": [find(x) for x in ids]},
+            dtype="int64",
+        )
+        return spark.createDataFrame(out, "id long, cluster long")
+    graph = PropertyGraph.from_edges(nn)
     comp = connected_components(graph, max_iter=max_iter, check_interval=4)
     return comp.select(F.col("id"), F.col("component").alias("cluster"))
 
@@ -1474,9 +1517,11 @@ def duplicate_ngram_spans(
     # dominant cost of this operator — would otherwise run serially.
     # One narrow shuffle of (id, text); every downstream branch reuses
     # the exchange (ReusedExchange), so the hashing parallelizes in all
-    # three consumers of the gram stream.
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    df = df.select(id_col, text_col).repartition(n_part, F.col(id_col))
+    # three consumers of the gram stream.  Input-parallelism-gated
+    # (operators/_spread.py): a many-file corpus skips the shuffle.
+    from graphmapreduce_spark.operators._spread import spread_by
+
+    df = spread_by(df.select(id_col, text_col), F.col(id_col))
     # bind the token array ONCE via a lambda variable (the per-index
     # slice lambda would otherwise re-evaluate the split per element —
     # quadratic per document; same trick as hashed_ngram_score)

@@ -252,13 +252,15 @@ def unigram_surprisal(
     # explode above it parallelizes): a few-file corpus would otherwise
     # tokenize serially, twice.  Whitespace tokenizing is cheap, so the
     # win is small at sf0.1 (0.42 → 0.40 s warm A/B) — kept because it
-    # removes the layout hazard, not for the local seconds
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    tok = (
-        df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_lt"))
-        .repartition(n_part, F.col(id_col))
-        .select(F.col(id_col), F.explode(words(F.col("_lt"))).alias("_w"))
-    )
+    # removes the layout hazard, not for the local seconds.  Input-
+    # parallelism-gated (operators/_spread.py): no corpus shuffle when
+    # the scan already parallelizes.
+    from graphmapreduce_spark.operators._spread import spread_by
+
+    tok = spread_by(
+        df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_lt")),
+        F.col(id_col),
+    ).select(F.col(id_col), F.explode(words(F.col("_lt"))).alias("_w"))
     vocab = tok.groupBy("_w").agg(F.count(F.lit(1)).alias("_cnt"))
     total = vocab.agg(F.sum("_cnt").alias("_n"))
     return (

@@ -169,13 +169,15 @@ def dedup_corpus(
     # blocks), and every downstream shingle/signature pass would run at
     # that parallelism; spreading by id here costs one narrow shuffle
     # of (id, text) and parallelizes all of them.
-    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    from graphmapreduce_spark.operators._spread import spread_by
+
     rep_docs = (
-        docs.join(
-            reps.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+        spread_by(
+            docs.join(
+                reps.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+            ).select(id_col, text_col),
+            F.col(id_col),
         )
-        .select(id_col, text_col)
-        .repartition(n_part, F.col(id_col))
         # lazy for the same reason as `reps`: materialized on first use,
         # shared by every later consumer, no standalone driver job
         .localCheckpoint(eager=False)

@@ -3301,12 +3301,11 @@ def q153_hashed_ngram_classifier(spark, sf_dir):
     # spread by id before the per-token hashing expression: the scoring
     # is scan-fused, and a single-row-group corpus file would evaluate
     # it serially (r07: 0.57 → 0.17 s at sf0.1 for one narrow shuffle
-    # of (id, text))
+    # of (id, text)).  Input-parallelism-gated (operators/_spread.py).
+    from graphmapreduce_spark.operators._spread import spread_by
+
     return (
-        d.select("doc_id", "text")
-        .repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
-        )
+        spread_by(d.select("doc_id", "text"), "doc_id")
         .select(
             "doc_id",
             F.round(

@@ -1084,3 +1084,34 @@ def test_cc_auto_off_truncates_like_before(spark):
     out = alg.connected_components(g, max_iter=3, auto=False)
     comps = {r["component"] for r in out.collect()}
     assert len(comps) > 1  # truncated: not yet a single component
+
+
+def test_pregel_single_job_chunk_equivalent(spark):
+    """The size-adaptive single-job chunk path (AQE suspended during
+    chunk construction, shuffle-hash-hinted joins, one action per
+    chunk) must land on the same fixpoint as the per-superstep AQE
+    path.  Forced on via the vertex-count gate; both paths compared on
+    SSSP (frontier, custom update) and WCC (min-label)."""
+    key = "spark.graphmapreduce.iterative.singleJobMinVertices"
+    g = make_graph(spark, PATH5)
+    g2 = make_graph(spark, TWO_CC)
+    base_d = {r["id"]: r["distance"] for r in alg.sssp(g, source=1).collect()}
+    base_c = {r["id"]: r["component"]
+              for r in alg.connected_components(g2).collect()}
+    spark.conf.set(key, "1")  # force single-job chunks on tiny graphs
+    try:
+        got_d = {
+            r["id"]: r["distance"]
+            for r in alg.sssp(g, source=1, check_interval=3).collect()
+        }
+        got_c = {
+            r["id"]: r["component"]
+            for r in alg.connected_components(g2, check_interval=3).collect()
+        }
+    finally:
+        spark.conf.unset(key)
+    assert got_d == base_d
+    assert got_c == base_c
+    # the context must restore session confs afterwards
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
