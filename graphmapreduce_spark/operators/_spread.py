@@ -1,23 +1,31 @@
 """Input-parallelism-gated corpus spreads.
 
-Several text operators repartition the (id, text) corpus by id before a
-per-token fan-out (shingle/gram/token explode): a corpus read from FEW
-files scans as few partitions, and the fan-out — the dominant cost of
-those operators — would otherwise run serially (measured r07: q153
-0.57 → 0.17 s, q167 4.5 → 1.9 s at sf0.1 on the single-row-group
-fixture files).
+Several operators repartition narrow projections of the corpus by key
+before a fan-out or expansion (shingle/gram/token explode, multi-distinct
+Expand): a corpus read from FEW row groups scans as few partitions, and
+the fan-out — the dominant cost of those operators — would otherwise run
+serially (measured r07: q153 0.57 → 0.17 s, q167 4.5 → 1.9 s at sf0.1 on
+the single-row-group fixture files).
 
 But the spread is a LAYOUT fix, not an algorithmic need: at 100 TB the
-scan is already parallel (thousands of files, split further by
-``spark.sql.files.maxPartitionBytes``) and an unconditional repartition
-would shuffle the full text payload for nothing (VERDICT r07 item 2).
-``spread_by`` therefore repartitions ONLY when the source's file count
-cannot reach the session's shuffle parallelism — the observable,
-plan-time proxy for scan parallelism (splittable multi-row-group files
-can exceed it, in which case the spread is merely redundant, never
-wrong).  Non-file sources (in-memory test frames, checkpointed RDDs)
-report no files and keep the spread — the safe default for exactly the
-single-blob layouts the spread exists to fix.
+scan is already parallel (thousands of files) and an unconditional
+repartition would shuffle the projection for nothing — or, worse, shuffle
+MORE bytes than the operation it feeds (q12's multi-distinct shuffles 227
+vs 161 MB at sf1-equivalent when repartition-first replaces the expanded
+partial aggregate; VERDICT r07 items 2 and 7).  ``spread_by`` therefore
+repartitions ONLY when the source cannot reach the session's shuffle
+parallelism by itself, estimated at plan time from the cheapest honest
+signal available:
+
+- enough input FILES → the scan parallelizes, skip;
+- few files → parquet footers are read (a metadata-only driver read) and
+  the total ROW-GROUP count decides: Spark assigns byte-range splits, but
+  a split only produces rows when it contains a row-group start, so row
+  groups — not byte splits — bound real scan parallelism;
+- unreadable footers (remote object stores, non-parquet sources) fall
+  back to the file count; NO files (in-memory test frames, checkpointed
+  RDDs) keep the spread — the safe default for exactly the single-blob
+  layouts the spread exists to fix.
 """
 
 from __future__ import annotations
@@ -25,18 +33,40 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 
 
-def spread_by(df: DataFrame, key: Column | str, n_part: int | None = None) -> DataFrame:
-    """Hash-repartition ``df`` by ``key`` into the session's shuffle
-    partition count — unless the frame's file sources already provide
-    at least that many scan splits, in which case ``df`` is returned
-    unchanged (the scan parallelizes by itself and the shuffle would be
-    pure cost)."""
-    spark = df.sparkSession
-    n = n_part or int(spark.conf.get("spark.sql.shuffle.partitions"))
+def _scan_splits(df: DataFrame, n: int) -> int | None:
+    """Estimated scan parallelism of ``df``'s file sources, or None when
+    there are no file sources (unknown → caller should spread)."""
     try:
         files = df.inputFiles()
     except Exception:
-        files = []
-    if files and len(files) >= n:
+        return None
+    if not files:
+        return None
+    if len(files) >= n:
+        return len(files)
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            path = f.split("://", 1)[1] if f.startswith("file:") else f
+            total += pq.ParquetFile(path).metadata.num_row_groups
+            if total >= n:
+                break
+        return total
+    except Exception:
+        return len(files)
+
+
+def spread_by(df: DataFrame, key: Column | str, n_part: int | None = None) -> DataFrame:
+    """Hash-repartition ``df`` by ``key`` into the session's shuffle
+    partition count — unless the frame's file sources already provide
+    at least that many real scan splits (see module docstring), in
+    which case ``df`` is returned unchanged: the scan parallelizes by
+    itself and the shuffle would be pure cost."""
+    spark = df.sparkSession
+    n = n_part or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    splits = _scan_splits(df, n)
+    if splits is not None and splits >= n:
         return df
     return df.repartition(n, key)

@@ -311,12 +311,18 @@ def q12_distinct_agg(spark, sf_dir):
     # and a single-row-group file runs that serially; one narrow shuffle
     # of the 3 projected columns moves the ×3 expansion and both
     # aggregate passes behind the exchange where they parallelize
-    # (r07: 1.16 → 0.67 s at sf0.1, plan: Expand now above the exchange)
+    # (r07: 1.16 → 0.67 s at sf0.1, plan: Expand now above the exchange).
+    # Input-parallelism-gated (r08, operators/_spread.py): when the scan
+    # reaches the shuffle parallelism by itself, the expanded partial
+    # aggregate shuffles FEWER bytes than the raw projection — measured
+    # at sf1-equivalent: 161 MB / 12.3M rows (direct) vs 227 MB / 18.2M
+    # rows (repartition-first), wall 1.7 vs 2.2-3.9 s — so the spread is
+    # strictly a few-row-group layout fix, exactly VERDICT r07 item 7's
+    # revert condition.
+    from graphmapreduce_spark.operators._spread import spread_by
+
     return (
-        li.select("l_suppkey", "l_partkey", "l_orderkey")
-        .repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions")), "l_suppkey"
-        )
+        spread_by(li.select("l_suppkey", "l_partkey", "l_orderkey"), "l_suppkey")
         .groupBy("l_suppkey")
         .agg(
             F.countDistinct("l_partkey").alias("n_parts"),

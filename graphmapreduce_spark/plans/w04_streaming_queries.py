@@ -129,23 +129,51 @@ def _stream_events(spark, sf_dir):
 
 def _run_stream_to_table(spark, stream_df, name: str, output_mode: str = "update"):
     """Execute a streaming query to completion (availableNow) into an
-    in-memory sink and return the materialized table."""
+    in-memory sink and return the materialized table.
+
+    State-store partitioning: a stateful streaming query pins its state
+    partition count to ``spark.sql.shuffle.partitions`` at the first
+    micro-batch, and every micro-batch then pays an open/commit cycle
+    on EVERY state store — a fan-out that should be sized to the state
+    volume, not to the core count (guide §2.2; measured at sf0.1: the
+    q63 5-key windowed aggregate runs ~2× faster with 4 state
+    partitions than with 32, pure store-lifecycle cost).  The runner
+    therefore scopes shuffle partitions for the stream's lifetime to
+    ``spark.graphmapreduce.streaming.statePartitions`` (default 8 —
+    generous for the low-cardinality windowed/keyed aggregates these
+    operators compute; never raised above the session value).  For
+    corpus-scale state (e.g. a streaming dedup ingest whose state is
+    the seen-hash set) size it up: ≈ expected state bytes / 64 MB.
+    """
     import tempfile
     import uuid
 
     qname = f"{name}_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix=f"gmr_ckpt_{name}_"),
-        )
-        .trigger(availableNow=True)
-        .start()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    state_parts = min(
+        int(prev_parts),
+        int(
+            spark.conf.get(
+                "spark.graphmapreduce.streaming.statePartitions", "8"
+            )
+        ),
     )
-    q.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix=f"gmr_ckpt_{name}_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname)
 
 
