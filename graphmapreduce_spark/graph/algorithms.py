@@ -32,7 +32,6 @@ from graphmapreduce_spark.graph.pregel import (
     THRESHOLD,
     Pregel,
     UpdateMode,
-    single_job_chunk as _single_job_chunk,
 )
 from graphmapreduce_spark.graph.property_graph import PropertyGraph
 
